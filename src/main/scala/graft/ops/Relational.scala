@@ -1,0 +1,452 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator surface — SURVEY.md §2.1 (scans/sources), §2.2
+  * (projection/filter), §2.4 (aggregation), §2.6 (sort/limit/top-k),
+  * §2.7 (set ops).
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame`, ends in a
+  * total ORDER BY over a unique key suffix (§5.3.1), and has a matching
+  * ANSI-SQL oracle in [[oracle]] with identical column names.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ioTmp = "/tmp/graft_io"
+
+  // ---------------------------------------------------------------- §2.1 scans
+  private val scanParquet: Q = (s, d) =>
+    tbl(s, d, "lineitem").orderBy("l_orderkey", "l_linenumber")
+
+  private val scanParquetPushdown: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val scanCsv: Q = (s, d) => {
+    val out = s"$ioTmp/csv_nation"
+    tbl(s, d, "nation").coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).option("header", "true").csv(out)
+      .orderBy("n_nationkey")
+  }
+
+  private val scanJson: Q = (s, d) => {
+    val out = s"$ioTmp/json_region"
+    tbl(s, d, "region").coalesce(1).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    s.read.schema(schema).json(out).orderBy("r_regionkey")
+  }
+
+  // ------------------------------------------------------- §2.2 project/filter
+  private val projSelect: Q = (s, d) =>
+    tbl(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("qty"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val filterCompare: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .where(col("l_quantity") < 24 &&
+        col("l_shipdate") <= lit("1998-09-02").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_tax") =!= 0.0)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate",
+        "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val filterBoolean: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .where(col("o_orderstatus").isin("F", "P") &&
+        !col("o_totalprice").between(50000, 150000) &&
+        col("o_orderpriority") =!= "5-LOW")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  private val filterLike: Q = (s, d) =>
+    tbl(s, d, "part")
+      .where(col("p_name").like("%bolt%") ||
+        col("p_type").startsWith("SMALL") || col("p_name").endsWith("gear"))
+      .select("p_partkey", "p_name", "p_type", "p_brand")
+      .orderBy("p_partkey")
+
+  private val filterNull: Q = (s, d) => {
+    val rk = nullif(col("n_regionkey"), lit(2))
+    tbl(s, d, "nation").select(
+      col("n_nationkey"), rk.as("rk_null"),
+      rk.isNull.as("is_n"), rk.isNotNull.as("is_nn"),
+      (rk <=> lit(2)).as("nseq2"),
+      (rk <=> lit(null).cast("int")).as("nseqnull"))
+      .orderBy("n_nationkey")
+  }
+
+  private val projDistinct: Q = (s, d) =>
+    tbl(s, d, "customer").select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  // ------------------------------------------------------------ §2.4 aggregates
+  /** Flagship (§7.2): TPC-H Q1 pricing summary. */
+  val aggPricingSummary: Q = (s, d) => {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    tbl(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sumMoney(disc).as("sum_disc_price"),
+        sumMoney(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        r4(avg(col("l_quantity"))).as("avg_qty"),
+        r4(avg(col("l_extendedprice"))).as("avg_price"),
+        r4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val aggCountDistinct: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("c_mktsegment")
+
+  private val aggApproxDistinct: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+
+  private val aggGroupingSets: Q = (s, d) => {
+    tbl(s, d, "lineitem").createOrReplaceTempView("gs_li")
+    tbl(s, d, "orders").createOrReplaceTempView("gs_ord")
+    tbl(s, d, "customer").createOrReplaceTempView("gs_cust")
+    s.sql("""
+      SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+             coalesce(CAST(c_nationkey AS STRING), 'ALL') AS nat,
+             sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/CAST(100 AS DOUBLE) AS revenue
+      FROM gs_li JOIN gs_ord ON l_orderkey = o_orderkey
+                 JOIN gs_cust ON o_custkey = c_custkey
+      GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+      ORDER BY seg, nat""")
+  }
+
+  private val aggRollup: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .rollup(year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+      .agg(sumMoney(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("y"), asc_nulls_first("m"))
+
+  private val aggCube: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .cube(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("rf"), asc_nulls_first("ls"))
+
+  private val aggFiltered: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        (sum(when(col("o_orderpriority") === "1-URGENT", cents(col("o_totalprice")))
+          .otherwise(lit(0L))) / 100.0).as("urgent_total"),
+        sum(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L)).as("n_low"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  private val aggStats: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
+        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 1).as("cov_pq"))
+      .orderBy("l_returnflag")
+
+  private val aggPercentile: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
+      .orderBy("o_orderstatus")
+
+  private val aggApproxPercentile: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx_pcts"),
+        r4(expr("percentile(o_totalprice, 0.5)")).as("exact_p50"))
+      .orderBy("o_orderstatus")
+
+  private val aggCollectSorted: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(slice(sort_array(collect_list(date_format(col("l_shipdate"), "yyyy-MM-dd"))),
+        1, 3).as("first3"))
+      .orderBy("l_orderkey")
+
+  /** Deterministic first/last per key: min_by/max_by over a composite
+    * (epoch-ms, event_id) bigint key — bare first/last are order-undefined
+    * and events.ts ties must break identically on both engines (§5.3.4). */
+  private val aggFirstLast: Q = (s, d) => {
+    val k = unix_millis(col("ts")) * lit(1000000L) + col("event_id")
+    tbl(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(min_by(col("value"), k).as("first_value"),
+        max_by(col("value"), k).as("last_value"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------- §2.6 sort/limit/top-k
+  private val sortMultikey: Q = (s, d) =>
+    tbl(s, d, "customer")
+      .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      .orderBy(asc("c_mktsegment"), desc("c_acctbal"), asc("c_custkey"))
+
+  private val sortNulls: Q = (s, d) =>
+    tbl(s, d, "orders").select(
+      col("o_orderkey"),
+      nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pr"),
+      nullif(col("o_orderstatus"), lit("P")).as("st"))
+      .orderBy(desc_nulls_last("pr"), asc_nulls_first("st"), asc("o_orderkey"))
+
+  private val limitK: Q = (s, d) =>
+    tbl(s, d, "orders").select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(20)
+
+  private val topkGlobal: Q = (s, d) =>
+    tbl(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  // ------------------------------------------------------------- §2.7 set ops
+  private def custA(s: SparkSession, d: String) =
+    tbl(s, d, "customer").where(col("c_acctbal") < 1000)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+  private def custB(s: SparkSession, d: String) =
+    tbl(s, d, "customer").where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+
+  private val setUnionAll: Q = (s, d) =>
+    custA(s, d).unionByName(custB(s, d)).orderBy("c_custkey", "c_mktsegment")
+  private val setUnionDistinct: Q = (s, d) =>
+    custA(s, d).union(custB(s, d)).distinct().orderBy("c_custkey", "c_mktsegment")
+  private val setIntersect: Q = (s, d) =>
+    tbl(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .intersect(tbl(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  private val setIntersectAll: Q = (s, d) =>
+    tbl(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .intersectAll(tbl(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  private val setExcept: Q = (s, d) =>
+    tbl(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .except(tbl(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+  private val setExceptAll: Q = (s, d) =>
+    tbl(s, d, "customer").select(col("c_nationkey").as("nk"))
+      .exceptAll(tbl(s, d, "supplier").select(col("s_nationkey").as("nk")))
+      .orderBy("nk")
+
+  // ------------------------------------------------------------------ registry
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "scan_parquet_pushdown" -> scanParquetPushdown,
+    "scan_csv" -> scanCsv,
+    "scan_json" -> scanJson,
+    "proj_select" -> projSelect,
+    "filter_compare" -> filterCompare,
+    "filter_boolean" -> filterBoolean,
+    "filter_like" -> filterLike,
+    "filter_null" -> filterNull,
+    "proj_distinct" -> projDistinct,
+    "agg_pricing_summary" -> aggPricingSummary,
+    "agg_count_distinct" -> aggCountDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_grouping_sets" -> aggGroupingSets,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_filtered" -> aggFiltered,
+    "agg_stats" -> aggStats,
+    "agg_percentile" -> aggPercentile,
+    "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_collect_sorted" -> aggCollectSorted,
+    "agg_first_last" -> aggFirstLast,
+    "sort_multikey" -> sortMultikey,
+    "sort_nulls" -> sortNulls,
+    "limit_k" -> limitK,
+    "topk_global" -> topkGlobal,
+    "set_union_all" -> setUnionAll,
+    "set_union_distinct" -> setUnionDistinct,
+    "set_intersect" -> setIntersect,
+    "set_intersect_all" -> setIntersectAll,
+    "set_except" -> setExcept,
+    "set_except_all" -> setExceptAll,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "scan_parquet_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "proj_select" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+                l_extendedprice*(1.0-l_discount) AS revenue
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "filter_compare" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate, l_extendedprice
+         FROM lineitem
+         WHERE l_quantity < 24 AND l_shipdate <= TIMESTAMP '1998-09-02'
+           AND l_discount >= 0.02 AND l_tax <> 0.0
+         ORDER BY l_orderkey, l_linenumber""",
+    "filter_boolean" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus IN ('F','P')
+           AND NOT (o_totalprice BETWEEN 50000 AND 150000)
+           AND o_orderpriority <> '5-LOW'
+         ORDER BY o_orderkey""",
+    "filter_like" ->
+      """SELECT p_partkey, p_name, p_type, p_brand FROM part
+         WHERE p_name LIKE '%bolt%' OR p_type LIKE 'SMALL%' OR p_name LIKE '%gear'
+         ORDER BY p_partkey""",
+    "filter_null" ->
+      """SELECT n_nationkey, nullif(n_regionkey, 2) AS rk_null,
+                nullif(n_regionkey, 2) IS NULL AS is_n,
+                nullif(n_regionkey, 2) IS NOT NULL AS is_nn,
+                nullif(n_regionkey, 2) IS NOT DISTINCT FROM 2 AS nseq2,
+                nullif(n_regionkey, 2) IS NOT DISTINCT FROM NULL AS nseqnull
+         FROM nation ORDER BY n_nationkey""",
+    "proj_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+         ORDER BY c_mktsegment, c_nationkey""",
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty,
+                sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base_price,
+                sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS sum_disc_price,
+                sum(CAST(floor(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100 + 0.5) AS BIGINT))/100.0 AS sum_charge,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                round(avg(l_discount), 4) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_count_distinct" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+                coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nat,
+                sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       JOIN customer ON o_custkey = c_custkey
+         GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey), (c_mktsegment), ())
+         ORDER BY seg, nat""",
+    "agg_rollup" ->
+      """SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+                sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(year(l_shipdate), month(l_shipdate))
+         ORDER BY y NULLS FIRST, m NULLS FIRST""",
+    "agg_cube" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf NULLS FIRST, ls NULLS FIRST""",
+    "agg_filtered" ->
+      """SELECT o_orderstatus,
+                sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                    ELSE 0 END)/100.0 AS urgent_total,
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                count(*) AS n
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_stats" ->
+      """SELECT l_returnflag,
+                round(stddev_samp(l_quantity), 4) AS sd_qty,
+                round(var_samp(l_quantity), 4) AS var_qty,
+                round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+                round(covar_samp(l_extendedprice, l_quantity), 1) AS cov_pq
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_collect_sorted" ->
+      """SELECT l_orderkey,
+                (list(strftime(l_shipdate, '%Y-%m-%d')
+                      ORDER BY strftime(l_shipdate, '%Y-%m-%d')))[1:3] AS first3
+         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "agg_first_last" ->
+      """SELECT user_id,
+                arg_min(value, epoch_ms(ts)*1000000 + event_id) AS first_value,
+                arg_max(value, epoch_ms(ts)*1000000 + event_id) AS last_value,
+                count(*) AS n
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "sort_multikey" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+         ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
+    "sort_nulls" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pr,
+                nullif(o_orderstatus, 'P') AS st
+         FROM orders
+         ORDER BY pr DESC NULLS LAST, st ASC NULLS FIRST, o_orderkey ASC""",
+    "limit_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
+    "topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "set_union_all" ->
+      """SELECT * FROM (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal < 1000
+           UNION ALL
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           WHERE c_mktsegment IN ('BUILDING','MACHINERY'))
+         ORDER BY c_custkey, c_mktsegment""",
+    "set_union_distinct" ->
+      """SELECT * FROM (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal < 1000
+           UNION
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           WHERE c_mktsegment IN ('BUILDING','MACHINERY'))
+         ORDER BY c_custkey, c_mktsegment""",
+    "set_intersect" ->
+      """SELECT * FROM (
+           SELECT c_nationkey AS nk FROM customer
+           INTERSECT SELECT s_nationkey FROM supplier) ORDER BY nk""",
+    "set_intersect_all" ->
+      """SELECT * FROM (
+           SELECT c_nationkey AS nk FROM customer
+           INTERSECT ALL SELECT s_nationkey FROM supplier) ORDER BY nk""",
+    "set_except" ->
+      """SELECT * FROM (
+           SELECT c_nationkey AS nk FROM customer
+           EXCEPT SELECT s_nationkey FROM supplier) ORDER BY nk""",
+    "set_except_all" ->
+      """SELECT * FROM (
+           SELECT c_nationkey AS nk FROM customer
+           EXCEPT ALL SELECT s_nationkey FROM supplier) ORDER BY nk""",
+  )
+}

@@ -1,0 +1,50 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Canonicalization combinators (SURVEY.md §5.3) so every oracle-checked
+  * query hash-matches DuckDB bit-exactly:
+  *
+  *  - money: cast to DECIMAL(18,2) BEFORE aggregating — double summation is
+  *    order-sensitive (~1e-3 absolute noise at 1e9 magnitude, §5.3.2).
+  *  - r4: round irreducibly-float outputs (stddev/corr/ln/cosine) to 4
+  *    decimals on both engines (§5.3.3).
+  *  - tsMs: events.ts is ns in parquet; Spark truncates to µs, DuckDB keeps
+  *    ns — truncate to ms on both sides before any emit/compare (§5.3.4).
+  */
+object Canon {
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Money-sum canonicalization that is bit-identical across engines.
+    *
+    * `CAST(double AS DECIMAL)` is NOT portable: Spark rounds the shortest
+    * decimal repr of the double (java BigDecimal.valueOf, HALF_UP) while
+    * DuckDB rounds the exact binary value — they disagree whenever the
+    * shortest repr lands on a .xx5 boundary (measured: 0.17 drift over 32k
+    * rows). Instead round to cents with pure IEEE double ops that both
+    * engines evaluate identically: floor(x*100 + 0.5) → BIGINT. Sum the
+    * cents exactly, divide by 100.0 at the end (exact: cent totals < 2^53).
+    * DuckDB equivalent: `sum(CAST(floor(x*100 + 0.5) AS BIGINT))/100.0`.
+    */
+  def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+  def sumMoney(c: Column): Column = sum(cents(c)) / 100.0
+
+  def r4(c: Column): Column = round(c, 4)
+  def tsMs(c: Column): Column = date_trunc("millisecond", c)
+
+  /** Load a testdata table (TESTDATA.md: one parquet per table). */
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as a ns bigint via the legacy conf and
+    * rebuild a µs TimestampType column (floor division, matching both Spark's
+    * own µs semantics and DuckDB's floor-truncating epoch_ms/date_trunc). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
