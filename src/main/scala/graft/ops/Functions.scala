@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scalar function families — SURVEY.md §2.8. One composite query per family;
+  * every function's output is projected as a column so the oracle hash covers
+  * all of them. Cross-engine float rules: libm-backed fns (exp/ln/log10) are
+  * r4-rounded (Java Math vs glibc may differ in the last ulp); pure IEEE ops
+  * (floor/ceil/sqrt/arithmetic) are emitted raw.
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val fnString: Q = (s, d) =>
+    tbl(s, d, "part").select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lo"),
+      upper(col("p_name")).as("up"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("tr"),
+      substring(col("p_name"), 2, 5).as("sub"),
+      concat(col("p_name"), lit("-"), col("p_brand")).as("cc"),
+      split(col("p_name"), " ").as("words"),
+      length(col("p_name")).as("len"),
+      regexp_replace(col("p_name"), "[aeiou]", "#").as("rep"),
+      lpad(col("p_name"), 16, "*").as("lp"),
+      regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+      levenshtein(col("p_name"), lower(col("p_type"))).as("lev"))
+      .orderBy("p_partkey")
+
+  private val fnDatetime: Q = (s, d) => {
+    val od = col("o_orderdate").cast(DateType)
+    tbl(s, d, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dd"),
+      date_trunc("month", col("o_orderdate")).as("dtm"),
+      date_format(date_add(od, 30), "yyyy-MM-dd").as("d30"),
+      datediff(lit("2000-01-01").cast(DateType), od).as("days_to_y2k"),
+      date_format(last_day(od), "yyyy-MM-dd").as("ld"),
+      unix_timestamp(col("o_orderdate")).as("ut"),
+      date_format(make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+        lit(1)), "yyyy-MM-dd").as("md"))
+      .orderBy("o_orderkey")
+  }
+
+  /** events.ts datetime parts — all floor-truncating, so ns→µs is safe. */
+  private val fnDatetimeEvents: Q = (s, d) =>
+    tbl(s, d, "events").select(
+      col("event_id"),
+      hour(col("ts")).as("h"),
+      minute(col("ts")).as("mi"),
+      dayofmonth(col("ts")).as("dd"),
+      (dayofweek(col("ts")) - 1).as("dow0"),
+      date_trunc("hour", col("ts")).as("dth"),
+      unix_millis(col("ts")).as("ems"))
+      .orderBy("event_id")
+
+  private val fnMath: Q = (s, d) =>
+    tbl(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      floor(col("l_extendedprice")).as("fl"),
+      ceil(col("l_extendedprice")).as("ce"),
+      abs(col("l_quantity") - 25.0).as("ab"),
+      signum(col("l_quantity") - 25.0).as("sg"),
+      (col("l_quantity") * col("l_quantity")).as("sq"),
+      sqrt(col("l_extendedprice")).as("sqr"),
+      r4(exp(col("l_discount"))).as("ex"),
+      r4(log(col("l_extendedprice"))).as("lnp"),
+      r4(log10(col("l_extendedprice"))).as("lgp"),
+      pmod(col("l_orderkey"), lit(7)).as("pm"),
+      greatest(col("l_quantity"), col("l_discount") * 100.0).as("gr"),
+      least(col("l_quantity"), col("l_tax") * 100.0).as("le"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val fnConditional: Q = (s, d) =>
+    tbl(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 300000, "high")
+        .when(col("o_totalprice") > 100000, "mid")
+        .otherwise("low").as("bucket"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("st"),
+      when(col("o_totalprice") > 200000, "big").otherwise("small").as("sz"),
+      expr("nvl(nullif(o_orderpriority, '5-LOW'), 'none')").as("pr"))
+      .orderBy("o_orderkey")
+
+  private val fnArray: Q = (s, d) => {
+    val emb = col("embedding")
+    val dbl = transform(emb, x => x.cast(DoubleType))
+    tbl(s, d, "embeddings").select(
+      col("vec_id"),
+      size(emb).as("n"),
+      element_at(emb, 1).as("first_elem"),
+      slice(sort_array(emb), 1, 3).as("smallest3"),
+      slice(transform(dbl, x => x * 2.0), 1, 3).as("doubled3"),
+      size(filter(emb, x => x > 0)).as("n_pos"),
+      r4(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x)).as("norm2"),
+      flatten(array(slice(emb, 1, 2), slice(emb, 3, 2))).as("first4"),
+      array_contains(emb, element_at(emb, 1)).as("has_first"))
+      .orderBy("vec_id")
+  }
+
+  private val fnMap: Q = (s, d) => {
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    tbl(s, d, "events").select(
+      col("event_id"),
+      element_at(m, "k").as("k_val"),
+      size(map_keys(m)).as("n_keys"),
+      concat_ws(",", map_keys(m)).as("keys_str"),
+      element_at(map_concat(m, map(lit("z"), lit(1))), "z").as("z_val"))
+      .orderBy("event_id")
+  }
+
+  private val fnJson: Q = (s, d) =>
+    tbl(s, d, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      json_tuple(col("props"), "k").as("k_tup"),
+      to_json(from_json(col("props"), MapType(StringType, IntegerType)))
+        .as("roundtrip"))
+      .orderBy("event_id")
+
+  private val fnHash: Q = (s, d) => {
+    val norm = lower(trim(col("text")))
+    tbl(s, d, "documents").select(
+      col("doc_id"),
+      sha2(norm, 256).as("h_sha256"),
+      md5(norm).as("h_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** xxhash64/crc32 have no DuckDB twin (its hash() is a different fn) —
+    * self-verified: deterministic across runs, exercised again by
+    * dedup_minhash's seeded permutations. */
+  private val fnHashNative: Q = (s, d) => {
+    val norm = lower(trim(col("text")))
+    tbl(s, d, "documents").select(
+      col("doc_id"),
+      xxhash64(norm).as("h_xx"),
+      xxhash64(norm, lit(42)).as("h_xx_seeded"),
+      crc32(norm).as("h_crc"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "fn_string" -> fnString,
+    "fn_datetime" -> fnDatetime,
+    "fn_datetime_events" -> fnDatetimeEvents,
+    "fn_math" -> fnMath,
+    "fn_conditional" -> fnConditional,
+    "fn_array" -> fnArray,
+    "fn_map" -> fnMap,
+    "fn_json" -> fnJson,
+    "fn_hash" -> fnHash,
+    "fn_hash_native" -> fnHashNative,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+                lower(p_name) AS lo, upper(p_name) AS up,
+                trim('  ' || p_name || '  ') AS tr,
+                substring(p_name, 2, 5) AS sub,
+                p_name || '-' || p_brand AS cc,
+                string_split(p_name, ' ') AS words,
+                length(p_name) AS len,
+                regexp_replace(p_name, '[aeiou]', '#', 'g') AS rep,
+                lpad(p_name, 16, '*') AS lp,
+                regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+                levenshtein(p_name, lower(p_type)) AS lev
+         FROM part ORDER BY p_partkey""",
+    "fn_datetime" ->
+      """SELECT o_orderkey,
+                year(o_orderdate) AS y, month(o_orderdate) AS m,
+                day(o_orderdate) AS dd,
+                date_trunc('month', o_orderdate) AS dtm,
+                strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d30,
+                date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+                strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS ld,
+                CAST(floor(epoch_ms(o_orderdate)/1000) AS BIGINT) AS ut,
+                strftime(make_date(year(o_orderdate), month(o_orderdate), 1), '%Y-%m-%d') AS md
+         FROM orders ORDER BY o_orderkey""",
+    "fn_datetime_events" ->
+      """SELECT event_id,
+                hour(ts) AS h, minute(ts) AS mi, day(ts) AS dd,
+                dayofweek(ts) AS dow0,
+                date_trunc('hour', ts) AS dth,
+                epoch_ms(ts) AS ems
+         FROM events ORDER BY event_id""",
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+                CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+                CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+                abs(l_quantity - 25.0) AS ab,
+                CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
+                l_quantity * l_quantity AS sq,
+                sqrt(l_extendedprice) AS sqr,
+                round(exp(l_discount), 4) AS ex,
+                round(ln(l_extendedprice), 4) AS lnp,
+                round(log10(l_extendedprice), 4) AS lgp,
+                l_orderkey % 7 AS pm,
+                greatest(l_quantity, l_discount * 100.0) AS gr,
+                least(l_quantity, l_tax * 100.0) AS le
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 300000 THEN 'high'
+                     WHEN o_totalprice > 100000 THEN 'mid'
+                     ELSE 'low' END AS bucket,
+                coalesce(nullif(o_orderstatus, 'O'), 'open') AS st,
+                CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS sz,
+                coalesce(nullif(o_orderpriority, '5-LOW'), 'none') AS pr
+         FROM orders ORDER BY o_orderkey""",
+    "fn_array" ->
+      """SELECT vec_id,
+                len(embedding) AS n,
+                embedding[1] AS first_elem,
+                list_sort(embedding)[1:3] AS smallest3,
+                list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1:3] AS doubled3,
+                len(list_filter(embedding, x -> x > 0)) AS n_pos,
+                round(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2,
+                flatten([embedding[1:2], embedding[3:4]]) AS first4,
+                list_contains(embedding, embedding[1]) AS has_first
+         FROM embeddings ORDER BY vec_id""",
+    "fn_map" ->
+      """SELECT event_id,
+                CAST(props->>'k' AS INTEGER) AS k_val,
+                len(json_keys(props)) AS n_keys,
+                array_to_string(json_keys(props), ',') AS keys_str,
+                1 AS z_val
+         FROM events ORDER BY event_id""",
+    "fn_json" ->
+      """SELECT event_id,
+                props->>'k' AS k_str,
+                props->>'k' AS k_tup,
+                CAST(json(props) AS VARCHAR) AS roundtrip
+         FROM events ORDER BY event_id""",
+    "fn_hash" ->
+      """SELECT doc_id,
+                sha256(lower(trim(text))) AS h_sha256,
+                md5(lower(trim(text))) AS h_md5
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,247 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface — SURVEY.md §2.3. Scale posture (§4.3): the as-of join is the
+  * union+window plan (one shuffle, no range explosion), the banded theta join
+  * is bucketized into an equi-join (no BroadcastNestedLoop at scale), and the
+  * interval join is equi on the series key with a residual range predicate.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  private val joinInnerEqui: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sumMoney(revenue).as("revenue"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  private val joinBroadcast: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(sumMoney(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy("p_type")
+
+  private val joinLeftOuter: Q = (s, d) =>
+    tbl(s, d, "customer")
+      .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        (coalesce(sum(cents(col("o_totalprice"))), lit(0L)) / 100.0).as("total"))
+      .orderBy("c_custkey")
+
+  private val joinRightOuter: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        (coalesce(sum(cents(col("o_totalprice"))), lit(0L)) / 100.0).as("total"))
+      .orderBy("c_custkey")
+
+  private val joinFullOuter: Q = (s, d) => {
+    val cn = tbl(s, d, "customer").groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = tbl(s, d, "supplier").groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nk")
+  }
+
+  private val joinLeftSemi: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .join(tbl(s, d, "lineitem").where(col("l_discount") > 0.09),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  private val joinLeftAnti: Q = (s, d) =>
+    tbl(s, d, "customer")
+      .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val joinCross: Q = (s, d) =>
+    tbl(s, d, "region").select("r_name")
+      .crossJoin(tbl(s, d, "nation").select("n_name"))
+      .orderBy("r_name", "n_name")
+
+  /** Banded theta join, bucketized (§4.3.2): equi-join on floor(price/width)
+    * buckets (probe side explodes its band into the covering buckets), then
+    * the exact band predicate. Catalyst plans a shuffle hash/SMJ equi-join
+    * instead of an O(n·m) BroadcastNestedLoopJoin — the 100 TB-safe shape. */
+  private val joinThetaRange: Q = (s, d) => {
+    val width = 10.0
+    val parts = tbl(s, d, "part")
+      .withColumn("bucket", floor(col("p_retailprice") / width).cast("long"))
+    val lines = tbl(s, d, "lineitem")
+      .withColumn("lo", col("l_extendedprice") * 0.999)
+      .withColumn("hi", col("l_extendedprice") * 1.001)
+      .withColumn("bucket",
+        explode(sequence(floor(col("lo") / width).cast("long"),
+          floor(col("hi") / width).cast("long"))))
+    parts.join(lines, Seq("bucket"))
+      .where(col("p_retailprice").between(col("lo"), col("hi")))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_match"), sumMoney(col("l_extendedprice")).as("matched_total"))
+      .orderBy("p_partkey")
+  }
+
+  /** Interval overlap join: signup events open a 1h window; count events of
+    * the same user falling inside [start, start+1h). Equi on user_id + range
+    * residual — shuffles once on the series key. */
+  private val joinInterval: Q = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+    val iv = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("iu"), col("event_id").as("interval_id"),
+        col("tsm").as("start"))
+      .withColumn("end", col("start") + expr("INTERVAL 1 HOUR"))
+    val e2 = ev.select(col("user_id").as("eu"), col("tsm").as("et"))
+    iv.join(e2, col("eu") === col("iu") &&
+        col("et") >= col("start") && col("et") < col("end"))
+      .groupBy(col("iu").as("user_id"), col("interval_id"))
+      .agg(count(lit(1)).as("n_in"))
+      .orderBy("user_id", "interval_id")
+  }
+
+  /** As-of join (§4.3.1): for each purchase, the last click value at-or-before
+    * its timestamp, per user. Union-tag both sides, single window pass with
+    * last(ignoreNulls) — one shuffle on the series key, linear at 100 TB.
+    * DuckDB oracle uses its native ASOF LEFT JOIN. */
+  private val joinAsof: Q = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+    val ref = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("tsm").as("ts"), col("event_id"),
+      col("value").as("click_value"), lit(0).as("side"),
+      lit(null).cast("double").as("purchase_value"))
+    val probe = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("tsm").as("ts"), col("event_id"),
+      lit(null).cast("double").as("click_value"), lit(1).as("side"),
+      col("value").as("purchase_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ref.unionByName(probe)
+      .withColumn("last_click_value",
+        coalesce(last(col("click_value"), ignoreNulls = true).over(w), lit(-1.0)))
+      .where(col("side") === 1)
+      .select("user_id", "event_id", "ts", "purchase_value", "last_click_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Consecutive-event pairing: self-join semantics expressed as a window lag
+    * to stay shuffle-lean (§2.3 join_self). */
+  private val joinSelf: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        (col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0))).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "join_inner_equi" -> joinInnerEqui,
+    "join_broadcast" -> joinBroadcast,
+    "join_left_outer" -> joinLeftOuter,
+    "join_right_outer" -> joinRightOuter,
+    "join_full_outer" -> joinFullOuter,
+    "join_left_semi" -> joinLeftSemi,
+    "join_left_anti" -> joinLeftAnti,
+    "join_cross" -> joinCross,
+    "join_theta_range" -> joinThetaRange,
+    "join_interval" -> joinInterval,
+    "join_asof" -> joinAsof,
+    "join_self" -> joinSelf,
+  )
+
+  private val revSql =
+    "sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0"
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_equi" ->
+      s"""SELECT c_mktsegment, $revSql AS revenue, count(*) AS n
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_broadcast" ->
+      """SELECT p_type,
+                sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_type ORDER BY p_type""",
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)), 0)/100.0 AS total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+                coalesce(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)), 0)/100.0 AS total
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "join_full_outer" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nk,
+                coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+         ON c_nationkey = s_nationkey ORDER BY nk""",
+    "join_left_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+         ORDER BY o_orderkey""",
+    "join_left_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
+    "join_theta_range" ->
+      """SELECT p_partkey, count(*) AS n_match,
+                sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS matched_total
+         FROM part JOIN lineitem
+           ON p_retailprice BETWEEN l_extendedprice*0.999 AND l_extendedprice*1.001
+         GROUP BY p_partkey ORDER BY p_partkey""",
+    "join_interval" ->
+      """SELECT i.user_id, i.interval_id, count(*) AS n_in
+         FROM (SELECT user_id, event_id AS interval_id,
+                      date_trunc('millisecond', ts) AS s
+               FROM events WHERE event_type = 'signup') i
+         JOIN (SELECT user_id AS eu, date_trunc('millisecond', ts) AS et
+               FROM events) e
+           ON e.eu = i.user_id AND e.et >= i.s AND e.et < i.s + INTERVAL 1 HOUR
+         GROUP BY i.user_id, i.interval_id ORDER BY i.user_id, i.interval_id""",
+    "join_asof" ->
+      """SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+                coalesce(c.click_value, -1.0) AS last_click_value
+         FROM (SELECT user_id, event_id, date_trunc('millisecond', ts) AS ts,
+                      value AS purchase_value
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id AS cu, date_trunc('millisecond', ts) AS cts,
+                      value AS click_value
+               FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.cu AND p.ts >= c.cts
+         ORDER BY p.user_id, p.event_id""",
+    "join_self" ->
+      """SELECT user_id, event_id, value,
+                lag(value) OVER (PARTITION BY user_id
+                                 ORDER BY date_trunc('millisecond', ts), event_id) AS prev_value,
+                value - coalesce(lag(value) OVER (PARTITION BY user_id
+                                 ORDER BY date_trunc('millisecond', ts), event_id), 0.0) AS delta
+         FROM events ORDER BY user_id, event_id""",
+  )
+}

@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface — SURVEY.md §2.5. Every window carries a unique
+  * tiebreak key in its ORDER BY so ranks/frames are deterministic (§5.3.1);
+  * events.ts is ms-truncated before ordering (§5.3.4). Sliding float sums are
+  * r4-rounded (DuckDB evaluates sliding frames with a segment tree — summation
+  * order differs from Spark's streaming accumulation); integer/cents sums are
+  * exact and emitted raw.
+  */
+object Windows {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val winRowNumber: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    tbl(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val winRankDense: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus").orderBy(desc("o_totalprice"))
+    tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .orderBy("o_orderkey")
+  }
+
+  private val winPercentNtile: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  private val winLagLead: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_v"),
+        lead(col("value"), 1).over(w).as("next_v"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val winFirstLastValue: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val winMovingAvgRows: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+      .rowsBetween(-6, 0)
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        r4(avg(col("value")).over(w)).as("ma7"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Time-based frame: trailing 1h sum per user, RANGE over epoch millis. */
+  private val winRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ems"))
+      .rangeBetween(-3600000L, 0)
+    tbl(s, d, "events").withColumn("ems", unix_millis(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        r4(sum(col("value")).over(w)).as("sum_1h"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Running revenue: integer cent accumulation → exact on both engines. */
+  private val winCumulative: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (sum(cents(col("o_totalprice"))).over(w) / 100.0).as("running_total"))
+      .orderBy("o_orderkey")
+  }
+
+  private val winTopkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("p_retailprice"), asc("p_partkey"))
+    tbl(s, d, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .orderBy("p_brand", "rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_row_number" -> winRowNumber,
+    "win_rank_dense" -> winRankDense,
+    "win_percent_ntile" -> winPercentNtile,
+    "win_lag_lead" -> winLagLead,
+    "win_first_last_value" -> winFirstLastValue,
+    "win_moving_avg_rows" -> winMovingAvgRows,
+    "win_range_frame" -> winRangeFrame,
+    "win_cumulative" -> winCumulative,
+    "win_topk_per_group" -> winTopkPerGroup,
+  )
+
+  private val evOrder = "date_trunc('millisecond', ts), event_id"
+
+  val oracle: Map[String, String] = Map(
+    "win_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "win_rank_dense" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+                rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC)
+         ORDER BY o_orderkey""",
+    "win_percent_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+                percent_rank() OVER w AS prk, cume_dist() OVER w AS cd,
+                ntile(4) OVER w AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
+    "win_lag_lead" ->
+      s"""SELECT user_id, event_id, value,
+                 lag(value) OVER w AS prev_v, lead(value) OVER w AS next_v
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evOrder)
+          ORDER BY user_id, event_id""",
+    "win_first_last_value" ->
+      s"""SELECT user_id, event_id,
+                 first_value(event_type) OVER w AS first_type,
+                 last_value(event_type) OVER w AS last_type
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evOrder
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          ORDER BY user_id, event_id""",
+    "win_moving_avg_rows" ->
+      s"""SELECT user_id, event_id, round(avg(value) OVER w, 4) AS ma7
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evOrder
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+          ORDER BY user_id, event_id""",
+    "win_range_frame" ->
+      """SELECT user_id, event_id, round(sum(value) OVER w, 4) AS sum_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+    "win_cumulative" ->
+      """SELECT o_orderkey, o_orderstatus,
+                sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0
+                  AS running_total
+         FROM orders ORDER BY o_orderkey""",
+    "win_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+                  row_number() OVER (PARTITION BY p_brand
+                                     ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+           FROM part) WHERE rn <= 3
+         ORDER BY p_brand, rn""",
+  )
+}
