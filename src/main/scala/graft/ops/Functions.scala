@@ -198,9 +198,9 @@ object Functions {
                 CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sg,
                 l_quantity * l_quantity AS sq,
                 sqrt(l_extendedprice) AS sqr,
-                round(exp(l_discount), 4) AS ex,
-                round(ln(l_extendedprice), 4) AS lnp,
-                round(log10(l_extendedprice), 4) AS lgp,
+                floor((exp(l_discount))*10000 + 0.5)/10000.0 AS ex,
+                floor((ln(l_extendedprice))*10000 + 0.5)/10000.0 AS lnp,
+                floor((log10(l_extendedprice))*10000 + 0.5)/10000.0 AS lgp,
                 l_orderkey % 7 AS pm,
                 greatest(l_quantity, l_discount * 100.0) AS gr,
                 least(l_quantity, l_tax * 100.0) AS le
@@ -221,8 +221,8 @@ object Functions {
                 list_sort(embedding)[1:3] AS smallest3,
                 list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1:3] AS doubled3,
                 len(list_filter(embedding, x -> x > 0)) AS n_pos,
-                round(list_sum(list_transform(embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS norm2,
+                floor((list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))*10000 + 0.5)/10000.0 AS norm2,
                 flatten([embedding[1:2], embedding[3:4]]) AS first4,
                 list_contains(embedding, embedding[1]) AS has_first
          FROM embeddings ORDER BY vec_id""",

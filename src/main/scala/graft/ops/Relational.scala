@@ -107,9 +107,9 @@ object Relational {
         sumMoney(col("l_extendedprice")).as("sum_base_price"),
         sumMoney(disc).as("sum_disc_price"),
         sumMoney(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-        r4(avg(col("l_quantity"))).as("avg_qty"),
-        r4(avg(col("l_extendedprice"))).as("avg_price"),
-        r4(avg(col("l_discount"))).as("avg_disc"),
+        r4(sum(cents(col("l_quantity"))) / 100.0 / count(lit(1))).as("avg_qty"),
+        r4(sum(cents(col("l_extendedprice"))) / 100.0 / count(lit(1))).as("avg_price"),
+        r4(sum(cents(col("l_discount"))) / 100.0 / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -171,7 +171,8 @@ object Relational {
         r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
         r4(var_samp(col("l_quantity"))).as("var_qty"),
         r4(corr(col("l_extendedprice"), col("l_quantity"))).as("corr_pq"),
-        round(covar_samp(col("l_extendedprice"), col("l_quantity")), 1).as("cov_pq"))
+        (floor(covar_samp(col("l_extendedprice"), col("l_quantity")) * 10 + 0.5) / 10.0)
+          .as("cov_pq"))
       .orderBy("l_returnflag")
 
   private val aggPercentile: Q = (s, d) =>
@@ -345,9 +346,9 @@ object Relational {
                 sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base_price,
                 sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS sum_disc_price,
                 sum(CAST(floor(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100 + 0.5) AS BIGINT))/100.0 AS sum_charge,
-                round(avg(l_quantity), 4) AS avg_qty,
-                round(avg(l_extendedprice), 4) AS avg_price,
-                round(avg(l_discount), 4) AS avg_disc,
+                floor((sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS avg_qty,
+                floor((sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS avg_price,
+                floor((sum(CAST(floor(l_discount*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS avg_disc,
                 count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
@@ -383,15 +384,15 @@ object Relational {
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_stats" ->
       """SELECT l_returnflag,
-                round(stddev_samp(l_quantity), 4) AS sd_qty,
-                round(var_samp(l_quantity), 4) AS var_qty,
-                round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
-                round(covar_samp(l_extendedprice, l_quantity), 1) AS cov_pq
+                floor((stddev_samp(l_quantity))*10000 + 0.5)/10000.0 AS sd_qty,
+                floor((var_samp(l_quantity))*10000 + 0.5)/10000.0 AS var_qty,
+                floor((corr(l_extendedprice, l_quantity))*10000 + 0.5)/10000.0 AS corr_pq,
+                floor((covar_samp(l_extendedprice, l_quantity))*10 + 0.5)/10.0 AS cov_pq
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_percentile" ->
       """SELECT o_orderstatus,
-                round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-                round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+                floor((quantile_cont(o_totalprice, 0.5))*10000 + 0.5)/10000.0 AS p50,
+                floor((quantile_cont(o_totalprice, 0.9))*10000 + 0.5)/10000.0 AS p90
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_collect_sorted" ->
       """SELECT l_orderkey,

@@ -1,0 +1,362 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series toolkit — SURVEY.md §2.9 ts_* + the SQL-expressible forecast
+  * slice. Series = (user_id, hourly bucket, v) in long format; the hourly
+  * resample is the reference's Prophet input-prep step [P].
+  *
+  * Determinism notes (§5.3): bucket values are hour-truncated timestamps
+  * (immune to the ns/µs pitfall). ALL aggregations of doubles (group avgs,
+  * rolling means/stddevs, OLS sums, error metrics) run over exact
+  * integer-scaled values (cents ×10², v ×10⁴, err ×10⁶): integer sums are
+  * order-insensitive, so both engines derive bit-identical doubles no matter
+  * how partitions/window frames accumulate — the float-noise-vs-rounding-
+  * boundary problem cannot occur, at any scale.
+  */
+object TimeSeries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hourly resample grid: the shared basis for everything below. */
+  private def hourly(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "events")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(r4(sum(cents(col("value"))) / 100.0 / count(lit(1))).as("v"))
+      .select(col("user_id"), col("window.start").as("bucket"), col("v"))
+
+  /** Dense per-user grid with gaps materialized as NULL rows. */
+  private def gapfilled(s: SparkSession, d: String): DataFrame = {
+    val h = hourly(s, d)
+    val grid = h.groupBy(col("user_id"))
+      .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+    grid.join(h, Seq("user_id", "bucket"), "left")
+  }
+
+  /** Exact-integer OLS per key: slope/intercept from bigint sums of slot
+    * index t and v×10⁴ — one shuffle, bit-identical across engines. */
+  private def olsFit(h: DataFrame): DataFrame =
+    h.withColumn("mn", min(unix_millis(col("bucket")))
+        .over(Window.partitionBy("user_id")))
+      .withColumn("t", expr("(unix_millis(bucket) - mn) div 3600000"))
+      .withColumn("yi", floor(col("v") * 10000 + 0.5).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"),
+        sum(col("yi")).as("sy"), sum(col("t") * col("yi")).as("sty"),
+        max(col("t")).as("tmax"), max(col("bucket")).as("bmax"),
+        min(col("mn")).as("mnb"))
+      .withColumn("slope",
+        ((col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+          (col("n") * col("stt") - col("st") * col("st")).cast("double")) / 10000.0)
+      .withColumn("intercept",
+        col("sy").cast("double") / 10000.0 / col("n").cast("double") -
+          col("slope") * (col("st").cast("double") / col("n").cast("double")))
+
+  // ----------------------------------------------------------------- queries
+  private val tsResample: Q = (s, d) =>
+    tbl(s, d, "events")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(r4(sum(cents(col("value"))) / 100.0 / count(lit(1))).as("v_avg"),
+        (sum(cents(col("value"))) / 100.0).as("v_sum"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("window.start").as("bucket"),
+        col("v_avg"), col("v_sum"), col("v_min"), col("v_max"), col("n"))
+      .orderBy("user_id", "bucket")
+
+  private val tsGapfill: Q = (s, d) =>
+    gapfilled(s, d)
+      .select(col("user_id"), col("bucket"), col("v"),
+        col("v").isNull.as("is_gap"))
+      .orderBy("user_id", "bucket")
+
+  private val tsLocf: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    gapfilled(s, d)
+      .select(col("user_id"), col("bucket"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_locf"))
+      .orderBy("user_id", "bucket")
+  }
+
+  private val tsInterpLinear: Q = (s, d) => {
+    val wp = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(0, Window.unboundedFollowing)
+    val e = unix_millis(col("bucket"))
+    val obsT = when(col("v").isNotNull, e)
+    val pv = last(col("v"), ignoreNulls = true).over(wp)
+    val pt = last(obsT, ignoreNulls = true).over(wp)
+    val nv = first(col("v"), ignoreNulls = true).over(wn)
+    val nt = first(obsT, ignoreNulls = true).over(wn)
+    gapfilled(s, d)
+      .withColumn("interp",
+        when(col("v").isNotNull, col("v"))
+          .otherwise(r4(pv + (nv - pv) * (e - pt).cast("double") / (nt - pt).cast("double"))))
+      .select(col("user_id"), col("bucket"), col("interp"))
+      .orderBy("user_id", "bucket")
+  }
+
+  /** Rolling mean/sd from exact integer window sums (v×10⁴): the sliding
+    * frame's summation order (Spark streaming accumulator vs DuckDB segment
+    * tree) cannot perturb integer sums, so the derived doubles are
+    * bit-identical. sd² = (Σvi² − (Σvi)²/n)/(n−1), descaled by 10⁴. */
+  private def rollStats(w: org.apache.spark.sql.expressions.WindowSpec)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column) = {
+    val vi = floor(col("v") * 10000 + 0.5).cast("long")
+    val n = count(col("v")).over(w).cast("double")
+    val svi = sum(vi).over(w).cast("double")
+    val svi2 = sum(vi * vi).over(w).cast("double")
+    val mean = svi / n / 10000.0
+    val sd = sqrt(greatest((svi2 - svi * svi / n) / (n - 1.0), lit(0.0))) / 10000.0
+    (n, r4(mean), when(n > 1.0, r4(sd)))
+  }
+
+  private val tsMovingStats: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(-23, 0)
+    val (_, mean, sd) = rollStats(w)
+    hourly(s, d)
+      .select(col("user_id"), col("bucket"), col("v"),
+        mean.as("roll_mean"), sd.as("roll_sd"),
+        min(col("v")).over(w).as("roll_min"),
+        max(col("v")).over(w).as("roll_max"))
+      .orderBy("user_id", "bucket")
+  }
+
+  private val tsZscoreAnomaly: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(-23, 0)
+    val (_, mu, sd) = rollStats(w)
+    hourly(s, d)
+      .select(col("user_id"), col("bucket"), col("v"),
+        when(sd > 1e-9, r4(abs(col("v") - mu) / sd)).as("z"))
+      .withColumn("is_anom", coalesce(col("z") > 3.0, lit(false)))
+      .orderBy("user_id", "bucket")
+  }
+
+  private val tsDecomposeTrend: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket").rowsBetween(-12, 12)
+    val (_, trend, _) = rollStats(w)
+    hourly(s, d)
+      .select(col("user_id"), col("bucket"), col("v"),
+        trend.as("trend"), r4(col("v") - trend).as("resid"))
+      .orderBy("user_id", "bucket")
+  }
+
+  private val tsTrainTestSplit: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+    hourly(s, d)
+      .withColumn("split",
+        when(percent_rank().over(w) < 0.8, "train").otherwise("test"))
+      .groupBy(col("user_id"), col("split"))
+      .agg(count(lit(1)).as("n"),
+        min(col("bucket")).as("from_bucket"),
+        max(col("bucket")).as("to_bucket"))
+      .orderBy("user_id", "split")
+  }
+
+  private val forecastLinearTrend: Q = (s, d) =>
+    olsFit(hourly(s, d))
+      .select(col("user_id"), col("slope"), col("intercept"), col("tmax"),
+        col("bmax"), explode(sequence(lit(1), lit(24))).as("h"))
+      .select(col("user_id"),
+        expr("bmax + make_interval(0, 0, 0, 0, h, 0, 0)").as("bucket"),
+        r4(col("intercept") + col("slope") *
+          (col("tmax") + col("h")).cast("double")).as("yhat"))
+      .orderBy("user_id", "bucket")
+
+  /** Rolling-origin backtest: fit on first 80% of slots, score the holdout. */
+  private val forecastBacktestMetrics: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+    val marked = hourly(s, d).withColumn("pr", percent_rank().over(w))
+    val fit = olsFit(marked.where(col("pr") < 0.8).drop("pr"))
+      .select(col("user_id").as("fu"), col("slope"), col("intercept"), col("mnb"))
+    marked.where(col("pr") >= 0.8)
+      .join(fit, col("user_id") === col("fu"))
+      .withColumn("t", expr("(unix_millis(bucket) - mnb) div 3600000"))
+      .withColumn("err",
+        col("v") - (col("intercept") + col("slope") * col("t").cast("double")))
+      .withColumn("ei", floor(abs(col("err")) * 1000000 + 0.5).cast("long"))
+      .withColumn("e2i", floor(col("err") * col("err") * 1000000 + 0.5).cast("long"))
+      .withColumn("ri", when(col("v") =!= 0.0,
+        floor(abs(col("err")) / abs(col("v")) * 1000000 + 0.5).cast("long")))
+      .groupBy(col("user_id"))
+      .agg(r4(sum(col("ei")) / 1000000.0 / count(lit(1))).as("mae"),
+        r4(sqrt(sum(col("e2i")) / 1000000.0 / count(lit(1)))).as("rmse"),
+        r4(sum(col("ri")) / 1000000.0 / count(col("ri"))).as("mape"),
+        count(lit(1)).as("n_test"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ts_resample" -> tsResample,
+    "ts_gapfill" -> tsGapfill,
+    "ts_locf" -> tsLocf,
+    "ts_interp_linear" -> tsInterpLinear,
+    "ts_moving_stats" -> tsMovingStats,
+    "ts_zscore_anomaly" -> tsZscoreAnomaly,
+    "ts_decompose_trend" -> tsDecomposeTrend,
+    "ts_train_test_split" -> tsTrainTestSplit,
+    "forecast_linear_trend" -> forecastLinearTrend,
+    "forecast_backtest_metrics" -> forecastBacktestMetrics,
+  )
+
+  // -------------------------------------------------------------- oracle SQL
+  /** Hourly-resample CTE mirroring [[hourly]]. */
+  private val H0 =
+    """WITH hourly AS (
+         SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                floor((sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS v
+         FROM events GROUP BY user_id, date_trunc('hour', ts))"""
+
+  /** Rolling-stats CTEs mirroring [[rollStats]] (exact integer window sums). */
+  private def rollSql(lo: String, hi: String): String = s""",
+       win AS (
+         SELECT user_id, bucket, v,
+                CAST(count(v) OVER w AS DOUBLE) AS n,
+                CAST(sum(vi) OVER w AS DOUBLE) AS svi,
+                CAST(sum(vi*vi) OVER w AS DOUBLE) AS svi2,
+                min(v) OVER w AS roll_min, max(v) OVER w AS roll_max
+         FROM (SELECT user_id, bucket, v,
+                      CAST(floor(v*10000 + 0.5) AS BIGINT) AS vi FROM hourly)
+         WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                      ROWS BETWEEN $lo AND $hi)),
+       roll AS (
+         SELECT user_id, bucket, v, n, roll_min, roll_max,
+                floor((svi/n/10000.0)*10000 + 0.5)/10000.0 AS mu,
+                CASE WHEN n > 1.0 THEN
+                  floor((sqrt(greatest((svi2 - svi*svi/n)/(n - 1.0), 0.0))/10000.0)*10000 + 0.5)/10000.0
+                END AS sd
+         FROM win)"""
+
+  /** H0 + dense grid + left join, mirroring [[gapfilled]]. */
+  private val HF = H0 + """,
+       bounds AS (
+         SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+         FROM hourly GROUP BY user_id),
+       grid AS (
+         SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+         FROM bounds),
+       filled AS (
+         SELECT g.user_id, g.bucket, h.v
+         FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket)"""
+
+  /** Exact-integer OLS CTEs mirroring [[olsFit]] (input CTE must provide
+    * user_id, bucket, v). */
+  private def olsSql(src: String): String = s""",
+       witht AS (
+         SELECT user_id, bucket, v,
+                (epoch_ms(bucket) - min(epoch_ms(bucket)) OVER (PARTITION BY user_id))
+                  // 3600000 AS t,
+                min(epoch_ms(bucket)) OVER (PARTITION BY user_id) AS mn,
+                CAST(floor(v*10000 + 0.5) AS BIGINT) AS yi
+         FROM $src),
+       fit AS (
+         SELECT user_id, count(*) AS n, sum(t) AS st, sum(t*t) AS stt,
+                sum(yi) AS sy, sum(t*yi) AS sty,
+                max(t) AS tmax, max(bucket) AS bmax, min(mn) AS mnb
+         FROM witht GROUP BY user_id),
+       betas AS (
+         SELECT user_id, tmax, bmax, mnb,
+                (CAST(n*sty - st*sy AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE)) / 10000.0 AS slope,
+                CAST(sy AS DOUBLE)/10000.0/CAST(n AS DOUBLE)
+                  - ((CAST(n*sty - st*sy AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE)) / 10000.0)
+                    * (CAST(st AS DOUBLE)/CAST(n AS DOUBLE)) AS intercept
+         FROM fit)"""
+
+  val oracle: Map[String, String] = Map(
+    "ts_resample" ->
+      """SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                floor((sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS v_avg,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum,
+                min(value) AS v_min, max(value) AS v_max, count(*) AS n
+         FROM events GROUP BY user_id, date_trunc('hour', ts)
+         ORDER BY user_id, bucket""",
+    "ts_gapfill" -> (HF +
+      """ SELECT user_id, bucket, v, v IS NULL AS is_gap FROM filled
+          ORDER BY user_id, bucket"""),
+    "ts_locf" -> (HF +
+      """ SELECT user_id, bucket,
+                 last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+          FROM filled ORDER BY user_id, bucket"""),
+    "ts_interp_linear" -> (HF + """,
+       ctx AS (
+         SELECT user_id, bucket, v, epoch_ms(bucket) AS e,
+                last_value(v IGNORE NULLS) OVER wp AS pv,
+                last_value(CASE WHEN v IS NOT NULL THEN epoch_ms(bucket) END IGNORE NULLS) OVER wp AS pt,
+                first_value(v IGNORE NULLS) OVER wn AS nv,
+                first_value(CASE WHEN v IS NOT NULL THEN epoch_ms(bucket) END IGNORE NULLS) OVER wn AS nt
+         FROM filled
+         WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT user_id, bucket,
+              CASE WHEN v IS NOT NULL THEN v
+                   ELSE floor((pv + (nv - pv) * CAST(e - pt AS DOUBLE)
+                              / CAST(nt - pt AS DOUBLE))*10000 + 0.5)/10000.0 END AS interp
+       FROM ctx ORDER BY user_id, bucket"""),
+    "ts_moving_stats" -> (H0 + rollSql("23 PRECEDING", "CURRENT ROW") +
+      """ SELECT user_id, bucket, v, mu AS roll_mean, sd AS roll_sd,
+                 roll_min, roll_max
+          FROM roll ORDER BY user_id, bucket"""),
+    "ts_zscore_anomaly" -> (H0 + rollSql("23 PRECEDING", "CURRENT ROW") +
+      """ SELECT user_id, bucket, v,
+              CASE WHEN sd > 1e-9 THEN floor((abs(v - mu)/sd)*10000 + 0.5)/10000.0 END AS z,
+              coalesce(CASE WHEN sd > 1e-9 THEN floor((abs(v - mu)/sd)*10000 + 0.5)/10000.0 END > 3.0,
+                       false) AS is_anom
+          FROM roll ORDER BY user_id, bucket"""),
+    "ts_decompose_trend" -> (H0 + rollSql("12 PRECEDING", "12 FOLLOWING") +
+      """ SELECT user_id, bucket, v, mu AS trend,
+                 floor((v - mu)*10000 + 0.5)/10000.0 AS resid
+          FROM roll ORDER BY user_id, bucket"""),
+    "ts_train_test_split" -> (H0 + """,
+       marked AS (
+         SELECT user_id, bucket,
+                CASE WHEN percent_rank() OVER (PARTITION BY user_id ORDER BY bucket) < 0.8
+                     THEN 'train' ELSE 'test' END AS split
+         FROM hourly)
+       SELECT user_id, split, count(*) AS n,
+              min(bucket) AS from_bucket, max(bucket) AS to_bucket
+       FROM marked GROUP BY user_id, split ORDER BY user_id, split"""),
+    "forecast_linear_trend" -> (H0 + olsSql("hourly") + """
+       SELECT user_id, bmax + to_hours(h) AS bucket,
+              floor((intercept + slope * CAST(tmax + h AS DOUBLE))*10000 + 0.5)/10000.0 AS yhat
+       FROM betas CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h)
+       ORDER BY user_id, bucket"""),
+    "forecast_backtest_metrics" -> (H0 + """,
+       marked AS (
+         SELECT user_id, bucket, v,
+                percent_rank() OVER (PARTITION BY user_id ORDER BY bucket) AS pr
+         FROM hourly),
+       train AS (SELECT user_id, bucket, v FROM marked WHERE pr < 0.8)"""
+      + olsSql("train") + """,
+       scored AS (
+         SELECT t.user_id, t.v,
+                t.v - (b.intercept + b.slope *
+                  CAST((epoch_ms(t.bucket) - b.mnb) // 3600000 AS DOUBLE)) AS err
+         FROM (SELECT * FROM marked WHERE pr >= 0.8) t
+         JOIN betas b ON t.user_id = b.user_id),
+       scaled AS (
+         SELECT user_id,
+                CAST(floor(abs(err)*1000000 + 0.5) AS BIGINT) AS ei,
+                CAST(floor(err*err*1000000 + 0.5) AS BIGINT) AS e2i,
+                CASE WHEN v <> 0.0
+                     THEN CAST(floor(abs(err)/abs(v)*1000000 + 0.5) AS BIGINT) END AS ri
+         FROM scored)
+       SELECT user_id,
+              floor((sum(ei)/1000000.0/count(*))*10000 + 0.5)/10000.0 AS mae,
+              floor((sqrt(sum(e2i)/1000000.0/count(*)))*10000 + 0.5)/10000.0 AS rmse,
+              floor((sum(ri)/1000000.0/count(ri))*10000 + 0.5)/10000.0 AS mape,
+              count(*) AS n_test
+       FROM scaled GROUP BY user_id ORDER BY user_id"""),
+  )
+}

@@ -66,7 +66,8 @@ object Windows {
       .rowsBetween(-6, 0)
     tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
       .select(col("user_id"), col("event_id"),
-        r4(avg(col("value")).over(w)).as("ma7"))
+        r4(sum(cents(col("value"))).over(w).cast("double") / 100.0 /
+          count(col("value")).over(w)).as("ma7"))
       .orderBy("user_id", "event_id")
   }
 
@@ -76,7 +77,7 @@ object Windows {
       .rangeBetween(-3600000L, 0)
     tbl(s, d, "events").withColumn("ems", unix_millis(col("ts")))
       .select(col("user_id"), col("event_id"),
-        r4(sum(col("value")).over(w)).as("sum_1h"))
+        (sum(cents(col("value"))).over(w) / 100.0).as("sum_1h"))
       .orderBy("user_id", "event_id")
   }
 
@@ -149,13 +150,16 @@ object Windows {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
           ORDER BY user_id, event_id""",
     "win_moving_avg_rows" ->
-      s"""SELECT user_id, event_id, round(avg(value) OVER w, 4) AS ma7
+      s"""SELECT user_id, event_id,
+                 floor((CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+                        /100.0/(count(value) OVER w))*10000 + 0.5)/10000.0 AS ma7
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY $evOrder
                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
           ORDER BY user_id, event_id""",
     "win_range_frame" ->
-      """SELECT user_id, event_id, round(sum(value) OVER w, 4) AS sum_1h
+      """SELECT user_id, event_id,
+                (sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w)/100.0 AS sum_1h
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)

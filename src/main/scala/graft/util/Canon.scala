@@ -31,7 +31,13 @@ object Canon {
   def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
   def sumMoney(c: Column): Column = sum(cents(c)) / 100.0
 
-  def r4(c: Column): Column = round(c, 4)
+  /** Portable 4-decimal rounding. NOT round(x,4): Spark's round rounds the
+    * shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds the exact
+    * binary value — they flip the 4th decimal on .xxxx5 boundaries (measured:
+    * 168/105k rows on interpolation output). floor(x*1e4 + 0.5)/1e4 is pure
+    * IEEE arithmetic, identical on both engines.
+    * DuckDB equivalent: floor(x*10000 + 0.5)/10000.0 */
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
   def tsMs(c: Column): Column = date_trunc("millisecond", c)
 
   /** Load a testdata table (TESTDATA.md: one parquet per table). */
