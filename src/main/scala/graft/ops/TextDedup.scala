@@ -1,0 +1,500 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators — SURVEY.md §2.9 dedup / similarity / text
+  * families + multimodal columns (mandated by BASELINE.json:6).
+  *
+  * Scale posture: every dedup/similarity op avoids the O(n²) cross join —
+  * MinHash-LSH bands, SimHash bands, and random-hyperplane buckets all reduce
+  * to equi-joins on bucket keys (shuffle-hash-joinable at 100 TB); only the
+  * explicitly-bounded oracle slices (doc_id/vec_id prefixes) do exact
+  * pairwise work. Float determinism: cosines/scores use sequential
+  * double folds (Spark `aggregate` ≡ DuckDB `list_sum∘list_transform`,
+  * verified bit-equal) and integer-sum canonicalization (Canon).
+  */
+object TextDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Normalized text + token helpers. */
+  private val normText = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Sequential-fold cosine similarity in doubles — bit-identical to the
+    * DuckDB `list_sum(list_transform(list_zip(a,b), …))` formulation.
+    * (DuckDB's native list_cosine_similarity accumulates in float32 and does
+    * NOT match; measured 0.2085 vs 0.20845.) */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val cosSql =
+    "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+  private def cosineSql(a: String, b: String): String =
+    s"${cosSql.format(a, b)} / (sqrt(${cosSql.format(a, a)}) * sqrt(${cosSql.format(b, b)}))"
+
+  // -------------------------------------------------------------------- dedup
+  /** Exact dedup on normalized text → sha256 groups, deterministic keeper. */
+  private val dedupExact: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("h", sha2(normText, 256))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** MinHash + LSH near-dedup: distinct-token shingles → 64-perm signature
+    * (xxhash64 ⊕ salt minima) → 16×4 banding (candidate recall ≈ 0.9998 at
+    * J = 0.8) → bucket equi-join for candidates → exact token-set Jaccard
+    * verification ≥ 0.8. One explode + two shuffles; no cross join anywhere —
+    * the 100 TB path. Self-verified (recall vs exhaustive Jaccard truth). */
+  private val dedupMinhash: Q = (s, d) => {
+    val SigN = 64; val Bands = 16; val Rows = 4
+    val salts = Array.tabulate(SigN)(i => (i + 1) * 0x9E3779B97F4A7C15L)
+    val docs = tbl(s, d, "documents").select(col("doc_id"), toks(normText).as("tk"))
+    val shingles = docs.select(col("doc_id"),
+      explode(array_distinct(col("tk"))).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val sigCols = salts.zipWithIndex.map { case (salt, i) =>
+      min(col("h").bitwiseXOR(lit(salt))).as(s"m$i")
+    }.toSeq
+    val sig = shingles.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64((lit(b) +: (0 until Rows).map(r => col(s"m${b * Rows + r}"))): _*)
+    }
+    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), array_distinct(col("tk")).as("st"))
+    cands
+      .join(sets.select(col("doc_id").as("da"), col("st").as("sa")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("st").as("sb")), "db")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jacc", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
+      .where(col("jacc") >= 0.8)
+      .select(col("da"), col("db"), r4(col("jacc")).as("jacc"))
+      .orderBy("da", "db")
+  }
+
+  /** SimHash near-dedup: 64-bit signature from weighted token-hash bits,
+    * 4×16-bit banding for candidates, Hamming ≤ 8 verification via
+    * bit_count(xor). Same no-cross-join shape as MinHash. Self-verified. */
+  private val dedupSimhash: Q = (s, d) => {
+    val docs = tbl(s, d, "documents").select(col("doc_id"), toks(normText).as("tk"))
+    val th = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    val bitSums = th.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    }
+    val sigs = bitSums.select(col("doc_id"), sim.as("simhash"))
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bv")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 8)
+      .orderBy("da", "db")
+  }
+
+  /** Exact token-set Jaccard pairs on a bounded slice (doc_id < 60) — the
+    * DuckDB-checkable twin of dedup_minhash's verification arithmetic. */
+  private val dedupNgramJaccard: Q = (s, d) => {
+    val t = tbl(s, d, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), array_distinct(toks(normText)).as("st"))
+    val tok = t.select(col("doc_id"), explode(col("st")).as("tok"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = t.select(col("doc_id"), size(col("st")).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jacc", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .where(col("jacc") >= 0.8)
+      .select(col("da"), col("db"), col("inter"), r4(col("jacc")).as("jacc"))
+      .orderBy("da", "db")
+  }
+
+  /** Embedding-cosine near-dup pairs on a bounded slice (vec_id < 200). */
+  private val dedupEmbeddingCosine: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings").where(col("vec_id") < 200)
+    e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")),
+        col("va") < col("vb"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .where(col("cos") >= 0.4)
+      .select(col("va"), col("vb"), r4(col("cos")).as("cos"))
+      .orderBy("va", "vb")
+  }
+
+  // --------------------------------------------------------------- similarity
+  /** Brute-force cosine top-k: 10 query vectors (vec_id < 10) broadcast
+    * against the full table — the exact baseline sim_lsh_ann is measured
+    * against. Ranking uses the raw (bit-identical) cosine, tie → vec_id. */
+  private val simCosineTopk: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", cosine(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_raw")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Approximate NN via random-hyperplane LSH: 4 independent 8-bit hash
+    * tables (32 planes, seed 42); a candidate shares ANY table's bucket with
+    * the query (multi-table OR-probing — the standard recall lever). Bucket
+    * equi-join instead of cross join — the 100 TB path. Self-verified
+    * (recall vs sim_cosine_topk's exact answer in AnnSpec). */
+  private val simLshAnn: Q = (s, d) => {
+    val Tables = 4; val Bits = 8
+    val rng = new scala.util.Random(42)
+    val planes = Array.fill(Tables * Bits)(Array.fill(64)(rng.nextGaussian()))
+    val planeLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+    def bitOf(i: Int): Column = when(
+      aggregate(zip_with(col("embedding"), element_at(planeLit, i + 1),
+        (x, p) => x.cast("double") * p), lit(0.0), (a, x) => a + x) > 0.0,
+      lit(1 << (i % Bits))).otherwise(lit(0))
+    val tableCols = (0 until Tables).map { t =>
+      (0 until Bits).map(b => bitOf(t * Bits + b)).reduce(_.bitwiseOR(_))
+    }
+    val e = tbl(s, d, "embeddings")
+    val buck = e.select(col("vec_id"), col("embedding"),
+      posexplode(array(tableCols: _*)).as(Seq("table", "bucket")))
+    val q = buck.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("table"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    buck.join(q, Seq("table", "bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id"), col("embedding")).distinct()
+      .withColumn("cos_raw", cosine(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_raw")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  // ------------------------------------------------------------ text analysis
+  private val textStats: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("tk", toks(normText))
+      .withColumn("wc", size(col("tk")).cast("long"))
+      .withColumn("ttr_i", floor(size(array_distinct(col("tk"))).cast("double") /
+        size(col("tk")).cast("double") * 1000000 + 0.5).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        r4(sum(col("wc")) / count(lit(1))).as("avg_words"),
+        r4(sum(col("ttr_i")) / 1000000.0 / count(lit(1))).as("avg_ttr"))
+      .orderBy("lang", "source")
+
+  /** Top-5 TF-IDF terms per language (exact counts — no hashing, so the
+    * oracle can reproduce it; idf = ln((N+1)/(df+1)) + 1). */
+  private val textTfidfTerms: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val tok = docs.select(col("doc_id"), col("lang"), explode(toks(normText)).as("tok"))
+    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val w = Window.partitionBy("lang").orderBy(desc("score_raw"), asc("tok"))
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("score_raw", col("tf") *
+        (log((col("nn") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("tok"), r4(col("score_raw")).as("score"))
+      .orderBy("lang", "rank")
+  }
+
+  /** Keyword-lexicon scoring (public sentiment-lexicon pattern). */
+  private val textLangKeywordScore: Q = (s, d) => {
+    val tk = toks(normText)
+    val pos = Seq("fast", "big", "hot")
+    val neg = Seq("slow", "small", "cold")
+    def cnt(words: Seq[String]) =
+      words.map(wd => size(filter(tk, x => x === wd))).reduce(_ + _)
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        cnt(pos).as("n_pos"), cnt(neg).as("n_neg"),
+        (cnt(pos) - cnt(neg)).as("sentiment"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID n-gram heuristic: digram frequencies → argmax. (Testdata
+    * text is same-vocab for all langs — the op's mechanics are what's
+    * exercised; accuracy on synthetic data is not meaningful.) */
+  private val textLangid: Q = (s, d) => {
+    def cnt(sub: String) =
+      ((length(col("text")) - length(regexp_replace(col("text"),
+        java.util.regex.Pattern.quote(sub), ""))) / sub.length).cast("int")
+    tbl(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        cnt("th").as("s_en"), cnt("le").as("s_fr"), cnt("sc").as("s_de"))
+      .withColumn("predicted",
+        when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de"), "en")
+          .when(col("s_fr") >= col("s_de"), "fr").otherwise("de"))
+      .withColumn("matches_label", col("predicted") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  private val textQualityScore: Q = (s, d) => {
+    val tk = toks(normText)
+    val wc = size(tk)
+    val awl = (col("n_chars") - (wc - 1)).cast("double") / wc.cast("double")
+    val stop = size(filter(tk, x => x === "the" || x === "a"))
+    val ratio = stop.cast("double") / wc.cast("double")
+    tbl(s, d, "documents")
+      .select(col("doc_id"), wc.as("wc"), r4(awl).as("avg_word_len"),
+        r4(ratio).as("stop_ratio"),
+        when(wc >= 60, "long").when(wc >= 25, "medium").otherwise("short")
+          .as("quality_bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val textTokenCount: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        size(toks(normText)).as("ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Positional rolling fingerprint: Σ i·(ascii(tok[0]) + len(tok)) mod p —
+    * order-sensitive but built from exact integer sums (portable). */
+  private val textFingerprint: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"), posexplode(toks(normText)).as(Seq("pos", "tok")))
+      .groupBy("doc_id")
+      .agg(pmod(sum((col("pos") + 1) *
+        (ascii(substring(col("tok"), 1, 1)) + length(col("tok")))), lit(1000000007L))
+        .as("fp"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- multimodal
+  /** Multimodal record assembly: typed metadata struct serialized to
+    * canonical JSON + digest + embedding norm (documents ⋈ embeddings). */
+  private val multimodalStruct: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .join(tbl(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .withColumn("meta_json", to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+      .select(col("doc_id"), col("meta_json"),
+        sha2(col("meta_json"), 256).as("digest"),
+        r4(dot(col("embedding"), col("embedding"))).as("norm2"))
+      .orderBy("doc_id")
+
+  /** Opaque-binary column plumbing: text → utf8 bytes as the stand-in for an
+    * image/audio payload; length + head byte are oracle-checkable. */
+  private val multimodalBinary: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"),
+        length(col("bin")).as("n_bytes"),
+        ascii(substring(col("text"), 1, 1)).as("head_byte"))
+      .orderBy("doc_id")
+
+  final case class MMDecoded(doc_id: Long, width: Int, height: Int,
+      format: String, feat: Array[Double])
+
+  /** Decode / feature-extract over the binary column via mapPartitions —
+    * the Scala twin of a mapInPandas batch UDF: schema, partitioning and
+    * batch iteration are real; the codec itself is a STUB (deterministic
+    * hash-derived fake — image/audio libraries are not in this container).
+    * Swap `decodeStub` for a real codec on a cluster with the libs. */
+  private val multimodalDecode: Q = (s, d) => {
+    import s.implicits._
+    def decodeStub(id: Long, bin: Array[Byte]): MMDecoded = {
+      var h = 1125899906842597L // STUB: deterministic fake decode
+      var i = 0
+      while (i < bin.length) { h = 31 * h + bin(i); i += 1 }
+      val feat = Array.tabulate(4)(k =>
+        math.floor(((h >>> (k * 8)) & 0xFF).toDouble / 255.0 * 10000 + 0.5) / 10000.0)
+      MMDecoded(id, 64 + ((h >>> 32) & 0x3FF).toInt, 64 + ((h >>> 42) & 0x3FF).toInt,
+        if ((h & 1) == 0) "png" else "jpeg", feat)
+    }
+    tbl(s, d, "documents")
+      .withColumn("bin", encode(col("text"), "UTF-8"))
+      .select(col("doc_id"), col("bin"))
+      .repartition(8, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bin) => decodeStub(id, bin) })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "sim_cosine_topk" -> simCosineTopk,
+    "sim_lsh_ann" -> simLshAnn,
+    "text_stats" -> textStats,
+    "text_tfidf_terms" -> textTfidfTerms,
+    "text_lang_keyword_score" -> textLangKeywordScore,
+    "text_langid" -> textLangid,
+    "text_quality_score" -> textQualityScore,
+    "text_token_count" -> textTokenCount,
+    "text_fingerprint" -> textFingerprint,
+    "multimodal_struct" -> multimodalStruct,
+    "multimodal_binary" -> multimodalBinary,
+    "multimodal_decode" -> multimodalDecode,
+  )
+
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT sha256($normSql) AS h, min(doc_id) AS keep_id,
+                 count(*) AS n_copies
+          FROM documents GROUP BY sha256($normSql) ORDER BY keep_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
+                     FROM documents WHERE doc_id < 60),
+           tok AS (SELECT doc_id, unnest(st) AS tok FROM t),
+           pairs AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+           sizes AS (SELECT doc_id, len(st) AS n FROM t)
+          SELECT da, db, inter,
+                 floor((CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE))*10000 + 0.5)/10000.0 AS jacc
+          FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+          WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+          ORDER BY da, db""",
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+                 floor((${cosineSql("a.embedding", "b.embedding")})*10000 + 0.5)/10000.0 AS cos
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 200 AND b.vec_id < 200
+            AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4
+          ORDER BY va, vb""",
+    "sim_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+           scored AS (
+             SELECT q.qid, e.vec_id,
+                    ${cosineSql("e.embedding", "q.qe")} AS cos_raw
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+           ranked AS (
+             SELECT qid, vec_id, cos_raw,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_raw DESC, vec_id ASC) AS rank
+             FROM scored)
+          SELECT qid, rank, vec_id, floor(cos_raw*10000 + 0.5)/10000.0 AS cos
+          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "text_stats" ->
+      s"""WITH t AS (
+            SELECT lang, source, n_chars,
+                   CAST(len(string_split($normSql, ' ')) AS BIGINT) AS wc,
+                   CAST(floor(CAST(len(list_distinct(string_split($normSql, ' '))) AS DOUBLE)
+                        / CAST(len(string_split($normSql, ' ')) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS ttr_i
+            FROM documents)
+          SELECT lang, source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 floor((sum(wc)/count(*))*10000 + 0.5)/10000.0 AS avg_words,
+                 floor((sum(ttr_i)/1000000.0/count(*))*10000 + 0.5)/10000.0 AS avg_ttr
+          FROM t GROUP BY lang, source ORDER BY lang, source""",
+    "text_tfidf_terms" ->
+      s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok
+                       FROM documents),
+           tf AS (SELECT lang, tok, count(*) AS tf FROM tok GROUP BY lang, tok),
+           df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+           n AS (SELECT count(*) AS nn FROM documents),
+           scored AS (
+             SELECT lang, tf.tok, tf,
+                    tf * (ln(CAST(nn + 1 AS DOUBLE)/CAST(df + 1 AS DOUBLE)) + 1.0) AS score_raw
+             FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+           ranked AS (
+             SELECT lang, tok, score_raw,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY score_raw DESC, tok ASC) AS rank
+             FROM scored)
+          SELECT lang, rank, tok, floor(score_raw*10000 + 0.5)/10000.0 AS score
+          FROM ranked WHERE rank <= 5 ORDER BY lang, rank""",
+    "text_lang_keyword_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents)
+          SELECT doc_id,
+                 len(list_filter(tk, x -> x = 'fast')) + len(list_filter(tk, x -> x = 'big'))
+                   + len(list_filter(tk, x -> x = 'hot')) AS n_pos,
+                 len(list_filter(tk, x -> x = 'slow')) + len(list_filter(tk, x -> x = 'small'))
+                   + len(list_filter(tk, x -> x = 'cold')) AS n_neg,
+                 (len(list_filter(tk, x -> x = 'fast')) + len(list_filter(tk, x -> x = 'big'))
+                   + len(list_filter(tk, x -> x = 'hot')))
+                 - (len(list_filter(tk, x -> x = 'slow')) + len(list_filter(tk, x -> x = 'small'))
+                   + len(list_filter(tk, x -> x = 'cold'))) AS sentiment
+          FROM t ORDER BY doc_id""",
+    "text_langid" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST((length(text) - length(replace(text, 'th', '')))/2 AS INTEGER) AS s_en,
+                  CAST((length(text) - length(replace(text, 'le', '')))/2 AS INTEGER) AS s_fr,
+                  CAST((length(text) - length(replace(text, 'sc', '')))/2 AS INTEGER) AS s_de
+           FROM documents)
+         SELECT doc_id, lang, s_en, s_fr, s_de,
+                CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+                     WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END AS predicted,
+                (CASE WHEN s_en >= s_fr AND s_en >= s_de THEN 'en'
+                      WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END) = lang AS matches_label
+         FROM t ORDER BY doc_id""",
+    "text_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, string_split($normSql, ' ') AS tk
+                     FROM documents)
+          SELECT doc_id, len(tk) AS wc,
+                 floor((CAST(n_chars - (len(tk) - 1) AS DOUBLE)/CAST(len(tk) AS DOUBLE))*10000 + 0.5)/10000.0 AS avg_word_len,
+                 floor((CAST(len(list_filter(tk, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                        /CAST(len(tk) AS DOUBLE))*10000 + 0.5)/10000.0 AS stop_ratio,
+                 CASE WHEN len(tk) >= 60 THEN 'long'
+                      WHEN len(tk) >= 25 THEN 'medium' ELSE 'short' END AS quality_bucket
+          FROM t ORDER BY doc_id""",
+    "text_token_count" ->
+      s"""SELECT doc_id,
+                 len(string_split($normSql, ' ')) AS ws_tokens,
+                 len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens
+          FROM documents ORDER BY doc_id""",
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+           p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t)
+          SELECT doc_id,
+                 CAST(sum(i * (ascii(substr(tk[i], 1, 1)) + length(tk[i]))) % 1000000007 AS BIGINT) AS fp
+          FROM p GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_struct" ->
+      s"""SELECT doc_id,
+                 CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+                                          n_chars := n_chars)) AS VARCHAR) AS meta_json,
+                 sha256(CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
+                                          n_chars := n_chars)) AS VARCHAR)) AS digest,
+                 floor((${cosSql.format("embedding", "embedding")})*10000 + 0.5)/10000.0 AS norm2
+          FROM documents JOIN embeddings ON doc_id = vec_id
+          ORDER BY doc_id""",
+    "multimodal_binary" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                ascii(substr(text, 1, 1)) AS head_byte
+         FROM documents ORDER BY doc_id""",
+  )
+}

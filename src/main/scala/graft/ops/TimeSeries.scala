@@ -21,7 +21,7 @@ object TimeSeries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Hourly resample grid: the shared basis for everything below. */
-  private def hourly(s: SparkSession, d: String): DataFrame =
+  private[ops] def hourly(s: SparkSession, d: String): DataFrame =
     tbl(s, d, "events")
       .groupBy(col("user_id"), window(col("ts"), "1 hour"))
       .agg(r4(sum(cents(col("value"))) / 100.0 / count(lit(1))).as("v"))
