@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst extension points — SURVEY.md §2.11: a native scalar Expression,
+  * a from-scratch TypedImperativeAggregate (HLL), and a table-generating
+  * Generator, all registered into the session FunctionRegistry so both the
+  * DSL (via expr) and spark.sql can call them. These run inside Tungsten
+  * rows with no serialization hop — the preferred escape hatch before UDFs.
+  */
+object CatalystExt {
+
+  /** Scalar cosine similarity over two float arrays — double accumulation in
+    * element order, exactly matching the higher-order-function formulation
+    * (aggregate∘zip_with) it can replace when profiling demands (§4.3). */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** From-scratch HyperLogLog (p=14, splitmix64 finalizer) as a raw
+    * TypedImperativeAggregate — the §2.11 UDAF-internals extension point.
+    * Registers byte-array max-merge semantics; standard bias-corrected
+    * estimate with linear-counting small-range correction. */
+  case class GraftHLL(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+    private val p = 14
+    private val m = 1 << p
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+    private def splitmix64(v0: Long): Long = {
+      var z = v0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val x = splitmix64(v.asInstanceOf[Number].longValue())
+        val idx = (x >>> (64 - p)).toInt
+        val rest = x << p
+        val rank = (java.lang.Long.numberOfLeadingZeros(rest | 1L) + 1).toByte
+        if (rank > buf(idx)) buf(idx) = rank
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Byte]): Any = {
+      val alpha = 0.7213 / (1.0 + 1.079 / m)
+      var sum = 0.0; var zeros = 0; var i = 0
+      while (i < m) {
+        sum += java.lang.Math.pow(2.0, -buf(i))
+        if (buf(i) == 0) zeros += 1
+        i += 1
+      }
+      var e = alpha * m.toDouble * m.toDouble / sum
+      if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
+      math.rint(e).toLong
+    }
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(storage: Array[Byte]): Array[Byte] = storage
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): GraftHLL =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): GraftHLL =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): GraftHLL =
+      copy(child = c)
+  }
+
+  /** Table-generating bigram emitter — the custom Generator path of §2.11
+    * (posexplode covers the built-in path). Emits (pos, ngram) per row. */
+  case class Bigrams(child: Expression)
+      extends UnaryExpression with Generator with CodegenFallback {
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("ngram", StringType, nullable = false)))
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val arr = child.eval(input).asInstanceOf[ArrayData]
+      if (arr == null || arr.numElements() < 2) Nil
+      else (0 until arr.numElements() - 1).map { i =>
+        val a = arr.getUTF8String(i)
+        val b = arr.getUTF8String(i + 1)
+        InternalRow(i, UTF8String.fromString(a.toString + " " + b.toString))
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): Bigrams =
+      copy(child = c)
+  }
+
+  /** Register every extension into the session (idempotent). */
+  def register(s: SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_hll",
+      exprs => GraftHLL(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bigrams",
+      exprs => Bigrams(exprs.head), "scala_udf")
+  }
+}

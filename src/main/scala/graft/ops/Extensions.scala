@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.ext.CatalystExt
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** UDF / UDAF / UDTF / custom-Expression queries — SURVEY.md §2.11, driving
+  * the graft.ext.CatalystExt extension points plus the public UDF surfaces.
+  */
+object Extensions {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed Aggregator (log-sum buffer → geometric mean), the user-facing
+    * UDAF path; oracle twin is exp(avg(ln(x))). */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1)
+    override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Double, Long)): Double = math.exp(b._1 / b._2)
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Registered Scala UDF usable from both DSL and SQL (§2.11 udf_scalar). */
+  private def registerHaversine(s: SparkSession): Unit = {
+    val hav = udf((lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {
+      val r = 6371.0
+      val dLat = math.toRadians(lat2 - lat1)
+      val dLon = math.toRadians(lon2 - lon1)
+      val a = math.sin(dLat / 2) * math.sin(dLat / 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.sin(dLon / 2) * math.sin(dLon / 2)
+      2.0 * r * math.asin(math.sqrt(a))
+    })
+    s.udf.register("graft_haversine", hav)
+  }
+
+  private val udfScalar: Q = (s, d) => {
+    registerHaversine(s)
+    tbl(s, d, "events")
+      .withColumn("lat1", abs(col("value")) % 90.0)
+      .withColumn("lon1", abs(col("value") * 2.0) % 180.0)
+      .withColumn("lat2", (col("user_id") % 90).cast("double"))
+      .withColumn("lon2", (col("event_id") % 180).cast("double"))
+      .select(col("event_id"),
+        r4(expr("graft_haversine(lat1, lon1, lat2, lon2)")).as("dist_km"))
+      .orderBy("event_id")
+  }
+
+  private val udafAggregator: Q = (s, d) => {
+    s.udf.register("graft_geomean", udaf(GeoMean))
+    tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(r4(expr("graft_geomean(o_totalprice)")).as("geomean_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Built-in generator path: posexplode over tokens (bounded slice). */
+  private val udtfGenerator: Q = (s, d) =>
+    tbl(s, d, "documents").where(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), " "))
+        .as(Seq("pos", "token")))
+      .orderBy("doc_id", "pos")
+
+  /** Custom Catalyst Generator path: graft_bigrams (CatalystExt.Bigrams). */
+  private val udtfNgrams: Q = (s, d) => {
+    CatalystExt.register(s)
+    tbl(s, d, "documents").where(col("doc_id") < 20)
+      .withColumn("tk", split(lower(trim(col("text"))), " "))
+      .select(col("doc_id"), expr("graft_bigrams(tk)").as(Seq("pos", "ngram")))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Custom native Expression path: graft_cosine ≡ the HOF cosine (§2.11). */
+  private val exprCustomCosine: Q = (s, d) => {
+    CatalystExt.register(s)
+    val e = tbl(s, d, "embeddings")
+    val q0 = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    e.crossJoin(broadcast(q0))
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        r4(expr("graft_cosine(embedding, qe)")).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  /** From-scratch HLL (TypedImperativeAggregate) vs exact distinct — rel.
+    * error ≤ 2% asserted in the test suite; sketches have no DuckDB twin. */
+  private val aggHllCustom: Q = (s, d) => {
+    CatalystExt.register(s)
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("graft_hll(l_orderkey)").as("hll_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "udf_scalar" -> udfScalar,
+    "udaf_aggregator" -> udafAggregator,
+    "udtf_generator" -> udtfGenerator,
+    "udtf_ngrams" -> udtfNgrams,
+    "expr_custom_cosine" -> exprCustomCosine,
+    "agg_hll_custom" -> aggHllCustom,
+  )
+
+  private val havSql =
+    """2.0 * 6371.0 * asin(sqrt(
+         sin(radians(lat2 - lat1)/2)*sin(radians(lat2 - lat1)/2) +
+         cos(radians(lat1))*cos(radians(lat2)) *
+         sin(radians(lon2 - lon1)/2)*sin(radians(lon2 - lon1)/2)))"""
+
+  val oracle: Map[String, String] = Map(
+    "udf_scalar" ->
+      s"""WITH t AS (
+            SELECT event_id,
+                   abs(value) % 90.0 AS lat1,
+                   abs(value * 2.0) % 180.0 AS lon1,
+                   CAST(user_id % 90 AS DOUBLE) AS lat2,
+                   CAST(event_id % 180 AS DOUBLE) AS lon2
+            FROM events)
+          SELECT event_id, floor(($havSql)*10000 + 0.5)/10000.0 AS dist_km
+          FROM t ORDER BY event_id""",
+    "udaf_aggregator" ->
+      """SELECT o_orderstatus,
+                floor((exp(avg(ln(o_totalprice))))*10000 + 0.5)/10000.0 AS geomean_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "udtf_generator" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+                    FROM documents WHERE doc_id < 20),
+          p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM t)
+         SELECT doc_id, i - 1 AS pos, tk[i] AS token
+         FROM p ORDER BY doc_id, pos""",
+    "udtf_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+                    FROM documents WHERE doc_id < 20),
+          p AS (SELECT doc_id, unnest(generate_series(1, len(tk) - 1)) AS i, tk FROM t)
+         SELECT doc_id, i - 1 AS pos, tk[i] || ' ' || tk[i + 1] AS ngram
+         FROM p ORDER BY doc_id, pos""",
+    "expr_custom_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id,
+                floor((list_sum(list_transform(list_zip(embedding, qe),
+                         x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(list_zip(embedding, embedding),
+                            x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(list_zip(qe, qe),
+                            x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE))))))*10000 + 0.5)/10000.0 AS cos
+         FROM embeddings CROSS JOIN q WHERE vec_id <> 0 ORDER BY vec_id""",
+  )
+}

@@ -1,0 +1,252 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface — SURVEY.md §2.10 + §2.1 source_stream_replay.
+  *
+  * Strategy: bounded replay. Every query runs `readStream` over the events
+  * parquet with `Trigger.AvailableNow`, lands in a memory sink, and the
+  * FINISHED table is returned as a plain DataFrame — so Verify/Bench work
+  * unchanged, and the DuckDB oracle is the same computation as batch SQL
+  * (with AvailableNow on bounded input, stream ≡ batch).
+  *
+  * Watermarks, multi-batch replay (maxFilesPerTrigger=1) and event-time
+  * timeouts are exercised where semantics demand them (stream_watermark_late,
+  * stream_stateful_session — self-verified, since DuckDB has no watermark
+  * notion).
+  */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger
+  private val ioTmp = "/tmp/graft_io"
+
+  /** The file stream source needs a directory — stage events (ts already
+    * rebuilt to µs + ms-truncated tsm, mirroring Canon.events) into one,
+    * once per (JVM, sfDir). */
+  private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def stagedEventsDir(s: SparkSession, d: String): String = {
+    val dir = s"$ioTmp/stream_events_${d.hashCode.toHexString}"
+    if (staged.add(dir))
+      tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** events as a bounded stream from a staged directory. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val dir = stagedEventsDir(s, d)
+    s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink, return the
+    * finished table. */
+  private def runToTable(s: SparkSession, df: DataFrame, mode: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  // ----------------------------------------------------------------- queries
+  /** §2.1: bounded replay pass-through — stream result must equal the scan. */
+  private val sourceStreamReplay: Q = (s, d) =>
+    runToTable(s,
+      eventsStream(s, d).select(col("event_id"), col("user_id"), col("event_type")),
+      "append")
+      .orderBy("event_id")
+
+  private val streamTumblingCount: Q = (s, d) =>
+    runToTable(s,
+      eventsStream(s, d)
+        .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v_sum")),
+      "complete")
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"),
+        col("v_sum"))
+      .orderBy("w_start", "event_type")
+
+  private val streamSlidingAvg: Q = (s, d) =>
+    runToTable(s,
+      eventsStream(s, d)
+        .groupBy(window(col("tsm"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v_sum")),
+      "complete")
+      .select(col("window.start").as("w_start"), col("n"), col("v_sum"),
+        r4(col("v_sum") / col("n")).as("v_avg"))
+      .orderBy("w_start")
+
+  /** Per-user sessions with a 30-minute inactivity gap. */
+  private val streamSessionWindow: Q = (s, d) =>
+    runToTable(s,
+      eventsStream(s, d)
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v_sum")),
+      "complete")
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n"), col("v_sum"))
+      .orderBy("user_id", "s_start")
+
+  /** Watermark semantics: two-file replay (maxFilesPerTrigger=1) where the
+    * second file carries a straggler older than the 10-minute watermark —
+    * its window was finalized in batch 1, so the late row is dropped.
+    * Self-verified (StreamingSpec asserts the exclusion). */
+  private val streamWatermarkLate: Q = (s, d) => {
+    val dir = s"$ioTmp/stream_late"
+    val ev = tbl(s, d, "events")
+    // file 1: everything except the chosen straggler; file 2: the straggler
+    val straggler = ev.orderBy(asc("ts")).limit(1)
+    ev.join(straggler.select(col("event_id").as("sid")),
+        col("event_id") === col("sid"), "left_anti")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    straggler.coalesce(1).write.mode("append").parquet(dir)
+    val stream = s.readStream.schema(s.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, stream, "append")
+      .select(col("window.start").as("w_start"), col("n"))
+      .orderBy("w_start")
+  }
+
+  /** Streaming dedup on event_id over a doubled input (events written twice);
+    * the deduped stream must aggregate identically to the single batch. */
+  private val streamDedup: Q = (s, d) => {
+    val dir = s"$ioTmp/stream_dup"
+    val ev = tbl(s, d, "events")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+    val deduped = runToTable(s,
+      stream.dropDuplicates("event_id")
+        .select(col("event_id"), col("event_type"), col("value")),
+      "append")
+    deduped.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v_sum"))
+      .orderBy("event_type")
+  }
+
+  final case class SessEv(user_id: Long, tsm: java.sql.Timestamp, value: Double)
+  final case class SessOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, v_cents: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState with
+    * event-time timeout — the explicit-state extension point (§7.4.3).
+    * Bounded replay delivers each user's full history in one batch, so all
+    * sessions close within the call; the state/timeout machinery is the
+    * API surface under test. Self-verified vs batch islands. */
+  private val streamStatefulSession: Q = (s, d) => {
+    import s.implicits._
+    val gapMs = 30L * 60 * 1000
+    def sessionize(key: Long, it: Iterator[SessEv],
+        state: org.apache.spark.sql.streaming.GroupState[List[SessEv]])
+        : Iterator[SessOut] = {
+      val evs = (it ++ state.getOption.getOrElse(Nil).iterator).toArray
+        .sortBy(e => (e.tsm.getTime, e.value))
+      if (state.hasTimedOut) state.remove() else state.update(Nil)
+      if (evs.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+        var start = evs(0).tsm.getTime; var last = start
+        var n = 0; var cents = 0L
+        for (e <- evs) {
+          val ems = e.tsm.getTime
+          if (ems - last >= gapMs) {
+            out += SessOut(key, start, last, n, cents)
+            start = ems; n = 0; cents = 0L
+          }
+          last = ems; n += 1
+          cents += math.floor(e.value * 100 + 0.5).toLong
+        }
+        out += SessOut(key, start, last, n, cents)
+        out.iterator
+      }
+    }
+    val stream = eventsStream(s, d)
+      .select(col("user_id"), col("tsm"), col("value"))
+      .withWatermark("tsm", "10 minutes")
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionize)
+    runToTable(s, stream.toDF(), "append")
+      .orderBy("user_id", "start_ms")
+  }
+
+  /** Stream ⋈ static dimension enrichment (supported without watermark). */
+  private val streamStaticJoin: Q = (s, d) => {
+    val dim = tbl(s, d, "nation")
+    runToTable(s,
+      eventsStream(s, d)
+        .join(dim, pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 100.0).as("v_sum")),
+      "complete")
+      .orderBy("n_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "source_stream_replay" -> sourceStreamReplay,
+    "stream_tumbling_count" -> streamTumblingCount,
+    "stream_sliding_avg" -> streamSlidingAvg,
+    "stream_session_window" -> streamSessionWindow,
+    "stream_watermark_late" -> streamWatermarkLate,
+    "stream_dedup" -> streamDedup,
+    "stream_stateful_session" -> streamStatefulSession,
+    "stream_static_join" -> streamStaticJoin,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "source_stream_replay" ->
+      "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "stream_tumbling_count" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
+                count(*) AS n,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
+         FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
+    "stream_sliding_avg" ->
+      """WITH e AS (
+           SELECT make_timestamp(((epoch_ms(ts)//900000 - k)*900000)*1000) AS w_start,
+                  value
+           FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)),
+         agg AS (
+           SELECT w_start, count(*) AS n,
+                  sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
+           FROM e GROUP BY w_start)
+         SELECT w_start, n, v_sum,
+                floor((v_sum/n)*10000 + 0.5)/10000.0 AS v_avg
+         FROM agg ORDER BY w_start""",
+    "stream_session_window" ->
+      """WITH e AS (
+           SELECT user_id, CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm,
+                  value
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN tsm - lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm)
+                               < INTERVAL 30 MINUTE
+                          THEN 0 ELSE 1 END AS newflag
+           FROM e),
+         ids AS (
+           SELECT *, sum(newflag) OVER (PARTITION BY user_id ORDER BY tsm
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id, min(tsm) AS s_start, count(*) AS n,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
+         FROM ids GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_static_join" ->
+      """SELECT n_name, count(*) AS n,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+  )
+}
