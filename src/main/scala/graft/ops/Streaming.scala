@@ -92,18 +92,23 @@ object Streaming {
         col("n"), col("v_sum"))
       .orderBy("user_id", "s_start")
 
-  /** Watermark semantics: two-file replay (maxFilesPerTrigger=1) where the
-    * second file carries a straggler older than the 10-minute watermark —
-    * its window was finalized in batch 1, so the late row is dropped.
+  /** Watermark semantics: three-file replay (maxFilesPerTrigger=1). The
+    * watermark computed from batch N's data takes effect in batch N+2
+    * (measured: numRowsDroppedByWatermark fires one batch late), so the
+    * straggler — the globally earliest event — rides in file 3: bulk, then
+    * the latest event, then the straggler, which is then dropped as late.
     * Self-verified (StreamingSpec asserts the exclusion). */
   private val streamWatermarkLate: Q = (s, d) => {
     val dir = s"$ioTmp/stream_late"
     val ev = tbl(s, d, "events")
-    // file 1: everything except the chosen straggler; file 2: the straggler
     val straggler = ev.orderBy(asc("ts")).limit(1)
-    ev.join(straggler.select(col("event_id").as("sid")),
-        col("event_id") === col("sid"), "left_anti")
+    val tail = ev.orderBy(desc("ts")).limit(1)
+    val held = straggler.unionByName(tail).select(col("event_id").as("sid"))
+    ev.join(held, col("event_id") === col("sid"), "left_anti")
       .coalesce(1).write.mode("overwrite").parquet(dir)
+    Thread.sleep(20)
+    tail.coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(20)
     straggler.coalesce(1).write.mode("append").parquet(dir)
     val stream = s.readStream.schema(s.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
