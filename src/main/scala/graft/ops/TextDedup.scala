@@ -47,18 +47,23 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
-  /** MinHash + LSH near-dedup: distinct-token shingles → 64-perm signature
-    * (xxhash64 ⊕ salt minima) → 16×4 banding (candidate recall ≈ 0.9998 at
-    * J = 0.8) → bucket equi-join for candidates → exact token-set Jaccard
-    * verification ≥ 0.8. One explode + two shuffles; no cross join anywhere —
-    * the 100 TB path. Self-verified (recall vs exhaustive Jaccard truth). */
+  /** MinHash + LSH near-dedup producing the dedup KEEP-LIST: distinct-token
+    * shingles → 64-perm signature (xxhash64 ⊕ salt minima) → 16×4 banding
+    * (candidate recall ≈ 0.9998 at J = 0.8) → STAR candidates per bucket
+    * (bucket-min ↔ member: k−1 pairs per bucket instead of k²/2 — on this
+    * corpus, where ~24% of all pairs are true near-dups, all-pairs emission
+    * is 200M+ rows; star emission is ≤ bands·n) → exact token-set Jaccard
+    * verification ≥ 0.8 on long-hashed token sets → per-doc keeper =
+    * min verified bucket representative (one union-find round; the standard
+    * single-pass LSH dedup). No cross join anywhere — the 100 TB path.
+    * Self-verified (detection recall vs exhaustive Jaccard truth). */
   private val dedupMinhash: Q = (s, d) => {
     val SigN = 64; val Bands = 16; val Rows = 4
     val salts = Array.tabulate(SigN)(i => (i + 1) * 0x9E3779B97F4A7C15L)
-    val docs = tbl(s, d, "documents").select(col("doc_id"), toks(normText).as("tk"))
-    val shingles = docs.select(col("doc_id"),
-      explode(array_distinct(col("tk"))).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+    val docs = tbl(s, d, "documents")
+      .select(col("doc_id"), toks(normText).as("tk"))
+      .withColumn("st", sort_array(array_distinct(expr("transform(tk, t -> xxhash64(t))"))))
+    val shingles = docs.select(col("doc_id"), explode(col("st")).as("h"))
     val sigCols = salts.zipWithIndex.map { case (salt, i) =>
       min(col("h").bitwiseXOR(lit(salt))).as(s"m$i")
     }.toSeq
@@ -67,22 +72,27 @@ object TextDedup {
       xxhash64((lit(b) +: (0 until Rows).map(r => col(s"m${b * Rows + r}"))): _*)
     }
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+    val bucketMin = banded.groupBy("band", "bh").agg(min(col("doc_id")).as("da"))
+    val cands = banded.join(bucketMin, Seq("band", "bh"))
+      .where(col("doc_id") > col("da"))
+      .select(col("da"), col("doc_id").as("db"))
       .distinct()
-    val sets = docs.select(col("doc_id"), array_distinct(col("tk")).as("st"))
-    cands
+    val sets = docs.select(col("doc_id"), col("st"))
+    val verified = cands
       .join(sets.select(col("doc_id").as("da"), col("st").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("st").as("sb")), "db")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jacc", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
       .where(col("jacc") >= 0.8)
-      .select(col("da"), col("db"), r4(col("jacc")).as("jacc"))
-      .orderBy("da", "db")
+      .groupBy(col("db"))
+      .agg(min(col("da")).as("keeper"), r4(max(col("jacc"))).as("best_jacc"))
+    docs.select(col("doc_id"))
+      .join(verified, col("doc_id") === col("db"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"),
+        col("keeper").isNotNull.as("is_dup"), col("best_jacc"))
+      .orderBy("doc_id")
   }
 
   /** SimHash near-dedup: 64-bit signature from weighted token-hash bits,

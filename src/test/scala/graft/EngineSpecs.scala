@@ -131,17 +131,20 @@ class AsofSpec extends AnyFunSuite {
 class MinhashSpec extends AnyFunSuite {
   import TestSession._
 
-  test("minhash pairs on doc slice: precision exact, recall >= 0.9") {
-    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
+  test("minhash keep-list on doc slice: precision exact, detection recall >= 0.9") {
+    val exactPairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val mh = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .filter { case (a, b) => a < 60 && b < 60 }.toSet
-    // precision is structural: every emitted pair passed exact verification
-    assert(mh.subsetOf(exact), s"false positives: ${mh.diff(exact).take(3)}")
-    if (exact.nonEmpty) {
-      val recall = mh.intersect(exact).size.toDouble / exact.size
-      assert(recall >= 0.9, s"recall $recall")
+    // truth: doc b (< 60) is a dup iff some a < b has J(a,b) >= 0.8
+    val trueDups = exactPairs.map(_._2)
+    val assigned = SparkEntry.queries("dedup_minhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))   // (doc_id, keeper)
+      .filter { case (id, k) => id < 60 && k < id }.toMap
+    // precision: a keeper assignment within the slice must be a true pair
+    for ((id, k) <- assigned)
+      assert(exactPairs.contains((k, id)), s"false dup: $id -> $k")
+    if (trueDups.nonEmpty) {
+      val recall = trueDups.count(assigned.contains).toDouble / trueDups.size
+      assert(recall >= 0.9, s"detection recall $recall")
     }
   }
 }
