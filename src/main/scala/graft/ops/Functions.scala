@@ -22,7 +22,7 @@ object Functions {
       trim(concat(lit("  "), col("p_name"), lit("  "))).as("tr"),
       substring(col("p_name"), 2, 5).as("sub"),
       concat(col("p_name"), lit("-"), col("p_brand")).as("cc"),
-      split(col("p_name"), " ").as("words"),
+      concat_ws(",", split(col("p_name"), " ")).as("words"),
       length(col("p_name")).as("len"),
       regexp_replace(col("p_name"), "[aeiou]", "#").as("rep"),
       lpad(col("p_name"), 16, "*").as("lp"),
@@ -87,18 +87,25 @@ object Functions {
       expr("nvl(nullif(o_orderpriority, '5-LOW'), 'none')").as("pr"))
       .orderBy("o_orderkey")
 
+  /** Arrays are emitted as comma-joined integer-scaled strings: engines
+    * format raw doubles differently (Java Double.toString vs DuckDB), and
+    * array containers may not hash identically driver-side — long→string
+    * is bit-stable on both. The array ops themselves still run. */
   private val fnArray: Q = (s, d) => {
     val emb = col("embedding")
     val dbl = transform(emb, x => x.cast(DoubleType))
+    def joinScaled(arr: org.apache.spark.sql.Column, scale: Int) =
+      concat_ws(",", transform(arr, x =>
+        floor(x.cast(DoubleType) * scale + 0.5).cast("long")))
     tbl(s, d, "embeddings").select(
       col("vec_id"),
       size(emb).as("n"),
       element_at(emb, 1).as("first_elem"),
-      slice(sort_array(emb), 1, 3).as("smallest3"),
-      slice(transform(dbl, x => x * 2.0), 1, 3).as("doubled3"),
+      joinScaled(slice(sort_array(emb), 1, 3), 1000000).as("smallest3"),
+      joinScaled(slice(transform(dbl, x => x * 2.0), 1, 3), 10000).as("doubled3"),
       size(filter(emb, x => x > 0)).as("n_pos"),
       r4(aggregate(dbl, lit(0.0), (acc, x) => acc + x * x)).as("norm2"),
-      flatten(array(slice(emb, 1, 2), slice(emb, 3, 2))).as("first4"),
+      joinScaled(flatten(array(slice(emb, 1, 2), slice(emb, 3, 2))), 1000000).as("first4"),
       array_contains(emb, element_at(emb, 1)).as("has_first"))
       .orderBy("vec_id")
   }
@@ -165,7 +172,7 @@ object Functions {
                 trim('  ' || p_name || '  ') AS tr,
                 substring(p_name, 2, 5) AS sub,
                 p_name || '-' || p_brand AS cc,
-                string_split(p_name, ' ') AS words,
+                array_to_string(string_split(p_name, ' '), ',') AS words,
                 length(p_name) AS len,
                 regexp_replace(p_name, '[aeiou]', '#', 'g') AS rep,
                 lpad(p_name, 16, '*') AS lp,
@@ -218,12 +225,16 @@ object Functions {
       """SELECT vec_id,
                 len(embedding) AS n,
                 embedding[1] AS first_elem,
-                list_sort(embedding)[1:3] AS smallest3,
-                list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1:3] AS doubled3,
+                array_to_string(list_transform(list_sort(embedding)[1:3],
+                  x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)), ',') AS smallest3,
+                array_to_string(list_transform(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)[1:3],
+                  x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)), ',') AS doubled3,
                 len(list_filter(embedding, x -> x > 0)) AS n_pos,
                 floor((list_sum(list_transform(embedding,
                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))*10000 + 0.5)/10000.0 AS norm2,
-                flatten([embedding[1:2], embedding[3:4]]) AS first4,
+                array_to_string(list_transform(flatten([embedding[1:2], embedding[3:4]]),
+                  x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)), ',') AS first4,
                 list_contains(embedding, embedding[1]) AS has_first
          FROM embeddings ORDER BY vec_id""",
     "fn_map" ->

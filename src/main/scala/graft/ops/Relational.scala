@@ -195,8 +195,9 @@ object Relational {
   private val aggCollectSorted: Q = (s, d) =>
     tbl(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
-      .agg(slice(sort_array(collect_list(date_format(col("l_shipdate"), "yyyy-MM-dd"))),
-        1, 3).as("first3"))
+      .agg(concat_ws(",",
+        slice(sort_array(collect_list(date_format(col("l_shipdate"), "yyyy-MM-dd"))),
+          1, 3)).as("first3"))
       .orderBy("l_orderkey")
 
   /** Deterministic first/last per key: min_by/max_by over a composite
@@ -396,8 +397,8 @@ object Relational {
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_collect_sorted" ->
       """SELECT l_orderkey,
-                (list(strftime(l_shipdate, '%Y-%m-%d')
-                      ORDER BY strftime(l_shipdate, '%Y-%m-%d')))[1:3] AS first3
+                array_to_string((list(strftime(l_shipdate, '%Y-%m-%d')
+                      ORDER BY strftime(l_shipdate, '%Y-%m-%d')))[1:3], ',') AS first3
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "agg_first_last" ->
       """SELECT user_id,
