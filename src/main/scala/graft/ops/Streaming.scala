@@ -99,17 +99,19 @@ object Streaming {
     * the latest event, then the straggler, which is then dropped as late.
     * Self-verified (StreamingSpec asserts the exclusion). */
   private val streamWatermarkLate: Q = (s, d) => {
-    val dir = s"$ioTmp/stream_late"
-    val ev = tbl(s, d, "events")
-    val straggler = ev.orderBy(asc("ts")).limit(1)
-    val tail = ev.orderBy(desc("ts")).limit(1)
-    val held = straggler.unionByName(tail).select(col("event_id").as("sid"))
-    ev.join(held, col("event_id") === col("sid"), "left_anti")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    Thread.sleep(20)
-    tail.coalesce(1).write.mode("append").parquet(dir)
-    Thread.sleep(20)
-    straggler.coalesce(1).write.mode("append").parquet(dir)
+    val dir = s"$ioTmp/stream_late_${d.hashCode.toHexString}"
+    if (staged.add(dir)) {
+      val ev = tbl(s, d, "events")
+      val straggler = ev.orderBy(asc("ts")).limit(1)
+      val tail = ev.orderBy(desc("ts")).limit(1)
+      val held = straggler.unionByName(tail).select(col("event_id").as("sid"))
+      ev.join(held, col("event_id") === col("sid"), "left_anti")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      Thread.sleep(20)
+      tail.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(20)
+      straggler.coalesce(1).write.mode("append").parquet(dir)
+    }
     val stream = s.readStream.schema(s.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
       .withWatermark("ts", "10 minutes")
@@ -123,10 +125,12 @@ object Streaming {
   /** Streaming dedup on event_id over a doubled input (events written twice);
     * the deduped stream must aggregate identically to the single batch. */
   private val streamDedup: Q = (s, d) => {
-    val dir = s"$ioTmp/stream_dup"
-    val ev = tbl(s, d, "events")
-    ev.coalesce(1).write.mode("overwrite").parquet(dir)
-    ev.coalesce(1).write.mode("append").parquet(dir)
+    val dir = s"$ioTmp/stream_dup_${d.hashCode.toHexString}"
+    if (staged.add(dir)) {
+      val ev = tbl(s, d, "events")
+      ev.coalesce(1).write.mode("overwrite").parquet(dir)
+      ev.coalesce(1).write.mode("append").parquet(dir)
+    }
     val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
     val deduped = runToTable(s,
       stream.dropDuplicates("event_id")
