@@ -20,9 +20,11 @@ object CatalystExt {
 
   /** Scalar cosine similarity over two float arrays — double accumulation in
     * element order, exactly matching the higher-order-function formulation
-    * (aggregate∘zip_with) it can replace when profiling demands (§4.3). */
+    * (aggregate∘zip_with) it can replace when profiling demands (§4.3).
+    * Generates whole-stage-codegen-compatible Java (doGenCode), so it fuses
+    * into the surrounding pipeline instead of falling back to eval. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -36,6 +38,29 @@ object CatalystExt {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = (double) $a.getFloat($i);
+           |  double $y = (double) $b.getFloat($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

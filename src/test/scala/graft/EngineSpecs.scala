@@ -187,6 +187,27 @@ class CosineExprSpec extends AnyFunSuite {
   }
 }
 
+/** Scale techniques: bucketed join must plan without a shuffle exchange. */
+class BucketedJoinSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("bucketed co-located join has no ShuffleExchange") {
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ops.Scale.bucketedJoinPlan(spark, sf)
+        .queryExecution.executedPlan.toString()
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"unexpected shuffle in:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+}
+
 /** Streaming semantics (SURVEY §2.10): watermark drop + stateful ≡ batch. */
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
