@@ -139,6 +139,24 @@ object Joins {
       .orderBy("user_id", "event_id")
   }
 
+  /** The same as-of semantics through the NATIVE custom operator
+    * (graft.plans.AsOfJoin: LogicalPlan + Strategy + merge SparkPlan) —
+    * one exchange + sort per side, O(1)-state streaming merge. Must
+    * hash-match the same oracle as the union-window formulation. */
+  private val joinAsofNative: Q = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+    val probe = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id"), col("tsm").as("ts"),
+      col("value").as("purchase_value"), unix_millis(col("tsm")).as("p_ems"))
+    val ref = ev.where(col("event_type") === "click").select(
+      col("user_id").as("r_user"), unix_millis(col("tsm")).as("r_ems"),
+      col("value").as("click_value"))
+    graft.plans.AsOfJoin.join(s, probe, ref, "user_id", "p_ems", "r_user", "r_ems")
+      .select(col("user_id"), col("event_id"), col("ts"), col("purchase_value"),
+        coalesce(col("click_value"), lit(-1.0)).as("last_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Consecutive-event pairing: self-join semantics expressed as a window lag
     * to stay shuffle-lean (§2.3 join_self). */
   private val joinSelf: Q = (s, d) => {
@@ -162,11 +180,27 @@ object Joins {
     "join_theta_range" -> joinThetaRange,
     "join_interval" -> joinInterval,
     "join_asof" -> joinAsof,
+    "join_asof_native" -> joinAsofNative,
     "join_self" -> joinSelf,
   )
 
   private val revSql =
     "sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0"
+
+  /** Shared by both as-of formulations — they must agree with each other
+    * AND with DuckDB's native ASOF JOIN. */
+  private val asofOracle =
+    """SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+              coalesce(c.click_value, -1.0) AS last_click_value
+       FROM (SELECT user_id, event_id, date_trunc('millisecond', ts) AS ts,
+                    value AS purchase_value
+             FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN
+            (SELECT user_id AS cu, date_trunc('millisecond', ts) AS cts,
+                    value AS click_value
+             FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.cu AND p.ts >= c.cts
+       ORDER BY p.user_id, p.event_id"""
 
   val oracle: Map[String, String] = Map(
     "join_inner_equi" ->
@@ -224,18 +258,8 @@ object Joins {
                FROM events) e
            ON e.eu = i.user_id AND e.et >= i.s AND e.et < i.s + INTERVAL 1 HOUR
          GROUP BY i.user_id, i.interval_id ORDER BY i.user_id, i.interval_id""",
-    "join_asof" ->
-      """SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
-                coalesce(c.click_value, -1.0) AS last_click_value
-         FROM (SELECT user_id, event_id, date_trunc('millisecond', ts) AS ts,
-                      value AS purchase_value
-               FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN
-              (SELECT user_id AS cu, date_trunc('millisecond', ts) AS cts,
-                      value AS click_value
-               FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.cu AND p.ts >= c.cts
-         ORDER BY p.user_id, p.event_id""",
+    "join_asof" -> asofOracle,
+    "join_asof_native" -> asofOracle,
     "join_self" ->
       """SELECT user_id, event_id, value,
                 lag(value) OVER (PARTITION BY user_id

@@ -63,9 +63,33 @@ object Scale {
       .join(s.table(s"graft_ord_b_$tag"), col("l_orderkey") === col("o_orderkey"))
   }
 
+  private val stagedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Hive-style partitioned layout: documents written partitionBy(lang),
+    * read back with a partition predicate — the scan must list only the
+    * lang=en directory (PartitionFilters; asserted by PartitionPruneSpec).
+    * At 100 TB this is the partition-pruning lever for selective reads. */
+  private val sinkPartitioned: Q = (s, d) => {
+    partitionedDocsDir(s, d)
+    partitionedDocs(s, d)
+      .where(col("lang") === "en")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private[graft] def partitionedDocsDir(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_io/docs_by_lang_${d.hashCode.toHexString}"
+    if (stagedDirs.add(dir))
+      tbl(s, d, "documents").write.partitionBy("lang").mode("overwrite").parquet(dir)
+    dir
+  }
+  private[graft] def partitionedDocs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(partitionedDocsDir(s, d))
+
   val queries: Map[String, Q] = Map(
     "agg_skew_salted" -> aggSkewSalted,
     "join_bucketed" -> joinBucketed,
+    "sink_partitioned" -> sinkPartitioned,
   )
 
   val oracle: Map[String, String] = Map(
@@ -80,5 +104,8 @@ object Scale {
                 count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "sink_partitioned" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+         ORDER BY doc_id""",
   )
 }

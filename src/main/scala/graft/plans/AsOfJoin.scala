@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.GraftDatasetFactory
+
+/** Native as-of join — the full custom-operator extension point (SURVEY.md
+  * §4.2/§4.3 stretch): LogicalPlan node + SparkStrategy + SparkPlan with a
+  * single-pass sorted-merge doExecute.
+  *
+  * Semantics: for every left (probe) row, attach the LAST right (reference)
+  * row of the same key with time ≤ the probe time, or nulls. Keys and times
+  * are LongType expressions over the child outputs.
+  *
+  * Scale shape: EnsureRequirements satisfies the declared ClusteredDistribution
+  * + per-partition (key, time) ordering, so the engine inserts exactly one
+  * hash exchange + sort per side, and the merge is a streaming O(n+m) pass
+  * per partition with O(1) state (one buffered reference row) — no range
+  * explosion, no per-key materialization; linear at any scale.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    lKey: Expression, lTime: Expression,
+    rKey: Expression, rTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    lKey: Expression, lTime: Expression,
+    rKey: Expression, rTime: Expression,
+    override val output: Seq[Attribute]) extends BinaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(lKey :: Nil), ClusteredDistribution(rKey :: Nil))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(lKey, Ascending), SortOrder(lTime, Ascending)),
+    Seq(SortOrder(rKey, Ascending), SortOrder(rTime, Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lk = lKey; val lt = lTime; val rk = rKey; val rt = rTime
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
+      val rProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      val nullRow = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val rBuf = rIt.buffered
+      new Iterator[InternalRow] {
+        private var lastMatch: UnsafeRow = _
+        private var lastMatchKey: Long = _
+        override def hasNext: Boolean = lIt.hasNext
+        override def next(): InternalRow = {
+          val lRow = lIt.next()
+          val lp = lProj(lRow)
+          val curKey = lp.getLong(0)
+          val curTime = lp.getLong(1)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rp = rProj(rBuf.head)
+            val k = rp.getLong(0); val t = rp.getLong(1)
+            if (k < curKey || (k == curKey && t <= curTime)) {
+              if (k == curKey) {
+                lastMatch = rBuf.head.asInstanceOf[UnsafeRow].copy()
+                lastMatchKey = k
+              }
+              rBuf.next()
+            } else advancing = false
+          }
+          if (lastMatch != null && lastMatchKey == curKey) joined(lRow, lastMatch)
+          else joined(lRow, nullRow)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j @ AsOfJoin(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, j.output) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoin {
+  /** Inject the strategy (idempotent) and build the joined DataFrame.
+    * Key/time columns are referenced by name in each side's output. */
+  def join(s: SparkSession, probe: DataFrame, ref: DataFrame,
+      pKey: String, pTime: String, rKey: String, rTime: String): DataFrame = {
+    if (!s.experimental.extraStrategies.contains(AsOfStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfStrategy
+    val lPlan = probe.queryExecution.analyzed
+    val rPlan = ref.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+    GraftDatasetFactory.ofRows(s,
+      AsOfJoin(lPlan, rPlan, attr(lPlan, pKey), attr(lPlan, pTime),
+        attr(rPlan, rKey), attr(rPlan, rTime)))
+  }
+}

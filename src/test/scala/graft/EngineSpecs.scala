@@ -208,6 +208,26 @@ class BucketedJoinSpec extends AnyFunSuite {
   }
 }
 
+/** Partition pruning: a lang predicate over the partitioned layout must
+  * reach the scan as a PartitionFilter (directory pruning, not data skip). */
+class PartitionPruneSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("lang predicate becomes a PartitionFilter") {
+    val df = ops.Scale.partitionedDocs(spark, sf).where(col("lang") === "en")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString()
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"no partition filter in scan:\n$scan")
+  }
+
+  test("native as-of join equals union-window as-of join") {
+    val a = SparkEntry.queries("join_asof")(spark, sf).collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("join_asof_native")(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
+
 /** Streaming semantics (SURVEY §2.10): watermark drop + stateful ≡ batch. */
 class StreamingSpec extends AnyFunSuite {
   import TestSession._
