@@ -226,6 +226,28 @@ class PartitionPruneSpec extends AnyFunSuite {
     val b = SparkEntry.queries("join_asof_native")(spark, sf).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("native as-of join edge cases (equal ts, no prior row, duplicate ref ts)") {
+    import spark.implicits._
+    // (key, time, value)
+    val probe = Seq(
+      (1L, 10L, 100.0), // equal ts with ref at 10 -> inclusive match
+      (1L, 5L, 101.0),  // before any ref -> null
+      (2L, 50L, 102.0), // between refs -> latest at-or-before (t=40)
+      (3L, 7L, 103.0)   // key with no refs at all -> null
+    ).toDF("k", "t", "pv")
+    val ref = Seq(
+      (1L, 10L, 1.0),
+      (2L, 20L, 2.0), (2L, 40L, 3.0), (2L, 60L, 4.0),
+      (4L, 1L, 9.0)   // ref-only key, never matched
+    ).toDF("rk", "rt", "rv")
+    val got = graft.plans.AsOfJoin.join(spark, probe, ref, "k", "t", "rk", "rt")
+      .select($"k", $"t", $"rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, 10L, 1.0), (1L, 5L, null), (2L, 50L, 3.0), (3L, 7L, null)))
+  }
 }
 
 /** Streaming semantics (SURVEY §2.10): watermark drop + stateful ≡ batch. */
