@@ -88,6 +88,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Injected optimizer rule (the §4.1 custom-Rule extension point): Catalyst
+  * cannot push predicates through an unknown node, so probe-side filters
+  * sitting above an AsOfJoin would block parquet pushdown. This rule moves
+  * any filter that references only probe-side attributes below the join,
+  * where the built-in rules carry it down to the scan (PushedFilters —
+  * asserted by AsOfPushdownSpec). Reference-side rows must NOT be filtered
+  * by probe predicates (they change which "last" row matches), so only the
+  * left side is eligible. */
+object PushProbeFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoin)
+        if cond.references.subsetOf(j.left.outputSet) =>
+      j.copy(left = Filter(cond, j.left))
+  }
+}
+
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j @ AsOfJoin(l, r, lk, lt, rk, rt) =>
@@ -103,6 +121,9 @@ object AsOfJoin {
       pKey: String, pTime: String, rKey: String, rTime: String): DataFrame = {
     if (!s.experimental.extraStrategies.contains(AsOfStrategy))
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfStrategy
+    if (!s.experimental.extraOptimizations.contains(PushProbeFilterThroughAsOfJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ PushProbeFilterThroughAsOfJoin
     val lPlan = probe.queryExecution.analyzed
     val rPlan = ref.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String) =

@@ -227,6 +227,32 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("probe-side filter pushes through the custom as-of join to the scan") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.util.Canon.events(spark, sf)
+      .withColumn("tsm", graft.util.Canon.tsMs(col("ts")))
+    val probe = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("event_id"), col("value").as("pv"),
+      unix_millis(col("tsm")).as("p_ems"))
+    val ref = ev.where(col("event_type") === "click").select(
+      col("user_id").as("r_user"), unix_millis(col("tsm")).as("r_ems"),
+      col("value").as("cv"))
+    val joined = graft.plans.AsOfJoin
+      .join(spark, probe, ref, "user_id", "p_ems", "r_user", "r_ems")
+      .where(col("user_id") < 5)
+    val leaves = joined.queryExecution.executedPlan.collectLeaves().map(_.toString())
+    val withPush = leaves.count(l => l.contains("LessThan(user_id,5"))
+    assert(withPush == 1,
+      s"expected the probe scan (and only it) to carry the pushed filter:\n${leaves.mkString("\n")}")
+    // and the result is still correct vs filtering after the join
+    val a = joined.select("user_id", "event_id", "cv").collect().map(_.toSeq).toSet
+    val b = graft.plans.AsOfJoin
+      .join(spark, probe, ref, "user_id", "p_ems", "r_user", "r_ems")
+      .select("user_id", "event_id", "cv")
+      .collect().map(_.toSeq).filter(r => r.head.asInstanceOf[Long] < 5).toSet
+    assert(a == b)
+  }
+
   test("native as-of join edge cases (equal ts, no prior row, duplicate ref ts)") {
     import spark.implicits._
     // (key, time, value)
