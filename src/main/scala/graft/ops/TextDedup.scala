@@ -357,6 +357,21 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling over an opaque payload: treat the byte stream as
+    * fixed-size 64-byte frames, keep every 4th, digest the sample — the
+    * video/audio frame-sample pattern with the codec stubbed out (payload
+    * here is the utf8 text; on a real cluster the same plumbing runs over
+    * decoded media frames). */
+  private val multimodalFrameSample: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        expr("cast(ceil(length(text)/64.0) as bigint)").as("n_frames"),
+        expr("""sha2(aggregate(
+                  sequence(1L, cast(ceil(length(text)/64.0) as bigint), 4L),
+                  '', (acc, i) -> concat(acc, substr(text, cast((i-1)*64 + 1 as int), 64))),
+                256)""").as("sample_digest"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
@@ -375,6 +390,7 @@ object TextDedup {
     "multimodal_struct" -> multimodalStruct,
     "multimodal_binary" -> multimodalBinary,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_frame_sample" -> multimodalFrameSample,
   )
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
@@ -506,5 +522,15 @@ object TextDedup {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 ascii(substr(text, 1, 1)) AS head_byte
          FROM documents ORDER BY doc_id""",
+    "multimodal_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(1, CAST(ceil(length(text)/64.0) AS BIGINT), 4)) AS i
+           FROM documents)
+         SELECT doc_id,
+                CAST(ceil(length(text)/64.0) AS BIGINT) AS n_frames,
+                sha256(string_agg(substr(text, CAST((i-1)*64 + 1 AS INTEGER), 64),
+                                  '' ORDER BY i)) AS sample_digest
+         FROM f GROUP BY doc_id, text ORDER BY doc_id""",
   )
 }
