@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the default INT96 timestamp encoding: pandas reads INT96 as
+      // tz-NAIVE (matching DuckDB's naive timestamps), whereas
+      // TIMESTAMP_MICROS is written tz-adjusted and surfaces as tz-aware
+      // (+00:00) — which would break the value comparison
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
