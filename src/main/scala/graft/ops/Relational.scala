@@ -213,6 +213,46 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Pivot: order counts per status × priority, explicit value list so the
+    * output schema is static (the scale-safe form — dynamic pivot needs a
+    * driver-side distinct pass). */
+  private val aggPivot: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus"),
+        coalesce(col("`1-URGENT`"), lit(0L)).as("p_urgent"),
+        coalesce(col("`2-HIGH`"), lit(0L)).as("p_high"),
+        coalesce(col("`3-MEDIUM`"), lit(0L)).as("p_medium"),
+        coalesce(col("`4-NOT SPECIFIED`"), lit(0L)).as("p_notspec"),
+        coalesce(col("`5-LOW`"), lit(0L)).as("p_low"))
+      .orderBy("o_orderstatus")
+
+  /** Unpivot/melt: wide customer metrics → long (id, metric, value). */
+  private val aggUnpivot: Q = (s, d) =>
+    tbl(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        col("c_nationkey").cast("double").as("c_nationkey_d"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("c_acctbal"), col("c_nationkey_d")), "metric", "value")
+      .orderBy("c_custkey", "metric")
+
+  /** Mode with a deterministic tiebreak (max count, then min value). */
+  private val aggMode: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(desc("cnt"), asc("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   // ---------------------------------------------------- §2.6 sort/limit/top-k
   private val sortMultikey: Q = (s, d) =>
     tbl(s, d, "customer")
@@ -289,6 +329,9 @@ object Relational {
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_collect_sorted" -> aggCollectSorted,
     "agg_first_last" -> aggFirstLast,
+    "agg_pivot" -> aggPivot,
+    "agg_unpivot" -> aggUnpivot,
+    "agg_mode" -> aggMode,
     "sort_multikey" -> sortMultikey,
     "sort_nulls" -> sortNulls,
     "limit_k" -> limitK,
@@ -406,6 +449,31 @@ object Relational {
                 arg_max(value, epoch_ms(ts)*1000000 + event_id) AS last_value,
                 count(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+                CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+                CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+                CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+                CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+                CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_unpivot" ->
+      """SELECT * FROM (
+           SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+           UNION ALL
+           SELECT c_custkey, 'c_nationkey_d' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+           FROM customer)
+         ORDER BY c_custkey, metric""",
+    "agg_mode" ->
+      """WITH counts AS (
+           SELECT l_returnflag, l_quantity, count(*) AS cnt
+           FROM lineitem GROUP BY l_returnflag, l_quantity),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY cnt DESC, l_quantity ASC) AS rn
+           FROM counts)
+         SELECT l_returnflag, l_quantity AS mode_qty, cnt
+         FROM ranked WHERE rn = 1 ORDER BY l_returnflag""",
     "sort_multikey" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
          ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""",
