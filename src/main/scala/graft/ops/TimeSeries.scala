@@ -195,7 +195,47 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** EWMA per series (α = 0.3): inherently recursive, so computed as a
+    * sequential in-task fold per key (one shuffle) — deterministic because
+    * each series folds in bucket order inside a single task. Self-verified
+    * (EwmaSpec recomputes exactly). */
+  private val tsEwma: Q = (s, d) => {
+    import s.implicits._
+    val alpha = 0.3
+    hourly(s, d).select(col("user_id"), col("bucket"), col("v"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, java.sql.Timestamp, Double)]) =>
+        val pts = it.toArray.sortBy(_._2.getTime)
+        var e = Double.NaN
+        pts.iterator.map { case (_, b, v) =>
+          e = if (e.isNaN) v else alpha * v + (1 - alpha) * e
+          (k, b, math.floor(e * 10000 + 0.5) / 10000.0)
+        }
+      }
+      .toDF("user_id", "bucket", "ewma")
+      .orderBy("user_id", "bucket")
+  }
+
+  /** Seasonal-naive forecast: next 24 slots = observed value one weekly
+    * period (168 h) earlier; the standard baseline every forecaster must
+    * beat. Pure joins → DuckDB-oracle-checkable. */
+  private val forecastSeasonalNaive: Q = (s, d) => {
+    val h = hourly(s, d)
+    val fut = h.groupBy(col("user_id")).agg(max(col("bucket")).as("bmax"))
+      .select(col("user_id"), col("bmax"),
+        explode(sequence(lit(1), lit(24))).as("h"))
+      .withColumn("bucket", expr("bmax + make_interval(0, 0, 0, 0, h, 0, 0)"))
+      .withColumn("src_bucket", expr("bmax + make_interval(0, 0, 0, 0, h - 168, 0, 0)"))
+    fut.join(h.select(col("user_id").as("hu"), col("bucket").as("hb"), col("v")),
+        col("hu") === col("user_id") && col("hb") === col("src_bucket"), "left")
+      .select(col("user_id"), col("bucket"), col("v").as("yhat"))
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_ewma" -> tsEwma,
+    "forecast_seasonal_naive" -> forecastSeasonalNaive,
     "ts_resample" -> tsResample,
     "ts_gapfill" -> tsGapfill,
     "ts_locf" -> tsLocf,
@@ -272,6 +312,13 @@ object TimeSeries {
          FROM fit)"""
 
   val oracle: Map[String, String] = Map(
+    "forecast_seasonal_naive" -> (H0 + """,
+       bounds AS (SELECT user_id, max(bucket) AS bmax FROM hourly GROUP BY user_id),
+       fut AS (SELECT user_id, bmax, unnest(generate_series(1, 24)) AS h FROM bounds)
+       SELECT f.user_id, f.bmax + to_hours(f.h) AS bucket, h.v AS yhat
+       FROM fut f LEFT JOIN hourly h
+         ON h.user_id = f.user_id AND h.bucket = f.bmax + to_hours(f.h - 168)
+       ORDER BY f.user_id, bucket"""),
     "ts_resample" ->
       """SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                 floor((sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS v_avg,

@@ -100,6 +100,31 @@ class ForecastSpec extends AnyFunSuite {
   }
 }
 
+/** EWMA ≡ exact sequential recompute from the hourly series. */
+class EwmaSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("ts_ewma equals direct recompute") {
+    val hourly = SparkEntry.queries("ts_resample")(spark, sf)
+      .select("user_id", "bucket", "v_avg").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getDouble(2)))
+      .groupBy(_._1)
+    val expected: Map[(Long, Long), Double] = hourly.toSeq.flatMap {
+      case (u, pts) =>
+        var e = Double.NaN
+        pts.sortBy(_._2).map { case (_, b, v) =>
+          e = if (e.isNaN) v else 0.3 * v + 0.7 * e
+          ((u, b), math.floor(e * 10000 + 0.5) / 10000.0)
+        }.toSeq
+    }.toMap
+    val got = SparkEntry.queries("ts_ewma")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getTimestamp(1).getTime), r.getDouble(2))).toMap
+    assert(got.size == expected.size)
+    val bad = expected.filter { case (k, v) => got(k) != v }
+    assert(bad.isEmpty, s"mismatches: ${bad.take(3)}")
+  }
+}
+
 /** As-of join ≡ per-row argmax reference implementation (SURVEY §5.4). */
 class AsofSpec extends AnyFunSuite {
   import TestSession._
