@@ -49,6 +49,26 @@ object Relational {
     s.read.schema(schema).json(out).orderBy("r_regionkey")
   }
 
+  private val scanOrc: Q = (s, d) => {
+    val out = s"$ioTmp/orc_supplier"
+    tbl(s, d, "supplier").coalesce(1).write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("s_suppkey")
+  }
+
+  /** Bitwise function family (AND/OR/XOR/NOT/shifts/bit_count) — portable:
+    * two's-complement integer ops are identical on both engines. */
+  private val fnBitwise: Q = (s, d) =>
+    tbl(s, d, "orders").select(
+      col("o_orderkey"),
+      (col("o_orderkey").bitwiseAND(lit(255L))).as("b_and"),
+      (col("o_orderkey").bitwiseOR(lit(4096L))).as("b_or"),
+      (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("b_xor"),
+      bitwise_not(col("o_orderkey")).as("b_not"),
+      shiftleft(col("o_orderkey"), 3).as("b_shl"),
+      shiftright(col("o_orderkey"), 2).as("b_shr"),
+      bit_count(col("o_orderkey")).as("b_cnt"))
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------- §2.2 project/filter
   private val projSelect: Q = (s, d) =>
     tbl(s, d, "lineitem").select(
@@ -311,6 +331,8 @@ object Relational {
     "scan_parquet_pushdown" -> scanParquetPushdown,
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
+    "scan_orc" -> scanOrc,
+    "fn_bitwise" -> fnBitwise,
     "proj_select" -> projSelect,
     "filter_compare" -> filterCompare,
     "filter_boolean" -> filterBoolean,
@@ -353,6 +375,17 @@ object Relational {
          ORDER BY l_orderkey, l_linenumber""",
     "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
+    "scan_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+                o_orderkey & 255 AS b_and,
+                o_orderkey | 4096 AS b_or,
+                xor(o_orderkey, o_custkey) AS b_xor,
+                ~o_orderkey AS b_not,
+                o_orderkey << 3 AS b_shl,
+                o_orderkey >> 2 AS b_shr,
+                bit_count(o_orderkey) AS b_cnt
+         FROM orders ORDER BY o_orderkey""",
     "proj_select" ->
       """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
                 l_extendedprice*(1.0-l_discount) AS revenue

@@ -102,7 +102,18 @@ object Windows {
       .orderBy("p_brand", "rn")
   }
 
+  private val winNthValue: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        nth_value(col("event_type"), 2).over(w).as("second_type"),
+        nth_value(col("value"), 3).over(w).as("third_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_nth_value" -> winNthValue,
     "win_row_number" -> winRowNumber,
     "win_rank_dense" -> winRankDense,
     "win_percent_ntile" -> winPercentNtile,
@@ -117,6 +128,14 @@ object Windows {
   private val evOrder = "date_trunc('millisecond', ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    "win_nth_value" ->
+      s"""SELECT user_id, event_id,
+                 nth_value(event_type, 2) OVER w AS second_type,
+                 nth_value(value, 3) OVER w AS third_value
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evOrder
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          ORDER BY user_id, event_id""",
     "win_row_number" ->
       """SELECT o_custkey, o_orderkey,
                 row_number() OVER (PARTITION BY o_custkey
