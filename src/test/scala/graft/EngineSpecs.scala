@@ -353,10 +353,12 @@ class StreamingSpec extends AnyFunSuite {
   test("ANN results are valid and overlap exact top-5") {
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ann = SparkEntry.queries("sim_lsh_ann")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(ann.nonEmpty)
-    val overlap = ann.intersect(exact).size.toDouble / exact.size
-    assert(overlap > 0.0, "ANN found no exact top-5 neighbors at all")
+    for (name <- Seq("sim_lsh_ann", "sim_ivf_ann")) {
+      val ann = SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(ann.nonEmpty, s"$name returned nothing")
+      val overlap = ann.intersect(exact).size.toDouble / exact.size
+      assert(overlap > 0.0, s"$name found no exact top-5 neighbors at all")
+    }
   }
 }
