@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.Forecast
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties for the forecaster core (SURVEY §5.4): solver
+  * correctness on random well-conditioned systems, determinism under input
+  * permutation, interval ordering, and synthetic-signal recovery. */
+object ForecastProps extends Properties("forecast") {
+
+  private val smallD = Gen.choose(-5.0, 5.0)
+
+  property("solver inverts random SPD systems") = Prop.forAll(
+    Gen.listOfN(9, smallD), Gen.listOfN(3, smallD)) { (ms, xs) =>
+    val m = ms.toArray.grouped(3).toArray
+    // A = MᵀM + I is symmetric positive definite → uniquely solvable
+    val a = Array.tabulate(3, 3) { (i, j) =>
+      (0 until 3).map(k => m(k)(i) * m(k)(j)).sum + (if (i == j) 1.0 else 0.0)
+    }
+    val x = xs.toArray
+    val b = Array.tabulate(3)(i => (0 until 3).map(j => a(i)(j) * x(j)).sum)
+    val got = Forecast.solve(a.map(_.clone()), b.clone())
+    got.zip(x).forall { case (g, e) => math.abs(g - e) < 1e-8 }
+  }
+
+  private val seriesGen: Gen[(Double, Double, Double, Int, Long)] = for {
+    a <- Gen.choose(-3.0, 3.0)
+    b <- Gen.choose(1.0, 50.0)
+    c <- Gen.choose(0.0, 3.0)
+    n <- Gen.choose(Forecast.P + 5, 500)
+    seed <- Gen.choose(0L, 1000L)
+  } yield (a, b, c, n, seed)
+
+  private def synth(a: Double, b: Double, c: Double, n: Int, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    Array.tabulate(n) { i =>
+      val hr = 400000L + i
+      val y = a * (i.toDouble / math.max(1, n - 1)) + b +
+        c * math.sin(2 * math.Pi * (hr % 168) / 168.0) +
+        (rng.nextDouble() - 0.5) * 0.01
+      Forecast.Point(7L, new java.sql.Timestamp(hr * 3600000L), y)
+    }
+  }
+
+  property("deterministic under input permutation") = Prop.forAll(seriesGen) {
+    case (a, b, c, n, seed) =>
+      val pts = synth(a, b, c, n, seed)
+      val f1 = Forecast.fitPredict(7L, pts, 12).map(_.yhat).toSeq
+      val shuffled = new scala.util.Random(seed + 1).shuffle(pts.toSeq).toArray
+      val f2 = Forecast.fitPredict(7L, shuffled, 12).map(_.yhat).toSeq
+      f1 == f2
+  }
+
+  property("intervals bracket the point forecast") = Prop.forAll(seriesGen) {
+    case (a, b, c, n, seed) =>
+      Forecast.fitPredict(7L, synth(a, b, c, n, seed), 12).forall(f =>
+        f.yhat_lower <= f.yhat && f.yhat <= f.yhat_upper)
+  }
+
+  property("near-noiseless synthetic signal is recovered") = Prop.forAll(
+    Gen.choose(0.5, 3.0), Gen.choose(5.0, 40.0)) { (a, b) =>
+    val pts = synth(a, b, c = 1.0, n = 400, seed = 3L)
+    val fc = Forecast.fitPredict(7L, pts, 24).toArray
+    val apes = fc.zipWithIndex.map { case (f, idx) =>
+      val hr = 400000L + 400 + idx
+      val t = (400.0 + idx) / 399.0
+      val truth = a * t + b + 1.0 * math.sin(2 * math.Pi * (hr % 168) / 168.0)
+      math.abs(f.yhat - truth) / math.max(1.0, math.abs(truth))
+    }
+    apes.sum / apes.length < 0.1
+  }
+}
