@@ -233,6 +233,31 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Correlated scalar subquery — Catalyst decorrelates it into an
+    * aggregate+join (RewriteCorrelatedScalarSubquery); the per-customer avg
+    * uses the cent-sum form so the comparison is deterministic. */
+  private val subCorrelatedScalar: Q = (s, d) => {
+    tbl(s, d, "orders").createOrReplaceTempView("sub_ord")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM sub_ord o
+      WHERE o_totalprice > 1.5 * (
+        SELECT sum(CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT))/CAST(100 AS DOUBLE)
+               /count(*)
+        FROM sub_ord o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
+  /** IN-subquery — rewritten to a left-semi join (RewritePredicateSubquery). */
+  private val subIn: Q = (s, d) => {
+    tbl(s, d, "customer").createOrReplaceTempView("sub_cust")
+    tbl(s, d, "orders").createOrReplaceTempView("sub_ord2")
+    s.sql("""
+      SELECT c_custkey, c_name FROM sub_cust
+      WHERE c_custkey IN (SELECT o_custkey FROM sub_ord2 WHERE o_totalprice > 400000)
+      ORDER BY c_custkey""")
+  }
+
   /** Pivot: order counts per status × priority, explicit value list so the
     * output schema is static (the scale-safe form — dynamic pivot needs a
     * driver-side distinct pass). */
@@ -354,6 +379,8 @@ object Relational {
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "agg_mode" -> aggMode,
+    "sub_correlated_scalar" -> subCorrelatedScalar,
+    "sub_in" -> subIn,
     "sort_multikey" -> sortMultikey,
     "sort_nulls" -> sortNulls,
     "limit_k" -> limitK,
@@ -482,6 +509,18 @@ object Relational {
                 arg_max(value, epoch_ms(ts)*1000000 + event_id) AS last_value,
                 count(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "sub_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 1.5 * (
+           SELECT sum(CAST(floor(o2.o_totalprice*100 + 0.5) AS BIGINT))/CAST(100 AS DOUBLE)
+                  /count(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "sub_in" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         ORDER BY c_custkey""",
     "agg_pivot" ->
       """SELECT o_orderstatus,
                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
