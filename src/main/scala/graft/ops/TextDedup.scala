@@ -316,6 +316,22 @@ object TextDedup {
       .orderBy("lang", "rank")
   }
 
+  /** Top-5 bigram frequencies per language — drives the custom Catalyst
+    * Generator (graft_bigrams) inside a real analytics aggregation. */
+  private val textBigramFreq: Q = (s, d) => {
+    graft.ext.CatalystExt.register(s)
+    val w = Window.partitionBy("lang").orderBy(desc("tf"), asc("ngram"))
+    tbl(s, d, "documents")
+      .withColumn("tk", toks(normText))
+      .select(col("lang"), expr("graft_bigrams(tk)").as(Seq("pos", "ngram")))
+      .groupBy(col("lang"), col("ngram"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("lang", "rank", "ngram", "tf")
+      .orderBy("lang", "rank")
+  }
+
   /** Keyword-lexicon scoring (public sentiment-lexicon pattern). */
   private val textLangKeywordScore: Q = (s, d) => {
     val tk = toks(normText)
@@ -455,6 +471,7 @@ object TextDedup {
     "sim_lsh_ann" -> simLshAnn,
     "sim_ivf_ann" -> simIvfAnn,
     "text_stats" -> textStats,
+    "text_bigram_freq" -> textBigramFreq,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_lang_keyword_score" -> textLangKeywordScore,
     "text_langid" -> textLangid,
@@ -520,6 +537,18 @@ object TextDedup {
                  floor((sum(wc)/count(*))*10000 + 0.5)/10000.0 AS avg_words,
                  floor((sum(ttr_i)/1000000.0/count(*))*10000 + 0.5)/10000.0 AS avg_ttr
           FROM t GROUP BY lang, source ORDER BY lang, source""",
+    "text_bigram_freq" ->
+      s"""WITH t AS (SELECT lang, string_split($normSql, ' ') AS tk FROM documents),
+           p AS (SELECT lang, unnest(generate_series(1, len(tk) - 1)) AS i, tk FROM t),
+           tf AS (SELECT lang, tk[i] || ' ' || tk[i + 1] AS ngram, count(*) AS tf
+                  FROM p GROUP BY lang, tk[i] || ' ' || tk[i + 1]),
+           ranked AS (
+             SELECT lang, ngram, tf,
+                    row_number() OVER (PARTITION BY lang
+                                       ORDER BY tf DESC, ngram ASC) AS rank
+             FROM tf)
+          SELECT lang, rank, ngram, tf FROM ranked WHERE rank <= 5
+          ORDER BY lang, rank""",
     "text_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok
                        FROM documents),
