@@ -233,7 +233,44 @@ object TimeSeries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Ordered funnel (signup → first later click → first later purchase)
+    * per user — the product-analytics staple over the events table. Strict
+    * event-time ordering on ms-truncated timestamps. */
+  private val tsFunnel: Q = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+    val su = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("tsm")).as("s_ts"))
+    val cl = ev.where(col("event_type") === "click")
+      .join(su, "user_id").where(col("tsm") > col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("tsm")).as("c_ts"))
+    val pu = ev.where(col("event_type") === "purchase")
+      .join(cl, "user_id").where(col("tsm") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("tsm")).as("p_ts"))
+    su.join(cl, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+      .select(col("user_id"), col("s_ts"), col("c_ts"), col("p_ts"),
+        col("c_ts").isNotNull.as("reached_click"),
+        col("p_ts").isNotNull.as("reached_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Weekly cohort retention: users grouped by first-active day, distinct
+    * active users per (cohort, week offset) — integer counts, fully
+    * deterministic. */
+  private val tsRetention: Q = (s, d) => {
+    val act = tbl(s, d, "events")
+      .select(col("user_id"), date_trunc("day", tsMs(col("ts"))).as("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .withColumn("week_offset", expr("datediff(day, cohort_day) div 7"))
+      .groupBy(col("cohort_day"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_funnel" -> tsFunnel,
+    "ts_retention" -> tsRetention,
     "ts_ewma" -> tsEwma,
     "forecast_seasonal_naive" -> forecastSeasonalNaive,
     "ts_resample" -> tsResample,
@@ -312,6 +349,33 @@ object TimeSeries {
          FROM fit)"""
 
   val oracle: Map[String, String] = Map(
+    "ts_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm
+                    FROM events),
+         su AS (SELECT user_id, min(tsm) AS s_ts FROM e
+                WHERE event_type = 'signup' GROUP BY user_id),
+         cl AS (SELECT e.user_id, min(tsm) AS c_ts FROM e JOIN su USING (user_id)
+                WHERE event_type = 'click' AND tsm > s_ts GROUP BY e.user_id),
+         pu AS (SELECT e.user_id, min(tsm) AS p_ts FROM e JOIN cl USING (user_id)
+                WHERE event_type = 'purchase' AND tsm > c_ts GROUP BY e.user_id)
+         SELECT su.user_id, s_ts, c_ts, p_ts,
+                c_ts IS NOT NULL AS reached_click,
+                p_ts IS NOT NULL AS reached_purchase
+         FROM su LEFT JOIN cl USING (user_id) LEFT JOIN pu USING (user_id)
+         ORDER BY su.user_id""",
+    "ts_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+           FROM events),
+         cohort AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+         SELECT cohort_day,
+                date_diff('day', cohort_day, day) // 7 AS week_offset,
+                count(DISTINCT a.user_id) AS n_users
+         FROM act a JOIN cohort c ON a.user_id = c.user_id
+         GROUP BY cohort_day, date_diff('day', cohort_day, day) // 7
+         ORDER BY cohort_day, week_offset""",
     "forecast_seasonal_naive" -> (H0 + """,
        bounds AS (SELECT user_id, max(bucket) AS bmax FROM hourly GROUP BY user_id),
        fut AS (SELECT user_id, bmax, unnest(generate_series(1, 24)) AS h FROM bounds)
