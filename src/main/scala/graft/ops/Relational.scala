@@ -233,6 +233,14 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Fixed-width histogram: counts per 50k price bucket. */
+  private val aggHistogram: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("o_totalprice"))) / 100.0).as("bucket_total"))
+      .orderBy("bucket")
+
   /** Correlated scalar subquery — Catalyst decorrelates it into an
     * aggregate+join (RewriteCorrelatedScalarSubquery); the per-customer avg
     * uses the cent-sum form so the comparison is deterministic. */
@@ -381,6 +389,7 @@ object Relational {
     "agg_mode" -> aggMode,
     "sub_correlated_scalar" -> subCorrelatedScalar,
     "sub_in" -> subIn,
+    "agg_histogram" -> aggHistogram,
     "sort_multikey" -> sortMultikey,
     "sort_nulls" -> sortNulls,
     "limit_k" -> limitK,
@@ -509,6 +518,12 @@ object Relational {
                 arg_max(value, epoch_ms(ts)*1000000 + event_id) AS last_value,
                 count(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice/50000.0) AS BIGINT) AS bucket,
+                count(*) AS n,
+                sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS bucket_total
+         FROM orders GROUP BY CAST(floor(o_totalprice/50000.0) AS BIGINT)
+         ORDER BY bucket""",
     "sub_correlated_scalar" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders o

@@ -268,7 +268,29 @@ object TimeSeries {
       .orderBy("cohort_day", "week_offset")
   }
 
+  /** Lag-1 autocorrelation per series from exact bigint sums over
+    * (vi, lag vi) pairs — the Pearson formula evaluated on integers, so
+    * both engines derive bit-identical r values at any partitioning. */
+  private val tsAutocorr: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+    val pairs = hourly(s, d)
+      .withColumn("vi", floor(col("v") * 10000 + 0.5).cast("long"))
+      .withColumn("vl", lag(col("vi"), 1).over(w))
+      .where(col("vl").isNotNull)
+    pairs.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("vi")).as("sx"), sum(col("vl")).as("sy"),
+        sum(col("vi") * col("vi")).as("sxx"), sum(col("vl") * col("vl")).as("syy"),
+        sum(col("vi") * col("vl")).as("sxy"))
+      .withColumn("r", r4(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      .select("user_id", "n", "r")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_autocorr" -> tsAutocorr,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
     "ts_ewma" -> tsEwma,
@@ -349,6 +371,23 @@ object TimeSeries {
          FROM fit)"""
 
   val oracle: Map[String, String] = Map(
+    "ts_autocorr" -> (H0 + """,
+       pairs AS (
+         SELECT user_id, vi,
+                lag(vi) OVER (PARTITION BY user_id ORDER BY bucket) AS vl
+         FROM (SELECT user_id, bucket,
+                      CAST(floor(v*10000 + 0.5) AS BIGINT) AS vi FROM hourly)),
+       sums AS (
+         SELECT user_id, count(*) AS n,
+                CAST(sum(vi) AS BIGINT) AS sx, CAST(sum(vl) AS BIGINT) AS sy,
+                CAST(sum(vi*vi) AS BIGINT) AS sxx, CAST(sum(vl*vl) AS BIGINT) AS syy,
+                CAST(sum(vi*vl) AS BIGINT) AS sxy
+         FROM pairs WHERE vl IS NOT NULL GROUP BY user_id)
+       SELECT user_id, n,
+              floor((CAST(n*sxy - sx*sy AS DOUBLE) /
+                     sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)))
+                    *10000 + 0.5)/10000.0 AS r
+       FROM sums ORDER BY user_id"""),
     "ts_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                            CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm
