@@ -188,6 +188,28 @@ object Streaming {
       .orderBy("user_id", "start_ms")
   }
 
+  /** foreachBatch sink — the production pattern for arbitrary sinks: each
+    * micro-batch lands as parquet via the batch writer, results read back
+    * after completion. Oracle: the plain batch aggregation. */
+  private val streamForeachBatch: Q = (s, d) => {
+    val out = s"$ioTmp/foreach_out_${d.hashCode.toHexString}_${ctr.incrementAndGet()}"
+    val q = eventsStream(s, d)
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum(cents(col("value"))) / 100.0).as("purchase_total"))
+      .orderBy("user_id")
+  }
+
   /** Stream ⋈ static dimension enrichment (supported without watermark). */
   private val streamStaticJoin: Q = (s, d) => {
     val dim = tbl(s, d, "nation")
@@ -209,6 +231,7 @@ object Streaming {
     "stream_dedup" -> streamDedup,
     "stream_stateful_session" -> streamStatefulSession,
     "stream_static_join" -> streamStaticJoin,
+    "stream_foreach_batch" -> streamForeachBatch,
   )
 
   val oracle: Map[String, String] = Map(
@@ -252,6 +275,11 @@ object Streaming {
       """SELECT event_type, count(*) AS n,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_foreach_batch" ->
+      """SELECT user_id, count(*) AS n_purchases,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS purchase_total
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
     "stream_static_join" ->
       """SELECT n_name, count(*) AS n,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum

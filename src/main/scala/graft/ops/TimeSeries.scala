@@ -289,7 +289,19 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Composite series key (user_id × event_type) resample — the long-format
+    * key tuple generalization of [[hourly]] (§1.1). */
+  private val tsResampleComposite: Q = (s, d) =>
+    tbl(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"), window(col("ts"), "6 hours"))
+      .agg(r4(sum(cents(col("value"))) / 100.0 / count(lit(1))).as("v_avg"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("event_type"), col("window.start").as("bucket"),
+        col("v_avg"), col("n"))
+      .orderBy("user_id", "event_type", "bucket")
+
   val queries: Map[String, Q] = Map(
+    "ts_resample_composite" -> tsResampleComposite,
     "ts_autocorr" -> tsAutocorr,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
@@ -371,6 +383,14 @@ object TimeSeries {
          FROM fit)"""
 
   val oracle: Map[String, String] = Map(
+    "ts_resample_composite" ->
+      """SELECT user_id, event_type,
+                CAST(to_timestamp((epoch_ms(ts)//21600000)*21600) AS TIMESTAMP) AS bucket,
+                floor((sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS v_avg,
+                count(*) AS n
+         FROM events
+         GROUP BY user_id, event_type, epoch_ms(ts)//21600000
+         ORDER BY user_id, event_type, bucket""",
     "ts_autocorr" -> (H0 + """,
        pairs AS (
          SELECT user_id, vi,
