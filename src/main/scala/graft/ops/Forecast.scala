@@ -86,9 +86,13 @@ object Forecast {
     x
   }
 
-  /** Fit one series and forecast `horizon` future hourly slots. */
-  def fitPredict(key: Long, pts: Array[Point], horizon: Int): Iterator[Fc] = {
-    if (pts.length < P + 2) return Iterator.empty
+  /** Fitted per-series model: betas + time normalization + residual σ. */
+  final case class Model(beta: Array[Double], hr0: Long, hrN: Long,
+      span: Double, sigma: Double)
+
+  /** Fit the additive model on a (sorted-or-not) series; None if too short. */
+  def fit(pts: Array[Point]): Option[Model] = {
+    if (pts.length < P + 2) return None
     val sorted = pts.sortBy(_.bucket.getTime)
     val hr0 = sorted.head.bucket.getTime / 3600000L
     val hrN = sorted.last.bucket.getTime / 3600000L
@@ -116,24 +120,55 @@ object Forecast {
 
     var sse = 0.0
     for (p <- sorted) {
-      val hr = p.bucket.getTime / 3600000L
-      val x = features((hr - hr0) / span, hr)
-      var yh = 0.0
-      var i = 0
-      while (i < P) { yh += beta(i) * x(i); i += 1 }
-      val e = p.v - yh
+      val e = p.v - predictAt(Model(beta, hr0, hrN, span, 0.0), p.bucket.getTime / 3600000L)
       sse += e * e
     }
-    val sigma = math.sqrt(sse / math.max(1, sorted.length - P))
+    Some(Model(beta, hr0, hrN, span, math.sqrt(sse / math.max(1, sorted.length - P))))
+  }
 
-    (1 to horizon).iterator.map { h =>
-      val hr = hrN + h
-      val x = features((hr - hr0) / span, hr)
-      var yh = 0.0
-      var i = 0
-      while (i < P) { yh += beta(i) * x(i); i += 1 }
-      Fc(key, new java.sql.Timestamp(hr * 3600000L),
-        round4(yh), round4(yh - Z80 * sigma), round4(yh + Z80 * sigma))
+  /** Point forecast at an absolute epoch-hour. */
+  def predictAt(m: Model, hr: Long): Double = {
+    val x = features((hr - m.hr0) / m.span, hr)
+    var yh = 0.0
+    var i = 0
+    while (i < P) { yh += m.beta(i) * x(i); i += 1 }
+    yh
+  }
+
+  /** Fit one series and forecast `horizon` future hourly slots. */
+  def fitPredict(key: Long, pts: Array[Point], horizon: Int): Iterator[Fc] =
+    fit(pts) match {
+      case None => Iterator.empty
+      case Some(m) =>
+        (1 to horizon).iterator.map { h =>
+          val hr = m.hrN + h
+          val yh = predictAt(m, hr)
+          Fc(key, new java.sql.Timestamp(hr * 3600000L),
+            round4(yh), round4(yh - Z80 * m.sigma), round4(yh + Z80 * m.sigma))
+        }
+    }
+
+  final case class Bt(user_id: Long, n_train: Int, n_test: Int,
+      mae: Double, rmse: Double)
+
+  /** Rolling-origin backtest of the additive model: fit on the first 80% of
+    * slots, score MAE/RMSE on the holdout — the reference pattern's standard
+    * evaluation step, per key. */
+  def backtest(key: Long, pts: Array[Point]): Iterator[Bt] = {
+    val sorted = pts.sortBy(_.bucket.getTime)
+    val cut = (sorted.length * 0.8).toInt
+    if (cut < P + 2 || cut >= sorted.length) return Iterator.empty
+    fit(sorted.take(cut)) match {
+      case None => Iterator.empty
+      case Some(m) =>
+        val test = sorted.drop(cut)
+        var sae = 0.0; var sse = 0.0
+        for (p <- test) {
+          val e = p.v - predictAt(m, p.bucket.getTime / 3600000L)
+          sae += math.abs(e); sse += e * e
+        }
+        Iterator.single(Bt(key, cut, test.length,
+          round4(sae / test.length), round4(math.sqrt(sse / test.length))))
     }
   }
 
@@ -151,8 +186,20 @@ object Forecast {
       .orderBy("user_id", "bucket")
   }
 
+  private val forecastProphetBacktest: Q = (s, d) => {
+    import s.implicits._
+    TimeSeries.hourly(s, d)
+      .select(col("user_id"), col("bucket"), col("v"))
+      .as[Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[Point]) => backtest(k, it.toArray))
+      .toDF()
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "forecast_prophet_like" -> forecastProphetLike,
+    "forecast_prophet_backtest" -> forecastProphetBacktest,
   )
 
   /** Not SQL-expressible — self-verified (ForecastSpec); driver records a

@@ -199,7 +199,8 @@ object Streaming {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
-        batch.write.mode("append").parquet(out)
+        // batch 0 overwrites so a stale dir from a previous run can't leak in
+        batch.write.mode(if (id == 0) "overwrite" else "append").parquet(out)
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

@@ -300,7 +300,23 @@ object TimeSeries {
         col("v_avg"), col("n"))
       .orderBy("user_id", "event_type", "bucket")
 
+  /** One-pass multi-grain rollup (hour + day grains via GROUPING SETS):
+    * at 100 TB a single scan feeds every grain instead of one pass each. */
+  private val tsMultiGrain: Q = (s, d) => {
+    tbl(s, d, "events").createOrReplaceTempView("mg_events")
+    s.sql("""
+      SELECT CASE WHEN grouping(d) = 0 THEN 'day' ELSE 'hour' END AS grain,
+             coalesce(d, h) AS bucket,
+             count(*) AS n,
+             sum(CAST(floor(value*100 + 0.5) AS BIGINT))/CAST(100 AS DOUBLE) AS v_sum
+      FROM (SELECT value, date_trunc('day', ts) AS d, date_trunc('hour', ts) AS h
+            FROM mg_events)
+      GROUP BY GROUPING SETS ((d), (h))
+      ORDER BY grain, bucket""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_multi_grain" -> tsMultiGrain,
     "ts_resample_composite" -> tsResampleComposite,
     "ts_autocorr" -> tsAutocorr,
     "ts_funnel" -> tsFunnel,
@@ -383,6 +399,18 @@ object TimeSeries {
          FROM fit)"""
 
   val oracle: Map[String, String] = Map(
+    "ts_multi_grain" ->
+      """SELECT grain, bucket, n, v_sum FROM (
+           SELECT 'day' AS grain, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                  count(*) AS n,
+                  sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
+           FROM events GROUP BY date_trunc('day', ts)
+           UNION ALL
+           SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                  count(*) AS n,
+                  sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
+           FROM events GROUP BY date_trunc('hour', ts))
+         ORDER BY grain, bucket""",
     "ts_resample_composite" ->
       """SELECT user_id, event_type,
                 CAST(to_timestamp((epoch_ms(ts)//21600000)*21600) AS TIMESTAMP) AS bucket,

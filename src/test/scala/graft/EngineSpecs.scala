@@ -83,6 +83,21 @@ class ForecastSpec extends AnyFunSuite {
     assert(sumApe / 48 < 0.05, s"MAPE ${sumApe / 48} too high")
   }
 
+  test("additive model at least matches seasonal-naive on seasonal series") {
+    val pts = synth(a = 0.5, b = 20.0, c = 5.0, n = 720)
+    val cut = 576
+    val m = Forecast.fit(pts.take(cut)).get
+    val test = pts.drop(cut)
+    val maeModel = test.map(p =>
+      math.abs(p.v - Forecast.predictAt(m, p.bucket.getTime / 3600000L))).sum / test.length
+    val byHr = pts.map(p => p.bucket.getTime / 3600000L -> p.v).toMap
+    val naiveErrs = test.flatMap(p =>
+      byHr.get(p.bucket.getTime / 3600000L - 168).map(v => math.abs(p.v - v)))
+    val maeNaive = naiveErrs.sum / naiveErrs.length
+    assert(maeModel <= maeNaive * 1.2,
+      s"model MAE $maeModel vs seasonal-naive $maeNaive")
+  }
+
   test("deterministic across invocations and input order") {
     val pts = synth(2.0, 5.0, 1.0, 400)
     val f1 = fitPredict(1L, pts, 24).toArray
