@@ -25,6 +25,25 @@ object Scale {
       .agg((sum(col("pc")) / 100.0).as("v_sum"), sum(col("pn")).as("n"))
       .orderBy("event_type")
 
+  /** Salted skew join: the big (skewed) side gets a deterministic salt, the
+    * small side is replicated across all 16 salts, and the join runs on
+    * (key, salt) — no single reducer ever owns a whole hot key. Must produce
+    * exactly the plain join's answer. (AQE's skew-join split is the
+    * automatic variant; this is the explicit lever for joins AQE can't
+    * split, e.g. under required distributions.) */
+  private val joinSkewSalted: Q = (s, d) => {
+    val Salts = 16
+    val li = tbl(s, d, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber") + col("l_orderkey"), lit(Salts)))
+    val ord = tbl(s, d, "orders")
+      .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L))))
+    li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Bucketed co-located join: lineitem and orders written bucketed+sorted
     * by the join key (8 buckets), then joined — the plan is a SortMergeJoin
     * with NO shuffle exchange on either side (verified by BucketedJoinSpec).
@@ -88,6 +107,7 @@ object Scale {
 
   val queries: Map[String, Q] = Map(
     "agg_skew_salted" -> aggSkewSalted,
+    "join_skew_salted" -> joinSkewSalted,
     "join_bucketed" -> joinBucketed,
     "sink_partitioned" -> sinkPartitioned,
   )
@@ -98,6 +118,12 @@ object Scale {
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum,
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "join_skew_salted" ->
+      """SELECT o_orderpriority,
+                sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "join_bucketed" ->
       """SELECT o_orderstatus,
                 sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue,
