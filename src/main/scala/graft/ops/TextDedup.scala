@@ -147,6 +147,37 @@ object TextDedup {
       .orderBy("da", "db")
   }
 
+  /** Connected components over the verified near-dup graph (bounded slice):
+    * iterative min-label propagation — the step that turns pairwise dup
+    * edges into dedup clusters. Dup components are near-cliques, so the
+    * fixed 12 rounds far exceed their diameter; the DuckDB oracle computes
+    * the same labels by recursive transitive closure. */
+  private val dedupConnectedComponents: Q = (s, d) => {
+    val t = tbl(s, d, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"),
+        sort_array(array_distinct(expr("transform(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))"))).as("st"))
+    val pairs = t.select(col("doc_id").as("da"), col("st").as("sa"))
+      .join(t.select(col("doc_id").as("db"), col("st").as("sb")), col("da") < col("db"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .where(col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")).cast("double") >= 0.8)
+      .select("da", "db")
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+    var labels = t.select(col("doc_id").as("node"), col("doc_id").as("label"))
+    val edgesC = edges.localCheckpoint(true)
+    for (_ <- 1 to 12) {
+      val prop = edgesC.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      // localCheckpoint truncates lineage each round — the self-referencing
+      // iterative plan otherwise doubles in size per iteration (2^12 nodes)
+      labels = labels.unionByName(prop).groupBy("node")
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy("node")
+  }
+
   /** Embedding-cosine near-dup pairs on a bounded slice (vec_id < 200). */
   private val dedupEmbeddingCosine: Q = (s, d) => {
     val e = tbl(s, d, "embeddings").where(col("vec_id") < 200)
@@ -277,6 +308,35 @@ object TextDedup {
     val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
     lists.join(q, Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", cosine(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_raw")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** MLlib BucketedRandomProjectionLSH variant (SURVEY §2.9 sim_lsh_ann's
+    * library twin): Euclidean LSH with a fixed seed; for unit-norm vectors
+    * dist² = 2(1−cos), so dist ≤ 1.5 ⇔ cos ≥ −0.125 — a loose candidate net
+    * re-ranked exactly. Self-verified (overlap with exact top-5). */
+  private val simMllibLsh: Q = (s, d) => {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.{Vectors, Vector => MLVector}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val e = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(1.0).setNumHashTables(4).setSeed(42)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(e)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("features"))
+    val joined = model.approxSimilarityJoin(q, e, 1.5, "dist")
+      .select(col("datasetA.qid").as("qid"), col("datasetA.qe").as("qe"),
+        col("datasetB.vec_id").as("vec_id"), col("datasetB.embedding").as("embedding"))
+      .where(col("vec_id") =!= col("qid"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    joined
       .withColumn("cos_raw", cosine(col("embedding"), col("qe")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
@@ -466,10 +526,12 @@ object TextDedup {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_lsh_ann" -> simLshAnn,
     "sim_ivf_ann" -> simIvfAnn,
+    "sim_mllib_lsh" -> simMllibLsh,
     "text_stats" -> textStats,
     "text_bigram_freq" -> textBigramFreq,
     "text_tfidf_terms" -> textTfidfTerms,
@@ -505,6 +567,23 @@ object TextDedup {
           FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
           WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
           ORDER BY da, db""",
+    "dedup_connected_components" ->
+      s"""WITH RECURSIVE t AS (
+             SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
+             FROM documents WHERE doc_id < 60),
+           pairs AS (
+             SELECT a.doc_id AS da, b.doc_id AS db
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+                   / CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS DOUBLE) >= 0.8),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(node, r) AS (
+             SELECT doc_id, doc_id FROM t
+             UNION
+             SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+          SELECT node, CAST(min(r) AS BIGINT) AS label
+          FROM reach GROUP BY node ORDER BY node""",
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
                  floor((${cosineSql("a.embedding", "b.embedding")})*10000 + 0.5)/10000.0 AS cos
