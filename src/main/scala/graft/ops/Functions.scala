@@ -76,6 +76,18 @@ object Functions {
       least(col("l_quantity"), col("l_tax") * 100.0).as("le"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Trigonometry family — all libm-backed, so every output is r4'd. */
+  private val fnTrig: Q = (s, d) =>
+    tbl(s, d, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"),
+      r4(sin(col("l_discount"))).as("sn"),
+      r4(cos(col("l_discount"))).as("cs"),
+      r4(tan(col("l_discount"))).as("tn"),
+      r4(asin(col("l_discount"))).as("asn"),
+      r4(acos(col("l_discount"))).as("acs"),
+      r4(atan2(col("l_discount"), col("l_tax") + 0.01)).as("at2"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   private val fnConditional: Q = (s, d) =>
     tbl(s, d, "orders").select(
       col("o_orderkey"),
@@ -157,6 +169,7 @@ object Functions {
     "fn_datetime" -> fnDatetime,
     "fn_datetime_events" -> fnDatetimeEvents,
     "fn_math" -> fnMath,
+    "fn_trig" -> fnTrig,
     "fn_conditional" -> fnConditional,
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
@@ -211,6 +224,15 @@ object Functions {
                 l_orderkey % 7 AS pm,
                 greatest(l_quantity, l_discount * 100.0) AS gr,
                 least(l_quantity, l_tax * 100.0) AS le
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "fn_trig" ->
+      """SELECT l_orderkey, l_linenumber,
+                floor((sin(l_discount))*10000 + 0.5)/10000.0 AS sn,
+                floor((cos(l_discount))*10000 + 0.5)/10000.0 AS cs,
+                floor((tan(l_discount))*10000 + 0.5)/10000.0 AS tn,
+                floor((asin(l_discount))*10000 + 0.5)/10000.0 AS asn,
+                floor((acos(l_discount))*10000 + 0.5)/10000.0 AS acs,
+                floor((atan2(l_discount, l_tax + 0.01))*10000 + 0.5)/10000.0 AS at2
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "fn_conditional" ->
       """SELECT o_orderkey,
