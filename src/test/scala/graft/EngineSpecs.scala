@@ -267,6 +267,22 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("AQE re-plans at runtime (AQEShuffleRead in the executed plan)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.util.Canon.tbl(spark, sf, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"),
+      s"no AQE runtime re-read in:\n$plan")
+  }
+
+  test("pinned broadcast join plans as BroadcastHashJoin") {
+    val plan = SparkEntry.queries("join_broadcast")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), s"no BHJ in:\n$plan")
+  }
+
   test("probe-side filter pushes through the custom as-of join to the scan") {
     import org.apache.spark.sql.functions._
     val ev = graft.util.Canon.events(spark, sf)
