@@ -203,6 +203,18 @@ object Relational {
         r4(expr("percentile(o_totalprice, 0.9)")).as("p90"))
       .orderBy("o_orderstatus")
 
+  /** Discrete percentiles + median: percentile_disc returns an actual
+    * element of the group (no interpolation → no float synthesis), so the
+    * values compare bit-exactly as raw doubles. */
+  private val aggPercentileDisc: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+        r4(expr("median(o_totalprice)")).as("med"))
+      .orderBy("o_orderstatus")
+
   private val aggApproxPercentile: Q = (s, d) =>
     tbl(s, d, "orders")
       .groupBy(col("o_orderstatus"))
@@ -381,6 +393,7 @@ object Relational {
     "agg_filtered" -> aggFiltered,
     "agg_stats" -> aggStats,
     "agg_percentile" -> aggPercentile,
+    "agg_percentile_disc" -> aggPercentileDisc,
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_collect_sorted" -> aggCollectSorted,
     "agg_first_last" -> aggFirstLast,
@@ -506,6 +519,12 @@ object Relational {
       """SELECT o_orderstatus,
                 floor((quantile_cont(o_totalprice, 0.5))*10000 + 0.5)/10000.0 AS p50,
                 floor((quantile_cont(o_totalprice, 0.9))*10000 + 0.5)/10000.0 AS p90
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_percentile_disc" ->
+      """SELECT o_orderstatus,
+                quantile_disc(o_totalprice, 0.5) AS p50_disc,
+                quantile_disc(o_totalprice, 0.9) AS p90_disc,
+                floor((quantile_cont(o_totalprice, 0.5))*10000 + 0.5)/10000.0 AS med
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_collect_sorted" ->
       """SELECT l_orderkey,
