@@ -76,6 +76,20 @@ object Functions {
       least(col("l_quantity"), col("l_tax") * 100.0).as("le"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** Second string family: reverse/translate/repeat/split_part/instr/
+    * left/right — all byte-deterministic. */
+  private val fnStringExtra: Q = (s, d) =>
+    tbl(s, d, "part").select(
+      col("p_partkey"),
+      reverse(col("p_name")).as("rev"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("tr5"),
+      repeat(col("p_brand"), 2).as("rep2"),
+      substring_index(col("p_name"), " ", 1).as("first_tok"),
+      instr(col("p_name"), "o").as("pos_o"),
+      expr("left(p_name, 4)").as("l4"),
+      expr("right(p_name, 4)").as("r4"))
+      .orderBy("p_partkey")
+
   /** Trigonometry family — all libm-backed, so every output is r4'd. */
   private val fnTrig: Q = (s, d) =>
     tbl(s, d, "lineitem").select(
@@ -166,6 +180,7 @@ object Functions {
 
   val queries: Map[String, Q] = Map(
     "fn_string" -> fnString,
+    "fn_string_extra" -> fnStringExtra,
     "fn_datetime" -> fnDatetime,
     "fn_datetime_events" -> fnDatetimeEvents,
     "fn_math" -> fnMath,
@@ -191,6 +206,16 @@ object Functions {
                 lpad(p_name, 16, '*') AS lp,
                 regexp_extract(p_name, '^(\w+)', 1) AS first_word,
                 levenshtein(p_name, lower(p_type)) AS lev
+         FROM part ORDER BY p_partkey""",
+    "fn_string_extra" ->
+      """SELECT p_partkey,
+                reverse(p_name) AS rev,
+                translate(p_name, 'aeiou', 'AEIOU') AS tr5,
+                repeat(p_brand, 2) AS rep2,
+                string_split(p_name, ' ')[1] AS first_tok,
+                strpos(p_name, 'o') AS pos_o,
+                left(p_name, 4) AS l4,
+                right(p_name, 4) AS r4
          FROM part ORDER BY p_partkey""",
     "fn_datetime" ->
       """SELECT o_orderkey,

@@ -112,7 +112,20 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Rolling distinct count: COUNT(DISTINCT) is not allowed in window specs,
+    * so collect the frame and dedupe — the standard workaround. */
+  private val winDistinctRolling: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+      .rowsBetween(-23, 0)
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_id"),
+        size(array_distinct(collect_list(col("event_type")).over(w)))
+          .as("distinct_types_24"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_distinct_rolling" -> winDistinctRolling,
     "win_nth_value" -> winNthValue,
     "win_row_number" -> winRowNumber,
     "win_rank_dense" -> winRankDense,
@@ -128,6 +141,13 @@ object Windows {
   private val evOrder = "date_trunc('millisecond', ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    "win_distinct_rolling" ->
+      s"""SELECT user_id, event_id,
+                 len(list_distinct(array_agg(event_type) OVER w)) AS distinct_types_24
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY $evOrder
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+          ORDER BY user_id, event_id""",
     "win_nth_value" ->
       s"""SELECT user_id, event_id,
                  nth_value(event_type, 2) OVER w AS second_type,
