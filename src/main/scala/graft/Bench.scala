@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/parquet-reader spin-up otherwise lands on
+    // whichever query happens to run first (measured ~5s of the round-1
+    // "slowest query" was session start, not the operator).
+    spark.range(100000).selectExpr("sum(id % 7)").collect()
+    Seq("region", "nation", "documents").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

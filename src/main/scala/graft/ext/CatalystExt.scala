@@ -129,23 +129,58 @@ object CatalystExt {
   }
 
   /** Table-generating bigram emitter — the custom Generator path of §2.11
-    * (posexplode covers the built-in path). Emits (pos, ngram) per row. */
+    * (posexplode covers the built-in path). Emits (pos, ngram) per row.
+    * Participates in whole-stage codegen: `Generator.supportCodegen` is true
+    * (no CodegenFallback) and `doGenCode` yields an `IterableOnce[InternalRow]`
+    * value, which GenerateExec's codeGenIterableOnce consumes with a plain
+    * `.iterator()` loop — no interpreted-projection fallback in hot paths. */
   case class Bigrams(child: Expression)
-      extends UnaryExpression with Generator with CodegenFallback {
+      extends UnaryExpression with Generator {
     override def elementSchema: StructType = StructType(Seq(
       StructField("pos", IntegerType, nullable = false),
       StructField("ngram", StringType, nullable = false)))
-    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-      val arr = child.eval(input).asInstanceOf[ArrayData]
-      if (arr == null || arr.numElements() < 2) Nil
-      else (0 until arr.numElements() - 1).map { i =>
-        val a = arr.getUTF8String(i)
-        val b = arr.getUTF8String(i + 1)
-        InternalRow(i, UTF8String.fromString(a.toString + " " + b.toString))
-      }
+    override def eval(input: InternalRow): IterableOnce[InternalRow] =
+      CatalystExt.bigramRows(child.eval(input).asInstanceOf[ArrayData])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val childGen = child.genCode(ctx)
+      val value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+        .variable(ctx.freshName("bigrams"), ObjectType(classOf[AnyRef]))
+      val resultCode =
+        code"""
+           |${childGen.code}
+           |scala.collection.IterableOnce<InternalRow> $value =
+           |  graft.ext.CatalystExt.bigramRows(
+           |    ${childGen.isNull} ? null : ${childGen.value});
+         """.stripMargin
+      ev.copy(code = resultCode, isNull = FalseLiteral, value = value)
     }
     override protected def withNewChildInternal(c: Expression): Bigrams =
       copy(child = c)
+  }
+
+  /** Shared eval/codegen kernel for [[Bigrams]] — called from generated Java
+    * via the object's static forwarder. */
+  def bigramRows(arr: ArrayData): IterableOnce[InternalRow] = {
+    if (arr == null || arr.numElements() < 2) Nil
+    else {
+      val n = arr.numElements() - 1
+      new Iterator[InternalRow] {
+        private var i = 0
+        override def hasNext: Boolean = i < n
+        override def next(): InternalRow = {
+          val a = arr.getUTF8String(i)
+          val b = arr.getUTF8String(i + 1)
+          val r = InternalRow(i, UTF8String.fromString(a.toString + " " + b.toString))
+          i += 1
+          r
+        }
+      }
+    }
   }
 
   /** Register every extension into the session (idempotent). */

@@ -215,6 +215,8 @@ object Relational {
         r4(expr("median(o_totalprice)")).as("med"))
       .orderBy("o_orderstatus")
 
+  /** Scalar columns only: the driver's pandas comparer cannot lexsort
+    * array<double> cells, so each quantile is projected out individually. */
   private val aggApproxPercentile: Q = (s, d) =>
     tbl(s, d, "orders")
       .groupBy(col("o_orderstatus"))
@@ -222,6 +224,12 @@ object Relational {
         expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
           .as("approx_pcts"),
         r4(expr("percentile(o_totalprice, 0.5)")).as("exact_p50"))
+      .select(
+        col("o_orderstatus"),
+        element_at(col("approx_pcts"), 1).as("p50_approx"),
+        element_at(col("approx_pcts"), 2).as("p90_approx"),
+        element_at(col("approx_pcts"), 3).as("p99_approx"),
+        col("exact_p50"))
       .orderBy("o_orderstatus")
 
   private val aggCollectSorted: Q = (s, d) =>

@@ -35,8 +35,15 @@ object Scale {
     val Salts = 16
     val li = tbl(s, d, "lineitem")
       .withColumn("salt", pmod(col("l_linenumber") + col("l_orderkey"), lit(Salts)))
-    val ord = tbl(s, d, "orders")
-      .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L))))
+    // The replicated (small) side is broadcast: salting exists to keep any
+    // one reducer from owning a hot key, and shipping the ×16 replica
+    // through an exchange would cost more than the skew it cures — at scale
+    // the replicated side is a dimension table, so broadcast (or a
+    // shuffle-hash hint when it outgrows the broadcast threshold) is the
+    // right physical shape. Round-1 bench: 19.5s shuffled → broadcast.
+    val ord = broadcast(tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L)))))
     li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
       .groupBy(col("o_orderpriority"))
       .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0)

@@ -102,15 +102,33 @@ object Streaming {
     val dir = s"$ioTmp/stream_late_${d.hashCode.toHexString}"
     if (staged.add(dir)) {
       val ev = tbl(s, d, "events")
-      val straggler = ev.orderBy(asc("ts")).limit(1)
-      val tail = ev.orderBy(desc("ts")).limit(1)
-      val held = straggler.unionByName(tail).select(col("event_id").as("sid"))
-      ev.join(held, col("event_id") === col("sid"), "left_anti")
+      // One aggregation finds the straggler (globally earliest event) and
+      // the tail (latest) — replaces round 1's two global sorts + anti-join
+      // staging (18s bench outlier). Ties break on event_id, deterministic.
+      val b = ev.agg(
+        min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("lo"),
+        max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("hi"))
+        .collect()(0)
+      val loId = b.getLong(0); val hiId = b.getLong(1)
+      def mtime(secs: Int): Unit = {
+        // FileStreamSource orders files by modification time: set strictly
+        // increasing whole-second mtimes explicitly (coarse-mtime
+        // filesystems can tie or reorder sleep-spaced writes).
+        val base = (System.currentTimeMillis() / 1000 - 100 + secs) * 1000
+        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+          if (p.toString.endsWith(".parquet") &&
+              java.nio.file.Files.getLastModifiedTime(p).toMillis > base)
+            java.nio.file.Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(base))
+        }
+      }
+      ev.where(col("event_id") =!= loId && col("event_id") =!= hiId)
         .coalesce(1).write.mode("overwrite").parquet(dir)
-      Thread.sleep(20)
-      tail.coalesce(1).write.mode("append").parquet(dir)
-      Thread.sleep(20)
-      straggler.coalesce(1).write.mode("append").parquet(dir)
+      mtime(0)
+      ev.where(col("event_id") === hiId).coalesce(1).write.mode("append").parquet(dir)
+      mtime(10)
+      ev.where(col("event_id") === loId).coalesce(1).write.mode("append").parquet(dir)
+      mtime(20)
     }
     val stream = s.readStream.schema(s.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)

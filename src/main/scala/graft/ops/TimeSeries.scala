@@ -221,7 +221,9 @@ object TimeSeries {
     * period (168 h) earlier; the standard baseline every forecaster must
     * beat. Pure joins → DuckDB-oracle-checkable. */
   private val forecastSeasonalNaive: Q = (s, d) => {
-    val h = hourly(s, d)
+    // the grid feeds both the per-user max-bucket agg and the source join —
+    // cache it so the events scan + window agg run once, not twice
+    val h = hourly(s, d).cache()
     val fut = h.groupBy(col("user_id")).agg(max(col("bucket")).as("bmax"))
       .select(col("user_id"), col("bmax"),
         explode(sequence(lit(1), lit(24))).as("h"))
