@@ -27,7 +27,8 @@ object Forecast {
 
   final case class Point(user_id: Long, bucket: java.sql.Timestamp, v: Double)
   final case class Fc(user_id: Long, bucket: java.sql.Timestamp,
-      yhat: Double, yhat_lower: Double, yhat_upper: Double)
+      yhat: Double, yhat_lower: Double, yhat_upper: Double,
+      trend: Double, weekly: Double, daily: Double)
 
   private val Changepoints = Array(0.25, 0.5, 0.75)
   private val WeeklyK = 3
@@ -135,6 +136,22 @@ object Forecast {
     yh
   }
 
+  /** Additive components at an absolute epoch-hour: (trend incl. intercept +
+    * changepoints, weekly Fourier block, daily Fourier block). The model is
+    * additive, so trend + weekly + daily ≡ the full prediction — Prophet's
+    * component-output contract (additivity asserted in ForecastProps). */
+  def componentsAt(m: Model, hr: Long): (Double, Double, Double) = {
+    val x = features((hr - m.hr0) / m.span, hr)
+    val trendEnd = 2 + Changepoints.length
+    val weeklyEnd = trendEnd + 2 * WeeklyK
+    var tr = 0.0; var wk = 0.0; var dl = 0.0
+    var i = 0
+    while (i < trendEnd) { tr += m.beta(i) * x(i); i += 1 }
+    while (i < weeklyEnd) { wk += m.beta(i) * x(i); i += 1 }
+    while (i < P) { dl += m.beta(i) * x(i); i += 1 }
+    (tr, wk, dl)
+  }
+
   /** Fit one series and forecast `horizon` future hourly slots. */
   def fitPredict(key: Long, pts: Array[Point], horizon: Int): Iterator[Fc] =
     fit(pts) match {
@@ -143,8 +160,10 @@ object Forecast {
         (1 to horizon).iterator.map { h =>
           val hr = m.hrN + h
           val yh = predictAt(m, hr)
+          val (tr, wk, dl) = componentsAt(m, hr)
           Fc(key, new java.sql.Timestamp(hr * 3600000L),
-            round4(yh), round4(yh - Z80 * m.sigma), round4(yh + Z80 * m.sigma))
+            round4(yh), round4(yh - Z80 * m.sigma), round4(yh + Z80 * m.sigma),
+            round4(tr), round4(wk), round4(dl))
         }
     }
 

@@ -29,7 +29,7 @@ object Relational {
       .orderBy("l_orderkey", "l_linenumber")
 
   private val scanCsv: Q = (s, d) => {
-    val out = s"$ioTmp/csv_nation"
+    val out = s"$ioTmp/csv_nation_${d.hashCode.toHexString}"
     tbl(s, d, "nation").coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
@@ -41,7 +41,7 @@ object Relational {
   }
 
   private val scanJson: Q = (s, d) => {
-    val out = s"$ioTmp/json_region"
+    val out = s"$ioTmp/json_region_${d.hashCode.toHexString}"
     tbl(s, d, "region").coalesce(1).write.mode("overwrite").json(out)
     val schema = StructType(Seq(
       StructField("r_regionkey", IntegerType),
@@ -50,7 +50,7 @@ object Relational {
   }
 
   private val scanOrc: Q = (s, d) => {
-    val out = s"$ioTmp/orc_supplier"
+    val out = s"$ioTmp/orc_supplier_${d.hashCode.toHexString}"
     tbl(s, d, "supplier").coalesce(1).write.mode("overwrite").orc(out)
     s.read.orc(out).orderBy("s_suppkey")
   }
@@ -241,10 +241,14 @@ object Relational {
       .orderBy("l_orderkey")
 
   /** Deterministic first/last per key: min_by/max_by over a composite
-    * (epoch-ms, event_id) bigint key — bare first/last are order-undefined
-    * and events.ts ties must break identically on both engines (§5.3.4). */
+    * (epoch-ms, event_id) STRUCT key (lexicographic) — bare first/last are
+    * order-undefined and events.ts ties must break identically on both
+    * engines (§5.3.4). A packed bigint key would collide once event_id
+    * outgrows the multiplier; the struct is injective at any scale. The
+    * DuckDB twin packs into a HUGEINT (128-bit) with a 2^63-1 multiplier —
+    * injective for every possible bigint event_id. */
   private val aggFirstLast: Q = (s, d) => {
-    val k = unix_millis(col("ts")) * lit(1000000L) + col("event_id")
+    val k = struct(unix_millis(col("ts")), col("event_id"))
     tbl(s, d, "events")
       .groupBy(col("user_id"))
       .agg(min_by(col("value"), k).as("first_value"),
@@ -541,8 +545,8 @@ object Relational {
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "agg_first_last" ->
       """SELECT user_id,
-                arg_min(value, epoch_ms(ts)*1000000 + event_id) AS first_value,
-                arg_max(value, epoch_ms(ts)*1000000 + event_id) AS last_value,
+                arg_min(value, CAST(epoch_ms(ts) AS HUGEINT) * 9223372036854775807 + event_id) AS first_value,
+                arg_max(value, CAST(epoch_ms(ts) AS HUGEINT) * 9223372036854775807 + event_id) AS last_value,
                 count(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""",
     "agg_histogram" ->

@@ -173,18 +173,39 @@ object TextDedup {
       .select("da", "db")
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
-    var labels = t.select(col("doc_id").as("node"), col("doc_id").as("label"))
+    propagateMinLabels(edges,
+      t.select(col("doc_id").as("node"), col("doc_id").as("label")),
+      maxRounds = 20)._1.orderBy("node")
+  }
+
+  /** Iterative min-label propagation with a convergence check: loops until a
+    * round changes no label (or maxRounds — the runaway cap), returning
+    * (labels, roundsRun). One cheap action per round decides termination —
+    * the honest 100 TB shape: dup components are near-cliques (diameter ≲ 3),
+    * so a fixed high round count wastes full passes, while under-provisioning
+    * silently mislabels; the check costs one count over the label table.
+    * localCheckpoint truncates lineage each round — the self-referencing
+    * iterative plan otherwise doubles in size per iteration. */
+  private[graft] def propagateMinLabels(edges: DataFrame, init: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
     val edgesC = edges.localCheckpoint(true)
-    for (_ <- 1 to 12) {
+    var labels = init.localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
       val prop = edgesC.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
-      // localCheckpoint truncates lineage each round — the self-referencing
-      // iterative plan otherwise doubles in size per iteration (2^12 nodes)
-      labels = labels.unionByName(prop).groupBy("node")
+      val next = labels.unionByName(prop).groupBy("node")
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "node")
+        .where(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      rounds += 1
     }
-    labels.orderBy("node")
+    (labels, rounds)
   }
 
   /** Embedding-cosine near-dup pairs on a bounded slice (vec_id < 200). */
@@ -338,7 +359,15 @@ object TextDedup {
   private val simMllibLsh: Q = (s, d) => {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.linalg.{Vectors, Vector => MLVector}
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // L2-normalize the feature vectors: the Euclidean-LSH candidate radius
+    // maps to a cosine bound (dist² = 2(1−cos)) ONLY on the unit sphere —
+    // unnormalized inputs would silently change what dist ≤ 1.5 means.
+    val toVec = udf { (a: Seq[Float]) =>
+      var n2 = 0.0
+      a.foreach(x => n2 += x.toDouble * x.toDouble)
+      val inv = if (n2 > 0.0) 1.0 / math.sqrt(n2) else 0.0
+      Vectors.dense(a.map(_.toDouble * inv).toArray)
+    }
     val e = tbl(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"), toVec(col("embedding")).as("features"))
     val lsh = new BucketedRandomProjectionLSH()
@@ -353,7 +382,7 @@ object TextDedup {
       .where(col("vec_id") =!= col("qid"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
     joined
-      .withColumn("cos_raw", cosine(col("embedding"), col("qe")))
+      .withColumn("cos_raw", cosineGen(s)(col("embedding"), col("qe")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_raw")).as("cos"))

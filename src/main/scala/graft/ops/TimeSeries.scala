@@ -201,7 +201,9 @@ object TimeSeries {
     * (EwmaSpec recomputes exactly). */
   private val tsEwma: Q = (s, d) => {
     import s.implicits._
-    val alpha = 0.3
+    // literal 0.3/0.7 (NOT 1 - alpha): the DuckDB oracle's recursive CTE uses
+    // the same literals, so every fold step is the identical double op in the
+    // identical order → bit-equal, graduating ts_ewma from self to oracle
     hourly(s, d).select(col("user_id"), col("bucket"), col("v"))
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
@@ -209,7 +211,7 @@ object TimeSeries {
         val pts = it.toArray.sortBy(_._2.getTime)
         var e = Double.NaN
         pts.iterator.map { case (_, b, v) =>
-          e = if (e.isNaN) v else alpha * v + (1 - alpha) * e
+          e = if (e.isNaN) v else 0.3 * v + 0.7 * e
           (k, b, math.floor(e * 10000 + 0.5) / 10000.0)
         }
       }
@@ -527,6 +529,25 @@ object TimeSeries {
        SELECT user_id, split, count(*) AS n,
               min(bucket) AS from_bucket, max(bucket) AS to_bucket
        FROM marked GROUP BY user_id, split ORDER BY user_id, split"""),
+    // Recursive CTE mirrors the Spark-side sequential fold step for step with
+    // the same 0.3/0.7 literals — every iteration is the identical double op
+    // in the identical order, so the unrounded accumulator is bit-equal.
+    "ts_ewma" ->
+      """WITH RECURSIVE hourly AS (
+           SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                  floor((sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS v
+           FROM events GROUP BY user_id, date_trunc('hour', ts)),
+         seq AS (
+           SELECT user_id, bucket, v,
+                  row_number() OVER (PARTITION BY user_id ORDER BY bucket) - 1 AS t
+           FROM hourly),
+         rec AS (
+           SELECT user_id, bucket, t, v AS e FROM seq WHERE t = 0
+           UNION ALL
+           SELECT s.user_id, s.bucket, s.t, 0.3 * s.v + 0.7 * r.e
+           FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.t = r.t + 1)
+         SELECT user_id, bucket, floor(e*10000 + 0.5)/10000.0 AS ewma
+         FROM rec ORDER BY user_id, bucket""",
     "forecast_linear_trend" -> (H0 + olsSql("hourly") + """
        SELECT user_id, bmax + to_hours(h) AS bucket,
               floor((intercept + slope * CAST(tmax + h AS DOUBLE))*10000 + 0.5)/10000.0 AS yhat

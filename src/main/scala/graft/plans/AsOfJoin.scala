@@ -49,9 +49,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lOut = left.output
     val rOut = right.output
     val lk = lKey; val lt = lTime; val rk = rKey; val rt = rTime
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val lProj = UnsafeProjection.create(Seq(lk, lt), lOut)
       val rProj = UnsafeProjection.create(Seq(rk, rt), rOut)
+      // emit UnsafeRows: downstream consumers (getByteArrayRdd, exchanges)
+      // cast to UnsafeRow, so a raw JoinedRow would only survive under a
+      // projection. Bind against outAttrs itself (== lOut ++ rOut in order,
+      // right side marked nullable) so the null-extended reference columns
+      // keep their null checks in the generated projection.
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val nullRow = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       val rBuf = rIt.buffered
@@ -76,8 +83,9 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               rBuf.next()
             } else advancing = false
           }
-          if (lastMatch != null && lastMatchKey == curKey) joined(lRow, lastMatch)
-          else joined(lRow, nullRow)
+          if (lastMatch != null && lastMatchKey == curKey)
+            outProj(joined(lRow, lastMatch))
+          else outProj(joined(lRow, nullRow))
         }
       }
     }
@@ -100,8 +108,12 @@ object PushProbeFilterThroughAsOfJoin
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.Filter
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    // cond.deterministic guard: a nondeterministic predicate (rand()-based
+    // sampling has an EMPTY reference set, trivially a subset) must not move
+    // below the join — it would change evaluation order/count; Catalyst's
+    // built-in pushdown rules carry the same guard.
     case f @ Filter(cond, j: AsOfJoin)
-        if cond.references.subsetOf(j.left.outputSet) =>
+        if cond.deterministic && cond.references.subsetOf(j.left.outputSet) =>
       j.copy(left = Filter(cond, j.left))
   }
 }
@@ -125,7 +137,17 @@ object AsOfJoin {
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ PushProbeFilterThroughAsOfJoin
     val lPlan = probe.queryExecution.analyzed
-    val rPlan = ref.queryExecution.analyzed
+    val rPlan0 = ref.queryExecution.analyzed
+    // Self-join exprId dedup: if probe and ref derive from the same
+    // DataFrame and share an unaliased column, the node's output would carry
+    // duplicate attribute ids and downstream resolution becomes ambiguous.
+    // Re-alias the right side with fresh exprIds whenever outputs overlap
+    // (the same rewrite DeduplicateRelations applies to built-in joins).
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).isEmpty) rPlan0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rPlan0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rPlan0)
     def attr(p: LogicalPlan, n: String) =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output}"))

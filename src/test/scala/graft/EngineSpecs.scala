@@ -330,6 +330,77 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(got == Set(
       (1L, 10L, 1.0), (1L, 5L, null), (2L, 50L, 3.0), (3L, 7L, null)))
   }
+
+  test("native as-of join holds under AQE with forced shuffle coalescing") {
+    // AsOfJoinExec zips its children's partitions — both sides must stay
+    // co-partitioned when AQE coalesces shuffle partitions at runtime
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+    try {
+      val a = SparkEntry.queries("join_asof")(spark, sf).collect().map(_.toSeq).toSeq
+      val b = SparkEntry.queries("join_asof_native")(spark, sf).collect().map(_.toSeq).toSeq
+      assert(a == b)
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
+  }
+
+  test("as-of self-join with shared unaliased columns gets fresh exprIds") {
+    import spark.implicits._
+    val base = Seq((1L, 10L, 1.0), (1L, 20L, 2.0)).toDF("k", "t", "v")
+    val j = graft.plans.AsOfJoin.join(spark, base, base, "k", "t", "k", "t")
+    val out = j.queryExecution.analyzed.output
+    assert(out.map(_.exprId).distinct.size == out.size,
+      s"duplicate exprIds in self-join output: $out")
+    // each probe row matches itself (time ≤ inclusive): v == matched v
+    val rows = j.collect().map(r => (r.getDouble(2), r.getDouble(5)))
+    assert(rows.toSet == Set((1.0, 1.0), (2.0, 2.0)))
+  }
+
+  test("nondeterministic filter is not pushed through the as-of join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val probe = Seq((1L, 10L, 1.0)).toDF("k", "t", "v")
+    val ref = Seq((1L, 5L, 9.0)).toDF("rk", "rt", "rv")
+    val df = graft.plans.AsOfJoin.join(spark, probe, ref, "k", "t", "rk", "rt")
+      .where(rand(7) < 0.5)
+    val opt = df.queryExecution.optimizedPlan
+    val above = opt.collect {
+      case f @ Filter(cond, _) if !cond.deterministic => f
+    }
+    assert(above.nonEmpty, s"nondeterministic filter was relocated:\n$opt")
+    val below = opt.collect { case j: graft.plans.AsOfJoin => j.left }
+    assert(below.forall(_.collect { case f: Filter => f }.isEmpty),
+      s"filter leaked below the join:\n$opt")
+  }
+}
+
+/** Label-propagation convergence (dedup_connected_components §2.9). */
+class LabelPropSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("pre-converged graph exits after one round") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val init = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "label")
+    val (labels, rounds) =
+      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 20)
+    assert(rounds == 1, s"expected early exit after 1 round, ran $rounds")
+    assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
+
+  test("chain graph converges to the component min within the cap") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val init = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("node", "label")
+    val (labels, rounds) =
+      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 20)
+    assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
+    assert(rounds <= 5, s"chain of diameter 3 took $rounds rounds")
+  }
 }
 
 /** Streaming semantics (SURVEY §2.10): watermark drop + stateful ≡ batch. */

@@ -57,6 +57,28 @@ object ForecastProps extends Properties("forecast") {
         f.yhat_lower <= f.yhat && f.yhat <= f.yhat_upper)
   }
 
+  property("components are additive: yhat = trend + weekly + daily") =
+    Prop.forAll(seriesGen) { case (a, b, c, n, seed) =>
+      // r4 rounds each emitted column separately, so the recomposed sum can
+      // differ from the rounded yhat by at most 2.5 half-units of the 4th
+      // decimal place
+      Forecast.fitPredict(7L, synth(a, b, c, n, seed), 12).forall(f =>
+        math.abs(f.yhat - (f.trend + f.weekly + f.daily)) <= 2.5e-4)
+    }
+
+  property("trend is changepoint-piecewise-linear: no seasonal residue") =
+    Prop.forAll(seriesGen) { case (a, b, c, n, seed) =>
+      // the daily block has period 24h: daily(hr) == daily(hr+24) exactly;
+      // weekly has period 168h
+      Forecast.fit(synth(a, b, c, n, seed)).forall { m =>
+        val hr = m.hrN + 1
+        val (_, wk1, dl1) = Forecast.componentsAt(m, hr)
+        val (_, wk2, dl2) = Forecast.componentsAt(m, hr + 24)
+        val (_, wk3, _) = Forecast.componentsAt(m, hr + 168)
+        math.abs(dl1 - dl2) < 1e-9 && math.abs(wk1 - wk3) < 1e-9
+      }
+    }
+
   property("near-noiseless synthetic signal is recovered") = Prop.forAll(
     Gen.choose(0.5, 3.0), Gen.choose(5.0, 40.0)) { (a, b) =>
     val pts = synth(a, b, c = 1.0, n = 400, seed = 3L)
