@@ -128,6 +128,101 @@ object CatalystExt {
       copy(child = c)
   }
 
+  /** From-scratch Misra–Gries heavy-hitters sketch over a LongType column as
+    * a TypedImperativeAggregate — the streaming-frequent-items counterpart of
+    * [[GraftHLL]]. Buffer = at most k (item → lower-bound count) counters;
+    * update decrements all counters when full (the classic k-counter MG);
+    * merge sums same-key counters then re-shrinks by the (k+1)-th largest
+    * value. Guarantees (asserted in HeavyHittersSpec, independent of merge
+    * order): est ≤ true, true − est ≤ n/(k+1), and every item with true
+    * frequency > n/(k+1) survives. Output: array<struct<item,est>> sorted by
+    * (est desc, item asc) — deterministic for a fixed partitioning. At 100 TB
+    * this replaces a full groupBy+sort with an O(k)-state partial aggregate
+    * per partition — no shuffle of the raw keys at all. */
+  case class MisraGries(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashMap[Long, Long]]
+      with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+      new java.util.HashMap[Long, Long]()
+
+    override def update(buf: java.util.HashMap[Long, Long], input: InternalRow)
+        : java.util.HashMap[Long, Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val item = v.asInstanceOf[Number].longValue()
+        val cur = buf.get(item)
+        if (cur != 0L || buf.containsKey(item)) buf.put(item, cur + 1L)
+        else if (buf.size < k) buf.put(item, 1L)
+        else {
+          // decrement every counter; drop the ones that reach zero
+          val it = buf.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: java.util.HashMap[Long, Long],
+        other: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+      other.forEach((item, c) => buf.merge(item, c, _ + _))
+      if (buf.size > k) {
+        // subtract the (k+1)-th largest count from everything, drop ≤ 0
+        val counts = new Array[Long](buf.size)
+        var i = 0
+        val vit = buf.values().iterator()
+        while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+        java.util.Arrays.sort(counts)
+        val cut = counts(buf.size - k - 1) // (k+1)-th largest
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= cut) it.remove() else e.setValue(e.getValue - cut)
+        }
+      }
+      buf
+    }
+
+    override def eval(buf: java.util.HashMap[Long, Long]): Any = {
+      val entries = new Array[(Long, Long)](buf.size)
+      var i = 0
+      buf.forEach((item, c) => { entries(i) = (item, c); i += 1 })
+      val sorted = entries.sortBy { case (item, c) => (-c, item) }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sorted.map { case (item, c) => InternalRow(item, c) })
+    }
+
+    override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      buf.forEach((item, c) => { bb.putLong(item); bb.putLong(c) })
+      bb.array()
+    }
+    override def deserialize(storage: Array[Byte]): java.util.HashMap[Long, Long] = {
+      val bb = java.nio.ByteBuffer.wrap(storage)
+      val n = bb.getInt
+      val m = new java.util.HashMap[Long, Long](n * 2)
+      var i = 0
+      while (i < n) { m.put(bb.getLong, bb.getLong); i += 1 }
+      m
+    }
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("item", LongType, nullable = false),
+      StructField("est", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): MisraGries =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MisraGries =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): MisraGries =
+      copy(child = c)
+  }
+
   /** Table-generating bigram emitter — the custom Generator path of §2.11
     * (posexplode covers the built-in path). Emits (pos, ngram) per row.
     * Participates in whole-stage codegen: `Generator.supportCodegen` is true
@@ -190,6 +285,9 @@ object CatalystExt {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_hll",
       exprs => GraftHLL(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_heavy_hitters",
+      exprs => MisraGries(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bigrams",
       exprs => Bigrams(exprs.head), "scala_udf")
   }

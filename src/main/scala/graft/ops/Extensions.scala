@@ -100,6 +100,27 @@ object Extensions {
       .orderBy("l_returnflag")
   }
 
+  /** Misra–Gries heavy hitters (custom TypedImperativeAggregate) over the
+    * event-type stream — the O(k)-state frequent-items path that replaces a
+    * full groupBy+sort at 100 TB. Here distinct(5) ≤ k(8), where MG is
+    * provably EXACT (no counter is ever decremented), so the sketch output
+    * is DuckDB-oracle-checkable against plain counts; the k < distinct
+    * decrement/merge machinery and the n/(k+1) error bounds are exercised on
+    * skewed synthetic data in HeavyHittersSpec. */
+  private val aggHeavyHitters: Q = (s, d) => {
+    CatalystExt.register(s)
+    val ev = tbl(s, d, "events")
+      .withColumn("code", xxhash64(col("event_type")))
+    val cand = ev
+      .agg(expr("graft_heavy_hitters(code, 8)").as("hh"))
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.item").as("code"), col("c.est").as("est"))
+    val names = ev.select("code", "event_type").distinct()
+    cand.join(names, "code")
+      .select(col("event_type"), col("est"))
+      .orderBy(desc("est"), asc("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "udf_scalar" -> udfScalar,
     "udaf_aggregator" -> udafAggregator,
@@ -107,6 +128,7 @@ object Extensions {
     "udtf_ngrams" -> udtfNgrams,
     "expr_custom_cosine" -> exprCustomCosine,
     "agg_hll_custom" -> aggHllCustom,
+    "agg_heavy_hitters" -> aggHeavyHitters,
   )
 
   private val havSql =
@@ -130,6 +152,10 @@ object Extensions {
       """SELECT o_orderstatus,
                 floor((exp(avg(ln(o_totalprice))))*10000 + 0.5)/10000.0 AS geomean_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // distinct(5) ≤ k(8) ⇒ the MG sketch is exact ⇒ plain counts reproduce it
+    "agg_heavy_hitters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS est
+         FROM events GROUP BY event_type ORDER BY est DESC, event_type""",
     "udtf_generator" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
                     FROM documents WHERE doc_id < 20),

@@ -257,6 +257,19 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Deterministic distributed sampling: bottom-k by a cryptographic hash of
+    * the key — a uniform-ish sample that is reproducible across engines and
+    * runs (unlike seeded rand(), whose streams differ per engine/partition).
+    * Physically a TakeOrderedAndProject: each partition keeps only its local
+    * bottom-k, the driver merges k·p candidate rows — no full shuffle, the
+    * sampling pattern that still works at 100 TB. */
+  private val aggSampleBottomk: Q = (s, d) =>
+    tbl(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        md5(col("o_orderkey").cast("string")).as("hk"))
+      .orderBy(asc("hk"), asc("o_orderkey"))
+      .limit(100)
+
   /** Fixed-width histogram: counts per 50k price bucket. */
   private val aggHistogram: Q = (s, d) =>
     tbl(s, d, "orders")
@@ -409,6 +422,7 @@ object Relational {
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_collect_sorted" -> aggCollectSorted,
     "agg_first_last" -> aggFirstLast,
+    "agg_sample_bottomk" -> aggSampleBottomk,
     "agg_pivot" -> aggPivot,
     "agg_unpivot" -> aggUnpivot,
     "agg_mode" -> aggMode,
@@ -549,6 +563,10 @@ object Relational {
                 arg_max(value, CAST(epoch_ms(ts) AS HUGEINT) * 9223372036854775807 + event_id) AS last_value,
                 count(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_sample_bottomk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+                md5(CAST(o_orderkey AS VARCHAR)) AS hk
+         FROM orders ORDER BY hk, o_orderkey LIMIT 100""",
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice/50000.0) AS BIGINT) AS bucket,
                 count(*) AS n,

@@ -178,6 +178,19 @@ object TextDedup {
       maxRounds = 20)._1.orderBy("node")
   }
 
+  /** Cluster-size histogram over the connected near-dup components — the
+    * pipeline question dedup actually answers ("how much does the corpus
+    * shrink"): n docs per cluster size, plus the implied removal count. */
+  private val dedupClusterStats: Q = (s, d) => {
+    val labels = dedupConnectedComponents(s, d)
+    labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum(col("cluster_size")) - count(lit(1))).as("n_removed"))
+      .orderBy("cluster_size")
+  }
+
   /** Iterative min-label propagation with a convergence check: loops until a
     * round changes no label (or maxRounds — the runaway cap), returning
     * (labels, roundsRun). One cheap action per round decides termination —
@@ -575,6 +588,7 @@ object TextDedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_connected_components" -> dedupConnectedComponents,
+    "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_lsh_ann" -> simLshAnn,
@@ -632,6 +646,26 @@ object TextDedup {
              SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
           SELECT node, CAST(min(r) AS BIGINT) AS label
           FROM reach GROUP BY node ORDER BY node""",
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE t AS (
+             SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
+             FROM documents WHERE doc_id < 60),
+           pairs AS (
+             SELECT a.doc_id AS da, b.doc_id AS db
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+                   / CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS DOUBLE) >= 0.8),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(node, r) AS (
+             SELECT doc_id, doc_id FROM t
+             UNION
+             SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+           cs AS (SELECT label, count(*) AS cluster_size FROM lab GROUP BY label)
+          SELECT cluster_size, count(*) AS n_clusters,
+                 CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removed
+          FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
                  floor((${cosineSql("a.embedding", "b.embedding")})*10000 + 0.5)/10000.0 AS cos

@@ -219,6 +219,36 @@ object TimeSeries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Offline changepoint detection per series: the split t maximizing
+    * |mean(before) − mean(after)| — the binary-segmentation scoring step of
+    * CUSUM-family detectors, computed from exact integer-scaled cumulative
+    * sums so both engines rank identical doubles (single division at the
+    * end). One window pass over the hourly grid; scales as a plain
+    * partition-by-key window at 100 TB. */
+  private val tsChangepointSplit: Q = (s, d) => {
+    val wOrd = Window.partitionBy("user_id").orderBy("bucket")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("user_id")
+    val scored = hourly(s, d)
+      .withColumn("vi", floor(col("v") * 10000 + 0.5).cast("long"))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum(col("vi")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("vi")).over(wAll))
+      .where(col("t") < col("n"))
+      .withColumn("l_avg", col("cum").cast("double") / 10000.0 / col("t"))
+      .withColumn("r_avg",
+        (col("tot") - col("cum")).cast("double") / 10000.0 / (col("n") - col("t")))
+      .withColumn("gap", abs(col("l_avg") - col("r_avg")))
+    val wRank = Window.partitionBy("user_id").orderBy(desc("gap"), asc("bucket"))
+    scored.withColumn("rk", row_number().over(wRank))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("bucket").as("split_bucket"),
+        r4(col("l_avg")).as("left_avg"), r4(col("r_avg")).as("right_avg"),
+        r4(col("gap")).as("gap"))
+      .orderBy("user_id")
+  }
+
   /** Seasonal-naive forecast: next 24 slots = observed value one weekly
     * period (168 h) earlier; the standard baseline every forecaster must
     * beat. Pure joins → DuckDB-oracle-checkable. */
@@ -326,6 +356,7 @@ object TimeSeries {
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
     "ts_ewma" -> tsEwma,
+    "ts_changepoint_split" -> tsChangepointSplit,
     "forecast_seasonal_naive" -> forecastSeasonalNaive,
     "ts_resample" -> tsResample,
     "ts_gapfill" -> tsGapfill,
@@ -529,6 +560,34 @@ object TimeSeries {
        SELECT user_id, split, count(*) AS n,
               min(bucket) AS from_bucket, max(bucket) AS to_bucket
        FROM marked GROUP BY user_id, split ORDER BY user_id, split"""),
+    "ts_changepoint_split" -> (H0 + """,
+       t AS (
+         SELECT user_id, bucket,
+                CAST(floor(v*10000 + 0.5) AS BIGINT) AS vi,
+                CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket) AS BIGINT) AS t,
+                CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+         FROM hourly),
+       c AS (
+         SELECT user_id, bucket, t, n,
+                sum(vi) OVER (PARTITION BY user_id ORDER BY bucket
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                sum(vi) OVER (PARTITION BY user_id) AS tot
+         FROM t),
+       s AS (
+         SELECT user_id, bucket,
+                CAST(cum AS DOUBLE)/10000.0/t AS l_avg,
+                CAST(tot - cum AS DOUBLE)/10000.0/(n - t) AS r_avg
+         FROM c WHERE t < n),
+       r AS (
+         SELECT user_id, bucket, l_avg, r_avg, abs(l_avg - r_avg) AS gap,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY abs(l_avg - r_avg) DESC, bucket) AS rk
+         FROM s)
+       SELECT user_id, bucket AS split_bucket,
+              floor(l_avg*10000 + 0.5)/10000.0 AS left_avg,
+              floor(r_avg*10000 + 0.5)/10000.0 AS right_avg,
+              floor(gap*10000 + 0.5)/10000.0 AS gap
+       FROM r WHERE rk = 1 ORDER BY user_id"""),
     // Recursive CTE mirrors the Spark-side sequential fold step for step with
     // the same 0.3/0.7 literals — every iteration is the identical double op
     // in the identical order, so the unrounded accumulator is bit-equal.

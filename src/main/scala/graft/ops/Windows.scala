@@ -92,6 +92,28 @@ object Windows {
       .orderBy("o_orderkey")
   }
 
+  /** Batch sessionization (gaps-and-islands): a new session starts when the
+    * gap since the previous event exceeds 30 minutes; session ids are
+    * per-user ordinals from a cumulative sum over the new-session flags —
+    * the two-window formulation every warehouse uses, fully shuffle-local
+    * after one hash partition by user. Summary per session: bounds, event
+    * count, cent-exact value sum. */
+  private val winSessionize: Q = (s, d) => {
+    val wOrd = Window.partitionBy("user_id").orderBy(col("tsm"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .withColumn("gap_ms",
+        unix_millis(col("tsm")) - unix_millis(lag(col("tsm"), 1).over(wOrd)))
+      .withColumn("new_sess",
+        when(col("gap_ms").isNull || col("gap_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tsm")).as("s_start"), max(col("tsm")).as("s_end"),
+        count(lit(1)).as("n_events"),
+        (sum(cents(col("value"))) / 100.0).as("v_sum"))
+      .orderBy("user_id", "session_id")
+  }
+
   private val winTopkPerGroup: Q = (s, d) => {
     val w = Window.partitionBy("p_brand")
       .orderBy(desc("p_retailprice"), asc("p_partkey"))
@@ -136,6 +158,7 @@ object Windows {
     "win_range_frame" -> winRangeFrame,
     "win_cumulative" -> winCumulative,
     "win_topk_per_group" -> winTopkPerGroup,
+    "win_sessionize" -> winSessionize,
   )
 
   private val evOrder = "date_trunc('millisecond', ts), event_id"
@@ -203,6 +226,27 @@ object Windows {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                       RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, event_id""",
+    "win_sessionize" ->
+      s"""WITH e AS (
+            SELECT user_id, CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm,
+                   event_id, value
+            FROM events),
+          g AS (
+            SELECT user_id, tsm, event_id, value,
+                   epoch_ms(tsm) - epoch_ms(lag(tsm) OVER
+                     (PARTITION BY user_id ORDER BY tsm, event_id)) AS gap_ms
+            FROM e),
+          f AS (
+            SELECT user_id, tsm, value,
+                   sum(CASE WHEN gap_ms IS NULL OR gap_ms > 1800000 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM g)
+          SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                 min(tsm) AS s_start, max(tsm) AS s_end,
+                 count(*) AS n_events,
+                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
+          FROM f GROUP BY user_id, sid ORDER BY user_id, session_id""",
     "win_cumulative" ->
       """SELECT o_orderkey, o_orderstatus,
                 sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))

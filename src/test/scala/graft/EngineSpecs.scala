@@ -377,6 +377,42 @@ class PartitionPruneSpec extends AnyFunSuite {
   }
 }
 
+/** Misra–Gries heavy hitters (custom TypedImperativeAggregate, §2.11). */
+class HeavyHittersSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("sketch is exact when distinct <= k (the agg_heavy_hitters premise)") {
+    val got = SparkEntry.queries("agg_heavy_hitters")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.util.Canon.tbl(spark, sf, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+  }
+
+  test("MG bounds hold with k < distinct on skewed data") {
+    import spark.implicits._
+    graft.ext.CatalystExt.register(spark)
+    // zipf-ish: item i appears ~2000/i times → items 1..2 are heavy at k=8
+    val rows = (1 to 50).flatMap(i => Seq.fill(2000 / i)(i.toLong))
+    val res = rows.toDF("item").repartition(8)
+      .agg(expr("graft_heavy_hitters(item, 8)").as("hh"))
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.item"), col("c.est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = rows.size / 9 // n/(k+1)
+    assert(res.nonEmpty && res.size <= 8)
+    res.foreach { case (item, est) =>
+      assert(est <= exact(item), s"overestimate for $item")
+      assert(exact(item) - est <= bound, s"error bound violated for $item")
+    }
+    exact.filter(_._2 > bound).keys
+      .foreach(i => assert(res.contains(i), s"heavy item $i lost"))
+  }
+}
+
 /** Label-propagation convergence (dedup_connected_components §2.9). */
 class LabelPropSpec extends AnyFunSuite {
   import TestSession._
