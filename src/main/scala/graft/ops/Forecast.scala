@@ -30,29 +30,38 @@ object Forecast {
       yhat: Double, yhat_lower: Double, yhat_upper: Double,
       trend: Double, weekly: Double, daily: Double)
 
-  private val Changepoints = Array(0.25, 0.5, 0.75)
-  private val WeeklyK = 3
-  private val DailyK = 2
-  private val Ridge = 1.0
-  private val Z80 = 1.2815515655446004 // 80% normal interval half-width
+  /** Model hyper-parameters (the reference's Prophet-like knobs): changepoint
+    * positions as trend-time quantiles, Fourier orders for the weekly/daily
+    * blocks, ridge strength, and the interval z. Defaults reproduce the
+    * contract query; callers may fit with any configuration. */
+  final case class Config(
+      changepoints: Array[Double] = Array(0.25, 0.5, 0.75),
+      weeklyK: Int = 3,
+      dailyK: Int = 2,
+      ridge: Double = 1.0,
+      intervalZ: Double = 1.2815515655446004 /* 80% normal half-width */) {
+    /** Number of regressors: intercept + t + changepoints + 2·(Kw + Kd). */
+    val p: Int = 2 + changepoints.length + 2 * (weeklyK + dailyK)
+  }
+  val DefaultConfig: Config = Config()
 
-  /** Number of regressors: intercept + t + changepoints + 2·(Kw + Kd). */
-  val P: Int = 2 + Changepoints.length + 2 * (WeeklyK + DailyK)
+  /** Contract default regressor count (back-compat alias). */
+  val P: Int = DefaultConfig.p
 
   /** Design-matrix row for absolute hour `hr` and normalized trend time `t`. */
-  def features(t: Double, hr: Long): Array[Double] = {
-    val x = new Array[Double](P)
+  def features(t: Double, hr: Long, cfg: Config = DefaultConfig): Array[Double] = {
+    val x = new Array[Double](cfg.p)
     x(0) = 1.0
     x(1) = t
     var i = 2
-    for (c <- Changepoints) { x(i) = math.max(0.0, t - c); i += 1 }
+    for (c <- cfg.changepoints) { x(i) = math.max(0.0, t - c); i += 1 }
     val hw = (hr % 168).toDouble
-    for (k <- 1 to WeeklyK) {
+    for (k <- 1 to cfg.weeklyK) {
       val a = 2.0 * math.Pi * k * hw / 168.0
       x(i) = math.sin(a); x(i + 1) = math.cos(a); i += 2
     }
     val hd = (hr % 24).toDouble
-    for (k <- 1 to DailyK) {
+    for (k <- 1 to cfg.dailyK) {
       val a = 2.0 * math.Pi * k * hd / 24.0
       x(i) = math.sin(a); x(i + 1) = math.cos(a); i += 2
     }
@@ -89,10 +98,11 @@ object Forecast {
 
   /** Fitted per-series model: betas + time normalization + residual σ. */
   final case class Model(beta: Array[Double], hr0: Long, hrN: Long,
-      span: Double, sigma: Double)
+      span: Double, sigma: Double, cfg: Config = DefaultConfig)
 
   /** Fit the additive model on a (sorted-or-not) series; None if too short. */
-  def fit(pts: Array[Point]): Option[Model] = {
+  def fit(pts: Array[Point], cfg: Config = DefaultConfig): Option[Model] = {
+    val P = cfg.p
     if (pts.length < P + 2) return None
     val sorted = pts.sortBy(_.bucket.getTime)
     val hr0 = sorted.head.bucket.getTime / 3600000L
@@ -104,7 +114,7 @@ object Forecast {
     val b = new Array[Double](P)
     for (p <- sorted) {
       val hr = p.bucket.getTime / 3600000L
-      val x = features((hr - hr0) / span, hr)
+      val x = features((hr - hr0) / span, hr, cfg)
       var i = 0
       while (i < P) {
         val xi = x(i)
@@ -116,23 +126,25 @@ object Forecast {
         i += 1
       }
     }
-    for (i <- 1 until P) a(i)(i) += Ridge
+    for (i <- 1 until P) a(i)(i) += cfg.ridge
     val beta = solve(a.map(_.clone()), b.clone())
 
     var sse = 0.0
     for (p <- sorted) {
-      val e = p.v - predictAt(Model(beta, hr0, hrN, span, 0.0), p.bucket.getTime / 3600000L)
+      val e = p.v - predictAt(Model(beta, hr0, hrN, span, 0.0, cfg),
+        p.bucket.getTime / 3600000L)
       sse += e * e
     }
-    Some(Model(beta, hr0, hrN, span, math.sqrt(sse / math.max(1, sorted.length - P))))
+    Some(Model(beta, hr0, hrN, span,
+      math.sqrt(sse / math.max(1, sorted.length - P)), cfg))
   }
 
   /** Point forecast at an absolute epoch-hour. */
   def predictAt(m: Model, hr: Long): Double = {
-    val x = features((hr - m.hr0) / m.span, hr)
+    val x = features((hr - m.hr0) / m.span, hr, m.cfg)
     var yh = 0.0
     var i = 0
-    while (i < P) { yh += m.beta(i) * x(i); i += 1 }
+    while (i < m.cfg.p) { yh += m.beta(i) * x(i); i += 1 }
     yh
   }
 
@@ -141,20 +153,21 @@ object Forecast {
     * additive, so trend + weekly + daily ≡ the full prediction — Prophet's
     * component-output contract (additivity asserted in ForecastProps). */
   def componentsAt(m: Model, hr: Long): (Double, Double, Double) = {
-    val x = features((hr - m.hr0) / m.span, hr)
-    val trendEnd = 2 + Changepoints.length
-    val weeklyEnd = trendEnd + 2 * WeeklyK
+    val x = features((hr - m.hr0) / m.span, hr, m.cfg)
+    val trendEnd = 2 + m.cfg.changepoints.length
+    val weeklyEnd = trendEnd + 2 * m.cfg.weeklyK
     var tr = 0.0; var wk = 0.0; var dl = 0.0
     var i = 0
     while (i < trendEnd) { tr += m.beta(i) * x(i); i += 1 }
     while (i < weeklyEnd) { wk += m.beta(i) * x(i); i += 1 }
-    while (i < P) { dl += m.beta(i) * x(i); i += 1 }
+    while (i < m.cfg.p) { dl += m.beta(i) * x(i); i += 1 }
     (tr, wk, dl)
   }
 
   /** Fit one series and forecast `horizon` future hourly slots. */
-  def fitPredict(key: Long, pts: Array[Point], horizon: Int): Iterator[Fc] =
-    fit(pts) match {
+  def fitPredict(key: Long, pts: Array[Point], horizon: Int,
+      cfg: Config = DefaultConfig): Iterator[Fc] =
+    fit(pts, cfg) match {
       case None => Iterator.empty
       case Some(m) =>
         (1 to horizon).iterator.map { h =>
@@ -162,7 +175,8 @@ object Forecast {
           val yh = predictAt(m, hr)
           val (tr, wk, dl) = componentsAt(m, hr)
           Fc(key, new java.sql.Timestamp(hr * 3600000L),
-            round4(yh), round4(yh - Z80 * m.sigma), round4(yh + Z80 * m.sigma),
+            round4(yh), round4(yh - cfg.intervalZ * m.sigma),
+            round4(yh + cfg.intervalZ * m.sigma),
             round4(tr), round4(wk), round4(dl))
         }
     }

@@ -139,6 +139,33 @@ object Joins {
       .orderBy("user_id", "event_id")
   }
 
+  /** FORWARD as-of join: for each purchase, the FIRST click at-or-after its
+    * timestamp — the other direction every as-of API exposes (backward /
+    * forward / nearest; nearest = coalesce of these two by gap). Same
+    * union-tag + single window pass, frame flipped to CURRENT→FOLLOWING;
+    * at equal ts the ref row sorts after the probe (side desc) so the match
+    * is inclusive. DuckDB oracle: native ASOF with p.ts <= c.cts. */
+  private val joinAsofForward: Q = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+    val ref = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("tsm").as("ts"), col("event_id"),
+      col("value").as("click_value"), lit(0).as("side"),
+      lit(null).cast("double").as("purchase_value"))
+    val probe = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("tsm").as("ts"), col("event_id"),
+      lit(null).cast("double").as("click_value"), lit(1).as("side"),
+      col("value").as("purchase_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), desc("side"), col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    ref.unionByName(probe)
+      .withColumn("next_click_value",
+        coalesce(first(col("click_value"), ignoreNulls = true).over(w), lit(-1.0)))
+      .where(col("side") === 1)
+      .select("user_id", "event_id", "ts", "purchase_value", "next_click_value")
+      .orderBy("user_id", "event_id")
+  }
+
   /** The same as-of semantics through the NATIVE custom operator
     * (graft.plans.AsOfJoin: LogicalPlan + Strategy + merge SparkPlan) —
     * one exchange + sort per side, O(1)-state streaming merge. Must
@@ -180,6 +207,7 @@ object Joins {
     "join_theta_range" -> joinThetaRange,
     "join_interval" -> joinInterval,
     "join_asof" -> joinAsof,
+    "join_asof_forward" -> joinAsofForward,
     "join_asof_native" -> joinAsofNative,
     "join_self" -> joinSelf,
   )
@@ -259,6 +287,18 @@ object Joins {
            ON e.eu = i.user_id AND e.et >= i.s AND e.et < i.s + INTERVAL 1 HOUR
          GROUP BY i.user_id, i.interval_id ORDER BY i.user_id, i.interval_id""",
     "join_asof" -> asofOracle,
+    "join_asof_forward" ->
+      """SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+                coalesce(c.click_value, -1.0) AS next_click_value
+         FROM (SELECT user_id, event_id, date_trunc('millisecond', ts) AS ts,
+                      value AS purchase_value
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id AS cu, date_trunc('millisecond', ts) AS cts,
+                      value AS click_value
+               FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.cu AND p.ts <= c.cts
+         ORDER BY p.user_id, p.event_id""",
     "join_asof_native" -> asofOracle,
     "join_self" ->
       """SELECT user_id, event_id, value,

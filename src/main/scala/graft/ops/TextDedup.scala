@@ -233,6 +233,20 @@ object TextDedup {
       .orderBy("va", "vb")
   }
 
+  /** Semantic dedup: embedding-cosine ≥ 0.4 pairs (bounded oracle slice)
+    * fed through the same min-label propagation — the embedding-space
+    * counterpart of token-level near-dedup: cluster label per vector. At
+    * scale the pair generation is the LSH-bucketed path (sim_lsh_ann), not
+    * this exact slice. */
+  private val dedupSemantic: Q = (s, d) => {
+    val pairs = dedupEmbeddingCosine(s, d).select(col("va"), col("vb"))
+    val edges = pairs.select(col("va").as("src"), col("vb").as("dst"))
+      .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst")))
+    val nodes = tbl(s, d, "embeddings").where(col("vec_id") < 200)
+      .select(col("vec_id").as("node"), col("vec_id").as("label"))
+    propagateMinLabels(edges, nodes, maxRounds = 20)._1.orderBy("node")
+  }
+
   // --------------------------------------------------------------- similarity
   /** Brute-force cosine top-k: 10 query vectors (vec_id < 10) broadcast
     * against the full table — the exact baseline sim_lsh_ann is measured
@@ -590,6 +604,7 @@ object TextDedup {
     "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_semantic" -> dedupSemantic,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_lsh_ann" -> simLshAnn,
     "sim_ivf_ann" -> simIvfAnn,
@@ -673,6 +688,20 @@ object TextDedup {
           WHERE a.vec_id < 200 AND b.vec_id < 200
             AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4
           ORDER BY va, vb""",
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE pairs AS (
+             SELECT a.vec_id AS va, b.vec_id AS vb
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE a.vec_id < 200 AND b.vec_id < 200
+               AND ${cosineSql("a.embedding", "b.embedding")} >= 0.4),
+           edges AS (SELECT va AS src, vb AS dst FROM pairs
+                     UNION ALL SELECT vb, va FROM pairs),
+           reach(node, r) AS (
+             SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 200
+             UNION
+             SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+          SELECT node, CAST(min(r) AS BIGINT) AS label
+          FROM reach GROUP BY node ORDER BY node""",
     "sim_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
            scored AS (

@@ -219,6 +219,57 @@ object TimeSeries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Additive Holt–Winters (triple exponential smoothing, daily season
+    * m=24) per series — the classical recursive forecaster next to the
+    * regression-based forecast_prophet_like. Level/trend/seasonal recursions
+    * run as an in-task fold per key (one shuffle, same per-series-in-memory
+    * posture as the pandas-UDF pattern); 24h horizon. Recursions are not
+    * SQL-expressible → self-verified (HoltWintersSpec: synthetic
+    * linear+seasonal recovery, determinism). */
+  private[graft] def holtWintersCore(y: Array[Double], m: Int, horizon: Int,
+      alpha: Double = 0.3, beta: Double = 0.05, gamma: Double = 0.2)
+      : Option[Array[Double]] = {
+    if (y.length < 2 * m) return None
+    val m1 = y.take(m).sum / m
+    val m2 = y.slice(m, 2 * m).sum / m
+    var l = m1
+    var b = (m2 - m1) / m
+    val sArr = Array.tabulate(m)(i => y(i) - m1)
+    var t = 0
+    while (t < y.length) {
+      val si = t % m
+      val lNew = alpha * (y(t) - sArr(si)) + (1 - alpha) * (l + b)
+      b = beta * (lNew - l) + (1 - beta) * b
+      sArr(si) = gamma * (y(t) - lNew) + (1 - gamma) * sArr(si)
+      l = lNew
+      t += 1
+    }
+    Some(Array.tabulate(horizon)(h =>
+      l + (h + 1) * b + sArr((y.length + h) % m)))
+  }
+
+  private val tsHoltWinters: Q = (s, d) => {
+    import s.implicits._
+    val m = 24; val horizon = 24
+    hourly(s, d).select(col("user_id"), col("bucket"), col("v"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k: Long, it: Iterator[(Long, java.sql.Timestamp, Double)]) =>
+        val pts = it.toArray.sortBy(_._2.getTime)
+        holtWintersCore(pts.map(_._3), m, horizon) match {
+          case None => Iterator.empty
+          case Some(fc) =>
+            val lastMs = pts.last._2.getTime
+            fc.iterator.zipWithIndex.map { case (yh, h) =>
+              (k, new java.sql.Timestamp(lastMs + (h + 1) * 3600000L),
+                math.floor(yh * 10000 + 0.5) / 10000.0)
+            }
+        }
+      }
+      .toDF("user_id", "bucket", "yhat")
+      .orderBy("user_id", "bucket")
+  }
+
   /** Offline changepoint detection per series: the split t maximizing
     * |mean(before) − mean(after)| — the binary-segmentation scoring step of
     * CUSUM-family detectors, computed from exact integer-scaled cumulative
@@ -357,6 +408,7 @@ object TimeSeries {
     "ts_retention" -> tsRetention,
     "ts_ewma" -> tsEwma,
     "ts_changepoint_split" -> tsChangepointSplit,
+    "ts_holt_winters" -> tsHoltWinters,
     "forecast_seasonal_naive" -> forecastSeasonalNaive,
     "ts_resample" -> tsResample,
     "ts_gapfill" -> tsGapfill,

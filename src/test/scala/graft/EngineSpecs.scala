@@ -377,6 +377,31 @@ class PartitionPruneSpec extends AnyFunSuite {
   }
 }
 
+/** Additive Holt–Winters core (ts_holt_winters §2.9). */
+class HoltWintersSpec extends AnyFunSuite {
+
+  test("recovers a linear + daily-seasonal signal") {
+    val m = 24
+    def truth(t: Int): Double =
+      0.5 * t + 10.0 + 3.0 * math.sin(2 * math.Pi * (t % m) / m)
+    val y = Array.tabulate(240)(truth)
+    val fc = ops.TimeSeries.holtWintersCore(y, m, 24).get
+    fc.zipWithIndex.foreach { case (yh, h) =>
+      val tr = truth(240 + h)
+      assert(math.abs(yh - tr) / math.max(1.0, math.abs(tr)) < 0.05,
+        s"h=$h yh=$yh truth=$tr")
+    }
+  }
+
+  test("short series yields none; identical inputs give identical forecasts") {
+    assert(ops.TimeSeries.holtWintersCore(Array.fill(47)(1.0), 24, 24).isEmpty)
+    val y = Array.tabulate(100)(t => math.sin(t * 0.7) * 5 + t * 0.1)
+    val a = ops.TimeSeries.holtWintersCore(y, 24, 12).get.toSeq
+    val b = ops.TimeSeries.holtWintersCore(y.clone(), 24, 12).get.toSeq
+    assert(a == b)
+  }
+}
+
 /** Misra–Gries heavy hitters (custom TypedImperativeAggregate, §2.11). */
 class HeavyHittersSpec extends AnyFunSuite {
   import TestSession._

@@ -79,6 +79,17 @@ object ForecastProps extends Properties("forecast") {
       }
     }
 
+  property("custom configs fit and stay additive") = Prop.forAll(
+    Gen.choose(1, 5), Gen.choose(0, 4), Gen.choose(0, 3)) { (nCp, kw, kd) =>
+    val cfg = Forecast.Config(
+      changepoints = Array.tabulate(nCp)(i => (i + 1.0) / (nCp + 1.0)),
+      weeklyK = kw, dailyK = kd)
+    val pts = synth(1.0, 10.0, 1.0, n = 300, seed = 11L)
+    cfg.p == 2 + nCp + 2 * (kw + kd) &&
+      Forecast.fitPredict(7L, pts, 6, cfg).forall(f =>
+        math.abs(f.yhat - (f.trend + f.weekly + f.daily)) <= 2.5e-4)
+  }
+
   property("near-noiseless synthetic signal is recovered") = Prop.forAll(
     Gen.choose(0.5, 3.0), Gen.choose(5.0, 40.0)) { (a, b) =>
     val pts = synth(a, b, c = 1.0, n = 400, seed = 3L)
