@@ -166,6 +166,46 @@ object Joins {
       .orderBy("user_id", "event_id")
   }
 
+  /** NEAREST as-of join: the click closest in time in either direction
+    * (tie → backward) — completing the backward/forward/nearest direction
+    * triple. One hash shuffle on user_id feeds two sort-window passes
+    * (backward-inclusive and forward-inclusive), then the smaller gap wins.
+    * DuckDB oracle: two native ASOF joins + the same CASE. */
+  private val joinAsofNearest: Q = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+    val ref = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("tsm").as("ts"), col("event_id"),
+      col("value").as("click_value"), lit(0).as("side"),
+      lit(null).cast("double").as("purchase_value"))
+    val probe = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("tsm").as("ts"), col("event_id"),
+      lit(null).cast("double").as("click_value"), lit(1).as("side"),
+      col("value").as("purchase_value"))
+    val wB = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy("user_id")
+      .orderBy(col("ts"), desc("side"), col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val clickTs = when(col("side") === 0, col("ts"))
+    val gapB = unix_millis(col("ts")) - unix_millis(col("b_ts"))
+    val gapF = unix_millis(col("f_ts")) - unix_millis(col("ts"))
+    ref.unionByName(probe)
+      .withColumn("b_v", last(col("click_value"), ignoreNulls = true).over(wB))
+      .withColumn("b_ts", last(clickTs, ignoreNulls = true).over(wB))
+      .withColumn("f_v", first(col("click_value"), ignoreNulls = true).over(wF))
+      .withColumn("f_ts", first(clickTs, ignoreNulls = true).over(wF))
+      .where(col("side") === 1)
+      .withColumn("nearest_click_value",
+        when(col("b_ts").isNull && col("f_ts").isNull, lit(-1.0))
+          .when(col("f_ts").isNull, col("b_v"))
+          .when(col("b_ts").isNull, col("f_v"))
+          .when(gapB <= gapF, col("b_v"))
+          .otherwise(col("f_v")))
+      .select("user_id", "event_id", "ts", "purchase_value", "nearest_click_value")
+      .orderBy("user_id", "event_id")
+  }
+
   /** The same as-of semantics through the NATIVE custom operator
     * (graft.plans.AsOfJoin: LogicalPlan + Strategy + merge SparkPlan) —
     * one exchange + sort per side, O(1)-state streaming merge. Must
@@ -208,6 +248,7 @@ object Joins {
     "join_interval" -> joinInterval,
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_asof_native" -> joinAsofNative,
     "join_self" -> joinSelf,
   )
@@ -298,6 +339,28 @@ object Joins {
                       value AS click_value
                FROM events WHERE event_type = 'click') c
            ON p.user_id = c.cu AND p.ts <= c.cts
+         ORDER BY p.user_id, p.event_id""",
+    "join_asof_nearest" ->
+      """SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+                CASE WHEN b.cts IS NULL AND f.cts IS NULL THEN -1.0
+                     WHEN f.cts IS NULL THEN b.click_value
+                     WHEN b.cts IS NULL THEN f.click_value
+                     WHEN epoch_ms(p.ts) - epoch_ms(b.cts)
+                          <= epoch_ms(f.cts) - epoch_ms(p.ts) THEN b.click_value
+                     ELSE f.click_value END AS nearest_click_value
+         FROM (SELECT user_id, event_id, date_trunc('millisecond', ts) AS ts,
+                      value AS purchase_value
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id AS bu, date_trunc('millisecond', ts) AS cts,
+                      value AS click_value
+               FROM events WHERE event_type = 'click') b
+           ON p.user_id = b.bu AND p.ts >= b.cts
+         ASOF LEFT JOIN
+              (SELECT user_id AS fu, date_trunc('millisecond', ts) AS cts,
+                      value AS click_value
+               FROM events WHERE event_type = 'click') f
+           ON p.user_id = f.fu AND p.ts <= f.cts
          ORDER BY p.user_id, p.event_id""",
     "join_asof_native" -> asofOracle,
     "join_self" ->

@@ -379,6 +379,100 @@ object TextDedup {
       .orderBy("qid", "rank")
   }
 
+  /** Product-quantization ANN (IVF-PQ's quantization half): 64 dims → 8
+    * subspaces × 8 dims, 16 codewords each, trained by seeded Lloyd on a
+    * bounded deterministic sample (vec_id < 256) collected to the driver —
+    * the standard PQ train-on-sample pattern (O(sample) at the driver, never
+    * O(n)). Vectors are L2-normalized before encoding so ADC's L2 ranking
+    * tracks cosine (‖a−b‖² = 2 − 2cos on the unit sphere). Scoring is true
+    * ADC: a per-query 8×16 lookup table (built once, broadcast in the UDF
+    * closure), candidates = top-40 by table-lookup sum, re-ranked exactly
+    * with the codegen'd cosine. Self-verified (AnnSpec overlap vs exact). */
+  private val simPqAnn: Q = (s, d) => {
+    val M = 8; val Ds = 8; val Cand = 40
+    val e = tbl(s, d, "embeddings")
+    def norm(v: Array[Double]): Array[Double] = {
+      var n2 = 0.0; var i = 0
+      while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+      val inv = if (n2 > 0.0) 1.0 / math.sqrt(n2) else 0.0
+      v.map(_ * inv)
+    }
+    val sample = e.where(col("vec_id") < 256).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(r => norm(r.getSeq[Float](0).map(_.toDouble).toArray))
+    val K = math.min(16, sample.length) // tiny SFs: fewer codewords than 16
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(M) { mI =>
+      val sub = sample.map(_.slice(mI * Ds, (mI + 1) * Ds))
+      var cents = Array.tabulate(K)(i => sub(i).clone())
+      for (_ <- 1 to 5) {
+        val sums = Array.fill(K, Ds)(0.0); val cnt = new Array[Int](K)
+        for (v <- sub) {
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < K) {
+            var dist = 0.0; var i = 0
+            while (i < Ds) { val t = v(i) - cents(c)(i); dist += t * t; i += 1 }
+            if (dist < bd) { bd = dist; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < Ds) { sums(best)(i) += v(i); i += 1 }
+          cnt(best) += 1
+        }
+        cents = Array.tabulate(K)(c =>
+          if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else cents(c))
+      }
+      cents
+    }
+    val encodeU = udf { (emb: Seq[Float]) =>
+      val v = norm(emb.map(_.toDouble).toArray)
+      Array.tabulate(M) { mI =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < K) {
+          var dist = 0.0; var i = 0
+          while (i < Ds) { val t = v(mI * Ds + i) - codebooks(mI)(c)(i); dist += t * t; i += 1 }
+          if (dist < bd) { bd = dist; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    // per-query ADC lookup tables — 10 queries × 8×16 doubles at the driver
+    val qRows = e.where(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> norm(r.getSeq[Float](1).map(_.toDouble).toArray))
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { case (qid, qv) =>
+      qid -> Array.tabulate(M) { mI =>
+        Array.tabulate(K) { c =>
+          var dist = 0.0; var i = 0
+          while (i < Ds) { val t = qv(mI * Ds + i) - codebooks(mI)(c)(i); dist += t * t; i += 1 }
+          dist
+        }
+      }
+    }.toMap
+    val adcU = udf { (qid: Long, code: Seq[Int]) =>
+      val lut = luts(qid)
+      var dist = 0.0; var mI = 0
+      while (mI < M) { dist += lut(mI)(code(mI)); mI += 1 }
+      dist
+    }
+    val enc = e.select(col("vec_id"), col("embedding"),
+      encodeU(col("embedding")).as("code"))
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wC = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    enc.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("adc", adcU(col("qid"), col("code")))
+      .withColumn("crank", row_number().over(wC))
+      .where(col("crank") <= Cand)
+      .withColumn("cos_raw", cosineGen(s)(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_raw")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** MLlib BucketedRandomProjectionLSH variant (SURVEY §2.9 sim_lsh_ann's
     * library twin): Euclidean LSH with a fixed seed; for unit-norm vectors
     * dist² = 2(1−cos), so dist ≤ 1.5 ⇔ cos ≥ −0.125 — a loose candidate net
@@ -608,6 +702,7 @@ object TextDedup {
     "sim_cosine_topk" -> simCosineTopk,
     "sim_lsh_ann" -> simLshAnn,
     "sim_ivf_ann" -> simIvfAnn,
+    "sim_pq_ann" -> simPqAnn,
     "sim_mllib_lsh" -> simMllibLsh,
     "text_stats" -> textStats,
     "text_bigram_freq" -> textBigramFreq,

@@ -516,7 +516,7 @@ class StreamingSpec extends AnyFunSuite {
   test("ANN results are valid and overlap exact top-5") {
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    for (name <- Seq("sim_lsh_ann", "sim_ivf_ann", "sim_mllib_lsh")) {
+    for (name <- Seq("sim_lsh_ann", "sim_ivf_ann", "sim_mllib_lsh", "sim_pq_ann")) {
       val ann = SparkEntry.queries(name)(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       assert(ann.nonEmpty, s"$name returned nothing")
