@@ -121,7 +121,24 @@ object Extensions {
       .orderBy(desc("est"), asc("event_type"))
   }
 
+  /** KLL-style quantile sketch (third custom TypedImperativeAggregate) over
+    * supplier balances per nation. Group sizes here stay ≤ k(128), where the
+    * sketch is provably exact (no compaction fires) and returns an actual
+    * element — so the query is DuckDB-oracle-checkable vs percentile_disc;
+    * the compaction/merge path and its ≤2% rank-error are exercised on 50k+
+    * element synthetic streams in QuantileSketchSpec. */
+  private val aggQuantileSketch: Q = (s, d) => {
+    CatalystExt.register(s)
+    tbl(s, d, "supplier")
+      .groupBy(col("s_nationkey"))
+      .agg(expr("graft_kll_quantile(s_acctbal, 0.5, 128)").as("p50_sketch"),
+        expr("graft_kll_quantile(s_acctbal, 0.9, 128)").as("p90_sketch"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_quantile_sketch" -> aggQuantileSketch,
     "udf_scalar" -> udfScalar,
     "udaf_aggregator" -> udafAggregator,
     "udtf_generator" -> udtfGenerator,
@@ -152,6 +169,14 @@ object Extensions {
       """SELECT o_orderstatus,
                 floor((exp(avg(ln(o_totalprice))))*10000 + 0.5)/10000.0 AS geomean_price
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // n ≤ k(128) per group ⇒ the KLL sketch is exact ⇒ percentile_disc
+    // reproduces it
+    "agg_quantile_sketch" ->
+      """SELECT s_nationkey,
+                percentile_disc(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS p50_sketch,
+                percentile_disc(0.9) WITHIN GROUP (ORDER BY s_acctbal) AS p90_sketch,
+                count(*) AS n
+         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
     // distinct(5) ≤ k(8) ⇒ the MG sketch is exact ⇒ plain counts reproduce it
     "agg_heavy_hitters" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS est

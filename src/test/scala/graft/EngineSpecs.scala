@@ -377,6 +377,42 @@ class PartitionPruneSpec extends AnyFunSuite {
   }
 }
 
+/** KLL-style quantile sketch (custom TypedImperativeAggregate, §2.11). */
+class QuantileSketchSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  private def rankError(values: Seq[Double], p: Double, est: Double): Double = {
+    val frac = values.count(_ <= est).toDouble / values.size
+    math.abs(frac - p)
+  }
+
+  test("compacted sketch stays within 3% rank error on 50k elements") {
+    import spark.implicits._
+    graft.ext.CatalystExt.register(spark)
+    val rng = new scala.util.Random(7)
+    // mixed distribution: uniform + heavy tail
+    val values = Seq.fill(50000)(
+      if (rng.nextBoolean()) rng.nextDouble() * 100
+      else math.pow(rng.nextDouble(), 4) * 10000)
+    val df = values.toDF("v").repartition(8)
+    for (p <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = df.agg(expr(s"graft_kll_quantile(v, $p, 128)")).head().getDouble(0)
+      val err = rankError(values, p, est)
+      assert(err <= 0.03, s"p=$p est=$est rank error $err")
+    }
+  }
+
+  test("sketch is exact (an order statistic) when n <= k") {
+    import spark.implicits._
+    graft.ext.CatalystExt.register(spark)
+    val values = (1 to 100).map(_.toDouble)
+    val df = values.toDF("v").repartition(4)
+    val est = df.agg(expr("graft_kll_quantile(v, 0.5, 128)")).head().getDouble(0)
+    assert(est == 50.0, s"expected the 50th element, got $est")
+  }
+}
+
 /** Additive Holt–Winters core (ts_holt_winters §2.9). */
 class HoltWintersSpec extends AnyFunSuite {
 
