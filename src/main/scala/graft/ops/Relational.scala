@@ -303,6 +303,48 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  /** EXISTS-subquery — rewritten to a left-semi join; the correlated
+    * predicate reaches the inner scan as a pushed filter. */
+  private val subExists: Q = (s, d) => {
+    tbl(s, d, "customer").createOrReplaceTempView("sub_cust3")
+    tbl(s, d, "orders").createOrReplaceTempView("sub_ord3")
+    s.sql("""
+      SELECT c_custkey, c_mktsegment FROM sub_cust3
+      WHERE EXISTS (SELECT 1 FROM sub_ord3
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")
+  }
+
+  /** NOT IN-subquery — the null-aware anti join path: parquet columns are
+    * nullable to Spark, so it cannot reduce this to a plain anti join and
+    * must plan the null-aware variant (a semantics trap naive engines get
+    * wrong: one NULL in the list empties the result). */
+  private val subNotIn: Q = (s, d) => {
+    tbl(s, d, "part").createOrReplaceTempView("sub_part4")
+    tbl(s, d, "lineitem").createOrReplaceTempView("sub_li4")
+    s.sql("""
+      SELECT p_partkey, p_name FROM sub_part4
+      WHERE p_partkey NOT IN (SELECT l_partkey FROM sub_li4 WHERE l_quantity >= 49)
+      ORDER BY p_partkey""")
+  }
+
+  /** CTE referenced twice — Spark materializes the shared aggregate once and
+    * feeds the second consumer a ReusedExchange (asserted in CteReuseSpec):
+    * the scan-once lever for self-referential analytics at 100 TB. */
+  private val subCteReuse: Q = (s, d) => {
+    tbl(s, d, "lineitem").createOrReplaceTempView("sub_li5")
+    s.sql("""
+      WITH rev AS (
+        SELECT l_orderkey,
+               sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS rc
+        FROM sub_li5 GROUP BY l_orderkey)
+      SELECT r.l_orderkey, r.rc/CAST(100 AS DOUBLE) AS revenue,
+             floor(t.avg_rc/CAST(100 AS DOUBLE)*10000 + 0.5)/CAST(10000 AS DOUBLE) AS avg_revenue
+      FROM rev r CROSS JOIN (SELECT sum(rc)/CAST(count(*) AS DOUBLE) AS avg_rc FROM rev) t
+      WHERE r.rc > t.avg_rc * 1.5
+      ORDER BY r.l_orderkey""")
+  }
+
   /** Pivot: order counts per status × priority, explicit value list so the
     * output schema is static (the scale-safe form — dynamic pivot needs a
     * driver-side distinct pass). */
@@ -428,6 +470,9 @@ object Relational {
     "agg_mode" -> aggMode,
     "sub_correlated_scalar" -> subCorrelatedScalar,
     "sub_in" -> subIn,
+    "sub_exists" -> subExists,
+    "sub_not_in" -> subNotIn,
+    "sub_cte_reuse" -> subCteReuse,
     "agg_histogram" -> aggHistogram,
     "sort_multikey" -> sortMultikey,
     "sort_nulls" -> sortNulls,
@@ -585,6 +630,25 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
          ORDER BY c_custkey""",
+    "sub_exists" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "sub_not_in" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+         ORDER BY p_partkey""",
+    "sub_cte_reuse" ->
+      """WITH rev AS (
+           SELECT l_orderkey,
+                  sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS rc
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT r.l_orderkey, r.rc/CAST(100 AS DOUBLE) AS revenue,
+                floor(t.avg_rc/CAST(100 AS DOUBLE)*10000 + 0.5)/CAST(10000 AS DOUBLE) AS avg_revenue
+         FROM rev r CROSS JOIN (SELECT sum(rc)/CAST(count(*) AS DOUBLE) AS avg_rc FROM rev) t
+         WHERE r.rc > t.avg_rc * 1.5
+         ORDER BY r.l_orderkey""",
     "agg_pivot" ->
       """SELECT o_orderstatus,
                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,

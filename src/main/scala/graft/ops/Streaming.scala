@@ -241,6 +241,37 @@ object Streaming {
       .orderBy("n_name")
   }
 
+  /** Stream-stream inner join with watermarks on BOTH sides + a time-range
+    * join condition — the state-bounding contract Structured Streaming
+    * requires for stream-stream joins (each side's state is purgeable once
+    * the watermark passes the range bound). Purchases ⋈ clicks of the same
+    * user within the preceding 15 minutes; on bounded AvailableNow replay the
+    * emitted matches equal the batch join → DuckDB-oracle-checkable. */
+  private val streamStreamJoin: Q = (s, d) => {
+    val src = eventsStream(s, d)
+    val p = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("tsm").as("pts"))
+      .withWatermark("pts", "15 minutes")
+    val c = src.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("tsm").as("cts"))
+      .withWatermark("cts", "15 minutes")
+    val joined = p.join(c, col("pu") === col("cu") &&
+      col("cts") >= col("pts") - expr("INTERVAL 15 MINUTES") &&
+      col("cts") <= col("pts"))
+    // stream-stream joins keep 4 state stores per shuffle partition; at this
+    // volume 32 partitions are pure fixed cost (store init + commit per
+    // batch), so pin a small stream parallelism for the query and restore.
+    // At scale the same knob is sized to state volume, not CPU count.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val out = try runToTable(s, joined, "append") finally
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+    out
+      .groupBy(col("pu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_stream_replay" -> sourceStreamReplay,
     "stream_tumbling_count" -> streamTumblingCount,
@@ -250,6 +281,7 @@ object Streaming {
     "stream_dedup" -> streamDedup,
     "stream_stateful_session" -> streamStatefulSession,
     "stream_static_join" -> streamStaticJoin,
+    "stream_stream_join" -> streamStreamJoin,
     "stream_foreach_batch" -> streamForeachBatch,
   )
 
@@ -304,5 +336,16 @@ object Streaming {
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "stream_stream_join" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm
+           FROM events)
+         SELECT p.user_id, count(*) AS n_pairs
+         FROM (SELECT user_id, tsm FROM e WHERE event_type = 'purchase') p
+         JOIN (SELECT user_id AS cu, tsm AS cts FROM e WHERE event_type = 'click') c
+           ON p.user_id = c.cu
+          AND c.cts >= p.tsm - INTERVAL 15 MINUTES AND c.cts <= p.tsm
+         GROUP BY p.user_id ORDER BY p.user_id""",
   )
 }

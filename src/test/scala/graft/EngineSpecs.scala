@@ -377,6 +377,24 @@ class PartitionPruneSpec extends AnyFunSuite {
   }
 }
 
+/** Subquery rewrite plan shapes (§2 subquery family). */
+class SubqueryPlanSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("NOT IN plans as an anti join (null-aware path)") {
+    val df = SparkEntry.queries("sub_not_in")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+  }
+
+  test("twice-referenced CTE reuses the shared aggregate") {
+    val df = SparkEntry.queries("sub_cte_reuse")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("Reused"), s"no exchange/stage reuse in:\n$plan")
+  }
+}
+
 /** KLL-style quantile sketch (custom TypedImperativeAggregate, §2.11). */
 class QuantileSketchSpec extends AnyFunSuite {
   import TestSession._
