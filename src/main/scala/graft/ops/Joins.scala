@@ -224,6 +224,65 @@ object Joins {
       .orderBy("user_id", "event_id")
   }
 
+  /** TPC-H Q3-style shipping priority: top-10 undelivered orders by revenue
+    * for one market segment — the canonical 3-way join + agg + global top-k
+    * composition (BUILDING segment; o_orderpriority stands in for
+    * o_shippriority, absent from this schema). Plans as two joins (customer
+    * broadcast) → partial/final agg → TakeOrderedAndProject. */
+  private val tpchQ3: Q = (s, d) => {
+    val cust = tbl(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = tbl(s, d, "orders")
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = tbl(s, d, "lineitem")
+      .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local supplier volume: revenue per nation where customer
+    * and supplier share the nation, one region, one year — the 6-table join
+    * chain with two broadcast dims. */
+  private val tpchQ5: Q = (s, d) => {
+    val ord = tbl(s, d, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    tbl(s, d, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(tbl(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(tbl(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(tbl(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  /** TPC-H Q10-style returned-item reporting: top-20 customers by revenue
+    * lost to returns in a quarter. */
+  private val tpchQ10: Q = (s, d) => {
+    val ord = tbl(s, d, "orders")
+      .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    tbl(s, d, "lineitem").where(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0)
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
   /** Consecutive-event pairing: self-join semantics expressed as a window lag
     * to stay shuffle-lean (§2.3 join_self). */
   private val joinSelf: Q = (s, d) => {
@@ -251,6 +310,9 @@ object Joins {
     "join_asof_nearest" -> joinAsofNearest,
     "join_asof_native" -> joinAsofNative,
     "join_self" -> joinSelf,
+    "tpch_q3" -> tpchQ3,
+    "tpch_q5" -> tpchQ5,
+    "tpch_q10" -> tpchQ10,
   )
 
   private val revSql =
@@ -327,6 +389,39 @@ object Joins {
                FROM events) e
            ON e.eu = i.user_id AND e.et >= i.s AND e.et < i.s + INTERVAL 1 HOUR
          GROUP BY i.user_id, i.interval_id ORDER BY i.user_id, i.interval_id""",
+    "tpch_q3" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revSql AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "tpch_q5" ->
+      s"""SELECT n_name, $revSql AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "tpch_q10" ->
+      s"""SELECT c_custkey, c_name, n_name, $revSql AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+          GROUP BY c_custkey, c_name, n_name
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "join_asof" -> asofOracle,
     "join_asof_forward" ->
       """SELECT p.user_id, p.event_id, p.ts, p.purchase_value,

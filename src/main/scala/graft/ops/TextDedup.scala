@@ -558,6 +558,28 @@ object TextDedup {
       .orderBy("lang", "rank")
   }
 
+  /** Zipf-law fit over the token frequency distribution: OLS slope of
+    * log(freq) vs log(rank) for the top-100 terms — the corpus-health
+    * statistic (natural text ≈ −1). Global top-100 is TakeOrdered (no full
+    * sort); regression sums run on 1e6-scaled integer logs, so both engines
+    * sum exactly and divide once. */
+  private val textZipfFit: Q = (s, d) => {
+    val freq = tbl(s, d, "documents")
+      .select(explode(toks(normText)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(desc("f"), asc("tok")).limit(100)
+    val w = Window.orderBy(desc("f"), asc("tok"))
+    val sc = freq.withColumn("rank", row_number().over(w))
+      .withColumn("x", floor(log(col("rank").cast("double")) * 1000000 + 0.5).cast("long"))
+      .withColumn("y", floor(log(col("f").cast("double")) * 1000000 + 0.5).cast("long"))
+    sc.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n"),
+        r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+           (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("zipf_slope"))
+  }
+
   /** Keyword-lexicon scoring (public sentiment-lexicon pattern). */
   private val textLangKeywordScore: Q = (s, d) => {
     val tk = toks(normText)
@@ -708,6 +730,7 @@ object TextDedup {
     "text_bigram_freq" -> textBigramFreq,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_lang_keyword_score" -> textLangKeywordScore,
+    "text_zipf_fit" -> textZipfFit,
     "text_langid" -> textLangid,
     "text_quality_score" -> textQualityScore,
     "text_token_count" -> textTokenCount,
@@ -810,6 +833,26 @@ object TextDedup {
              FROM scored)
           SELECT qid, rank, vec_id, floor(cos_raw*10000 + 0.5)/10000.0 AS cos
           FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "text_zipf_fit" ->
+      s"""WITH tok AS (
+            SELECT unnest(string_split($normSql, ' ')) AS tok FROM documents),
+          freq AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok
+                   ORDER BY f DESC, tok LIMIT 100),
+          ranked AS (
+            SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS rank FROM freq),
+          sc AS (
+            SELECT CAST(floor(ln(CAST(rank AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(f AS DOUBLE))*1000000 + 0.5) AS BIGINT) AS y
+            FROM ranked),
+          a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+            FROM sc)
+          SELECT n,
+                 floor((CAST(n*sxy - sx*sy AS DOUBLE)
+                        / CAST(n*sxx - sx*sx AS DOUBLE))*10000 + 0.5)/10000.0 AS zipf_slope
+          FROM a""",
     "text_stats" ->
       s"""WITH t AS (
             SELECT lang, source, n_chars,
