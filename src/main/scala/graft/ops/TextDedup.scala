@@ -56,6 +56,29 @@ object TextDedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** End-to-end dedup pipeline accounting: exact-dedup keep-list applied
+    * back to the corpus, reporting the before/after shrink per language —
+    * the number a production dedup run ships (docs and chars kept/removed).
+    * One hash agg for groups + one semi join for survivors. */
+  private val pipelineDedupStats: Q = (s, d) => {
+    val docs = tbl(s, d, "documents").withColumn("h", sha2(normText, 256))
+    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val kept = docs.join(keep, Seq("h", "doc_id"), "left_semi")
+    val before = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_before"), sum(col("n_chars")).as("chars_before"))
+    val after = kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_after"), sum(col("n_chars")).as("chars_after"))
+    // left join + coalesce: a language whose docs were ALL deduped away has
+    // no `after` row, and an inner join would silently drop its accounting
+    before.join(after, Seq("lang"), "left")
+      .select(col("lang"), col("docs_before"), col("chars_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        coalesce(col("chars_after"), lit(0L)).as("chars_after"))
+      .withColumn("docs_removed", col("docs_before") - col("docs_after"))
+      .withColumn("chars_removed", col("chars_before") - col("chars_after"))
+      .orderBy("lang")
+  }
+
   /** MinHash + LSH near-dedup producing the dedup KEEP-LIST: distinct-token
     * shingles → 64-perm signature (xxhash64 ⊕ salt minima) → 16×4 banding
     * (candidate recall ≈ 0.9998 at J = 0.8) → STAR candidates per bucket
@@ -714,6 +737,7 @@ object TextDedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "pipeline_dedup_stats" -> pipelineDedupStats,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -748,6 +772,25 @@ object TextDedup {
       s"""SELECT sha256($normSql) AS h, min(doc_id) AS keep_id,
                  count(*) AS n_copies
           FROM documents GROUP BY sha256($normSql) ORDER BY keep_id""",
+    "pipeline_dedup_stats" ->
+      s"""WITH docs AS (
+            SELECT doc_id, lang, n_chars, sha256($normSql) AS h FROM documents),
+          keep AS (SELECT h, min(doc_id) AS doc_id FROM docs GROUP BY h),
+          kept AS (SELECT d.* FROM docs d
+                   WHERE EXISTS (SELECT 1 FROM keep k
+                                 WHERE k.h = d.h AND k.doc_id = d.doc_id)),
+          b AS (SELECT lang, count(*) AS docs_before,
+                       CAST(sum(n_chars) AS BIGINT) AS chars_before
+                FROM docs GROUP BY lang),
+          a AS (SELECT lang, count(*) AS docs_after,
+                       CAST(sum(n_chars) AS BIGINT) AS chars_after
+                FROM kept GROUP BY lang)
+          SELECT b.lang, docs_before, chars_before,
+                 coalesce(docs_after, 0) AS docs_after,
+                 coalesce(chars_after, 0) AS chars_after,
+                 docs_before - coalesce(docs_after, 0) AS docs_removed,
+                 chars_before - coalesce(chars_after, 0) AS chars_removed
+          FROM b LEFT JOIN a ON b.lang = a.lang ORDER BY b.lang""",
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
                      FROM documents WHERE doc_id < 60),
