@@ -235,7 +235,7 @@ object CatalystExt {
     * percentile_disc — whenever n ≤ k, since no compaction ever fires. */
   case class KllQuantile(child: Expression, percentile: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Array[Double]]]
+      extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Double]]]
       with BinaryLike[Expression] {
     override def left: Expression = child
     override def right: Expression = percentile
@@ -245,22 +245,28 @@ object CatalystExt {
       case n: java.lang.Number => n.doubleValue()
     }
 
-    // buffer: levels(i) = flat array of values at weight 2^i, possibly unsorted
-    type Buf = scala.collection.mutable.ArrayBuffer[Array[Double]]
+    // buffer: levels(i) = values at weight 2^i, possibly unsorted
+    type Buf = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Double]]
     override def createAggregationBuffer(): Buf =
-      scala.collection.mutable.ArrayBuffer(Array.empty[Double])
+      scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[Double])
 
     private def compact(buf: Buf): Unit = {
       var lvl = 0
       while (lvl < buf.length) {
         if (buf(lvl).length >= k) {
           val sorted = buf(lvl).sorted
-          // keep odd or even positions by level parity — deterministic
+          // pair up the even prefix (one survivor per pair at double weight,
+          // odd or even position by level parity — deterministic); an
+          // odd-length leftover stays at THIS level so total weight is
+          // conserved exactly
+          val even = sorted.length - (sorted.length % 2)
           val start = lvl % 2
-          val kept = Array.tabulate(sorted.length / 2)(i => sorted(start + 2 * i))
-          buf(lvl) = Array.empty[Double]
-          if (lvl + 1 >= buf.length) buf += Array.empty[Double]
-          buf(lvl + 1) = buf(lvl + 1) ++ kept
+          val kept = Array.tabulate(even / 2)(i => sorted(start + 2 * i))
+          buf(lvl) = scala.collection.mutable.ArrayBuffer.empty[Double]
+          if (sorted.length > even) buf(lvl) += sorted(even)
+          if (lvl + 1 >= buf.length)
+            buf += scala.collection.mutable.ArrayBuffer.empty[Double]
+          buf(lvl + 1) ++= kept
         }
         lvl += 1
       }
@@ -269,7 +275,7 @@ object CatalystExt {
     override def update(buf: Buf, input: InternalRow): Buf = {
       val v = child.eval(input)
       if (v != null) {
-        buf(0) = buf(0) :+ v.asInstanceOf[Number].doubleValue()
+        buf(0) += v.asInstanceOf[Number].doubleValue() // O(1) append
         if (buf(0).length >= k) compact(buf)
       }
       buf
@@ -278,8 +284,9 @@ object CatalystExt {
     override def merge(buf: Buf, other: Buf): Buf = {
       var lvl = 0
       while (lvl < other.length) {
-        if (lvl >= buf.length) buf += Array.empty[Double]
-        buf(lvl) = buf(lvl) ++ other(lvl)
+        if (lvl >= buf.length)
+          buf += scala.collection.mutable.ArrayBuffer.empty[Double]
+        buf(lvl) ++= other(lvl)
         lvl += 1
       }
       compact(buf)
@@ -321,10 +328,11 @@ object CatalystExt {
     override def deserialize(storage: Array[Byte]): Buf = {
       val bb = java.nio.ByteBuffer.wrap(storage)
       val nl = bb.getInt
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Double]]
       var i = 0
       while (i < nl) {
-        buf += Array.fill(bb.getInt)(bb.getDouble)
+        buf += scala.collection.mutable.ArrayBuffer.fill(bb.getInt)(bb.getDouble)
         i += 1
       }
       buf

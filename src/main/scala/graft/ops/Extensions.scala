@@ -129,7 +129,10 @@ object Extensions {
     * element synthetic streams in QuantileSketchSpec. */
   private val aggQuantileSketch: Q = (s, d) => {
     CatalystExt.register(s)
-    tbl(s, d, "supplier")
+    // s_suppkey <= 100 bounds every nation's group at 100 rows — the n ≤ k
+    // exactness premise holds STRUCTURALLY at any scale factor (the same
+    // first-100 suppliers exist at every SF), not just the tested ones
+    tbl(s, d, "supplier").where(col("s_suppkey") <= 100)
       .groupBy(col("s_nationkey"))
       .agg(expr("graft_kll_quantile(s_acctbal, 0.5, 128)").as("p50_sketch"),
         expr("graft_kll_quantile(s_acctbal, 0.9, 128)").as("p90_sketch"),
@@ -176,7 +179,8 @@ object Extensions {
                 percentile_disc(0.5) WITHIN GROUP (ORDER BY s_acctbal) AS p50_sketch,
                 percentile_disc(0.9) WITHIN GROUP (ORDER BY s_acctbal) AS p90_sketch,
                 count(*) AS n
-         FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+         FROM supplier WHERE s_suppkey <= 100
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     // distinct(5) ≤ k(8) ⇒ the MG sketch is exact ⇒ plain counts reproduce it
     "agg_heavy_hitters" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS est

@@ -35,15 +35,18 @@ object Scale {
     val Salts = 16
     val li = tbl(s, d, "lineitem")
       .withColumn("salt", pmod(col("l_linenumber") + col("l_orderkey"), lit(Salts)))
-    // The replicated (small) side is broadcast: salting exists to keep any
-    // one reducer from owning a hot key, and shipping the ×16 replica
-    // through an exchange would cost more than the skew it cures — at scale
-    // the replicated side is a dimension table, so broadcast (or a
-    // shuffle-hash hint when it outgrows the broadcast threshold) is the
-    // right physical shape. Round-1 bench: 19.5s shuffled → broadcast.
-    val ord = broadcast(tbl(s, d, "orders")
+    // shuffle_hash hint: both sides still shuffle on (key, salt) — so the
+    // pattern actually demonstrates salting (no reducer owns a whole hot
+    // key) — but the replicated side becomes a hash build instead of being
+    // SORTED through a merge join, which was the round-1 19.5s outlier
+    // (sorting the ×16 replica cost more than the skew it cures). A
+    // broadcast would be faster here but removes the salted shuffle the
+    // query exists to demonstrate, and broadcasting a ×16 fact replica
+    // stops scaling long before the shuffle does.
+    val ord = tbl(s, d, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"))
-      .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L)))))
+      .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L))))
+      .hint("shuffle_hash")
     li.join(ord, col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
       .groupBy(col("o_orderpriority"))
       .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0)

@@ -115,12 +115,13 @@ object Streaming {
         // increasing whole-second mtimes explicitly (coarse-mtime
         // filesystems can tie or reorder sleep-spaced writes).
         val base = (System.currentTimeMillis() / 1000 - 100 + secs) * 1000
-        java.nio.file.Files.list(java.nio.file.Paths.get(dir)).forEach { p =>
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try ls.forEach { p =>
           if (p.toString.endsWith(".parquet") &&
               java.nio.file.Files.getLastModifiedTime(p).toMillis > base)
             java.nio.file.Files.setLastModifiedTime(p,
               java.nio.file.attribute.FileTime.fromMillis(base))
-        }
+        } finally ls.close()
       }
       ev.where(col("event_id") =!= loId && col("event_id") =!= hiId)
         .coalesce(1).write.mode("overwrite").parquet(dir)

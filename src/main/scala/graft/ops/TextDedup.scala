@@ -184,7 +184,9 @@ object TextDedup {
     * edges into dedup clusters. Dup components are near-cliques, so the
     * fixed 12 rounds far exceed their diameter; the DuckDB oracle computes
     * the same labels by recursive transitive closure. */
-  private val dedupConnectedComponents: Q = (s, d) => {
+  /** Unordered (node, label) component labels on the bounded slice — the
+    * reusable core; consumers add their own presentation sort or re-agg. */
+  private def componentLabels(s: SparkSession, d: String): DataFrame = {
     val t = tbl(s, d, "documents").where(col("doc_id") < 60)
       .select(col("doc_id"),
         sort_array(array_distinct(expr("transform(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))"))).as("st"))
@@ -198,14 +200,17 @@ object TextDedup {
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
     propagateMinLabels(edges,
       t.select(col("doc_id").as("node"), col("doc_id").as("label")),
-      maxRounds = 20)._1.orderBy("node")
+      maxRounds = 20)._1
   }
+
+  private val dedupConnectedComponents: Q = (s, d) =>
+    componentLabels(s, d).orderBy("node")
 
   /** Cluster-size histogram over the connected near-dup components — the
     * pipeline question dedup actually answers ("how much does the corpus
     * shrink"): n docs per cluster size, plus the implied removal count. */
   private val dedupClusterStats: Q = (s, d) => {
-    val labels = dedupConnectedComponents(s, d)
+    val labels = componentLabels(s, d) // unordered core — no wasted sort
     labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -234,9 +239,12 @@ object TextDedup {
       val next = labels.unionByName(prop).groupBy("node")
         .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
+      // LEFT join from next: a node first appearing this round (edges can
+      // mention nodes absent from init) has no old label and must count as
+      // a change, or the loop would declare convergence prematurely
       converged = next.as("n")
-        .join(labels.as("o"), "node")
-        .where(col("n.label") =!= col("o.label"))
+        .join(labels.as("o"), Seq("node"), "left")
+        .where(col("o.label").isNull || col("n.label") =!= col("o.label"))
         .isEmpty
       labels = next
       rounds += 1
@@ -245,16 +253,21 @@ object TextDedup {
   }
 
   /** Embedding-cosine near-dup pairs on a bounded slice (vec_id < 200). */
-  private val dedupEmbeddingCosine: Q = (s, d) => {
+  /** Unordered (va, vb) near-dup pairs on the bounded slice — reusable
+    * core for the pair query and the semantic-dedup clustering. */
+  private def embeddingCosinePairs(s: SparkSession, d: String): DataFrame = {
     val e = tbl(s, d, "embeddings").where(col("vec_id") < 200)
     e.select(col("vec_id").as("va"), col("embedding").as("ea"))
       .join(e.select(col("vec_id").as("vb"), col("embedding").as("eb")),
         col("va") < col("vb"))
       .withColumn("cos", cosineGen(s)(col("ea"), col("eb")))
       .where(col("cos") >= 0.4)
+  }
+
+  private val dedupEmbeddingCosine: Q = (s, d) =>
+    embeddingCosinePairs(s, d)
       .select(col("va"), col("vb"), r4(col("cos")).as("cos"))
       .orderBy("va", "vb")
-  }
 
   /** Semantic dedup: embedding-cosine ≥ 0.4 pairs (bounded oracle slice)
     * fed through the same min-label propagation — the embedding-space
@@ -262,7 +275,7 @@ object TextDedup {
     * scale the pair generation is the LSH-bucketed path (sim_lsh_ann), not
     * this exact slice. */
   private val dedupSemantic: Q = (s, d) => {
-    val pairs = dedupEmbeddingCosine(s, d).select(col("va"), col("vb"))
+    val pairs = embeddingCosinePairs(s, d).select(col("va"), col("vb"))
     val edges = pairs.select(col("va").as("src"), col("vb").as("dst"))
       .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst")))
     val nodes = tbl(s, d, "embeddings").where(col("vec_id") < 200)
@@ -345,7 +358,11 @@ object TextDedup {
     // model instead of K 64-literal HOF folds (expression-tree blowup was
     // 20s of pure planning/interpretation at sf0.1). Only the K×Dim centroid
     // matrix ever reaches the driver — the 100 TB shape is unchanged.
-    val e = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding")).cache()
+    // localCheckpoint (not cache): materialized once for the Lloyd loop +
+    // final pass, and the blocks are released when the RDD is GC'd — an
+    // unpaired .cache() would pin storage memory for the whole session
+    val e = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     // deterministic init: the K lowest vec_ids
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(K)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)

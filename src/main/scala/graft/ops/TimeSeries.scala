@@ -305,8 +305,9 @@ object TimeSeries {
     * beat. Pure joins → DuckDB-oracle-checkable. */
   private val forecastSeasonalNaive: Q = (s, d) => {
     // the grid feeds both the per-user max-bucket agg and the source join —
-    // cache it so the events scan + window agg run once, not twice
-    val h = hourly(s, d).cache()
+    // localCheckpoint materializes it once (and, unlike an unpaired cache,
+    // releases the blocks when the RDD is GC'd instead of pinning them)
+    val h = hourly(s, d).localCheckpoint(true)
     val fut = h.groupBy(col("user_id")).agg(max(col("bucket")).as("bmax"))
       .select(col("user_id"), col("bmax"),
         explode(sequence(lit(1), lit(24))).as("h"))
