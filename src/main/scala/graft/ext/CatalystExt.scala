@@ -232,7 +232,8 @@ object CatalystExt {
     * State is O(k · log(n/k)) per group regardless of input size; merge
     * concatenates levels and re-compacts. Rank error ≤ ~2% at k=128 on the
     * tested distributions (QuantileSketchSpec). Exact — and oracle-equal to
-    * percentile_disc — whenever n ≤ k, since no compaction ever fires. */
+    * percentile_disc — whenever n ≤ k: compaction fires only when a level
+    * EXCEEDS k items (strict >), so the n == k boundary stays exact. */
   case class KllQuantile(child: Expression, percentile: Expression, k: Int,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[Double]]]
@@ -253,7 +254,7 @@ object CatalystExt {
     private def compact(buf: Buf): Unit = {
       var lvl = 0
       while (lvl < buf.length) {
-        if (buf(lvl).length >= k) {
+        if (buf(lvl).length > k) {
           val sorted = buf(lvl).sorted
           // pair up the even prefix (one survivor per pair at double weight,
           // odd or even position by level parity — deterministic); an
@@ -276,7 +277,7 @@ object CatalystExt {
       val v = child.eval(input)
       if (v != null) {
         buf(0) += v.asInstanceOf[Number].doubleValue() // O(1) append
-        if (buf(0).length >= k) compact(buf)
+        if (buf(0).length > k) compact(buf)
       }
       buf
     }

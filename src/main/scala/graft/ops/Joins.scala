@@ -423,6 +423,13 @@ object Joins {
           GROUP BY c_custkey, c_name, n_name
           ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "join_asof" -> asofOracle,
+    // Fixture note (forward/nearest oracles): among clicks sharing the same
+    // ms-truncated ts for a user, the Spark side breaks the tie by event_id
+    // while DuckDB's ASOF JOIN picks an unspecified equal-ts row. The events
+    // fixture has no same-user duplicate click timestamps at any generated SF
+    // (verified: max count per (user_id, ms-ts, 'click') = 1), so the tie
+    // path never fires; data with duplicate ts would need the click side
+    // pre-aggregated to one row per (user_id, ts) on BOTH engines.
     "join_asof_forward" ->
       """SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
                 coalesce(c.click_value, -1.0) AS next_click_value

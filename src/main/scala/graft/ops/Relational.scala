@@ -245,8 +245,12 @@ object Relational {
     * order-undefined and events.ts ties must break identically on both
     * engines (§5.3.4). A packed bigint key would collide once event_id
     * outgrows the multiplier; the struct is injective at any scale. The
-    * DuckDB twin packs into a HUGEINT (128-bit) with a 2^63-1 multiplier —
-    * injective for every possible bigint event_id. */
+    * DuckDB twin packs into a HUGEINT (128-bit) with a 2^64 multiplier —
+    * injective AND order-preserving for every possible bigint event_id
+    * ((t, 2^64−1) < (t+1, 0) stays strict, unlike a 2^63−1 multiplier
+    * where (t, 2^63−1) collides with (t+1, 0)). event_id is non-negative
+    * in this schema, so lexicographic struct order matches the packed
+    * order; negative ids would need an unsigned-shift first. */
   private val aggFirstLast: Q = (s, d) => {
     val k = struct(unix_millis(col("ts")), col("event_id"))
     tbl(s, d, "events")
@@ -604,8 +608,8 @@ object Relational {
          FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
     "agg_first_last" ->
       """SELECT user_id,
-                arg_min(value, CAST(epoch_ms(ts) AS HUGEINT) * 9223372036854775807 + event_id) AS first_value,
-                arg_max(value, CAST(epoch_ms(ts) AS HUGEINT) * 9223372036854775807 + event_id) AS last_value,
+                arg_min(value, CAST(epoch_ms(ts) AS HUGEINT) * 18446744073709551616 + event_id) AS first_value,
+                arg_max(value, CAST(epoch_ms(ts) AS HUGEINT) * 18446744073709551616 + event_id) AS last_value,
                 count(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""",
     "agg_sample_bottomk" ->

@@ -127,10 +127,58 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dedup: 64-bit signature from weighted token-hash bits,
-    * 4×16-bit banding for candidates, Hamming ≤ 8 verification via
-    * bit_count(xor). Same no-cross-join shape as MinHash. Self-verified. */
+  /** SimHash near-dedup KEEP-LIST: 64-bit signature from weighted token-hash
+    * bits, 4×16-bit banding for candidates, then STAR emission per bucket
+    * (bucket-min ↔ member, k−1 pairs instead of k²/2 — the identical pattern
+    * dedup_minhash uses; a hot 16-bit bucket at 100 TB would otherwise emit
+    * quadratically), Hamming ≤ 8 verification via bit_count(xor), keeper =
+    * min verified bucket representative. Self-verified (SimhashSpec:
+    * precision exact vs independently recomputed signatures, detection
+    * recall vs the banded exhaustive truth). */
   private val dedupSimhash: Q = (s, d) => {
+    val sigs = simhashSignatures(s, d)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bv")))
+    // STAR edges (bucket-min ↔ member) catch members close to the bucket
+    // representative; NEIGHBOR edges (each member ↔ its W=3 predecessors in
+    // doc_id order — the Manku et al. WWW'07 sliding-window pattern) catch
+    // members whose nearest dup is NOT the representative: hamming balls are
+    // less transitive than Jaccard near-cliques, so star alone measured only
+    // ~0.70 banded recall. Emission stays ≤ (W+1)·bands·n (one window pass
+    // per bucket), never the k²/2 all-pairs blowup.
+    val W = 3
+    val wP = Window.partitionBy("band", "bv")
+    val wOrd = wP.orderBy("doc_id")
+    val edged = banded
+      .withColumn("mn", min(col("doc_id")).over(wP))
+      .withColumn("prevs", array((1 to W).map(i =>
+        lag(col("doc_id"), i).over(wOrd)): _*))
+    val cands = edged.where(col("doc_id") > col("mn"))
+      .select(col("mn").as("da"), col("doc_id").as("db"))
+      .unionByName(edged
+        .select(explode(col("prevs")).as("da"), col("doc_id").as("db"))
+        .where(col("da").isNotNull))
+      .distinct()
+    val verified = cands
+      .join(sigs.select(col("doc_id").as("da"), col("simhash").as("ha")), "da")
+      .join(sigs.select(col("doc_id").as("db"), col("simhash").as("hb")), "db")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= 8)
+      .groupBy(col("db"))
+      .agg(min(col("da")).as("keeper"), min(col("hamming")).as("best_hamming"))
+    sigs.select(col("doc_id"))
+      .join(verified, col("doc_id") === col("db"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper"), col("doc_id")).as("keeper"),
+        col("keeper").isNotNull.as("is_dup"), col("best_hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, simhash) signatures — the shared core of dedup_simhash, also
+    * recomputed independently by SimhashSpec for ground truth. */
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val docs = tbl(s, d, "documents").select(col("doc_id"), toks(normText).as("tk"))
     val th = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -142,20 +190,7 @@ object TextDedup {
     val sim = (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
       acc.bitwiseOR(when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     }
-    val sigs = bitSums.select(col("doc_id"), sim.as("simhash"))
-    val banded = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "bv")))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= 8)
-      .orderBy("da", "db")
+    bitSums.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** Exact token-set Jaccard pairs on a bounded slice (doc_id < 60) — the
@@ -428,7 +463,8 @@ object TextDedup {
     * ADC: a per-query 8×16 lookup table (built once, broadcast in the UDF
     * closure), candidates = top-40 by table-lookup sum, re-ranked exactly
     * with the codegen'd cosine. Self-verified (AnnSpec overlap vs exact). */
-  private val simPqAnn: Q = (s, d) => {
+  private val simPqAnn: Q = (s, d) => simPqAnnImpl(s, d)
+  private def simPqAnnImpl(s: SparkSession, d: String): DataFrame = {
     val M = 8; val Ds = 8; val Cand = 40
     val e = tbl(s, d, "embeddings")
     def norm(v: Array[Double]): Array[Double] = {
@@ -440,6 +476,12 @@ object TextDedup {
     val sample = e.where(col("vec_id") < 256).orderBy("vec_id")
       .select("embedding").collect()
       .map(r => norm(r.getSeq[Float](0).map(_.toDouble).toArray))
+    // degenerate/empty embeddings table: nothing to train a codebook on —
+    // return an empty result in the output schema instead of crashing in
+    // encodeU/adcU on zero-length codebooks
+    if (sample.isEmpty)
+      return e.limit(0).select(col("vec_id").as("qid"), lit(1).as("rank"),
+        col("vec_id"), r4(lit(0.0)).as("cos"))
     val K = math.min(16, sample.length) // tiny SFs: fewer codewords than 16
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(M) { mI =>
       val sub = sample.map(_.slice(mI * Ds, (mI + 1) * Ds))

@@ -36,7 +36,7 @@ class SmokeSpec extends AnyFunSuite {
 
   // A handful of ops legitimately return 0 rows on tiny/filtered slices.
   private val mayBeEmpty = Set("set_except", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_minhash", "dedup_simhash", "join_left_anti")
+    "dedup_embedding_cosine", "dedup_minhash", "join_left_anti")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"smoke: $name") {
@@ -185,6 +185,53 @@ class MinhashSpec extends AnyFunSuite {
     if (trueDups.nonEmpty) {
       val recall = trueDups.count(assigned.contains).toDouble / trueDups.size
       assert(recall >= 0.9, s"detection recall $recall")
+    }
+  }
+}
+
+/** SimHash star keep-list vs independently recomputed signatures. */
+class SimhashSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("simhash star keep-list: precision exact, banded detection recall >= 0.9") {
+    // independent ground truth: token hashes from Spark's xxhash64, but the
+    // signature fold + banding + exhaustive pairing recomputed driver-side
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val th = graft.util.Canon.tbl(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(norm, " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sigs: Map[Long, Long] = th.groupBy(_._1).map { case (id, rows) =>
+      val counts = new Array[Int](64)
+      for ((_, h) <- rows; i <- 0 until 64)
+        counts(i) += (if (((h >> i) & 1L) == 1L) 1 else -1)
+      var sig = 0L
+      for (i <- 0 until 64) if (counts(i) > 0) sig |= (1L << i)
+      id -> sig
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def bands(x: Long) = (0 until 4).map(b => (b, (x >>> (b * 16)) & 0xFFFFL)).toSet
+    val ids = sigs.keys.toArray.sorted
+    // banded exhaustive truth: db is a dup iff some da < db shares a band
+    // at hamming <= 8 (banding bounds what ANY LSH emission can see; the
+    // star pattern is measured against it)
+    val trueDups = (for {
+      j <- ids.indices; i <- 0 until j
+      if bands(sigs(ids(i))).intersect(bands(sigs(ids(j)))).nonEmpty &&
+        hamming(sigs(ids(i)), sigs(ids(j))) <= 8
+    } yield ids(j)).toSet
+    val out = SparkEntry.queries("dedup_simhash")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length == ids.length, "keep-list must cover every doc")
+    for ((id, k, dup) <- out if dup) {
+      assert(k < id, s"keeper $k not earlier than $id")
+      assert(hamming(sigs(id), sigs(k)) <= 8, s"false dup: $id -> $k")
+    }
+    val assigned = out.filter(_._3).map(_._1).toSet
+    if (trueDups.nonEmpty) {
+      val recall = trueDups.count(assigned).toDouble / trueDups.size
+      assert(recall >= 0.9, s"detection recall $recall of ${trueDups.size}")
     }
   }
 }
