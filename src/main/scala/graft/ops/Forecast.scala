@@ -230,9 +230,32 @@ object Forecast {
       .orderBy("user_id")
   }
 
+  /** A deliberately non-default configuration, run end to end through the
+    * same distributed path as the contract query: four changepoints, a
+    * smaller weekly and larger daily Fourier block, lighter ridge, and 95%
+    * intervals. Exists so the Config surface is exercised in production
+    * shape, not only in unit properties (round-2 verdict item). */
+  val WideConfig: Config = Config(
+    changepoints = Array(0.2, 0.4, 0.6, 0.8),
+    weeklyK = 2, dailyK = 3, ridge = 0.5,
+    intervalZ = 1.959963984540054 /* 95% normal half-width */)
+
+  private val forecastProphetConfigured: Q = (s, d) => {
+    import s.implicits._
+    TimeSeries.hourly(s, d)
+      .select(col("user_id"), col("bucket"), col("v"))
+      .as[Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[Point]) =>
+        fitPredict(k, it.toArray, horizon = 48, WideConfig))
+      .toDF()
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "forecast_prophet_like" -> forecastProphetLike,
     "forecast_prophet_backtest" -> forecastProphetBacktest,
+    "forecast_prophet_configured" -> forecastProphetConfigured,
   )
 
   /** Not SQL-expressible — self-verified (ForecastSpec); driver records a

@@ -113,6 +113,26 @@ class ForecastSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("non-default Config runs end to end and actually changes the fit") {
+    import TestSession._
+    val dflt = SparkEntry.queries("forecast_prophet_like")(spark, sf).collect()
+    val conf = SparkEntry.queries("forecast_prophet_configured")(spark, sf).collect()
+    assert(conf.nonEmpty)
+    // same keys × horizon shape as the contract query
+    assert(conf.map(r => (r.getLong(0), r.getTimestamp(1))).toSeq ==
+      dflt.map(r => (r.getLong(0), r.getTimestamp(1))).toSeq)
+    // intervals bracket the point forecast and the components stay additive
+    // under the 4-changepoint / K=(2,3) configuration
+    for (r <- conf) {
+      val (yh, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= yh && yh <= hi)
+      assert(math.abs(yh - (r.getDouble(5) + r.getDouble(6) + r.getDouble(7))) <= 2.5e-4)
+    }
+    // the configuration must plumb through: a different basis + ridge + z
+    // cannot reproduce the default predictions identically
+    assert(conf.map(_.getDouble(2)).toSeq != dflt.map(_.getDouble(2)).toSeq)
+  }
 }
 
 /** EWMA ≡ exact sequential recompute from the hourly series. */
@@ -617,12 +637,61 @@ class StreamingSpec extends AnyFunSuite {
   test("ANN results are valid and overlap exact top-5") {
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    for (name <- Seq("sim_lsh_ann", "sim_ivf_ann", "sim_mllib_lsh", "sim_pq_ann")) {
+    for (name <- Seq("sim_lsh_ann", "sim_ivf_ann", "sim_mllib_lsh", "sim_pq_ann",
+                     "sim_ivfpq_ann")) {
       val ann = SparkEntry.queries(name)(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       assert(ann.nonEmpty, s"$name returned nothing")
       val overlap = ann.intersect(exact).size.toDouble / exact.size
       assert(overlap > 0.0, s"$name found no exact top-5 neighbors at all")
+    }
+  }
+}
+
+/** AQE's automatic skew-join split — the automatic counterpart of the
+  * explicit join_skew_salted lever (Scale.scala): on a synthetically skewed
+  * sort-merge join, OptimizeSkewedJoin must carve the oversized partition
+  * into advisory-sized chunks, which the executed plan reports as
+  * SortMergeJoin(skew=true). Completes the skew story SURVEY §4.3 mandates:
+  * salting for joins AQE can't split, AQE for the ones it can. */
+class AqeSkewSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("OptimizeSkewedJoin splits a synthetically skewed join partition") {
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // production thresholds (256 MB) scaled down so a ~4 MB hot partition
+      // counts as skewed at test scale; the rule itself is unchanged
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // ~97% of rows land on key 0; the sha2 payload stays incompressible so
+      // the hot shuffle partition's on-disk size actually exceeds the
+      // threshold (a constant payload would compress to nothing and the
+      // skew detector reads compressed sizes)
+      val left = spark.range(150000).select(
+        when(col("id") % 32 === 0, col("id") % 97).otherwise(lit(0L)).as("k"),
+        sha2(col("id").cast("string"), 256).as("pay"))
+      val right = spark.range(97).select(col("id").as("k"), col("id").as("r"))
+      val j = left.join(right, "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split SortMergeJoin in the executed plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
 }
