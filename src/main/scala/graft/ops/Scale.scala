@@ -92,6 +92,77 @@ object Scale {
       .join(s.table(s"graft_ord_b_$tag"), col("l_orderkey") === col("o_orderkey"))
   }
 
+  /** Bloom-filter semi-join reduction: a distributed bloom filter is built
+    * over the selective dimension's join keys (`DataFrameStatFunctions
+    * .bloomFilter` — treeAggregate; only the ~120 KB bit array reaches the
+    * driver, never the key set), then applied to the fact scan BEFORE the
+    * join shuffle. At 100 TB this is the manual form of Spark's
+    * InjectRuntimeFilter (asserted separately by RuntimeFilterSpec): the
+    * fact side drops non-qualifying rows at the scan instead of shuffling
+    * them, and false positives are harmless because the join re-verifies.
+    * Unlike broadcasting the key set, the bloom stays O(bits) however many
+    * keys the dimension filter keeps. Oracle = the plain join. */
+  private val joinBloomFilter: Q = (s, d) => {
+    val ord = tbl(s, d, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val bf = ord.stat.bloomFilter("o_orderkey", 100000, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    tbl(s, d, "lineitem")
+      .where(mightContain(col("l_orderkey")))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg((sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0)
+        .as("revenue"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Bit-interleaved z-value of two pre-bucketed coordinates, as a plain
+    * SQL expression (shiftleft/shiftright/& — codegen, no UDF) so the DuckDB
+    * oracle can recompute it bit-for-bit with native operators. */
+  private[graft] def zSpark(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i})",
+      s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")).mkString(" | ")
+  private[graft] def zDuck(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  private val ZBits = 12
+  private val zX = "p_partkey % 4096"
+  private val zY = "CAST(floor(p_retailprice*100 + 0.5) AS BIGINT) % 4096"
+
+  /** Z-order (Morton) clustered layout: part is rewritten range-partitioned
+    * and sorted by the interleaved z-value of (partkey-bucket, price-bucket),
+    * then read back under a box predicate on BOTH dimensions. Because
+    * z-order bounds both coordinates within every file/row-group (a linear
+    * sort bounds only its leading key), parquet min/max stats prune the box
+    * query on either dimension — the multi-dimensional clustering lever for
+    * 100 TB selective scans (ZOrderSpec measures the per-file span
+    * contraction). The oracle checks the round trip AND the interleave math:
+    * z is recomputed in DuckDB with native bit operators. */
+  private val sinkZorder: Q = (s, d) => {
+    val dir = zorderDir(s, d)
+    s.read.parquet(dir)
+      .where(col("x").between(100, 300) && col("y").between(500, 900))
+      .select("p_partkey", "x", "y", "z")
+      .orderBy("p_partkey")
+  }
+
+  private[graft] def zorderDir(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_io/part_zorder_${d.hashCode.toHexString}"
+    if (stagedDirs.add(dir)) {
+      tbl(s, d, "part")
+        .selectExpr("p_partkey", s"$zX AS x", s"$zY AS y",
+          s"${zSpark("(" + zX + ")", "(" + zY + ")", ZBits)} AS z")
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   private val stagedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Hive-style partitioned layout: documents written partitionBy(lang),
@@ -120,6 +191,8 @@ object Scale {
     "join_skew_salted" -> joinSkewSalted,
     "join_bucketed" -> joinBucketed,
     "sink_partitioned" -> sinkPartitioned,
+    "join_bloom_filter" -> joinBloomFilter,
+    "sink_zorder" -> sinkZorder,
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,5 +216,20 @@ object Scale {
     "sink_partitioned" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
          ORDER BY doc_id""",
+    "join_bloom_filter" ->
+      """SELECT o_orderstatus,
+                sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue,
+                count(*) AS n
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "sink_zorder" ->
+      s"""WITH z AS (
+            SELECT p_partkey, $zX AS x, $zY AS y,
+                   ${zDuck("(" + zX + ")", "(" + zY + ")", ZBits)} AS z
+            FROM part)
+          SELECT p_partkey, x, y, z FROM z
+          WHERE x BETWEEN 100 AND 300 AND y BETWEEN 500 AND 900
+          ORDER BY p_partkey""",
   )
 }

@@ -275,6 +275,42 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT OUTER join (same watermark + time-range contract as
+    * the inner variant): an unmatched purchase emits its null-click row only
+    * once the watermark proves no matching click can still arrive, so
+    * purchases near the end of the bounded replay sit in state forever and
+    * never emit. Both engines therefore restrict to purchases at least 31
+    * minutes before the stream's effective end (15 min watermark delay +
+    * 15 min join range + 1 min slack) — inside that region eviction is
+    * guaranteed, the emitted set is deterministic, and the DuckDB oracle is
+    * the batch left join under the same cutoff. */
+  private val streamStreamOuterJoin: Q = (s, d) => {
+    val src = eventsStream(s, d)
+    val p = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("tsm").as("pts"))
+      .withWatermark("pts", "15 minutes")
+    val c = src.where(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("tsm").as("cts"))
+      .withWatermark("cts", "15 minutes")
+    val joined = p.join(c, col("pu") === col("cu") &&
+      col("cts") >= col("pts") - expr("INTERVAL 15 MINUTES") &&
+      col("cts") <= col("pts"), "left_outer")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val out = try runToTable(s, joined, "append") finally
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+    val cutRow = tbl(s, d, "events").agg(least(
+      max(when(col("event_type") === "purchase", tsMs(col("ts")))),
+      max(when(col("event_type") === "click", tsMs(col("ts")))))).collect()(0)
+    val cut = new java.sql.Timestamp(
+      cutRow.getTimestamp(0).getTime - 31L * 60 * 1000)
+    out.where(col("pts") <= lit(cut))
+      .groupBy(col("pu").as("user_id"))
+      .agg(count(col("cts")).as("n_matched"),
+        sum(when(col("cts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_stream_replay" -> sourceStreamReplay,
     "stream_tumbling_count" -> streamTumblingCount,
@@ -285,6 +321,7 @@ object Streaming {
     "stream_stateful_session" -> streamStatefulSession,
     "stream_static_join" -> streamStaticJoin,
     "stream_stream_join" -> streamStreamJoin,
+    "stream_stream_outer_join" -> streamStreamOuterJoin,
     "stream_foreach_batch" -> streamForeachBatch,
   )
 
@@ -370,5 +407,21 @@ object Streaming {
            ON p.user_id = c.cu
           AND c.cts >= p.tsm - INTERVAL 15 MINUTES AND c.cts <= p.tsm
          GROUP BY p.user_id ORDER BY p.user_id""",
+    "stream_stream_outer_join" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm
+           FROM events),
+         p AS (SELECT user_id AS pu, tsm AS pts FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS cu, tsm AS cts FROM e WHERE event_type = 'click'),
+         cut AS (SELECT least((SELECT max(pts) FROM p), (SELECT max(cts) FROM c))
+                        - INTERVAL 31 MINUTE AS t)
+         SELECT pu AS user_id, CAST(count(cts) AS BIGINT) AS n_matched,
+                CAST(sum(CASE WHEN cts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+         FROM p CROSS JOIN cut
+         LEFT JOIN c ON pu = cu
+           AND cts >= pts - INTERVAL 15 MINUTES AND cts <= pts
+         WHERE pts <= cut.t
+         GROUP BY pu ORDER BY user_id""",
   )
 }

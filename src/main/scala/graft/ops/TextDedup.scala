@@ -254,6 +254,36 @@ object TextDedup {
       .orderBy("cluster_size")
   }
 
+  /** End-to-end near-dup corpus shrink on the oracle slice: exact-Jaccard
+    * edges → min-label connected components → keep each cluster's min
+    * doc_id → per-lang before/after docs+chars accounting (the number a
+    * training-data pipeline actually reports). The candidate stage here is
+    * the exact token join so DuckDB can replay every stage; at 100 TB the
+    * identical tail runs behind dedup_minhash's banded-LSH candidates —
+    * the stages from `edges` down are shared. A keeper's lang can differ
+    * from its dups', so a fully-deduped lang keeps its accounting row via
+    * the left join + coalesce (same contract as pipeline_dedup_stats). */
+  private val pipelineNeardupStats: Q = (s, d) => {
+    val labels = componentLabels(s, d) // (node, label)
+    val docs = tbl(s, d, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val before = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_before"),
+        sum(col("n_chars")).as("chars_before"))
+    val after = docs.join(labels, col("doc_id") === col("node"))
+      .where(col("node") === col("label"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_after"),
+        sum(col("n_chars")).as("chars_after"))
+    before.join(after, Seq("lang"), "left")
+      .select(col("lang"), col("docs_before"), col("chars_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        coalesce(col("chars_after"), lit(0L)).as("chars_after"),
+        (col("docs_before") - coalesce(col("docs_after"), lit(0L))).as("docs_removed"),
+        (col("chars_before") - coalesce(col("chars_after"), lit(0L))).as("chars_removed"))
+      .orderBy("lang")
+  }
+
   /** Iterative min-label propagation with a convergence check: loops until a
     * round changes no label (or maxRounds — the runaway cap), returning
     * (labels, roundsRun). One cheap action per round decides termination —
@@ -885,6 +915,7 @@ object TextDedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_cluster_stats" -> dedupClusterStats,
+    "pipeline_neardup_stats" -> pipelineNeardupStats,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
     "sim_cosine_topk" -> simCosineTopk,
@@ -985,6 +1016,37 @@ object TextDedup {
           SELECT cluster_size, count(*) AS n_clusters,
                  CAST(sum(cluster_size) - count(*) AS BIGINT) AS n_removed
           FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
+    "pipeline_neardup_stats" ->
+      s"""WITH RECURSIVE t AS (
+             SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
+             FROM documents WHERE doc_id < 60),
+           pairs AS (
+             SELECT a.doc_id AS da, b.doc_id AS db
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+                   / CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS DOUBLE) >= 0.8),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(node, r) AS (
+             SELECT doc_id, doc_id FROM t
+             UNION
+             SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+           lab AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+           docs AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 60),
+           b AS (SELECT lang, count(*) AS docs_before,
+                        CAST(sum(n_chars) AS BIGINT) AS chars_before
+                 FROM docs GROUP BY lang),
+           kept AS (SELECT d.* FROM docs d JOIN lab l ON d.doc_id = l.node
+                    WHERE l.node = l.label),
+           a AS (SELECT lang, count(*) AS docs_after,
+                        CAST(sum(n_chars) AS BIGINT) AS chars_after
+                 FROM kept GROUP BY lang)
+          SELECT b.lang, docs_before, chars_before,
+                 coalesce(docs_after, 0) AS docs_after,
+                 coalesce(chars_after, 0) AS chars_after,
+                 docs_before - coalesce(docs_after, 0) AS docs_removed,
+                 chars_before - coalesce(chars_after, 0) AS chars_removed
+          FROM b LEFT JOIN a ON b.lang = a.lang ORDER BY b.lang""",
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
                  floor((${cosineSql("a.embedding", "b.embedding")})*10000 + 0.5)/10000.0 AS cos

@@ -36,7 +36,8 @@ class SmokeSpec extends AnyFunSuite {
 
   // A handful of ops legitimately return 0 rows on tiny/filtered slices.
   private val mayBeEmpty = Set("set_except", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "dedup_minhash", "join_left_anti")
+    "dedup_embedding_cosine", "dedup_minhash", "join_left_anti",
+    "sink_zorder")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"smoke: $name") {
@@ -693,5 +694,72 @@ class AqeSkewSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
+  }
+}
+
+/** Spark's automatic bloom runtime filter (InjectRuntimeFilter) — the
+  * optimizer-injected counterpart of the explicit join_bloom_filter query
+  * (Scale.scala): with the application-side size threshold scaled down to
+  * test scale, a selective dimension filter must inject a bloom
+  * might_contain onto the fact side of the join. */
+class RuntimeFilterSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("InjectRuntimeFilter adds a bloom might_contain to the fact side") {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // default is 10GB — the rule only fires when the probe side is big
+      // enough for the scan reduction to pay; scale it to the fixture
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ord = graft.util.Canon.tbl(spark, sf, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val li = graft.util.Canon.tbl(spark, sf, "lineitem")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus")).count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom filter in the optimized plan:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+}
+
+/** Layout property behind sink_zorder: z-order bounds BOTH coordinates
+  * within every file (that per-file min/max contraction is exactly what
+  * parquet stats pruning consumes at scale), where a linear sort bounds only
+  * its leading key. */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("z-order layout shrinks per-file spans on both dimensions") {
+    val d = "/root/testdata/sf0.01" // 2000 parts — enough rows for 8 files
+    val zdir = Scale.zorderDir(spark, d)
+    def spans(dir: String): (Double, Double) = {
+      val r = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+        .agg(avg("xs"), avg("ys")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val xdir = "/tmp/graft_io/part_xsort_spec"
+    spark.read.parquet(zdir)
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xdir)
+    val (zx, zy) = spans(zdir)
+    val (lx, ly) = spans(xdir)
+    assert(zy < ly * 0.5,
+      s"z-order avg y-span $zy not < half the x-sorted layout's $ly")
+    assert(zx + zy < lx + ly,
+      s"total span budget should shrink: z-order ${zx + zy} vs x-sort ${lx + ly}")
   }
 }
