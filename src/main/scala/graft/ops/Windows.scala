@@ -146,7 +146,31 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** CDC latest-wins compaction — the MERGE/upsert pattern expressed as a
+    * window dedup: events form a changelog keyed by (user_id, event_type),
+    * the newest version (by ms timestamp, event_id tiebreak) survives, and
+    * each key reports how many versions it compacted. One shuffle on the
+    * key; at 100 TB this is the standard snapshot-compaction job shape
+    * (row_number desc + rn=1 keeps partial aggregation and the single
+    * exchange). */
+  private val cdcUpsertLatest: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(desc("tsm"), desc("event_id"))
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+        col("tsm"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(Window.partitionBy("user_id", "event_type"))
+          .as("n_versions"))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"), cents(col("value")).as("last_cents"),
+        unix_millis(col("tsm")).as("last_ms"), col("n_versions"))
+      .orderBy("user_id", "event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "cdc_upsert_latest" -> cdcUpsertLatest,
     "win_distinct_rolling" -> winDistinctRolling,
     "win_nth_value" -> winNthValue,
     "win_row_number" -> winRowNumber,
@@ -164,6 +188,19 @@ object Windows {
   private val evOrder = "date_trunc('millisecond', ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    "cdc_upsert_latest" ->
+      """WITH v AS (
+           SELECT user_id, event_type, event_id, value,
+                  epoch_ms(date_trunc('millisecond', ts)) AS ems,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY date_trunc('millisecond', ts) DESC,
+                                              event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+           FROM events)
+         SELECT user_id, event_type, event_id AS last_event_id,
+                CAST(floor(value*100 + 0.5) AS BIGINT) AS last_cents,
+                ems AS last_ms, CAST(n_versions AS BIGINT) AS n_versions
+         FROM v WHERE rn = 1 ORDER BY user_id, event_type""",
     "win_distinct_rolling" ->
       s"""SELECT user_id, event_id,
                  len(list_distinct(array_agg(event_type) OVER w)) AS distinct_types_24
