@@ -1,0 +1,271 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity (BASELINE.json:6
+  * mandate, "operations a large-scale training-data pipeline would need"):
+  * deterministic sampling and leakage-free splitting, sequence packing,
+  * document chunking, domain-mixture reweighting, and SCD2 history build.
+  *
+  * Determinism rule: anything that "samples" does so by a deterministic
+  * integer hash of the row key, never `rand()` — so (a) the DuckDB oracle
+  * can replay it exactly, and (b) a production re-run over re-partitioned
+  * input selects the identical rows (partitioning-independent, the property
+  * a 100 TB pipeline needs for reproducible dataset releases). The hash is
+  * a Knuth multiplicative mix kept inside BIGINT range on both engines
+  * (`(id % 1000003) * 2654435761 mod 2^32`); production would swap in
+  * xxhash64 — same shape, one expression.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val normText = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  /** Deterministic uniform bucket in [0, m) from an integer key. Pure BIGINT
+    * arithmetic, overflow-free (product < 1e6 * 2.7e9 < 2^63), identical on
+    * Spark and DuckDB — the cross-engine stand-in for xxhash64 % m. */
+  private def hbucket(c: Column, m: Int): Column =
+    ((c % 1000003L) * 2654435761L) % 4294967296L % m
+  private def hbucketSql(c: String, m: Int): String =
+    s"((($c % 1000003) * 2654435761) % 4294967296) % $m"
+
+  // ---------------------------------------------------------------- sampling
+  /** Stratified Bernoulli sampling with per-language rates (en 50% … zh 10%),
+    * selected by hash bucket — not `TABLESAMPLE`/`rand()`, so the kept set is
+    * a pure function of doc_id. At 100 TB this is a narrow map-side filter
+    * (no shuffle, no state); changing the mixture only changes literals. */
+  private val sampleStratified: Q = (s, d) => {
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "de", 40)
+      .when(col("lang") === "es", 30)
+      .when(col("lang") === "fr", 20)
+      .otherwise(10)
+    tbl(s, d, "documents")
+      .where(hbucket(col("doc_id"), 100) < rate)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Exactly-k-per-stratum sampling (k = 25 per language): rank docs inside
+    * each language by hash bucket (uniform, deterministic) and keep the top
+    * k — reservoir sampling's job, done as one window over a shuffle keyed
+    * by the stratum. The 10000-bucket hash order makes the pick uniform;
+    * doc_id tiebreak makes it total. */
+  private val sampleFixedK: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("bucket"), col("doc_id"))
+    tbl(s, d, "documents")
+      .withColumn("bucket", hbucket(col("doc_id"), 10000))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 25)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Leakage-free train/val/test split: the split is a function of the GROUP
+    * key (user_id), never the row, so all events of a user land in exactly
+    * one split — the property that keeps eval honest when the corpus is
+    * user-correlated. 80/10/10 by hash bucket; output is the per-split
+    * acceptance report (users, events, value mass). Narrow filter + one
+    * partial-aggregated groupBy at any scale. */
+  private val splitGroupHash: Q = (s, d) => {
+    val split = when(col("b") < 80, "train")
+      .when(col("b") < 90, "val").otherwise("test")
+    events(s, d)
+      .withColumn("b", hbucket(col("user_id"), 100))
+      .withColumn("split", split)
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("v_cents"))
+      .orderBy("split")
+  }
+
+  // ----------------------------------------------------- packing / chunking
+  /** Sequence packing: assign documents (in deterministic doc_id order,
+    * per-language streams) to fixed token-budget packs (512) by cumulative
+    * token count — `pack_id = floor(tokens_before / 512)`. A pack overflows
+    * by at most one document (documents are never split), which is the
+    * standard contiguous-packing compromise: it needs ONE window over a
+    * (lang)-keyed shuffle instead of the inherently sequential first-fit
+    * bin-packer. Output is the per-pack manifest a trainer consumes. */
+  private val packSequences: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, d, "documents")
+      .withColumn("tok", size(split(normText, " ")).cast("long"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("tok")) / 512.0).cast("long"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
+      .withColumn("utilization", r4(col("pack_tokens") / 512.0))
+      .orderBy("lang", "pack_id")
+  }
+
+  /** Context-window chunking: split each document's token stream into
+    * size-50 windows with stride 40 (10-token overlap), emitting one row per
+    * chunk. explode(sequence(...)) keeps the whole thing inside whole-stage
+    * codegen — no UDF, no shuffle; output cardinality ≈ n_tokens/stride. */
+  private val chunkDocuments: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("tk", split(normText, " "))
+      .withColumn("start",
+        explode(sequence(lit(1), size(col("tk")), lit(40))))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        array_join(slice(col("tk"), col("start"), lit(50)), " ").as("chunk"),
+        least(lit(50), size(col("tk")) - col("start") + 1).cast("long")
+          .as("chunk_toks"))
+      .orderBy("doc_id", "start")
+
+  // ------------------------------------------------------------- reweighting
+  /** Domain-mixture rebalance: compute each source's share, derive the
+    * keep-probability that moves the corpus toward a uniform mixture
+    * (`weight = min(1, target_n / n)`), then apply it as a deterministic
+    * hash-threshold downsample. The stats side is O(#sources) rows — the
+    * window over it is a driver-size detail, and the weights re-join the
+    * corpus as a broadcast. One scan + one broadcast join at any scale. */
+  private val mixDomains: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val all = Window.partitionBy()
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"))
+      .withColumn("total", sum(col("docs_before")).over(all))
+      .withColumn("n_src", count(lit(1)).over(all))
+      .withColumn("thresh",
+        floor(least(lit(1.0),
+          col("total").cast("double") / col("n_src") / col("docs_before"))
+          * 10000 + 0.5).cast("long"))
+    val kept = docs
+      .join(broadcast(stats.select(col("source"), col("thresh"))), Seq("source"))
+      .where(hbucket(col("doc_id"), 10000) < col("thresh"))
+      .groupBy(col("source")).agg(count(lit(1)).as("docs_after"))
+    stats.join(kept, Seq("source"), "left")
+      .select(col("source"), col("docs_before"),
+        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
+        (col("thresh") / 10000.0).as("weight"))
+      .orderBy("source")
+  }
+
+  // -------------------------------------------------------------------- scd2
+  /** SCD2 history build from a change log: each (user_id, event_type)
+    * version row becomes a validity interval [valid_from, valid_to) via
+    * lead() over the version order, open-ended for the current version —
+    * the standard dimension-history materialization, one window over one
+    * keyed shuffle. Complements cdc_upsert_latest (Windows.scala), which
+    * keeps only the latest version. */
+  private val scd2Intervals: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("tsm", "event_id")
+    events(s, d).withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("tsm")).as("valid_from_ms"),
+        unix_millis(lead(col("tsm"), 1).over(w)).as("valid_to_ms"),
+        cents(col("value")).as("v_cents"),
+        row_number().over(w).as("version"))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .orderBy("user_id", "event_type", "version")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sample_stratified" -> sampleStratified,
+    "sample_fixed_k" -> sampleFixedK,
+    "split_group_hash" -> splitGroupHash,
+    "pack_sequences" -> packSequences,
+    "chunk_documents" -> chunkDocuments,
+    "mix_domains" -> mixDomains,
+    "scd2_intervals" -> scd2Intervals,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE ${hbucketSql("doc_id", 100)} <
+                CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 40
+                          WHEN 'es' THEN 30 WHEN 'fr' THEN 20 ELSE 10 END
+          ORDER BY doc_id""",
+    "sample_fixed_k" ->
+      s"""WITH t AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY ${hbucketSql("doc_id", 10000)}, doc_id) AS rk
+            FROM documents)
+          SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+          FROM t WHERE rk <= 25 ORDER BY lang, rk""",
+    "split_group_hash" ->
+      s"""WITH t AS (
+            SELECT user_id, value,
+                   CASE WHEN ${hbucketSql("user_id", 100)} < 80 THEN 'train'
+                        WHEN ${hbucketSql("user_id", 100)} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM events)
+          SELECT split, count(DISTINCT user_id) AS n_users,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS v_cents
+          FROM t GROUP BY split ORDER BY split""",
+    "pack_sequences" ->
+      s"""WITH t AS (
+            SELECT lang, doc_id,
+                   CAST(len(string_split($normSql, ' ')) AS BIGINT) AS tok
+            FROM documents),
+          c AS (
+            SELECT lang, tok,
+                   sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM t)
+          SELECT lang, CAST(floor((cum - tok) / 512.0) AS BIGINT) AS pack_id,
+                 count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens,
+                 floor(sum(tok) / 512.0 * 10000 + 0.5) / 10000.0 AS utilization
+          FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+    "chunk_documents" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents)
+          SELECT doc_id, start,
+                 array_to_string(tk[start:least(start+49, len(tk))], ' ')
+                   AS chunk,
+                 least(50, len(tk) - start + 1) AS chunk_toks
+          FROM t, unnest(generate_series(1, len(tk), 40)) AS u(start)
+          ORDER BY doc_id, start""",
+    "mix_domains" ->
+      s"""WITH s AS (
+            SELECT source, count(*) AS docs_before FROM documents
+            GROUP BY source),
+          w AS (
+            SELECT source, docs_before,
+                   CAST(floor(least(1.0,
+                     CAST(sum(docs_before) OVER () AS DOUBLE)
+                       / count(*) OVER () / docs_before) * 10000 + 0.5)
+                     AS BIGINT) AS thresh
+            FROM s),
+          k AS (
+            SELECT d.source, count(*) AS docs_after
+            FROM documents d JOIN w ON d.source = w.source
+            WHERE ${hbucketSql("d.doc_id", 10000)} < w.thresh
+            GROUP BY d.source)
+          SELECT w.source, docs_before,
+                 coalesce(docs_after, 0) AS docs_after,
+                 thresh / 10000.0 AS weight
+          FROM w LEFT JOIN k ON w.source = k.source ORDER BY w.source""",
+    "scd2_intervals" ->
+      """WITH v AS (
+           SELECT user_id, event_type, event_id,
+                  epoch_ms(date_trunc('millisecond', ts)) AS ems, value,
+                  lead(epoch_ms(date_trunc('millisecond', ts)), 1)
+                    OVER w AS valid_to_ms,
+                  row_number() OVER w AS version
+           FROM events
+           WINDOW w AS (PARTITION BY user_id, event_type
+                        ORDER BY date_trunc('millisecond', ts), event_id))
+         SELECT user_id, event_type, event_id, ems AS valid_from_ms,
+                valid_to_ms,
+                CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents,
+                CAST(version AS BIGINT) AS version,
+                (valid_to_ms IS NULL) AS is_current
+         FROM v ORDER BY user_id, event_type, version""",
+  )
+}
