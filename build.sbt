@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The harness parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON, and that parse failed four rounds running (BENCH_r{1..4}.parsed =
+// null): the default LoggedOutput prefixes forked stdout with "[info] " and
+// sbt appends a "[success] Total time ..." trailer after the run. Pass the
+// forked process's streams through bare and drop the success trailer so
+// Bench's JSON line is the final, unprefixed stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,7 +40,16 @@ object Bench {
       // GC between queries so the previous query's released blocks are
       // collected on our dime, not attributed to this query's first rep
       System.gc()
-      val times = (1 to reps).map { _ =>
+      // Round-5 revision: the streaming family gets extra reps. Its cost is
+      // dominated by per-query state-store/checkpoint fixed setup whose
+      // variance survived median-of-3 (stream_tumbling_count drifted
+      // 1.21→1.64 s across rounds 3→4 with no code change); a 5-rep median
+      // tightens exactly that family without re-timing the other ~160.
+      val qReps =
+        if (name.startsWith("stream") || name == "source_stream_replay")
+          math.max(reps, 5)
+        else reps
+      val times = (1 to qReps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
@@ -72,7 +81,13 @@ object Bench {
         shown += 1
       }
     }
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"shown_slowest":$shown,"full":"BENCH_FULL.json","queries":{$sb},"sf":"$sfDir"}""")
+    // Emit the JSON AFTER spark.stop() so no executor/SparkContext shutdown
+    // log line can land behind it: combined with build.sbt's StdoutOutput +
+    // showSuccess := false, this line is the process's final stdout output —
+    // the position the harness's parser reads.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"shown_slowest":$shown,"full":"BENCH_FULL.json","queries":{$sb},"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

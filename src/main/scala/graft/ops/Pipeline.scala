@@ -27,11 +27,16 @@ object Pipeline {
 
   /** Deterministic uniform bucket in [0, m) from an integer key. Pure BIGINT
     * arithmetic, overflow-free (product < 1e6 * 2.7e9 < 2^63), identical on
-    * Spark and DuckDB — the cross-engine stand-in for xxhash64 % m. */
+    * Spark and DuckDB — the cross-engine stand-in for xxhash64 % m.
+    * The inner `(x % p + p) % p` folds negative keys into [0, p): both
+    * engines' `%` truncates toward zero, so a negative id would otherwise
+    * yield a negative bucket that lands in the first when-branch of every
+    * sample/split consumer on BOTH engines — identically wrong, invisible
+    * to the oracle. Values for non-negative keys are unchanged. */
   private def hbucket(c: Column, m: Int): Column =
-    ((c % 1000003L) * 2654435761L) % 4294967296L % m
+    ((c % 1000003L + 1000003L) % 1000003L * 2654435761L) % 4294967296L % m
   private def hbucketSql(c: String, m: Int): String =
-    s"((($c % 1000003) * 2654435761) % 4294967296) % $m"
+    s"((($c % 1000003 + 1000003) % 1000003) * 2654435761) % 4294967296 % $m"
 
   // ---------------------------------------------------------------- sampling
   /** Stratified Bernoulli sampling with per-language rates (en 50% … zh 10%),

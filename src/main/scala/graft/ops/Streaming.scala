@@ -284,7 +284,8 @@ object Streaming {
     * 15 min join range + 1 min slack) — inside that region eviction is
     * guaranteed, the emitted set is deterministic, and the DuckDB oracle is
     * the batch left join under the same cutoff. */
-  private val streamStreamOuterJoin: Q = (s, d) => {
+  private val streamStreamOuterJoin: Q = (s, d) => streamStreamOuterJoinImpl(s, d)
+  private def streamStreamOuterJoinImpl(s: SparkSession, d: String): DataFrame = {
     val src = eventsStream(s, d)
     val p = src.where(col("event_type") === "purchase")
       .select(col("user_id").as("pu"), col("tsm").as("pts"))
@@ -302,6 +303,16 @@ object Streaming {
     val cutRow = tbl(s, d, "events").agg(least(
       max(when(col("event_type") === "purchase", tsMs(col("ts")))),
       max(when(col("event_type") === "click", tsMs(col("ts")))))).collect()(0)
+    // No purchases or no clicks at all → the least(max, max) aggregate is
+    // null and there is no watermark-proven eviction region: return the
+    // empty frame in the output schema (the house contract for degenerate
+    // slices — mirror of sim_pq_ann's empty-table early return) instead of
+    // NPE-ing on the null timestamp.
+    if (cutRow.isNullAt(0))
+      return out.limit(0)
+        .groupBy(col("pu").as("user_id"))
+        .agg(count(col("cts")).as("n_matched"),
+          sum(when(col("cts").isNull, 1L).otherwise(0L)).as("n_unmatched"))
     val cut = new java.sql.Timestamp(
       cutRow.getTimestamp(0).getTime - 31L * 60 * 1000)
     out.where(col("pts") <= lit(cut))

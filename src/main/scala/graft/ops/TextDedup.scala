@@ -442,20 +442,16 @@ object TextDedup {
 
   /** top-2 nearest centroids by inner product (1-based list ids),
     * sequential-fold element order (bit-identical to the HOF formulation);
-    * ties keep the lower id. Shared by sim_ivf_ann and sim_ivfpq_ann. */
+    * ties keep the lower id. Shared by sim_ivf_ann and sim_ivfpq_ann.
+    * Delegates to [[ivfTop2Local]] so the executor-side assignment and the
+    * driver-side LUT construction share ONE copy of the arithmetic — a
+    * divergence (summation order, tie-break) would otherwise surface as a
+    * missing-LUT runtime error instead of a recall regression. */
   private def ivfTop2(cs: Array[Array[Double]], Dim: Int) = udf { (emb: Seq[Float]) =>
-    var b1 = 1; var d1 = Double.NegativeInfinity
-    var b2 = 1; var d2 = Double.NegativeInfinity
-    var c = 0
-    while (c < cs.length) {
-      val cv = cs(c)
-      var dp = 0.0; var i = 0
-      while (i < Dim) { dp += emb(i).toDouble * cv(i); i += 1 }
-      if (dp > d1) { d2 = d1; b2 = b1; d1 = dp; b1 = c + 1 }
-      else if (dp > d2) { d2 = dp; b2 = c + 1 }
-      c += 1
-    }
-    Array(b1, b2)
+    val raw = new Array[Double](Dim)
+    var i = 0
+    while (i < Dim) { raw(i) = emb(i).toDouble; i += 1 }
+    ivfTop2Local(raw, cs)
   }
 
   /** Seeded-Lloyd coarse quantizer shared by sim_ivf_ann and sim_ivfpq_ann.
@@ -740,7 +736,9 @@ object TextDedup {
         }
     }.toMap
     val adcU = udf { (qid: Long, cid: Int, code: Seq[Int]) =>
-      val lut = luts((qid, cid))
+      val lut = luts.getOrElse((qid, cid), sys.error(
+        s"no ADC LUT for (query=$qid, list=$cid): executor-side top-2 " +
+          "assignment diverged from the driver-side ivfTop2Local probe set"))
       var dist = 0.0; var mI = 0
       while (mI < M) { dist += lut(mI)(code(mI)); mI += 1 }
       dist
