@@ -350,6 +350,102 @@ object CatalystExt {
       copy(child = newLeft, percentile = newRight)
   }
 
+  /** Bounded top-k-smallest selection as a TypedImperativeAggregate — the
+    * fourth mergeable O(k)-state sketch next to [[GraftHLL]] / [[MisraGries]]
+    * / [[KllQuantile]], built for ANN candidate ranking: keep the k smallest
+    * (score, id) pairs under the total order (score asc, id asc). Buffer is
+    * a size-k max-heap; update/merge evict the current worst, so partial
+    * aggregation bounds BOTH state and shuffle at O(k) per group per map
+    * task — the scale-safe replacement for `row_number() OVER (PARTITION BY
+    * group ORDER BY score)` + `rank <= k`, whose window partition must hold
+    * the group's ENTIRE input (the round-4 verdict's sim_pq_ann scale-killer).
+    * Exact, and merge-order-independent: k-smallest under a strict total
+    * order is a selection, not an estimate. Output: array<struct<score,id>>
+    * sorted ascending. */
+  case class TopKMin(score: Expression, id: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]]
+      with BinaryLike[Expression] {
+    override def left: Expression = score
+    override def right: Expression = id
+
+    // max-heap: the WORST surviving pair (largest score, then largest id)
+    // sits at the head, ready for eviction
+    private def cmp: java.util.Comparator[(Double, Long)] =
+      (a: (Double, Long), b: (Double, Long)) => {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+      }
+
+    override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long)] =
+      new java.util.PriorityQueue[(Double, Long)](k + 1, cmp)
+
+    private def offer(buf: java.util.PriorityQueue[(Double, Long)],
+        s: Double, i: Long): Unit =
+      if (buf.size < k) buf.offer((s, i))
+      else {
+        val worst = buf.peek()
+        if (s < worst._1 || (s == worst._1 && i < worst._2)) {
+          buf.poll(); buf.offer((s, i))
+        }
+      }
+
+    override def update(buf: java.util.PriorityQueue[(Double, Long)],
+        input: InternalRow): java.util.PriorityQueue[(Double, Long)] = {
+      val s = score.eval(input)
+      val i = id.eval(input)
+      if (s != null && i != null)
+        offer(buf, s.asInstanceOf[Number].doubleValue(),
+          i.asInstanceOf[Number].longValue())
+      buf
+    }
+
+    override def merge(buf: java.util.PriorityQueue[(Double, Long)],
+        other: java.util.PriorityQueue[(Double, Long)])
+        : java.util.PriorityQueue[(Double, Long)] = {
+      other.forEach(e => offer(buf, e._1, e._2))
+      buf
+    }
+
+    override def eval(buf: java.util.PriorityQueue[(Double, Long)]): Any = {
+      val arr = new Array[(Double, Long)](buf.size)
+      var i = 0
+      buf.forEach(e => { arr(i) = e; i += 1 })
+      java.util.Arrays.sort(arr, cmp.reversed())
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        arr.map { case (s, id) => InternalRow(s, id) })
+    }
+
+    override def serialize(buf: java.util.PriorityQueue[(Double, Long)])
+        : Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      buf.forEach(e => { bb.putDouble(e._1); bb.putLong(e._2) })
+      bb.array()
+    }
+    override def deserialize(storage: Array[Byte])
+        : java.util.PriorityQueue[(Double, Long)] = {
+      val bb = java.nio.ByteBuffer.wrap(storage)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.offer((bb.getDouble, bb.getLong)); i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): TopKMin =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKMin =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TopKMin =
+      copy(score = newLeft, id = newRight)
+  }
+
   /** Table-generating bigram emitter — the custom Generator path of §2.11
     * (posexplode covers the built-in path). Emits (pos, ngram) per row.
     * Participates in whole-stage codegen: `Generator.supportCodegen` is true
@@ -420,5 +516,8 @@ object CatalystExt {
         exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_bigrams",
       exprs => Bigrams(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_topk_min",
+      exprs => TopKMin(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -634,19 +634,30 @@ object TextDedup {
       .map(r => r.getLong(0) -> l2norm(r.getSeq[Float](1).map(_.toDouble).toArray))
     val luts = pqLuts(qRows, codebooks, K, M, Ds)
     val adcU = pqAdcU(luts, M)
-    val enc = e.select(col("vec_id"), col("embedding"),
+    graft.ext.CatalystExt.register(s)
+    // Codes only in the scored scan: the flat-ADC pass reads O(n·M) bytes of
+    // PQ codes and never the raw vectors, which are refetched below for the
+    // ≤ Cand surviving candidates per query.
+    val enc = e.select(col("vec_id"),
       pqEncodeU(codebooks, K, M, Ds)(col("embedding")).as("code"))
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val wC = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
-    enc.crossJoin(broadcast(q))
+    // Candidate selection is a bounded top-k AGGREGATE (graft_topk_min:
+    // O(Cand) heap per map task per query, partial+final merge — exact
+    // k-smallest under (adc, vec_id)) replacing the round-4 window rank
+    // whose per-qid partitions each held the entire scored corpus. Shuffle
+    // volume drops from n·queries rows to Cand·partitions·queries.
+    val cand = enc.crossJoin(broadcast(q.select(col("qid"))))
       .where(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcU(col("qid"), col("code")))
-      .withColumn("crank", row_number().over(wC))
-      .where(col("crank") <= Cand)
+      .groupBy(col("qid"))
+      .agg(expr(s"graft_topk_min(adc, vec_id, $Cand)").as("topk"))
+      .select(col("qid"), explode(col("topk.id")).as("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    e.join(broadcast(cand), "vec_id") // candidate vector fetch: ≤ 10·Cand ids
+      .join(broadcast(q), "qid")
       .withColumn("cos_raw", cosineGen(s)(col("embedding"), col("qe")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w)) // ≤ Cand rows per partition
       .where(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_raw")).as("cos"))
       .orderBy("qid", "rank")
@@ -713,13 +724,12 @@ object TextDedup {
       pqNearestCode(Array.tabulate(Dim)(i => vn(i) - c(i)),
         codebooks, Kpq, M, Ds)
     }
-    // inverted lists carry (cid, residual code) as the scan payload; the
-    // raw embedding rides along here only because the final exact re-rank
-    // needs it (at 100 TB that re-rank would fetch vectors for ≤ Cand ids
-    // per query from the source table instead)
+    // inverted lists carry exactly (vec_id, cid, residual code) — the true
+    // IVFADC scan payload; the raw vectors are refetched from the base
+    // table only for the ≤ Cand re-rank candidates per query below
     val lists = e
       .withColumn("cid", element_at(top2U(col("embedding")), 1))
-      .select(col("vec_id"), col("embedding"), col("cid"),
+      .select(col("vec_id"), col("cid"),
         encodeResU(col("embedding"), col("cid")).as("code"))
     // per-(query, probed-list) LUTs: the query's residual against THAT
     // list's centroid — 10 queries × 2 probes × M×K doubles at the driver
@@ -743,18 +753,27 @@ object TextDedup {
       while (mI < M) { dist += lut(mI)(code(mI)); mI += 1 }
       dist
     }
-    val q = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+    graft.ext.CatalystExt.register(s)
+    val probes = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
         explode(top2U(col("embedding"))).as("cid"))
-    val wC = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
-    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
-    lists.join(q, Seq("cid")) // probed-list restriction replaces PQ's full scan
+    // ADC top-Cand per query via the bounded graft_topk_min aggregate:
+    // each probed list's rows fold into an O(Cand) heap map-side, so no
+    // window partition ever holds a whole inverted list (lists are O(n/K)
+    // — unbounded at 100 TB even after the probed-list restriction).
+    val cand = lists.join(probes, Seq("cid")) // probed-list restriction, no full scan
       .where(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcU(col("qid"), col("cid"), col("code")))
-      .withColumn("crank", row_number().over(wC))
-      .where(col("crank") <= Cand)
+      .groupBy(col("qid"))
+      .agg(expr(s"graft_topk_min(adc, vec_id, $Cand)").as("topk"))
+      .select(col("qid"), explode(col("topk.id")).as("vec_id"))
+    val qe = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    e.join(broadcast(cand), "vec_id") // candidate vector fetch: ≤ 10·Cand ids
+      .join(broadcast(qe), "qid")
       .withColumn("cos_raw", cosineGen(s)(col("embedding"), col("qe")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w)) // ≤ Cand rows per partition
       .where(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_raw")).as("cos"))
       .orderBy("qid", "rank")

@@ -560,6 +560,51 @@ class HeavyHittersSpec extends AnyFunSuite {
   }
 }
 
+/** Bounded top-k selection aggregate (graft_topk_min) — the O(k)-state
+  * replacement for full-partition window ranking in the ANN candidate
+  * stages (sim_pq_ann / sim_ivfpq_ann). */
+class TopKSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("graft_topk_min equals the window-rank formulation across partitions") {
+    graft.ext.CatalystExt.register(spark)
+    // many score ties (score = id % 37) so the (score, id) tie-break is
+    // actually exercised; 13 partitions so partial heaps really merge
+    val df = spark.range(0, 5000).toDF("id").repartition(13)
+      .withColumn("g", col("id") % 7)
+      .withColumn("score", (col("id") % 37).cast("double"))
+    val got = df.groupBy("g")
+      .agg(expr("graft_topk_min(score, id, 25)").as("topk"))
+      .select(col("g"), posexplode(col("topk")).as(Seq("pos", "c")))
+      .select(col("g"), col("pos"), col("c.score"), col("c.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(asc("score"), asc("id"))
+    val want = df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 25)
+      .select(col("g"), (col("rk") - 1).as("pos"), col("score"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSet == want.toSet, "topk_min disagrees with window rank")
+    // output arrays are sorted ascending by (score, id)
+    got.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(sorted == sorted.sorted, "array not sorted")
+    }
+  }
+
+  test("ANN candidate stages rank through the bounded aggregate, not a corpus window") {
+    for (name <- Seq("sim_pq_ann", "sim_ivfpq_ann")) {
+      // Catalyst prints the aggregate by its expression class (topkmin),
+      // not the registry alias
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(plan.contains("topkmin"),
+        s"$name candidate stage no longer uses the bounded top-k aggregate")
+    }
+  }
+}
+
 /** Label-propagation convergence (dedup_connected_components §2.9). */
 class LabelPropSpec extends AnyFunSuite {
   import TestSession._
