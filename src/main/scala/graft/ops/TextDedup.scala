@@ -284,6 +284,86 @@ object TextDedup {
       .orderBy("lang")
   }
 
+  /** FULL-CORPUS near-dup connected components (the round-4 verdict's one
+    * remaining dedup seam: the transitive-closure CC previously ran only on
+    * the bounded doc_id < 60 slice). Composition, each stage 100 TB-shaped:
+    *
+    *  1. COLLAPSE docs to distinct token SETS (one hash agg — exact dedup's
+    *     shape). Jaccard depends only on the set, so doc-level components
+    *     are exactly the set-level components expanded back through the
+    *     collapse map; on near-dup corpora this is the big n-reducer (a
+    *     production pipeline always exact-collapses before near-dedup).
+    *  2. PAIR the distinct sets. The fixture vocabulary is ≤ 64 tokens
+    *     (measured: 31), so each set is one BIGINT bitmask and the verified
+    *     edge build is a broadcast theta join with pure codegen integer ops
+    *     (bit_count(and)) — candidate df-based prefix filtering is vacuous
+    *     at this vocabulary (every token's df is ~n/13). Open-vocab fallback
+    *     (> 64 tokens) pairs via array_intersect on the sorted token arrays;
+    *     when the distinct-set residue outgrows one broadcast side, this
+    *     stage — and only this stage — swaps for dedup_minhash's banded-LSH
+    *     candidates; every stage below is unchanged.
+    *  3. PROPAGATE min labels over the set-level graph (the same
+    *     propagateMinLabels as the sliced queries, now over the collapsed
+    *     nodes — rounds of O(edges) joins, lineage-truncated).
+    *  4. EXPAND labels back to every document through the collapse map
+    *     (broadcast-size label table), emitting keeper = component-min.
+    *
+    * Label = min doc_id of the component (set representative = min doc_id
+    * of the set, so min over set labels ≡ min over doc ids). Oracle: DuckDB
+    * all-pairs Jaccard + recursive-CTE transitive closure over the whole
+    * documents table. Convergence telemetry: rounds returned to the suite
+    * (NeardupFullSpec asserts rounds < cap). */
+  private[graft] def neardupFullLabels(s: SparkSession, d: String): (DataFrame, Int) = {
+    val docs = tbl(s, d, "documents")
+      .select(col("doc_id"), sort_array(array_distinct(toks(normText))).as("st"))
+      // canonical set key: sorted tokens joined on a separator that cannot
+      // appear in a token (tokens come from a whitespace split) — an empty
+      // separator would make ("ab","c") and ("a","bc") collide
+      .withColumn("skey", array_join(col("st"), "\u0001"))
+    val sets = docs.groupBy(col("skey"))
+      .agg(min(col("doc_id")).as("sid"), first(col("st")).as("st"))
+      .localCheckpoint(true) // reused by pairing AND the expand stage
+    val vocab = sets.select(explode(col("st")).as("tok")).distinct()
+      .orderBy("tok").collect().map(_.getString(0))
+    val pairs =
+      if (vocab.length <= 64) {
+        val idx = vocab.zipWithIndex.toMap
+        val maskU = udf { (st: Seq[String]) =>
+          var m = 0L; st.foreach(t => m |= 1L << idx(t)); m
+        }
+        val sm = sets.select(col("sid"), maskU(col("st")).as("mask"),
+          size(col("st")).as("n"))
+        val a = sm.select(col("sid").as("sa"), col("mask").as("ma"), col("n").as("na"))
+        val b = sm.select(col("sid").as("sb"), col("mask").as("mb"), col("n").as("nb"))
+        val inter = bit_count(col("ma").bitwiseAND(col("mb")))
+        a.join(broadcast(b), col("sa") < col("sb") &&
+            inter.cast("double") /
+              (col("na") + col("nb") - inter).cast("double") >= 0.8)
+          .select(col("sa"), col("sb"))
+      } else {
+        val a = sets.select(col("sid").as("sa"), col("st").as("sta"))
+        val b = sets.select(col("sid").as("sb"), col("st").as("stb"))
+        val inter = size(array_intersect(col("sta"), col("stb")))
+        a.join(broadcast(b), col("sa") < col("sb") &&
+            inter.cast("double") /
+              (size(col("sta")) + size(col("stb")) - inter).cast("double") >= 0.8)
+          .select(col("sa"), col("sb"))
+      }
+    val edges = pairs.select(col("sa").as("src"), col("sb").as("dst"))
+      .unionByName(pairs.select(col("sb").as("src"), col("sa").as("dst")))
+    val (setLabels, rounds) = propagateMinLabels(edges,
+      sets.select(col("sid").as("node"), col("sid").as("label")), maxRounds = 20)
+    val docLabels = docs.select(col("doc_id"), col("skey"))
+      .join(sets.select(col("skey"), col("sid")), "skey")
+      .join(broadcast(setLabels.withColumnRenamed("node", "sid")), "sid")
+      .select(col("doc_id").as("node"), col("label"),
+        (col("doc_id") === col("label")).as("is_keeper"))
+    (docLabels, rounds)
+  }
+
+  private val pipelineNeardupFull: Q = (s, d) =>
+    neardupFullLabels(s, d)._1.orderBy("node")
+
   /** Benchmark decontamination — the training-data op that checks eval-set
     * leakage: docs 0–4 play the benchmark; a corpus document is contaminated
     * when it contains ≥ 80% of a benchmark document's distinct tokens
@@ -1027,6 +1107,7 @@ object TextDedup {
     "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_cluster_stats" -> dedupClusterStats,
     "pipeline_neardup_stats" -> pipelineNeardupStats,
+    "pipeline_neardup_full" -> pipelineNeardupFull,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
@@ -1176,6 +1257,24 @@ object TextDedup {
                  docs_before - coalesce(docs_after, 0) AS docs_removed,
                  chars_before - coalesce(chars_after, 0) AS chars_removed
           FROM b LEFT JOIN a ON b.lang = a.lang ORDER BY b.lang""",
+    "pipeline_neardup_full" ->
+      s"""WITH RECURSIVE t AS (
+             SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
+             FROM documents),
+           pairs AS (
+             SELECT a.doc_id AS da, b.doc_id AS db
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+                   / CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS DOUBLE) >= 0.8),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(node, r) AS (
+             SELECT doc_id, doc_id FROM t
+             UNION
+             SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+          SELECT node, CAST(min(r) AS BIGINT) AS label,
+                 (node = min(r)) AS is_keeper
+          FROM reach GROUP BY node ORDER BY node""",
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
                  floor((${cosineSql("a.embedding", "b.embedding")})*10000 + 0.5)/10000.0 AS cos
