@@ -61,6 +61,21 @@ class PipelineSpec extends AnyFunSuite {
     } finally packs.unpersist()
   }
 
+  test("pack_sequences_bfd: balanced packing never truncates more than contiguous") {
+    val rep = SparkEntry.queries("pack_sequences_bfd")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("tokens_dropped"), r.getAs[Long]("max_pack_tokens")))
+      .toMap
+    val langs = rep.keys.map(_._1).toSet
+    assert(langs.nonEmpty)
+    langs.foreach { lang =>
+      val (dBal, mBal) = rep((lang, "balanced"))
+      val (dCon, mCon) = rep((lang, "contiguous"))
+      assert(dBal <= dCon, s"$lang: balanced truncates more ($dBal > $dCon)")
+      assert(mBal <= mCon, s"$lang: balanced max pack larger ($mBal > $mCon)")
+    }
+  }
+
   test("chunk_documents covers every token with stride-40 starts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"),
