@@ -89,7 +89,13 @@ object TextDedup {
     * min verified bucket representative (one union-find round; the standard
     * single-pass LSH dedup). No cross join anywhere — the 100 TB path.
     * Self-verified (detection recall vs exhaustive Jaccard truth). */
-  private val dedupMinhash: Q = (s, d) => {
+  /** Banded-LSH VERIFIED near-dup pairs (da < db, jacc): star candidates
+    * from the 16×4 minhash bands, exact-Jaccard-verified ≥ 0.8 — the
+    * recall-bounded candidate graph shared by dedup_minhash (which folds it
+    * into a keeper list) and MinhashCcSpec (which propagates components
+    * over it and measures agreement against the exact closure of
+    * pipeline_neardup_full — the open-vocab composition path). */
+  private[graft] def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     val SigN = 64; val Bands = 16; val Rows = 4
     val salts = Array.tabulate(SigN)(i => (i + 1) * 0x9E3779B97F4A7C15L)
     val docs = tbl(s, d, "documents")
@@ -104,22 +110,43 @@ object TextDedup {
       xxhash64((lit(b) +: (0 until Rows).map(r => col(s"m${b * Rows + r}"))): _*)
     }
     val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    val bucketMin = banded.groupBy("band", "bh").agg(min(col("doc_id")).as("da"))
-    val cands = banded.join(bucketMin, Seq("band", "bh"))
-      .where(col("doc_id") > col("da"))
-      .select(col("da"), col("doc_id").as("db"))
+    // STAR edges (bucket-min ↔ member) + W=3 NEIGHBOR edges (member ↔ its
+    // predecessors in doc_id order — the same Manku WWW'07 sliding-window
+    // emission dedup_simhash uses): star alone keeps the KEEP-LIST recall
+    // high but, measured in MinhashCcSpec, loses component merges where
+    // neither endpoint is the bucket representative (462/500 label
+    // agreement vs the exact closure; ≥ 0.97 asserted with the window).
+    // Emission stays ≤ (W+1)·bands·n — never the per-bucket k²/2 blowup
+    // (200M+ rows at sf0.1 on this corpus, the round-1 lesson).
+    val W = 3
+    val wP = Window.partitionBy("band", "bh")
+    val wOrd = wP.orderBy("doc_id")
+    val edged = banded
+      .withColumn("mn", min(col("doc_id")).over(wP))
+      .withColumn("prevs", array((1 to W).map(i =>
+        lag(col("doc_id"), i).over(wOrd)): _*))
+    val cands = edged.where(col("doc_id") > col("mn"))
+      .select(col("mn").as("da"), col("doc_id").as("db"))
+      .unionByName(edged
+        .select(explode(col("prevs")).as("da"), col("doc_id").as("db"))
+        .where(col("da").isNotNull))
       .distinct()
     val sets = docs.select(col("doc_id"), col("st"))
-    val verified = cands
+    cands
       .join(sets.select(col("doc_id").as("da"), col("st").as("sa")), "da")
       .join(sets.select(col("doc_id").as("db"), col("st").as("sb")), "db")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jacc", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
       .where(col("jacc") >= 0.8)
+      .select(col("da"), col("db"), col("jacc"))
+  }
+
+  private val dedupMinhash: Q = (s, d) => {
+    val verified = minhashVerifiedPairs(s, d)
       .groupBy(col("db"))
       .agg(min(col("da")).as("keeper"), r4(max(col("jacc"))).as("best_jacc"))
-    docs.select(col("doc_id"))
+    tbl(s, d, "documents").select(col("doc_id"))
       .join(verified, col("doc_id") === col("db"), "left")
       .select(col("doc_id"),
         coalesce(col("keeper"), col("doc_id")).as("keeper"),
