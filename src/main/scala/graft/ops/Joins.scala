@@ -283,6 +283,54 @@ object Joins {
       .limit(20)
   }
 
+  /** TPC-H Q6-style forecast-revenue-change: one predicate-pushed scan, one
+    * partial+final global aggregate — the canonical "filters must reach the
+    * parquet reader" exhibit (no join, no shuffle beyond the 1-row agg). */
+  private val tpchQ6: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg((sum(cents(col("l_extendedprice") * col("l_discount"))) / 100.0)
+        .as("revenue"), count(lit(1)).as("n"))
+
+  /** TPC-H Q14-style promotion effect: month of lineitem ⋈ broadcast part,
+    * promo revenue share as a ratio of two exact cent sums divided once
+    * (fixture p_type domain is single-word, so the predicate is equality,
+    * not LIKE 'PROMO%'). */
+  private val tpchQ14: Q = (s, d) => {
+    val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    tbl(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(r4(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0L))).cast("double") /
+        sum(rev).cast("double")).as("promo_revenue"))
+  }
+
+  /** TPC-H Q18-style large-volume customers: the HAVING-subquery becomes a
+    * pre-aggregated key filter applied as a broadcast LEFT SEMI join before
+    * the fact re-join — at 100 TB the qualifying-order set is the small
+    * side, so the fact table is filtered at the scan instead of shuffling
+    * everything into the subquery compare. Quantity sums ride as exact
+    * cents so the 180-unit threshold is an integer comparison. */
+  private val tpchQ18: Q = (s, d) => {
+    val big = tbl(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_quantity"))).as("qc"))
+      .where(col("qc") > 180L * 100)
+      .select(col("l_orderkey").as("bk"))
+    tbl(s, d, "lineitem")
+      .join(broadcast(big), col("l_orderkey") === col("bk"), "left_semi")
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg((sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderdate"), asc("o_orderkey"))
+      .limit(100)
+  }
+
   /** Consecutive-event pairing: self-join semantics expressed as a window lag
     * to stay shuffle-lean (§2.3 join_self). */
   private val joinSelf: Q = (s, d) => {
@@ -312,7 +360,10 @@ object Joins {
     "join_self" -> joinSelf,
     "tpch_q3" -> tpchQ3,
     "tpch_q5" -> tpchQ5,
+    "tpch_q6" -> tpchQ6,
     "tpch_q10" -> tpchQ10,
+    "tpch_q14" -> tpchQ14,
+    "tpch_q18" -> tpchQ18,
   )
 
   private val revSql =
@@ -422,6 +473,38 @@ object Joins {
             AND o_orderdate < TIMESTAMP '1997-04-01'
           GROUP BY c_custkey, c_name, n_name
           ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q6" ->
+      """SELECT sum(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT))/100.0
+                AS revenue,
+              count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "tpch_q14" ->
+      """SELECT floor((100.0 *
+                CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) /
+                CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS DOUBLE))
+                *10000 + 0.5)/10000.0 AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1997-02-01'""",
+    "tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 18000)
+         SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_orderkey IN (SELECT l_orderkey FROM big)
+         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
     "join_asof" -> asofOracle,
     // Fixture note (forward/nearest oracles): among clicks sharing the same
     // ms-truncated ts for a user, the Spark side breaks the tie by event_id
