@@ -705,6 +705,21 @@ class LabelPropSpec extends AnyFunSuite {
     assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
     assert(rounds <= 5, s"chain of diameter 3 took $rounds rounds")
   }
+
+  test("pointer-jumping makes rounds logarithmic: 200-chain inside 12 rounds") {
+    // plain relax-only propagation needs diameter rounds (200 here, far
+    // over any sane cap); the Shiloach–Vishkin shortcut step must bring a
+    // 200-node path graph home in ~log2 rounds
+    val n = 200L
+    val fwd = (1L until n).map(i => (i, i + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val init = (1L to n).map(i => (i, i)).toDF("node", "label")
+    val (labels, rounds) =
+      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 15)
+    assert(labels.collect().map(_.getLong(1)).forall(_ == 1L),
+      "path graph did not collapse to one component")
+    assert(rounds <= 12, s"200-node chain took $rounds rounds")
+  }
 }
 
 /** Streaming semantics (SURVEY §2.10): watermark drop + stateful ≡ batch. */
