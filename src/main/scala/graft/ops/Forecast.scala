@@ -32,16 +32,24 @@ object Forecast {
 
   /** Model hyper-parameters (the reference's Prophet-like knobs): changepoint
     * positions as trend-time quantiles, Fourier orders for the weekly/daily
-    * blocks, ridge strength, and the interval z. Defaults reproduce the
-    * contract query; callers may fit with any configuration. */
+    * blocks, holiday occurrence lists, ridge strength, and the interval z.
+    * Defaults reproduce the contract query; callers may fit with any
+    * configuration.
+    *
+    * `holidays` follows Prophet's holiday contract: each entry is ONE named
+    * holiday given as the epoch-DAY numbers of ALL its occurrences — past
+    * occurrences fit the single shared coefficient, future occurrences apply
+    * it inside the forecast horizon. (Prophet's extra-regressor feature is
+    * the same mechanism with an arbitrary 0/1 column.) */
   final case class Config(
       changepoints: Array[Double] = Array(0.25, 0.5, 0.75),
       weeklyK: Int = 3,
       dailyK: Int = 2,
       ridge: Double = 1.0,
-      intervalZ: Double = 1.2815515655446004 /* 80% normal half-width */) {
-    /** Number of regressors: intercept + t + changepoints + 2·(Kw + Kd). */
-    val p: Int = 2 + changepoints.length + 2 * (weeklyK + dailyK)
+      intervalZ: Double = 1.2815515655446004 /* 80% normal half-width */,
+      holidays: Array[Array[Long]] = Array.empty) {
+    /** Regressors: intercept + t + changepoints + 2·(Kw + Kd) + holidays. */
+    val p: Int = 2 + changepoints.length + 2 * (weeklyK + dailyK) + holidays.length
   }
   val DefaultConfig: Config = Config()
 
@@ -64,6 +72,10 @@ object Forecast {
     for (k <- 1 to cfg.dailyK) {
       val a = 2.0 * math.Pi * k * hd / 24.0
       x(i) = math.sin(a); x(i + 1) = math.cos(a); i += 2
+    }
+    val day = hr / 24 // epoch-day of this slot
+    for (occ <- cfg.holidays) {
+      x(i) = if (occ.contains(day)) 1.0 else 0.0; i += 1
     }
     x
   }
@@ -149,19 +161,22 @@ object Forecast {
   }
 
   /** Additive components at an absolute epoch-hour: (trend incl. intercept +
-    * changepoints, weekly Fourier block, daily Fourier block). The model is
-    * additive, so trend + weekly + daily ≡ the full prediction — Prophet's
-    * component-output contract (additivity asserted in ForecastProps). */
-  def componentsAt(m: Model, hr: Long): (Double, Double, Double) = {
+    * changepoints, weekly Fourier block, daily Fourier block, holiday
+    * block). The model is additive, so trend + weekly + daily + holiday ≡
+    * the full prediction — Prophet's component-output contract (additivity
+    * asserted in ForecastProps). */
+  def componentsAt(m: Model, hr: Long): (Double, Double, Double, Double) = {
     val x = features((hr - m.hr0) / m.span, hr, m.cfg)
     val trendEnd = 2 + m.cfg.changepoints.length
     val weeklyEnd = trendEnd + 2 * m.cfg.weeklyK
-    var tr = 0.0; var wk = 0.0; var dl = 0.0
+    val dailyEnd = weeklyEnd + 2 * m.cfg.dailyK
+    var tr = 0.0; var wk = 0.0; var dl = 0.0; var hol = 0.0
     var i = 0
     while (i < trendEnd) { tr += m.beta(i) * x(i); i += 1 }
     while (i < weeklyEnd) { wk += m.beta(i) * x(i); i += 1 }
-    while (i < m.cfg.p) { dl += m.beta(i) * x(i); i += 1 }
-    (tr, wk, dl)
+    while (i < dailyEnd) { dl += m.beta(i) * x(i); i += 1 }
+    while (i < m.cfg.p) { hol += m.beta(i) * x(i); i += 1 }
+    (tr, wk, dl, hol)
   }
 
   /** Fit one series and forecast `horizon` future hourly slots. */
@@ -173,11 +188,35 @@ object Forecast {
         (1 to horizon).iterator.map { h =>
           val hr = m.hrN + h
           val yh = predictAt(m, hr)
-          val (tr, wk, dl) = componentsAt(m, hr)
+          // Fc carries the three default components; configs with holidays
+          // forecast through fitPredictHolidays, whose row type adds the
+          // fourth block explicitly instead of silently folding it away
+          val (tr, wk, dl, _) = componentsAt(m, hr)
           Fc(key, new java.sql.Timestamp(hr * 3600000L),
             round4(yh), round4(yh - cfg.intervalZ * m.sigma),
             round4(yh + cfg.intervalZ * m.sigma),
             round4(tr), round4(wk), round4(dl))
+        }
+    }
+
+  final case class FcHol(user_id: Long, bucket: java.sql.Timestamp,
+      yhat: Double, trend: Double, weekly: Double, daily: Double,
+      holiday: Double)
+
+  /** Fit with holiday regressors and forecast `horizon` future hourly slots,
+    * emitting the holiday block as its own additive component (Prophet's
+    * holiday-decomposition output shape). */
+  def fitPredictHolidays(key: Long, pts: Array[Point], horizon: Int,
+      cfg: Config): Iterator[FcHol] =
+    fit(pts, cfg) match {
+      case None => Iterator.empty
+      case Some(m) =>
+        (1 to horizon).iterator.map { h =>
+          val hr = m.hrN + h
+          val (tr, wk, dl, hol) = componentsAt(m, hr)
+          FcHol(key, new java.sql.Timestamp(hr * 3600000L),
+            round4(tr + wk + dl + hol),
+            round4(tr), round4(wk), round4(dl), round4(hol))
         }
     }
 
@@ -252,10 +291,37 @@ object Forecast {
       .orderBy("user_id", "bucket")
   }
 
+  /** Holiday-effects variant (Prophet's holiday model, round-5): one named
+    * holiday whose occurrence list spans BOTH the training window (2nd day
+    * of the dataset — fits the shared coefficient) and the forecast horizon
+    * (the day after the last bucket — applies it), exactly how Prophet users
+    * pass past+future occurrences together. The two anchor days derive from
+    * one global min/max aggregate (deterministic; O(1) driver data); users
+    * whose span misses the in-sample occurrence get a 0 coefficient from
+    * the ridge — deterministic, not an error. */
+  private val forecastProphetHolidays: Q = (s, d) => {
+    import s.implicits._
+    val h = TimeSeries.hourly(s, d)
+    val span = h.agg(
+      org.apache.spark.sql.functions.min(col("bucket")),
+      org.apache.spark.sql.functions.max(col("bucket"))).collect()(0)
+    val d0 = span.getTimestamp(0).getTime / 86400000L
+    val dN = span.getTimestamp(1).getTime / 86400000L
+    val cfg = DefaultConfig.copy(holidays = Array(Array(d0 + 1, dN + 1)))
+    h.select(col("user_id"), col("bucket"), col("v"))
+      .as[Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[Point]) =>
+        fitPredictHolidays(k, it.toArray, horizon = 48, cfg))
+      .toDF()
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "forecast_prophet_like" -> forecastProphetLike,
     "forecast_prophet_backtest" -> forecastProphetBacktest,
     "forecast_prophet_configured" -> forecastProphetConfigured,
+    "forecast_prophet_holidays" -> forecastProphetHolidays,
   )
 
   /** Not SQL-expressible — self-verified (ForecastSpec); driver records a

@@ -72,9 +72,9 @@ object ForecastProps extends Properties("forecast") {
       // weekly has period 168h
       Forecast.fit(synth(a, b, c, n, seed)).forall { m =>
         val hr = m.hrN + 1
-        val (_, wk1, dl1) = Forecast.componentsAt(m, hr)
-        val (_, wk2, dl2) = Forecast.componentsAt(m, hr + 24)
-        val (_, wk3, _) = Forecast.componentsAt(m, hr + 168)
+        val (_, wk1, dl1, _) = Forecast.componentsAt(m, hr)
+        val (_, wk2, dl2, _) = Forecast.componentsAt(m, hr + 24)
+        val (_, wk3, _, _) = Forecast.componentsAt(m, hr + 168)
         math.abs(dl1 - dl2) < 1e-9 && math.abs(wk1 - wk3) < 1e-9
       }
     }
@@ -111,10 +111,38 @@ object ForecastProps extends Properties("forecast") {
       Forecast.fit(pts).exists { m =>
         val errs = (1 to 48).map { h =>
           val hr = m.hrN + h
-          val (_, _, dl) = Forecast.componentsAt(m, hr)
+          val (_, _, dl, _) = Forecast.componentsAt(m, hr)
           math.abs(dl - cd * math.sin(2 * math.Pi * (hr % 24) / 24.0))
         }
         errs.sum / errs.length < 0.15 * math.max(1.0, cd)
+      }
+    }
+
+  property("holiday coefficient is recovered and applies to future occurrences") =
+    Prop.forAll(Gen.choose(2.0, 8.0), Gen.choose(5.0, 40.0)) { (amp, b) =>
+      // 20-day hourly series; the planted holiday occurs in-sample on days
+      // 2 and 9 and again on the day after the span ends — Prophet's
+      // past+future occurrence-list contract
+      val hr0 = 480000L - (480000L % 24) // align to a day boundary
+      val d0 = hr0 / 24
+      val occ = Array(d0 + 2, d0 + 9, d0 + 20)
+      val rng = new scala.util.Random(13)
+      val pts = Array.tabulate(480) { i =>
+        val hr = hr0 + i
+        val y = 0.5 * (i / 479.0) + b +
+          (if (occ.contains(hr / 24)) amp else 0.0) +
+          (rng.nextDouble() - 0.5) * 0.01
+        Forecast.Point(7L, new java.sql.Timestamp(hr * 3600000L), y)
+      }
+      val cfg = Forecast.DefaultConfig.copy(holidays = Array(occ))
+      val fc = Forecast.fitPredictHolidays(7L, pts, 48, cfg).toArray
+      fc.nonEmpty && fc.forall { f =>
+        val day = f.bucket.getTime / 3600000L / 24
+        val onHoliday = occ.contains(day)
+        // additive: yhat is exactly the component sum (same rounding)
+        math.abs(f.yhat - (f.trend + f.weekly + f.daily + f.holiday)) <= 3.5e-4 &&
+          (if (onHoliday) math.abs(f.holiday - amp) < 0.2 * amp
+           else math.abs(f.holiday) < 1e-9)
       }
     }
 
