@@ -140,8 +140,29 @@ object Extensions {
       .orderBy("s_nationkey")
   }
 
+  /** Bounded top-k selection (fourth custom TypedImperativeAggregate —
+    * graft_topk_min, built in round 5 for the ANN candidate stages): the
+    * 25 cheapest events per type by (cents, event_id). Unlike the sketches
+    * above it is EXACT at every n (k-smallest under a total order is a
+    * selection), so the full update/merge machinery is DuckDB-oracle-checked
+    * directly against the window-rank SQL it replaces; at 100 TB the win is
+    * O(k) state per map task and a k·partitions-row shuffle instead of a
+    * window partition holding every row of the group. */
+  private val aggTopkSketch: Q = (s, d) => {
+    CatalystExt.register(s)
+    tbl(s, d, "events")
+      .withColumn("c", cents(col("value")).cast("double"))
+      .groupBy(col("event_type"))
+      .agg(expr("graft_topk_min(c, event_id, 25)").as("topk"))
+      .select(col("event_type"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("event_type"), col("pos").cast("long").as("pos"),
+        (col("e.score") / 100.0).as("value"), col("e.id").as("event_id"))
+      .orderBy("event_type", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_quantile_sketch" -> aggQuantileSketch,
+    "agg_topk_sketch" -> aggTopkSketch,
     "udf_scalar" -> udfScalar,
     "udaf_aggregator" -> udafAggregator,
     "udtf_generator" -> udtfGenerator,
@@ -185,6 +206,19 @@ object Extensions {
     "agg_heavy_hitters" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS est
          FROM events GROUP BY event_type ORDER BY est DESC, event_type""",
+    // exact selection ⇒ the window-rank SQL the aggregate replaces IS its oracle
+    "agg_topk_sketch" ->
+      """WITH r AS (
+           SELECT event_type, event_id,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS c,
+                  row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY CAST(floor(value*100 + 0.5) AS BIGINT), event_id)
+                    AS rk
+           FROM events)
+         SELECT event_type, CAST(rk - 1 AS BIGINT) AS pos, c/100.0 AS value,
+                event_id
+         FROM r WHERE rk <= 25 ORDER BY event_type, pos""",
     "udtf_generator" ->
       """WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
                     FROM documents WHERE doc_id < 20),
