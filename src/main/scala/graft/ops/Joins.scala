@@ -331,6 +331,81 @@ object Joins {
       .limit(100)
   }
 
+  /** TPC-H Q7-style volume shipping between two nations: both endpoints
+    * restricted to a 2-nation slice, so the nation dimension broadcasts and
+    * the pair filter (supp ≠ cust) lands after the equi-joins. Year is cast
+    * to long so Spark's INT and DuckDB's BIGINT agree on schema. */
+  private val tpchQ7: Q = (s, d) => {
+    val nat = tbl(s, d, "nation").where(col("n_name").isin("NATION_3", "NATION_7"))
+    val cn = broadcast(nat.select(col("n_nationkey").as("cnk"),
+      col("n_name").as("cust_nation")))
+    val sn = broadcast(nat.select(col("n_nationkey").as("snk"),
+      col("n_name").as("supp_nation")))
+    tbl(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(cn, col("c_nationkey") === col("cnk"))
+      .join(sn, col("s_nationkey") === col("snk"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg((sum(cents(revenue)) / 100.0).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q13-style customer order-count distribution: the one TPC-H query
+    * whose outer join KEEPS the unmatched side (zero-order customers must
+    * survive into the c_count=0 bucket), then a second tiny agg over the
+    * counts. The priority filter rides the join condition (applied to
+    * orders before the left join — same semantics, and it prunes the
+    * shuffle's probe side instead of post-filtering matched rows). */
+  private val tpchQ13: Q = (s, d) => {
+    val perCust = tbl(s, d, "customer")
+      .join(tbl(s, d, "orders").where(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q15-style top supplier: the revenue view aggregates once, then the
+    * max-revenue scalar subquery becomes a 1-row broadcast equi-join on the
+    * exact cent total (ties kept, per spec) — no full-table window, no
+    * driver-side collect of the view. */
+  private val tpchQ15: Q = (s, d) => {
+    val rev = tbl(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(cents(revenue)).as("revc"))
+    rev.join(broadcast(rev.agg(max(col("revc")).as("maxc"))),
+        col("revc") === col("maxc"))
+      .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("revc") / 100.0).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q19-style disjunctive predicate pushdown: three (brand, size,
+    * quantity) bands OR-ed together across both join sides. Catalyst
+    * extracts the per-side common disjuncts (l_quantity ∈ [1,30] onto the
+    * scan, p_brand ∈ set onto the broadcast build) so the OR does not defeat
+    * pushdown — the exhibit this query exists for. */
+  private val tpchQ19: Q = (s, d) => {
+    def band(brand: String, qlo: Int, qhi: Int, slo: Int, shi: Int) =
+      col("p_brand") === brand && col("l_quantity").between(qlo, qhi) &&
+        col("p_size").between(slo, shi)
+    tbl(s, d, "lineitem")
+      .join(broadcast(tbl(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .where(band("Brand#12", 1, 11, 1, 5) || band("Brand#23", 10, 20, 1, 10) ||
+        band("Brand#15", 20, 30, 1, 15))
+      .agg((sum(cents(revenue)) / 100.0).as("revenue"), count(lit(1)).as("n"))
+  }
+
   /** Consecutive-event pairing: self-join semantics expressed as a window lag
     * to stay shuffle-lean (§2.3 join_self). */
   private val joinSelf: Q = (s, d) => {
@@ -361,9 +436,13 @@ object Joins {
     "tpch_q3" -> tpchQ3,
     "tpch_q5" -> tpchQ5,
     "tpch_q6" -> tpchQ6,
+    "tpch_q7" -> tpchQ7,
     "tpch_q10" -> tpchQ10,
+    "tpch_q13" -> tpchQ13,
     "tpch_q14" -> tpchQ14,
+    "tpch_q15" -> tpchQ15,
     "tpch_q18" -> tpchQ18,
+    "tpch_q19" -> tpchQ19,
   )
 
   private val revSql =
@@ -505,6 +584,51 @@ object Joins {
          WHERE l_orderkey IN (SELECT l_orderkey FROM big)
          GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+    "tpch_q7" ->
+      s"""SELECT s_nat.n_name AS supp_nation, c_nat.n_name AS cust_nation,
+                year(l_shipdate) AS l_year, $revSql AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation c_nat ON c_nationkey = c_nat.n_nationkey
+         JOIN nation s_nat ON s_nationkey = s_nat.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND c_nat.n_name IN ('NATION_3', 'NATION_7')
+           AND s_nat.n_name IN ('NATION_3', 'NATION_7')
+           AND s_nat.n_name <> c_nat.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "tpch_q13" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist
+         FROM per_cust GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q15" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS revc
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, revc/100.0 AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE revc = (SELECT max(revc) FROM rev)
+         ORDER BY s_suppkey""",
+    "tpch_q19" ->
+      s"""SELECT $revSql AS revenue, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+                AND p_size BETWEEN 1 AND 5)
+            OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+                AND p_size BETWEEN 1 AND 10)
+            OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30
+                AND p_size BETWEEN 1 AND 15)""",
     "join_asof" -> asofOracle,
     // Fixture note (forward/nearest oracles): among clicks sharing the same
     // ms-truncated ts for a user, the Spark side breaks the tie by event_id

@@ -1074,6 +1074,61 @@ object TextDedup {
         .as("fp"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition filter signal: fraction of within-document
+    * trigrams that are duplicates (1 − distinct/total). All per-row array
+    * expressions (transform over sequence + array_distinct) — no explode, no
+    * shuffle beyond the final sort, so at 100 TB this is a pure map stage.
+    * sequence(0, n−3) is only evaluated when n ≥ 3: Spark's sequence picks a
+    * DESCENDING step when stop < start (sequence(0,−1) = [0,−1], not empty),
+    * so the guard is correctness, not style. */
+  private val textRepetitionScore: Q = (s, d) => {
+    val tg = when(size(col("tk")) >= 3,
+      expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .otherwise(expr("array()"))
+    tbl(s, d, "documents")
+      .withColumn("tk", toks(normText))
+      .withColumn("tg", tg)
+      .select(col("doc_id"),
+        size(col("tg")).cast("long").as("n_tri"),
+        size(array_distinct(col("tg"))).cast("long").as("n_tri_distinct"))
+      .withColumn("dup_frac",
+        when(col("n_tri") > 0, r4(lit(1.0) -
+          col("n_tri_distinct").cast("double") / col("n_tri").cast("double")))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  /** Quality-gate funnel: per source, how many documents each filter rule
+    * (length, repetition, language) would drop, and the joint retention.
+    * One map stage computes all rule bits per row, one partial+final agg
+    * folds them — the funnel never materializes per-rule subsets, which is
+    * the difference between one scan and four at corpus scale. */
+  private val pipelineQualityGate: Q = (s, d) => {
+    val tk = toks(normText)
+    val n = size(tk)
+    val tg = when(n >= 3,
+      expr("transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .otherwise(expr("array()"))
+    val dupFrac = when(size(col("tg")) > 0, lit(1.0) -
+      size(array_distinct(col("tg"))).cast("double") / size(col("tg")).cast("double"))
+      .otherwise(lit(0.0))
+    tbl(s, d, "documents")
+      .withColumn("tk", tk).withColumn("tg", tg)
+      .select(col("source"),
+        (n >= 30).cast("long").as("pass_len"),
+        (dupFrac <= 0.02).cast("long").as("pass_rep"),
+        col("lang").isin("en", "fr", "de").cast("long").as("pass_lang"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass_len")).as("n_pass_len"),
+        sum(col("pass_rep")).as("n_pass_rep"),
+        sum(col("pass_lang")).as("n_pass_lang"),
+        sum(col("pass_len") * col("pass_rep") * col("pass_lang")).as("n_pass_all"))
+      .withColumn("retention",
+        r4(col("n_pass_all").cast("double") / col("n_docs").cast("double")))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- multimodal
   /** Multimodal record assembly: typed metadata struct serialized to
     * canonical JSON + digest + embedding norm (documents ⋈ embeddings). */
@@ -1171,6 +1226,8 @@ object TextDedup {
     "text_quality_score" -> textQualityScore,
     "text_token_count" -> textTokenCount,
     "text_fingerprint" -> textFingerprint,
+    "text_repetition_score" -> textRepetitionScore,
+    "pipeline_quality_gate" -> pipelineQualityGate,
     "multimodal_struct" -> multimodalStruct,
     "multimodal_binary" -> multimodalBinary,
     "multimodal_decode" -> multimodalDecode,
@@ -1461,6 +1518,43 @@ object TextDedup {
           SELECT doc_id,
                  CAST(sum(i * (ascii(substr(tk[i], 1, 1)) + length(tk[i]))) % 1000000007 AS BIGINT) AS fp
           FROM p GROUP BY doc_id ORDER BY doc_id""",
+    "text_repetition_score" ->
+      s"""WITH t AS (SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+           p AS (SELECT doc_id, unnest(generate_series(1, len(tk)-2)) AS i, tk
+                 FROM t WHERE len(tk) >= 3),
+           tri AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg FROM p),
+           agg AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT tg) AS n_dis
+                   FROM tri GROUP BY doc_id)
+          SELECT t.doc_id, coalesce(agg.n_tri, 0) AS n_tri,
+                 coalesce(agg.n_dis, 0) AS n_tri_distinct,
+                 CASE WHEN coalesce(agg.n_tri, 0) > 0
+                      THEN floor((1.0 - CAST(agg.n_dis AS DOUBLE)/agg.n_tri)*10000 + 0.5)/10000.0
+                      ELSE 0.0 END AS dup_frac
+          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+          ORDER BY t.doc_id""",
+    "pipeline_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, string_split($normSql, ' ') AS tk
+                     FROM documents),
+           p AS (SELECT doc_id, unnest(generate_series(1, len(tk)-2)) AS i, tk
+                 FROM t WHERE len(tk) >= 3),
+           tri AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg FROM p),
+           rep AS (SELECT doc_id,
+                          1.0 - CAST(count(DISTINCT tg) AS DOUBLE)/count(*) AS dup_frac
+                   FROM tri GROUP BY doc_id),
+           rules AS (
+             SELECT t.source,
+                    CASE WHEN len(t.tk) >= 30 THEN 1 ELSE 0 END AS pass_len,
+                    CASE WHEN coalesce(rep.dup_frac, 0.0) <= 0.02 THEN 1 ELSE 0 END AS pass_rep,
+                    CASE WHEN t.lang IN ('en', 'fr', 'de') THEN 1 ELSE 0 END AS pass_lang
+             FROM t LEFT JOIN rep ON t.doc_id = rep.doc_id)
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(pass_len) AS BIGINT) AS n_pass_len,
+                 CAST(sum(pass_rep) AS BIGINT) AS n_pass_rep,
+                 CAST(sum(pass_lang) AS BIGINT) AS n_pass_lang,
+                 CAST(sum(pass_len * pass_rep * pass_lang) AS BIGINT) AS n_pass_all,
+                 floor((CAST(sum(pass_len * pass_rep * pass_lang) AS DOUBLE)/count(*))*10000 + 0.5)/10000.0
+                   AS retention
+          FROM rules GROUP BY source ORDER BY source""",
     "multimodal_struct" ->
       s"""SELECT doc_id,
                  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
