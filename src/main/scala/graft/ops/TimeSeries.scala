@@ -401,10 +401,87 @@ object TimeSeries {
       ORDER BY grain, bucket""")
   }
 
+  /** Lagged cross-correlation between the purchase and click hourly count
+    * series: which lag (0–3 h) best aligns clicks with purchases. The join
+    * key is the integer epoch-hour, so the lag shift is bigint addition (no
+    * interval arithmetic to disagree on), and Pearson runs over exact
+    * integer count sums. The 4-row lag table broadcasts; the series being
+    * correlated is already one row per hour — O(hours), not O(events) — so
+    * the ×4 replication is free at any corpus scale. */
+  private val tsCrossCorr: Q = (s, d) => {
+    val e = tbl(s, d, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("bh"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("bh"), col("cnt").as("x"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("bh").as("ch"), col("cnt").as("y"))
+    val lags = s.range(0, 4).select(col("id").as("lag_h"))
+    p.crossJoin(broadcast(lags))
+      .join(c, col("ch") === col("bh") + col("lag_h"))
+      .groupBy(col("lag_h"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("r", r4(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+      .select("lag_h", "n", "r")
+      .orderBy("lag_h")
+  }
+
+  /** Robust anomaly detection: median/MAD instead of mean/stddev (immune to
+    * the outliers it is hunting). Two grouped aggregations on the same
+    * user_id key — Spark's exact `percentile` and DuckDB's `median` share
+    * linear-interpolation semantics, and the deviation compare runs on
+    * identically-derived doubles. Emits only the flagged rows. */
+  private val tsAnomalyMad: Q = (s, d) => {
+    val h = hourly(s, d)
+    val med = h.groupBy(col("user_id"))
+      .agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = h.join(med, "user_id")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col("user_id"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, "user_id")
+      .where(col("dev") > lit(3.0) * col("mad"))
+      .select(col("user_id"), col("bucket"), col("v"),
+        r4(col("med")).as("med"), r4(col("mad")).as("mad"))
+      .orderBy("user_id", "bucket")
+  }
+
+  /** Calendar feature extraction for downstream forecasting/ML: per hourly
+    * bucket, ISO weekday / hour / month plus cyclical sin/cos encodings
+    * (r4-rounded — the one irreducibly-libm surface, §5.3.3). Spark's
+    * weekday() is Monday=0, DuckDB's isodow is Monday=1: the +1 below is
+    * the portability contract, not an off-by-one. */
+  private val tsCalendarFeatures: Q = (s, d) => {
+    val twoPi = lit(2.0 * math.Pi)
+    tbl(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", (weekday(col("bucket")) + 1).cast("long"))
+      .withColumn("hod", hour(col("bucket")).cast("long"))
+      .withColumn("mon", month(col("bucket")).cast("long"))
+      .select(col("bucket"), col("n_events"), col("dow"), col("hod"), col("mon"),
+        (col("dow") >= 6).as("is_weekend"),
+        r4(sin(twoPi * col("hod") / 24.0)).as("hour_sin"),
+        r4(cos(twoPi * col("hod") / 24.0)).as("hour_cos"),
+        r4(sin(twoPi * (col("dow") - 1) / 7.0)).as("dow_sin"),
+        r4(cos(twoPi * (col("dow") - 1) / 7.0)).as("dow_cos"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_multi_grain" -> tsMultiGrain,
     "ts_resample_composite" -> tsResampleComposite,
     "ts_autocorr" -> tsAutocorr,
+    "ts_cross_correlation" -> tsCrossCorr,
+    "ts_anomaly_mad" -> tsAnomalyMad,
+    "ts_calendar_features" -> tsCalendarFeatures,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
     "ts_ewma" -> tsEwma,
@@ -524,6 +601,52 @@ object TimeSeries {
                      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)))
                     *10000 + 0.5)/10000.0 AS r
        FROM sums ORDER BY user_id"""),
+    "ts_cross_correlation" ->
+      """WITH h AS (
+           SELECT epoch_ms(date_trunc('hour', ts))//3600000 AS bh, event_type,
+                  count(*) AS cnt
+           FROM events WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1, 2),
+         p AS (SELECT bh, cnt AS x FROM h WHERE event_type = 'purchase'),
+         c AS (SELECT bh AS ch, cnt AS y FROM h WHERE event_type = 'click'),
+         lags AS (SELECT unnest(generate_series(0, 3)) AS lag_h),
+         pairs AS (SELECT lag_h, x, y
+                   FROM p CROSS JOIN lags JOIN c ON ch = bh + lag_h),
+         sums AS (SELECT lag_h, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+                         CAST(sum(x*y) AS BIGINT) AS sxy
+                  FROM pairs GROUP BY lag_h)
+       SELECT lag_h, n,
+              floor((CAST(n*sxy - sx*sy AS DOUBLE) /
+                     sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)))
+                    *10000 + 0.5)/10000.0 AS r
+       FROM sums ORDER BY lag_h""",
+    "ts_anomaly_mad" -> (H0 + """,
+       med AS (SELECT user_id, median(v) AS med FROM hourly GROUP BY user_id),
+       dev AS (SELECT h.user_id, h.bucket, h.v, med.med, abs(h.v - med.med) AS dev
+               FROM hourly h JOIN med ON h.user_id = med.user_id),
+       mad AS (SELECT user_id, median(dev) AS mad FROM dev GROUP BY user_id)
+       SELECT dev.user_id, dev.bucket, dev.v,
+              floor(dev.med*10000 + 0.5)/10000.0 AS med,
+              floor(mad.mad*10000 + 0.5)/10000.0 AS mad
+       FROM dev JOIN mad ON dev.user_id = mad.user_id
+       WHERE dev.dev > 3.0 * mad.mad
+       ORDER BY dev.user_id, dev.bucket"""),
+    "ts_calendar_features" ->
+      """WITH b AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                  count(*) AS n_events
+           FROM events GROUP BY 1)
+       SELECT bucket, n_events,
+              isodow(bucket) AS dow, CAST(hour(bucket) AS BIGINT) AS hod,
+              CAST(month(bucket) AS BIGINT) AS mon,
+              isodow(bucket) >= 6 AS is_weekend,
+              floor(sin(2*pi()*hour(bucket)/24.0)*10000 + 0.5)/10000.0 AS hour_sin,
+              floor(cos(2*pi()*hour(bucket)/24.0)*10000 + 0.5)/10000.0 AS hour_cos,
+              floor(sin(2*pi()*(isodow(bucket)-1)/7.0)*10000 + 0.5)/10000.0 AS dow_sin,
+              floor(cos(2*pi()*(isodow(bucket)-1)/7.0)*10000 + 0.5)/10000.0 AS dow_cos
+       FROM b ORDER BY bucket""",
     "ts_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                            CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm
