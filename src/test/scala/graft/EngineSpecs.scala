@@ -899,3 +899,62 @@ class ZOrderSpec extends AnyFunSuite {
       s"total span budget should shrink: z-order ${zx + zy} vs x-sort ${lx + ly}")
   }
 }
+
+/** Invariants for the round-5 additions: quality gate funnel arithmetic,
+  * repetition-score bounds, cross-correlation range, MAD flag validity,
+  * and Q13's conservation of customers. */
+class QualityGateSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("pipeline_quality_gate: joint pass never exceeds any single rule") {
+    val rows = SparkEntry.queries("pipeline_quality_gate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_docs")
+      val all = r.getAs[Long]("n_pass_all")
+      val single = Seq("n_pass_len", "n_pass_rep", "n_pass_lang").map(r.getAs[Long])
+      assert(single.forall(s => s <= n && all <= s),
+        s"funnel violated at ${r.getAs[String]("source")}: all=$all single=$single n=$n")
+      val ret = r.getAs[Double]("retention")
+      assert(ret >= 0.0 && ret <= 1.0)
+    }
+  }
+
+  test("text_repetition_score: dup_frac bounded, distinct <= total") {
+    val rows = SparkEntry.queries("text_repetition_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_tri_distinct") <= r.getAs[Long]("n_tri"))
+      val f = r.getAs[Double]("dup_frac")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("ts_cross_correlation: one row per lag, r in [-1,1]") {
+    val rows = SparkEntry.queries("ts_cross_correlation")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("lag_h")).toSeq == Seq(0L, 1L, 2L, 3L))
+    for (r <- rows) {
+      val c = r.getAs[Double]("r")
+      assert(c >= -1.0001 && c <= 1.0001, s"lag ${r.getAs[Long]("lag_h")}: r=$c")
+      assert(r.getAs[Long]("n") > 0)
+    }
+  }
+
+  test("ts_anomaly_mad: every flagged row deviates beyond 3 MAD") {
+    val rows = SparkEntry.queries("ts_anomaly_mad")(spark, sf).collect()
+    // r4-rounded med/mad in the output can shift the strict inequality by
+    // at most 1e-4 on each side; verify with that tolerance.
+    for (r <- rows) {
+      val dev = math.abs(r.getAs[Double]("v") - r.getAs[Double]("med"))
+      assert(dev > 3.0 * r.getAs[Double]("mad") - 4e-4,
+        s"row not anomalous: $r")
+    }
+  }
+
+  test("tpch_q13: distribution conserves the customer count") {
+    val total = SparkEntry.queries("tpch_q13")(spark, sf).collect()
+      .map(_.getAs[Long]("custdist")).sum
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(total == nCust, s"sum(custdist)=$total != customers=$nCust")
+  }
+}
