@@ -1,0 +1,132 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public library facade — the surface a user programs against, as opposed
+  * to the driver contract in [[graft.SparkEntry]] (which exercises the same
+  * internals as fixture-bound queries).
+  *
+  * Usage:
+  * {{{
+  *   import graft.api.Graft
+  *   import graft.api.functions._
+  *   import graft.api.implicits._
+  *
+  *   Graft.init(spark)                      // once per session
+  *   df.agg(hllDistinct($"user_id"))        // sketch aggregates
+  *   trades.asofJoin(quotes, "sym", "ts")   // native as-of join
+  * }}}
+  */
+object Graft {
+
+  /** One-call session setup: registers every graft_* SQL function
+    * (idempotent; the as-of strategy self-injects on first use). */
+  def init(s: SparkSession): SparkSession = {
+    graft.ext.CatalystExt.register(s)
+    s
+  }
+
+  /** Distributed Prophet-style forecast: one model per key, fit in-task
+    * (per-series-fits-in-memory contract — 100 TB means more series, not
+    * bigger ones). Input columns are (key: integral, time: timestamp,
+    * value: numeric); output is `horizon` future hourly slots per key with
+    * yhat / interval bounds / trend / weekly / daily components. */
+  def forecast(df: DataFrame, key: String, time: String, value: String,
+      horizon: Int,
+      cfg: graft.ops.Forecast.Config = graft.ops.Forecast.DefaultConfig): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("long").as("user_id"), col(time).as("bucket"),
+        col(value).cast("double").as("v"))
+      .as[graft.ops.Forecast.Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[graft.ops.Forecast.Point]) =>
+        graft.ops.Forecast.fitPredict(k, it.toArray, horizon, cfg))
+      .toDF()
+  }
+}
+
+/** Column functions over the custom Catalyst surface. All resolve through
+  * the session function registry — call [[Graft.init]] first. */
+object functions {
+
+  /** Cosine similarity of two float-array columns (whole-stage-codegen
+    * Expression, not a UDF). */
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Mergeable HyperLogLog distinct-count aggregate (O(2^p) state). */
+  def hllDistinct(c: Column): Column = call_function("graft_hll", c)
+
+  /** Misra–Gries heavy hitters: top frequent values with O(k) state. */
+  def heavyHitters(c: Column, k: Int): Column =
+    call_function("graft_heavy_hitters", c, lit(k))
+
+  /** KLL-style streaming quantile sketch (mergeable, O(k) state). */
+  def kllQuantile(c: Column, q: Double, k: Int): Column =
+    call_function("graft_kll_quantile", c, lit(q), lit(k))
+
+  /** Bounded-heap k-smallest selection aggregate: folds to O(k) state
+    * map-side — the scale-safe alternative to a global window rank. */
+  def topkMin(payload: Column, orderKey: Column, k: Int): Column =
+    call_function("graft_topk_min", payload, orderKey, lit(k))
+
+  /** Generator: (pos, "tok_i tok_i+1") bigrams from a token array. */
+  def bigrams(tokens: Column): Column = call_function("graft_bigrams", tokens)
+}
+
+object implicits {
+
+  implicit class GraftDataFrameOps(private val df: DataFrame) extends AnyVal {
+
+    /** Backward as-of join via the native AsOfJoinExec (one exchange + sort
+      * per side; no range explosion). For each probe row, the latest ref
+      * row with ref.time <= probe.time on the same key. Ref columns are
+      * suffixed where they collide with probe columns upstream — name them
+      * distinctly for clarity. */
+    def asofJoin(ref: DataFrame, key: String, time: String,
+        refKey: String = null, refTime: String = null): DataFrame =
+      graft.plans.AsOfJoin.join(df.sparkSession, df, ref,
+        key, time, Option(refKey).getOrElse(key), Option(refTime).getOrElse(time))
+
+    /** Exact deduplication: one surviving row per key group, chosen by the
+      * smallest tie-break value (deterministic under any partitioning). */
+    def dedupExact(keys: Seq[String], tieBreak: String): DataFrame = {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col(tieBreak).asc)
+      df.withColumn("__graft_rn", row_number().over(w))
+        .where(col("__graft_rn") === 1)
+        .drop("__graft_rn")
+    }
+
+    /** Time-bucket resample: (key, time, value) → (key, bucket, value)
+      * where `every` is a window duration like "1 hour". `how` selects the
+      * aggregate: avg | sum | min | max | count. */
+    def resample(key: String, time: String, value: String, every: String,
+        how: String = "avg"): DataFrame = {
+      val a = how match {
+        case "avg" => avg(col(value))
+        case "sum" => sum(col(value))
+        case "min" => min(col(value))
+        case "max" => max(col(value))
+        case "count" => count(lit(1)).cast("double")
+        case other => throw new IllegalArgumentException(s"how=$other")
+      }
+      df.groupBy(col(key), window(col(time), every))
+        .agg(a.as(value))
+        .select(col(key), col("window.start").as("bucket"), col(value))
+    }
+
+    /** Top k rows per group by `order` ascending (window rank — keeps the
+      * rows themselves; for aggregate contexts where only the selection
+      * matters, prefer [[functions.topkMin]], which never materializes a
+      * full-group window partition). */
+    def topkPerGroup(groups: Seq[String], order: Column, k: Int): DataFrame = {
+      val w = Window.partitionBy(groups.map(col): _*).orderBy(order.asc)
+      df.withColumn("__graft_rn", row_number().over(w))
+        .where(col("__graft_rn") <= k)
+        .drop("__graft_rn")
+    }
+  }
+}

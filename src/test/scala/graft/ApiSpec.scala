@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The public facade (graft.api) must be usable exactly as documented —
+  * these tests program against it the way an external user would. */
+class ApiSpec extends AnyFunSuite {
+  import TestSession._
+  import graft.api.implicits._
+
+  test("Graft.init + sketch column functions agree with exact aggregates") {
+    graft.api.Graft.init(spark)
+    val ev = graft.util.Canon.events(spark, sf)
+    val row = ev.agg(
+      graft.api.functions.hllDistinct(col("user_id")).as("approx"),
+      countDistinct(col("user_id")).as("exact")).head()
+    val approx = row.getAs[Long]("approx")
+    val exact = row.getAs[Long]("exact")
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"hll $approx vs exact $exact")
+  }
+
+  test("asofJoin through the implicit matches a window-join oracle") {
+    import spark.implicits._
+    val probe = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 15L, "p3"))
+      .toDF("k", "t", "tag")
+      .select(col("k"), timestamp_seconds(col("t")).as("t"), col("tag"))
+    val ref = Seq((1L, 5L, 1.0), (1L, 12L, 2.0), (2L, 99L, 9.0))
+      .toDF("rk", "rt", "v")
+      .select(col("rk"), timestamp_seconds(col("rt")).as("rt"), col("v"))
+    val got = probe.asofJoin(ref, "k", "t", "rk", "rt")
+      .select("tag", "v").collect().map(r => (r.getString(0), r.get(1))).toMap
+    assert(got("p1") == 1.0)   // latest ref at t<=10 is t=5
+    assert(got("p2") == 2.0)   // latest ref at t<=20 is t=12
+    assert(got("p3") == null)  // no ref row at t<=15 for k=2
+  }
+
+  test("dedupExact keeps exactly the smallest tie-break per group") {
+    import spark.implicits._
+    val df = Seq(("a", 3), ("a", 1), ("b", 2), ("a", 2)).toDF("g", "n")
+    val out = df.dedupExact(Seq("g"), "n").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(out == Map("a" -> 1, "b" -> 2))
+  }
+
+  test("resample buckets agree with the engine's hourly grid keys") {
+    val ev = graft.util.Canon.events(spark, sf)
+    val api = ev.resample("user_id", "ts", "value", "1 hour")
+    val fixture = SparkEntry.queries("ts_resample")(spark, sf)
+    assert(api.select("user_id", "bucket").except(
+      fixture.select("user_id", "bucket")).isEmpty)
+    assert(fixture.select("user_id", "bucket").except(
+      api.select("user_id", "bucket")).isEmpty)
+  }
+
+  test("topkPerGroup returns k rows per group in order") {
+    import spark.implicits._
+    val df = Seq(("a", 3), ("a", 1), ("a", 2), ("b", 9), ("b", 8)).toDF("g", "n")
+    val out = df.topkPerGroup(Seq("g"), col("n"), 2)
+    assert(out.count() == 4)
+    assert(out.where(col("g") === "a").agg(max("n")).head().getInt(0) == 2)
+  }
+
+  test("Graft.forecast emits horizon rows per key") {
+    val hourly = graft.util.Canon.events(spark, sf)
+      .resample("user_id", "ts", "value", "1 hour")
+    val keys = hourly.select("user_id").distinct().count()
+    val fc = graft.api.Graft.forecast(hourly, "user_id", "bucket", "value", horizon = 12)
+    // fitPredict skips series too short to fit; every emitted key has 12 rows
+    val perKey = fc.groupBy("user_id").count().select("count").distinct().collect()
+    assert(perKey.length == 1 && perKey.head.getLong(0) == 12L)
+    assert(fc.count() > 0 && fc.count() <= keys * 12)
+  }
+}
