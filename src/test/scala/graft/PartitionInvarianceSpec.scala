@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism under partitioning (SCALING.md / Canon's exact-integer-sum
+  * contract): the same query must produce the SAME rows whether the shuffle
+  * fans out over 3 partitions or 8 — if results drift with partition count
+  * at sf0.001, they drift with executor count at 100 TB. Exercises the ops
+  * whose arithmetic most depends on accumulation order (float aggs, OLS
+  * fits, interpolation, per-series model fits). */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val sensitive = Seq(
+    "agg_stats", "agg_pricing_summary", "ts_interp_linear",
+    "forecast_linear_trend", "forecast_prophet_like", "text_tfidf_terms")
+
+  private def runAt(name: String, parts: String): Array[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (name <- sensitive) {
+    test(s"$name: identical results at 3 vs 8 shuffle partitions") {
+      val a = runAt(name, "3")
+      val b = runAt(name, "8")
+      assert(a.length == b.length, s"row count ${a.length} vs ${b.length}")
+      val firstDiff = a.zip(b).indexWhere { case (x, y) => x != y }
+      if (firstDiff != -1)
+        fail(s"first differing row #$firstDiff:\n${a(firstDiff)}\n${b(firstDiff)}")
+    }
+  }
+}
