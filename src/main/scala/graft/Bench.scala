@@ -36,6 +36,23 @@ object Bench {
     Seq("region", "nation", "documents").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // Streaming warmup: MicroBatchExecution / state-store / streaming-agg
+    // classloading+JIT otherwise lands on whichever stream_* query runs
+    // first and inflates its median (the residual drift the 5-rep change
+    // didn't kill). One trivial rate-source batch absorbs it.
+    locally {
+      val q = spark.readStream.format("rate").option("numPartitions", "1")
+        .option("rowsPerSecond", "1").load()
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("timestamp"), "1 second"))
+        .count()
+        .writeStream.format("memory").queryName("graft_warmup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      q.awaitTermination(30000); if (q.isActive) q.stop()
+      spark.sql("DROP TABLE IF EXISTS graft_warmup")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // GC between queries so the previous query's released blocks are
       // collected on our dime, not attributed to this query's first rep
