@@ -453,19 +453,24 @@ object TextDedup {
       // (df-qualified column refs: the self-join on `relaxed` otherwise
       // trips the analyzer's attribute dedup on the iterative plan)
       val jump = relaxed.select(col("node").as("ln"), col("label").as("ll"))
-      val next = relaxed
+      val shortcut = relaxed
         .join(jump, relaxed("label") === jump("ln"), "left")
         .select(relaxed("node").as("node"),
           least(relaxed("label"), coalesce(jump("ll"), relaxed("label"))).as("label"))
-        .localCheckpoint(true)
-      // LEFT join from next: a node first appearing this round (edges can
-      // mention nodes absent from init) has no old label and must count as
-      // a change, or the loop would declare convergence prematurely
-      converged = next.as("n")
+      // Fold the convergence test into the SAME materialized pass instead of
+      // a separate join job per round: each checkpointed row carries a
+      // changed bit, and the post-checkpoint aggregate scans already-
+      // materialized partitions. LEFT join from shortcut: a node first
+      // appearing this round (edges can mention nodes absent from init) has
+      // no old label and must count as a change, or the loop would declare
+      // convergence prematurely.
+      val next = shortcut.as("n")
         .join(labels.as("o"), Seq("node"), "left")
-        .where(col("o.label").isNull || col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+        .select(col("node"), col("n.label").as("label"),
+          (col("o.label").isNull || col("n.label") =!= col("o.label")).as("chg"))
+        .localCheckpoint(true)
+      converged = next.where(col("chg")).isEmpty
+      labels = next.select("node", "label")
       rounds += 1
     }
     (labels, rounds)
