@@ -1134,6 +1134,58 @@ object TextDedup {
       .orderBy("source")
   }
 
+  /** Vocabulary build + out-of-vocabulary accounting: top-100 tokens by
+    * global frequency (ties by token) become the vocab; each source is then
+    * scored by its OOV token rate — the coverage statistic a tokenizer
+    * train/apply split needs. The vocab rank is a window over an
+    * already-LIMITed 100-row frame (TakeOrdered feeds it), and the vocab
+    * broadcasts into the per-source join: corpus-sized work is two
+    * explode+agg passes, never a corpus-sized sort. */
+  private val textVocabOov: Q = (s, d) => {
+    val tok = tbl(s, d, "documents")
+      .select(col("source"), explode(toks(normText)).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("t")).limit(100)
+      .select(col("t").as("vt"))
+    tok.join(broadcast(vocab), col("t") === col("vt"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vt").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        r4(col("n_oov").cast("double") / col("n_tokens").cast("double")))
+      .orderBy("source")
+  }
+
+  /** Per-dimension int8 quantization audit for the embedding column: range,
+    * scale, and mean |reconstruction error| per dim — the decision table
+    * for vector-store compression. Error means ride exact 1e9-scaled
+    * integer sums (order-insensitive, §5.3.2); quantization uses
+    * floor(z+0.5), portable across engines. One posexplode + one agg per
+    * dim: O(n·dim) map work, no shuffle beyond the 64-group agg. */
+  private val embedQuantizeStats: Q = (s, d) => {
+    val x = col("x")
+    tbl(s, d, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("xf").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), min(x).as("mn"), max(x).as("mx"))
+      .join(
+        tbl(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+          .select((col("pos") + 1).cast("long").as("dim"), col("xf").cast("double").as("x")),
+        "dim")
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+      .withColumn("q", when(col("scale") > 0,
+        floor((x - col("mn")) / col("scale") + 0.5)).otherwise(lit(0.0)))
+      .withColumn("err",
+        abs(x - (col("mn") + col("q") * col("scale"))))
+      .groupBy(col("dim"), col("n"), col("mn"), col("mx"))
+      .agg((sum(floor(col("err") * 1e9 + 0.5).cast("long")) / 1e9).as("errsum"))
+      .select(col("dim"), col("n"), r4(col("mn")).as("mn"), r4(col("mx")).as("mx"),
+        r4(col("errsum") / col("n")).as("avg_abs_err"))
+      .orderBy("dim")
+  }
+
   // ---------------------------------------------------------------- multimodal
   /** Multimodal record assembly: typed metadata struct serialized to
     * canonical JSON + digest + embedding norm (documents ⋈ embeddings). */
@@ -1233,6 +1285,8 @@ object TextDedup {
     "text_fingerprint" -> textFingerprint,
     "text_repetition_score" -> textRepetitionScore,
     "pipeline_quality_gate" -> pipelineQualityGate,
+    "text_vocab_oov" -> textVocabOov,
+    "embed_quantize_stats" -> embedQuantizeStats,
     "multimodal_struct" -> multimodalStruct,
     "multimodal_binary" -> multimodalBinary,
     "multimodal_decode" -> multimodalDecode,
@@ -1560,6 +1614,41 @@ object TextDedup {
                  floor((CAST(sum(pass_len * pass_rep * pass_lang) AS DOUBLE)/count(*))*10000 + 0.5)/10000.0
                    AS retention
           FROM rules GROUP BY source ORDER BY source""",
+    "text_vocab_oov" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split($normSql, ' ')) AS t
+                       FROM documents),
+           cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+           vocab AS (SELECT t AS vt FROM cnt ORDER BY c DESC, t LIMIT 100)
+          SELECT source, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                 floor((CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                        /count(*))*10000 + 0.5)/10000.0 AS oov_rate
+          FROM tok LEFT JOIN vocab ON t = vt
+          GROUP BY source ORDER BY source""",
+    "embed_quantize_stats" ->
+      """WITH p AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+                          embedding
+                    FROM embeddings),
+           v AS (SELECT CAST(dim AS BIGINT) AS dim, CAST(embedding[dim] AS DOUBLE) AS x
+                 FROM p),
+           st AS (SELECT dim, count(*) AS n, min(x) AS mn, max(x) AS mx
+                  FROM v GROUP BY dim),
+           e AS (SELECT v.dim, st.n, st.mn, st.mx, v.x,
+                        CASE WHEN (st.mx - st.mn)/255.0 > 0
+                             THEN floor((v.x - st.mn)/((st.mx - st.mn)/255.0) + 0.5)
+                             ELSE 0.0 END AS q
+                 FROM v JOIN st USING (dim)),
+           r AS (SELECT dim, n, mn, mx,
+                        abs(x - (mn + q*((mx - mn)/255.0))) AS err FROM e),
+           agg AS (SELECT dim, n, mn, mx,
+                          CAST(sum(CAST(floor(err*1000000000 + 0.5) AS BIGINT)) AS BIGINT)
+                            /1000000000.0 AS errsum
+                   FROM r GROUP BY dim, n, mn, mx)
+          SELECT dim, n,
+                 floor(mn*10000 + 0.5)/10000.0 AS mn,
+                 floor(mx*10000 + 0.5)/10000.0 AS mx,
+                 floor((errsum/n)*10000 + 0.5)/10000.0 AS avg_abs_err
+          FROM agg ORDER BY dim""",
     "multimodal_struct" ->
       s"""SELECT doc_id,
                  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
