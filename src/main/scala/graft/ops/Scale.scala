@@ -191,6 +191,26 @@ object Scale {
   private[graft] def partitionedDocs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(partitionedDocsDir(s, d))
 
+  /** Hidden-metadata file lineage: read a lang-partitioned layout back and
+    * derive every statistic from `_metadata.file_path` alone — the pruning/
+    * lineage surface an auditor uses to prove WHICH files fed a result. The
+    * staged write repartitions on the partition column first, so each lang
+    * directory holds exactly one file and the distinct-path count is a
+    * deterministic, oracle-checkable 1 (and the layout writes N files for
+    * N langs instead of tasks×langs small files — the 100 TB sink shape). */
+  private val scanMetadata: Q = (s, d) => {
+    val dir = s"/tmp/graft_io/docs_meta_${d.hashCode.toHexString}"
+    if (stagedDirs.add(dir))
+      tbl(s, d, "documents").repartition(col("lang"))
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .select(col("_metadata.file_path").as("fp"))
+      .select(regexp_extract(col("fp"), "lang=([^/]+)", 1).as("lang"), col("fp"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_files"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
@@ -198,9 +218,13 @@ object Scale {
     "sink_partitioned" -> sinkPartitioned,
     "join_bloom_filter" -> joinBloomFilter,
     "sink_zorder" -> sinkZorder,
+    "scan_metadata" -> scanMetadata,
   )
 
   val oracle: Map[String, String] = Map(
+    "scan_metadata" ->
+      """SELECT lang, count(*) AS n_docs, CAST(1 AS BIGINT) AS n_files
+         FROM documents GROUP BY lang ORDER BY lang""",
     "agg_skew_salted" ->
       """SELECT event_type,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum,
