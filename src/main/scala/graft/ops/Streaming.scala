@@ -43,14 +43,35 @@ object Streaming {
     s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
   }
 
+  /** Checkpoint root: tmpfs when available. Without an explicit location
+    * every query leaks a temp checkpoint dir under /tmp (Spark refuses to
+    * delete them for memory sinks unless forceDelete is set), and the
+    * state-store/commit-log fsyncs land on disk — the measured source of
+    * the streaming family's ±50% bench noise. State is never reused across
+    * runs here, so RAM-backed checkpoints are semantics-free. */
+  private[ops] def ckptDir(name: String): String = {
+    val base = if (new java.io.File("/dev/shm").isDirectory)
+      "/dev/shm/graft_ckpt" else s"$ioTmp/ckpt"
+    s"$base/$name"
+  }
+  private[ops] def dropCkpt(path: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rec); f.delete()
+    }
+    rec(new java.io.File(path))
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return the
     * finished table. */
   private def runToTable(s: SparkSession, df: DataFrame, mode: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val ckpt = ckptDir(name)
     val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    dropCkpt(ckpt) // completed; reclaim the tmpfs space before the next rep
     s.table(name)
   }
 
@@ -213,11 +234,14 @@ object Streaming {
     * micro-batch lands as parquet via the batch writer, results read back
     * after completion. Oracle: the plain batch aggregation. */
   private val streamForeachBatch: Q = (s, d) => {
-    val out = s"$ioTmp/foreach_out_${d.hashCode.toHexString}_${ctr.incrementAndGet()}"
+    val tag = ctr.incrementAndGet()
+    val out = s"$ioTmp/foreach_out_${d.hashCode.toHexString}_$tag"
+    val ckpt = ckptDir(s"foreach_$tag")
     val q = eventsStream(s, d)
       .where(col("event_type") === "purchase")
       .select("event_id", "user_id", "value")
       .writeStream
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         // batch 0 overwrites so a stale dir from a previous run can't leak in
@@ -225,6 +249,7 @@ object Streaming {
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    dropCkpt(ckpt)
     s.read.parquet(out)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_purchases"),
