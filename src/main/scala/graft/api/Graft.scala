@@ -59,7 +59,8 @@ object functions {
   /** Mergeable HyperLogLog distinct-count aggregate (O(2^p) state). */
   def hllDistinct(c: Column): Column = call_function("graft_hll", c)
 
-  /** Misra–Gries heavy hitters: top frequent values with O(k) state. */
+  /** Misra–Gries heavy hitters: top frequent values with O(k) state.
+    * The column must be integral (hash strings first if needed). */
   def heavyHitters(c: Column, k: Int): Column =
     call_function("graft_heavy_hitters", c, lit(k))
 

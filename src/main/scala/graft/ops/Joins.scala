@@ -356,6 +356,53 @@ object Joins {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8-style market share: of the revenue a region's customers
+    * generate, what fraction is supplied by one nation, per year. Both
+    * nation roles broadcast (the dimension is 25 rows); numerator and
+    * denominator fold in ONE aggregate pass as conditional exact-cent sums
+    * — never two scans or a self-join of the fact table. */
+  private val tpchQ8: Q = (s, d) => {
+    val custNat = broadcast(tbl(s, d, "nation").where(col("n_regionkey") === 0)
+      .select(col("n_nationkey").as("cnk")))
+    val suppNat = broadcast(tbl(s, d, "nation")
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+    tbl(s, d, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(custNat, col("c_nationkey") === col("cnk"))
+      .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(suppNat, col("s_nationkey") === col("snk"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", cents(revenue))
+          .otherwise(lit(0L))).as("num"),
+        sum(cents(revenue)).as("den"))
+      .select(col("o_year"),
+        r4(col("num").cast("double") / col("den").cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: parts of one brand whose
+    * order quantity sits below 20% of that part's own average. The
+    * correlated scalar subquery becomes a per-part aggregate joined back —
+    * and the aggregate's input is pre-filtered by a broadcast semi-join on
+    * the brand slice, so the per-part stats are only computed for the 1/25
+    * of parts that can match (the 100 TB shape; quantities are
+    * integer-valued doubles, so the average is exact on both engines). */
+  private val tpchQ17: Q = (s, d) => {
+    val brandParts = broadcast(tbl(s, d, "part")
+      .where(col("p_brand") === "Brand#12").select(col("p_partkey")))
+    val li = tbl(s, d, "lineitem")
+      .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+    val avgQ = li.groupBy(col("l_partkey").as("ak"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    li.join(broadcast(avgQ), col("l_partkey") === col("ak"))
+      .where(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg((sum(cents(col("l_extendedprice"))) / 100.0 / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
   /** TPC-H Q13-style customer order-count distribution: the one TPC-H query
     * whose outer join KEEPS the unmatched side (zero-order customers must
     * survive into the c_count=0 bucket), then a second tiny agg over the
@@ -437,10 +484,12 @@ object Joins {
     "tpch_q5" -> tpchQ5,
     "tpch_q6" -> tpchQ6,
     "tpch_q7" -> tpchQ7,
+    "tpch_q8" -> tpchQ8,
     "tpch_q10" -> tpchQ10,
     "tpch_q13" -> tpchQ13,
     "tpch_q14" -> tpchQ14,
     "tpch_q15" -> tpchQ15,
+    "tpch_q17" -> tpchQ17,
     "tpch_q18" -> tpchQ18,
     "tpch_q19" -> tpchQ19,
   )
@@ -599,6 +648,33 @@ object Joins {
            AND s_nat.n_name IN ('NATION_3', 'NATION_7')
            AND s_nat.n_name <> c_nat.n_name
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "tpch_q8" ->
+      """SELECT year(l_shipdate) AS o_year,
+                floor((CAST(sum(CASE WHEN s_nat.n_name = 'NATION_3'
+                         THEN CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS DOUBLE) /
+                       CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT)) AS DOUBLE))
+                      *10000 + 0.5)/10000.0 AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation c_nat ON c_nationkey = c_nat.n_nationkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation s_nat ON s_nationkey = s_nat.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND c_nat.n_regionkey = 0
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q17" ->
+      """WITH li AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')),
+         aq AS (SELECT l_partkey AS ak, avg(l_quantity) AS aq FROM li GROUP BY 1)
+         SELECT sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0/7.0 AS avg_yearly,
+                count(*) AS n
+         FROM li JOIN aq ON l_partkey = ak
+         WHERE l_quantity < 0.2 * aq""",
     "tpch_q13" ->
       """WITH per_cust AS (
            SELECT c_custkey, count(o_orderkey) AS c_count

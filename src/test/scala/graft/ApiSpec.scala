@@ -21,6 +21,22 @@ class ApiSpec extends AnyFunSuite {
       s"hll $approx vs exact $exact")
   }
 
+  test("heavyHitters and kllQuantile column functions return sane values") {
+    graft.api.Graft.init(spark)
+    val ev = graft.util.Canon.events(spark, sf)
+    val row = ev.agg(
+      graft.api.functions.heavyHitters(col("user_id"), 5).as("hh"),
+      graft.api.functions.kllQuantile(col("value"), 0.5, 64).as("med"),
+      expr("percentile(value, 0.5)").as("exact_med")).head()
+    val hh = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.nonEmpty && hh.length <= 5)
+    val users = ev.select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(hh.forall(r => users.contains(r.getLong(0))))
+    val med = row.getDouble(1); val exact = row.getDouble(2)
+    val span = ev.agg(max("value").minus(min("value"))).head().getDouble(0)
+    assert(math.abs(med - exact) <= 0.1 * span, s"kll med $med vs exact $exact")
+  }
+
   test("asofJoin through the implicit matches a window-join oracle") {
     import spark.implicits._
     val probe = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 15L, "p3"))
