@@ -475,6 +475,38 @@ object TimeSeries {
       .orderBy("bucket")
   }
 
+  /** TIME-based rolling window (RANGE frame over epoch seconds, not a row
+    * count): 3-hour trailing sum/count per user over the hourly grid. Rows
+    * are NOT equivalent to time here — grid gaps mean a 3-row frame could
+    * span days; the range frame is the correct trailing-window semantics.
+    * Both engines evaluate the frame on an integer epoch key, and the sum
+    * rides 1e4-scaled exact integers. */
+  private val tsRollingTimeRange: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("es"))
+      .rangeBetween(-7200, 0)
+    hourly(s, d)
+      .withColumn("es", unix_timestamp(col("bucket")))
+      .withColumn("vi", floor(col("v") * 10000 + 0.5).cast("long"))
+      .select(col("user_id"), col("bucket"),
+        (sum(col("vi")).over(w) / 10000.0).as("roll_sum_3h"),
+        count(lit(1)).over(w).as("n_3h"))
+      .orderBy("user_id", "bucket")
+  }
+
+  /** Resample on a shifted grid (buckets at :30, not :00) — the
+    * window-origin/offset surface a timezone- or market-session-aligned
+    * pipeline needs. Spark's window(startTime=) and DuckDB's
+    * time_bucket(offset) must agree on every bucket boundary. */
+  private val tsResampleOffset: Q = (s, d) =>
+    tbl(s, d, "events")
+      .groupBy(col("user_id"),
+        window(col("ts"), "1 hour", "1 hour", "30 minutes"))
+      .agg((sum(cents(col("value"))) / 100.0).as("v_sum"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("window.start").as("bucket"),
+        col("v_sum"), col("n"))
+      .orderBy("user_id", "bucket")
+
   val queries: Map[String, Q] = Map(
     "ts_multi_grain" -> tsMultiGrain,
     "ts_resample_composite" -> tsResampleComposite,
@@ -482,6 +514,8 @@ object TimeSeries {
     "ts_cross_correlation" -> tsCrossCorr,
     "ts_anomaly_mad" -> tsAnomalyMad,
     "ts_calendar_features" -> tsCalendarFeatures,
+    "ts_rolling_time_range" -> tsRollingTimeRange,
+    "ts_resample_offset" -> tsResampleOffset,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
     "ts_ewma" -> tsEwma,
@@ -647,6 +681,25 @@ object TimeSeries {
               floor(sin(2*pi()*(isodow(bucket)-1)/7.0)*10000 + 0.5)/10000.0 AS dow_sin,
               floor(cos(2*pi()*(isodow(bucket)-1)/7.0)*10000 + 0.5)/10000.0 AS dow_cos
        FROM b ORDER BY bucket""",
+    "ts_rolling_time_range" -> (H0 + """
+       SELECT user_id, bucket,
+              CAST(sum(vi) OVER w AS BIGINT)/10000.0 AS roll_sum_3h,
+              count(*) OVER w AS n_3h
+       FROM (SELECT user_id, bucket,
+                    CAST(floor(v*10000 + 0.5) AS BIGINT) AS vi,
+                    epoch_ms(bucket)//1000 AS es
+             FROM hourly)
+       WINDOW w AS (PARTITION BY user_id ORDER BY es
+                    RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, bucket"""),
+    "ts_resample_offset" ->
+      """SELECT user_id,
+                CAST(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP),
+                                 INTERVAL '30 minutes') AS TIMESTAMP) AS bucket,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum,
+                count(*) AS n
+         FROM events
+         GROUP BY 1, 2 ORDER BY user_id, bucket""",
     "ts_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                            CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm
