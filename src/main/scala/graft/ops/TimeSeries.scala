@@ -507,6 +507,22 @@ object TimeSeries {
         col("v_sum"), col("n"))
       .orderBy("user_id", "bucket")
 
+  /** OHLC candles per (user, hour): open/close are deterministic
+    * first/last via min_by/max_by over the (ms-truncated ts, event_id)
+    * tie-break key — the agg_first_last contract — so the candle is
+    * identical under any partitioning; one partial+final agg, no window. */
+  private val tsOhlc: Q = (s, d) => {
+    val k = struct(unix_millis(col("ts")), col("event_id"))
+    tbl(s, d, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("bucket"))
+      .agg(min_by(col("value"), k).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), k).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_multi_grain" -> tsMultiGrain,
     "ts_resample_composite" -> tsResampleComposite,
@@ -516,6 +532,7 @@ object TimeSeries {
     "ts_calendar_features" -> tsCalendarFeatures,
     "ts_rolling_time_range" -> tsRollingTimeRange,
     "ts_resample_offset" -> tsResampleOffset,
+    "ts_ohlc" -> tsOhlc,
     "ts_funnel" -> tsFunnel,
     "ts_retention" -> tsRetention,
     "ts_ewma" -> tsEwma,
@@ -700,6 +717,13 @@ object TimeSeries {
                 count(*) AS n
          FROM events
          GROUP BY 1, 2 ORDER BY user_id, bucket""",
+    "ts_ohlc" ->
+      """SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                arg_min(value, CAST(epoch_ms(ts) AS HUGEINT) * 18446744073709551616 + event_id) AS open,
+                max(value) AS high, min(value) AS low,
+                arg_max(value, CAST(epoch_ms(ts) AS HUGEINT) * 18446744073709551616 + event_id) AS close,
+                count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""",
     "ts_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                            CAST(date_trunc('millisecond', ts) AS TIMESTAMP) AS tsm
