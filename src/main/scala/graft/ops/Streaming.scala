@@ -93,6 +93,24 @@ object Streaming {
         col("v_sum"))
       .orderBy("w_start", "event_type")
 
+  /** Streaming OHLC: the exact batch ts_ohlc candle (min_by/max_by with
+    * the ms+event_id tie-break) computed as a streaming windowed aggregate
+    * over the bounded replay — stream/batch parity for a stateful
+    * order-sensitive aggregate, not just for counts and sums. */
+  private val streamOhlc: Q = (s, d) => {
+    val k = struct(unix_millis(col("ts")), col("event_id"))
+    runToTable(s,
+      eventsStream(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(min_by(col("value"), k).as("open"), max(col("value")).as("high"),
+          min(col("value")).as("low"), max_by(col("value"), k).as("close"),
+          count(lit(1)).as("n")),
+      "complete")
+      .select(col("user_id"), col("window.start").as("bucket"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy("user_id", "bucket")
+  }
+
   private val streamSlidingAvg: Q = (s, d) =>
     runToTable(s,
       eventsStream(s, d)
@@ -350,6 +368,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "source_stream_replay" -> sourceStreamReplay,
     "stream_tumbling_count" -> streamTumblingCount,
+    "stream_ohlc" -> streamOhlc,
     "stream_sliding_avg" -> streamSlidingAvg,
     "stream_session_window" -> streamSessionWindow,
     "stream_watermark_late" -> streamWatermarkLate,
@@ -369,6 +388,13 @@ object Streaming {
                 count(*) AS n,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
          FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
+    "stream_ohlc" ->
+      """SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                arg_min(value, CAST(epoch_ms(ts) AS HUGEINT) * 18446744073709551616 + event_id) AS open,
+                max(value) AS high, min(value) AS low,
+                arg_max(value, CAST(epoch_ms(ts) AS HUGEINT) * 18446744073709551616 + event_id) AS close,
+                count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY user_id, bucket""",
     "stream_sliding_avg" ->
       """WITH e AS (
            SELECT make_timestamp(((epoch_ms(ts)//900000 - k)*900000)*1000) AS w_start,
