@@ -1186,6 +1186,31 @@ object TextDedup {
       .orderBy("dim")
   }
 
+  /** Dataset card: the one-row datasheet a corpus release ships with —
+    * scale, language spread, length stats, exact-dup rate. Composes the
+    * engine's own stats in ONE scan plus a tiny dup-key agg (the exact-dup
+    * rate reuses dedup_exact's text-hash grouping); every number is an
+    * exact integer sum or a ratio of them, so the card is reproducible
+    * bit-for-bit at any partitioning. */
+  private val pipelineDatasetCard: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(toks(normText)).cast("long")).as("n_tokens"),
+      sum(col("n_chars").cast("long")).as("n_chars"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val dups = docs.groupBy(md5(normText).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n_exact_dups"))
+    base.crossJoin(dups)
+      .select(col("n_docs"), col("n_langs"), col("n_tokens"), col("n_chars"),
+        r4(col("n_en").cast("double") / col("n_docs").cast("double")).as("pct_en"),
+        r4(col("n_tokens").cast("double") / col("n_docs").cast("double")).as("avg_tokens"),
+        col("n_exact_dups"),
+        r4(col("n_exact_dups").cast("double") / col("n_docs").cast("double")).as("dup_rate"))
+  }
+
   // ---------------------------------------------------------------- multimodal
   /** Multimodal record assembly: typed metadata struct serialized to
     * canonical JSON + digest + embedding norm (documents ⋈ embeddings). */
@@ -1287,6 +1312,7 @@ object TextDedup {
     "pipeline_quality_gate" -> pipelineQualityGate,
     "text_vocab_oov" -> textVocabOov,
     "embed_quantize_stats" -> embedQuantizeStats,
+    "pipeline_dataset_card" -> pipelineDatasetCard,
     "multimodal_struct" -> multimodalStruct,
     "multimodal_binary" -> multimodalBinary,
     "multimodal_decode" -> multimodalDecode,
@@ -1649,6 +1675,24 @@ object TextDedup {
                  floor(mx*10000 + 0.5)/10000.0 AS mx,
                  floor((errsum/n)*10000 + 0.5)/10000.0 AS avg_abs_err
           FROM agg ORDER BY dim""",
+    "pipeline_dataset_card" ->
+      s"""WITH base AS (
+           SELECT count(*) AS n_docs,
+                  count(DISTINCT lang) AS n_langs,
+                  CAST(sum(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens,
+                  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+           FROM documents),
+         dups AS (
+           SELECT CAST(sum(c - 1) AS BIGINT) AS n_exact_dups
+           FROM (SELECT md5($normSql) AS h, count(*) AS c
+                 FROM documents GROUP BY 1))
+         SELECT n_docs, n_langs, n_tokens, n_chars,
+                floor((CAST(n_en AS DOUBLE)/n_docs)*10000 + 0.5)/10000.0 AS pct_en,
+                floor((CAST(n_tokens AS DOUBLE)/n_docs)*10000 + 0.5)/10000.0 AS avg_tokens,
+                n_exact_dups,
+                floor((CAST(n_exact_dups AS DOUBLE)/n_docs)*10000 + 0.5)/10000.0 AS dup_rate
+         FROM base CROSS JOIN dups""",
     "multimodal_struct" ->
       s"""SELECT doc_id,
                  CAST(to_json(struct_pack(doc_id := doc_id, lang := lang,
