@@ -1186,6 +1186,30 @@ object TextDedup {
       .orderBy("dim")
   }
 
+  /** Per-document unigram entropy — the information-diversity filter signal
+    * (low-entropy documents are repetitive junk; complements
+    * text_repetition_score's surface-form check). entropy = (1/n)·Σ c·ln(n/c)
+    * over token counts; each ln rides as a 1e6-scaled INTEGER
+    * (floor(ln·1e6+0.5), the text_zipf_fit trick) so the per-doc sum is
+    * exact and partition-order-independent, with one division at the end. */
+  private val textEntropy: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    tbl(s, d, "documents")
+      .select(col("doc_id"), explode(toks(normText)).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(w))
+      .withColumn("li", floor(
+        log(col("n").cast("double") / col("c").cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n"), count(lit(1)).as("n_unique"),
+        sum(col("c") * col("li")).as("si"))
+      .select(col("doc_id"), col("n"), col("n_unique"),
+        r4(col("si").cast("double") / col("n").cast("double") / 1e6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Dataset card: the one-row datasheet a corpus release ships with —
     * scale, language spread, length stats, exact-dup rate. Composes the
     * engine's own stats in ONE scan plus a tiny dup-key agg (the exact-dup
@@ -1311,6 +1335,7 @@ object TextDedup {
     "text_repetition_score" -> textRepetitionScore,
     "pipeline_quality_gate" -> pipelineQualityGate,
     "text_vocab_oov" -> textVocabOov,
+    "text_entropy" -> textEntropy,
     "embed_quantize_stats" -> embedQuantizeStats,
     "pipeline_dataset_card" -> pipelineDatasetCard,
     "multimodal_struct" -> multimodalStruct,
@@ -1651,6 +1676,20 @@ object TextDedup {
                         /count(*))*10000 + 0.5)/10000.0 AS oov_rate
           FROM tok LEFT JOIN vocab ON t = vt
           GROUP BY source ORDER BY source""",
+    "text_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+                       FROM documents),
+           cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+           wn AS (SELECT doc_id, c,
+                         sum(c) OVER (PARTITION BY doc_id) AS n
+                  FROM cnt),
+           li AS (SELECT doc_id, c, n,
+                         CAST(floor(ln(CAST(n AS DOUBLE)/c)*1000000 + 0.5) AS BIGINT) AS lv
+                  FROM wn)
+          SELECT doc_id, CAST(max(n) AS BIGINT) AS n, count(*) AS n_unique,
+                 floor((CAST(sum(c*lv) AS DOUBLE)/max(n)/1000000)*10000 + 0.5)/10000.0
+                   AS entropy
+          FROM li GROUP BY doc_id ORDER BY doc_id""",
     "embed_quantize_stats" ->
       """WITH p AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
                           embedding
