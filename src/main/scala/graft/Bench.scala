@@ -41,18 +41,32 @@ object Bench {
     // first and inflates its median (the residual drift the 5-rep change
     // didn't kill). One trivial rate-source batch absorbs it.
     locally {
+      // explicit checkpoint via the same tmpfs root as the timed queries —
+      // an implicit location would leak a /tmp dir per bench run (ADVICE r5)
+      val ckpt = graft.ops.Streaming.ckptDir("bench_warmup")
+      graft.ops.Streaming.dropCkpt(ckpt)
       val q = spark.readStream.format("rate").option("numPartitions", "1")
         .option("rowsPerSecond", "1").load()
         .groupBy(org.apache.spark.sql.functions.window(
           org.apache.spark.sql.functions.col("timestamp"), "1 second"))
         .count()
         .writeStream.format("memory").queryName("graft_warmup")
+        .option("checkpointLocation", ckpt)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.Once())
         .start()
       q.awaitTermination(30000); if (q.isActive) q.stop()
       spark.sql("DROP TABLE IF EXISTS graft_warmup")
+      graft.ops.Streaming.dropCkpt(ckpt)
     }
+    // Round-6: failures must be VISIBLE in the artifact (round-5 verdict
+    // item 3) — a query that throws used to record a healthy-looking wall
+    // time and nothing else. Also kept: per-rep times for the same-code
+    // drifters the round-5 driver run surfaced (streaming family +
+    // join_skew_salted), so environment variance is diagnosable from
+    // BENCH_FULL.json instead of argued about.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    val repDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // GC between queries so the previous query's released blocks are
       // collected on our dime, not attributed to this query's first rep
@@ -62,16 +76,18 @@ object Bench {
       // variance survived median-of-3 (stream_tumbling_count drifted
       // 1.21→1.64 s across rounds 3→4 with no code change); a 5-rep median
       // tightens exactly that family without re-timing the other ~160.
-      val qReps =
-        if (name.startsWith("stream") || name == "source_stream_replay")
-          math.max(reps, 5)
-        else reps
+      val drifter = name.startsWith("stream") ||
+        name == "source_stream_replay" || name == "join_skew_salted"
+      val qReps = if (drifter) math.max(reps, 5) else reps
       val times = (1 to qReps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed += name }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2) // median (upper median for even reps)
+      }
+      if (drifter) repDetail(name) = times
+      val sortedT = times.sorted
+      name -> sortedT(sortedT.length / 2) // median (upper median for even reps)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // The harness that reads this output keeps only the LAST ~2000 chars of
@@ -82,9 +98,13 @@ object Bench {
     // JSON line (slowest queries first, ms precision) kept under ~1.4 KB so
     // the whole line is visible and parseable inside the tail.
     def j(v: Double) = "%.3f".formatLocal(java.util.Locale.US, v)
+    val failedArr = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => s"\"$k\":${j(v)}" }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"queries":$fullQs,"sf":"$sfDir"}"""
+    val repsQs = repDetail.map { case (k, ts) =>
+      s"\"$k\":${ts.map(j).mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"ckpt_root":"${graft.ops.Streaming.ckptRoot}","queries":$fullQs,"rep_times":$repsQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -104,7 +124,7 @@ object Bench {
     // the position the harness's parser reads.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"shown_slowest":$shown,"full":"BENCH_FULL.json","queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"shown_slowest":$shown,"full":"BENCH_FULL.json","queries":{$sb},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

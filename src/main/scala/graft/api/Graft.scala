@@ -32,7 +32,9 @@ object Graft {
     * (per-series-fits-in-memory contract — 100 TB means more series, not
     * bigger ones). Input columns are (key: integral, time: timestamp,
     * value: numeric); output is `horizon` future hourly slots per key with
-    * yhat / interval bounds / trend / weekly / daily components. */
+    * yhat / interval bounds / trend / weekly / daily components, keyed by
+    * the CALLER's `key` and `time` column names (the internal encoder
+    * names never leak into the result — ADVICE r5). */
   def forecast(df: DataFrame, key: String, time: String, value: String,
       horizon: Int,
       cfg: graft.ops.Forecast.Config = graft.ops.Forecast.DefaultConfig): DataFrame = {
@@ -45,6 +47,8 @@ object Graft {
       .flatMapGroups((k: Long, it: Iterator[graft.ops.Forecast.Point]) =>
         graft.ops.Forecast.fitPredict(k, it.toArray, horizon, cfg))
       .toDF()
+      .withColumnRenamed("user_id", key)
+      .withColumnRenamed("bucket", time)
   }
 }
 
@@ -92,10 +96,16 @@ object implicits {
         key, time, Option(refKey).getOrElse(key), Option(refTime).getOrElse(time))
 
     /** Exact deduplication: one surviving row per key group, chosen by the
-      * smallest tie-break value (deterministic under any partitioning). */
+      * smallest tie-break value. The window ordering is extended with every
+      * remaining column, so the survivor is deterministic under any
+      * partitioning even when tie-break values collide within a key group
+      * (ADVICE r5 — row_number over a non-total order is partition-order-
+      * dependent). Caveat: all non-key columns must be of orderable types
+      * (maps are not). */
     def dedupExact(keys: Seq[String], tieBreak: String): DataFrame = {
+      val rest = df.columns.filterNot(c => keys.contains(c) || c == tieBreak)
       val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col(tieBreak).asc)
+        .orderBy(col(tieBreak).asc +: rest.map(col(_).asc): _*)
       df.withColumn("__graft_rn", row_number().over(w))
         .where(col("__graft_rn") === 1)
         .drop("__graft_rn")

@@ -33,10 +33,22 @@ object Pipeline {
     * yield a negative bucket that lands in the first when-branch of every
     * sample/split consumer on BOTH engines — identically wrong, invisible
     * to the oracle. Values for non-negative keys are unchanged. */
-  private def hbucket(c: Column, m: Int): Column =
+  private[graft] def hbucket(c: Column, m: Int): Column =
     ((c % 1000003L + 1000003L) % 1000003L * 2654435761L) % 4294967296L % m
   private def hbucketSql(c: String, m: Int): String =
     s"((($c % 1000003 + 1000003) % 1000003) * 2654435761) % 4294967296 % $m"
+
+  /** hbucket domain audit over a key range that includes NEGATIVES (round-5
+    * verdict item 6b, promoting the round-4 negative-key fix into the oracle
+    * gate): doc_id − 250 sweeps a symmetric window around zero and the
+    * DuckDB twin recomputes the identical arithmetic, so a regression in the
+    * negative-key fold breaks the hash match — not just a unit test. The
+    * in-range property (bucket ∈ [0, 100)) is asserted by HbucketProps. */
+  private val fnHbucketDomain: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select((col("doc_id") - 250L).as("k"))
+      .select(col("k"), hbucket(col("k"), 100).as("b"))
+      .orderBy("k")
 
   // ---------------------------------------------------------------- sampling
   /** Stratified Bernoulli sampling with per-language rates (en 50% … zh 10%),
@@ -240,9 +252,13 @@ object Pipeline {
     "chunk_documents" -> chunkDocuments,
     "mix_domains" -> mixDomains,
     "scd2_intervals" -> scd2Intervals,
+    "fn_hbucket_domain" -> fnHbucketDomain,
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_hbucket_domain" ->
+      s"""SELECT doc_id - 250 AS k, ${hbucketSql("(doc_id - 250)", 100)} AS b
+          FROM documents ORDER BY k""",
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
           WHERE ${hbucketSql("doc_id", 100)} <

@@ -58,8 +58,11 @@ object Scale {
     * by the join key (8 buckets), then joined — the plan is a SortMergeJoin
     * with NO shuffle exchange on either side (verified by BucketedJoinSpec).
     * This is the pre-partitioning lever for repeated big-big joins at scale. */
+  private def bucketTag(d: String): String =
+    s"${math.abs(d.hashCode).toHexString}_${srcStamp(d, "lineitem")}"
+
   private val joinBucketed: Q = (s, d) => {
-    val tag = math.abs(d.hashCode).toHexString
+    val tag = bucketTag(d)
     val liT = s"graft_li_b_$tag"; val ordT = s"graft_ord_b_$tag"
     if (!s.catalog.tableExists(liT)) {
       tbl(s, d, "lineitem")
@@ -87,7 +90,7 @@ object Scale {
     * assert the no-exchange plan shape. */
   private[graft] def bucketedJoinPlan(s: SparkSession, d: String): DataFrame = {
     joinBucketed(s, d) // ensures tables exist
-    val tag = math.abs(d.hashCode).toHexString
+    val tag = bucketTag(d)
     s.table(s"graft_li_b_$tag")
       .join(s.table(s"graft_ord_b_$tag"), col("l_orderkey") === col("o_orderkey"))
   }
@@ -156,7 +159,7 @@ object Scale {
   }
 
   private[graft] def zorderDir(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_io/part_zorder_${d.hashCode.toHexString}"
+    val dir = s"/tmp/graft_io/part_zorder_${d.hashCode.toHexString}_${srcStamp(d, "part")}"
     if (stagedDirs.add(dir)) {
       tbl(s, d, "part")
         .selectExpr("p_partkey", s"$zX AS x", s"$zY AS y",
@@ -183,7 +186,7 @@ object Scale {
   }
 
   private[graft] def partitionedDocsDir(s: SparkSession, d: String): String = {
-    val dir = s"/tmp/graft_io/docs_by_lang_${d.hashCode.toHexString}"
+    val dir = s"/tmp/graft_io/docs_by_lang_${d.hashCode.toHexString}_${srcStamp(d, "documents")}"
     if (stagedDirs.add(dir))
       tbl(s, d, "documents").write.partitionBy("lang").mode("overwrite").parquet(dir)
     dir
@@ -199,7 +202,7 @@ object Scale {
     * deterministic, oracle-checkable 1 (and the layout writes N files for
     * N langs instead of tasks×langs small files — the 100 TB sink shape). */
   private val scanMetadata: Q = (s, d) => {
-    val dir = s"/tmp/graft_io/docs_meta_${d.hashCode.toHexString}"
+    val dir = s"/tmp/graft_io/docs_meta_${d.hashCode.toHexString}_${srcStamp(d, "documents")}"
     if (stagedDirs.add(dir))
       tbl(s, d, "documents").repartition(col("lang"))
         .write.partitionBy("lang").mode("overwrite").parquet(dir)

@@ -30,7 +30,7 @@ object Streaming {
     * once per (JVM, sfDir). */
   private val staged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def stagedEventsDir(s: SparkSession, d: String): String = {
-    val dir = s"$ioTmp/stream_events_${d.hashCode.toHexString}"
+    val dir = s"$ioTmp/stream_events_${d.hashCode.toHexString}_${srcStamp(d, "events")}"
     if (staged.add(dir))
       tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
         .coalesce(1).write.mode("overwrite").parquet(dir)
@@ -48,13 +48,19 @@ object Streaming {
     * delete them for memory sinks unless forceDelete is set), and the
     * state-store/commit-log fsyncs land on disk — the measured source of
     * the streaming family's ±50% bench noise. State is never reused across
-    * runs here, so RAM-backed checkpoints are semantics-free. */
-  private[ops] def ckptDir(name: String): String = {
+    * runs here, so RAM-backed checkpoints are semantics-free. The root is
+    * keyed by pid: a deterministic path shared across JVMs lets a stale
+    * checkpoint from a crashed or concurrent run silently replay as "already
+    * processed" (complete-mode memory sinks then return EMPTY) or abort an
+    * append-mode query with a recovery error — reproduced on Spark 4.1.2.
+    * Bench logs this root so a disk fallback is visible in the artifact. */
+  private[graft] val ckptRoot: String = {
     val base = if (new java.io.File("/dev/shm").isDirectory)
       "/dev/shm/graft_ckpt" else s"$ioTmp/ckpt"
-    s"$base/$name"
+    s"$base/p${ProcessHandle.current().pid()}"
   }
-  private[ops] def dropCkpt(path: String): Unit = {
+  private[graft] def ckptDir(name: String): String = s"$ckptRoot/$name"
+  private[graft] def dropCkpt(path: String): Unit = {
     def rec(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rec); f.delete()
     }
@@ -67,6 +73,9 @@ object Streaming {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val ckpt = ckptDir(name)
+    dropCkpt(ckpt) // ADVICE r5: a stale dir from a crashed run would replay
+    // the input as already-processed (empty complete-mode result) or abort
+    // append mode — clear BEFORE start, not only after success
     val q = df.writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -255,6 +264,7 @@ object Streaming {
     val tag = ctr.incrementAndGet()
     val out = s"$ioTmp/foreach_out_${d.hashCode.toHexString}_$tag"
     val ckpt = ckptDir(s"foreach_$tag")
+    dropCkpt(ckpt) // clear-before-start, same contract as runToTable
     val q = eventsStream(s, d)
       .where(col("event_type") === "purchase")
       .select("event_id", "user_id", "value")

@@ -95,23 +95,35 @@ object TextDedup {
     * into a keeper list) and MinhashCcSpec (which propagates components
     * over it and measures agreement against the exact closure of
     * pipeline_neardup_full — the open-vocab composition path). */
-  private[graft] def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    bandedVerifiedPairs(tbl(s, d, "documents")
+      .select(col("doc_id").as("id"), toks(normText).as("tk"))
+      .select(col("id"),
+        sort_array(array_distinct(expr("transform(tk, t -> xxhash64(t))"))).as("sh")))
+
+  /** The banded-LSH pairing CORE over an arbitrary (id: long, sh: sorted
+    * distinct xxhash64 token set) frame — shared by dedup_minhash (documents)
+    * and pipeline_neardup_full's open-vocabulary pair stage (collapsed
+    * distinct sets). 64-perm signature → 16×4 bands → star + W=3
+    * neighbor-window candidates → exact hashed-set Jaccard ≥ `threshold`.
+    * Returns (da, db, jacc) with da < db. Work is ≤ (W+1)·bands·n candidate
+    * rows plus two equi-joins for the verify: never all-pairs, no full-side
+    * broadcast, nothing data-sized reaches the driver. */
+  private[graft] def bandedVerifiedPairs(sets: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
     val SigN = 64; val Bands = 16; val Rows = 4
     val salts = Array.tabulate(SigN)(i => (i + 1) * 0x9E3779B97F4A7C15L)
-    val docs = tbl(s, d, "documents")
-      .select(col("doc_id"), toks(normText).as("tk"))
-      .withColumn("st", sort_array(array_distinct(expr("transform(tk, t -> xxhash64(t))"))))
-    val shingles = docs.select(col("doc_id"), explode(col("st")).as("h"))
+    val shingles = sets.select(col("id"), explode(col("sh")).as("h"))
     val sigCols = salts.zipWithIndex.map { case (salt, i) =>
       min(col("h").bitwiseXOR(lit(salt))).as(s"m$i")
     }.toSeq
-    val sig = shingles.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = shingles.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       xxhash64((lit(b) +: (0 until Rows).map(r => col(s"m${b * Rows + r}"))): _*)
     }
-    val banded = sig.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+    val banded = sig.select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     // STAR edges (bucket-min ↔ member) + W=3 NEIGHBOR edges (member ↔ its
-    // predecessors in doc_id order — the same Manku WWW'07 sliding-window
+    // predecessors in id order — the same Manku WWW'07 sliding-window
     // emission dedup_simhash uses): star alone keeps the KEEP-LIST recall
     // high but, measured in MinhashCcSpec, loses component merges where
     // neither endpoint is the bucket representative (462/500 label
@@ -120,25 +132,24 @@ object TextDedup {
     // (200M+ rows at sf0.1 on this corpus, the round-1 lesson).
     val W = 3
     val wP = Window.partitionBy("band", "bh")
-    val wOrd = wP.orderBy("doc_id")
+    val wOrd = wP.orderBy("id")
     val edged = banded
-      .withColumn("mn", min(col("doc_id")).over(wP))
+      .withColumn("mn", min(col("id")).over(wP))
       .withColumn("prevs", array((1 to W).map(i =>
-        lag(col("doc_id"), i).over(wOrd)): _*))
-    val cands = edged.where(col("doc_id") > col("mn"))
-      .select(col("mn").as("da"), col("doc_id").as("db"))
+        lag(col("id"), i).over(wOrd)): _*))
+    val cands = edged.where(col("id") > col("mn"))
+      .select(col("mn").as("da"), col("id").as("db"))
       .unionByName(edged
-        .select(explode(col("prevs")).as("da"), col("doc_id").as("db"))
+        .select(explode(col("prevs")).as("da"), col("id").as("db"))
         .where(col("da").isNotNull))
       .distinct()
-    val sets = docs.select(col("doc_id"), col("st"))
     cands
-      .join(sets.select(col("doc_id").as("da"), col("st").as("sa")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("st").as("sb")), "db")
+      .join(sets.select(col("id").as("da"), col("sh").as("sa")), "da")
+      .join(sets.select(col("id").as("db"), col("sh").as("sb")), "db")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jacc", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")).cast("double"))
-      .where(col("jacc") >= 0.8)
+      .where(col("jacc") >= threshold)
       .select(col("da"), col("db"), col("jacc"))
   }
 
@@ -242,28 +253,18 @@ object TextDedup {
   }
 
   /** Connected components over the verified near-dup graph (bounded slice):
-    * iterative min-label propagation — the step that turns pairwise dup
-    * edges into dedup clusters. Dup components are near-cliques, so the
-    * fixed 12 rounds far exceed their diameter; the DuckDB oracle computes
-    * the same labels by recursive transitive closure. */
+    * iterative min-label propagation turns pairwise dup edges into dedup
+    * clusters; the DuckDB oracle computes the same labels by recursive
+    * transitive closure. */
   /** Unordered (node, label) component labels on the bounded slice — the
     * reusable core; consumers add their own presentation sort or re-agg. */
-  private def componentLabels(s: SparkSession, d: String): DataFrame = {
-    val t = tbl(s, d, "documents").where(col("doc_id") < 60)
-      .select(col("doc_id"),
-        sort_array(array_distinct(expr("transform(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' '), t -> xxhash64(t))"))).as("st"))
-    val pairs = t.select(col("doc_id").as("da"), col("st").as("sa"))
-      .join(t.select(col("doc_id").as("db"), col("st").as("sb")), col("da") < col("db"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .where(col("inter").cast("double") /
-        (size(col("sa")) + size(col("sb")) - col("inter")).cast("double") >= 0.8)
-      .select("da", "db")
-    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
-    propagateMinLabels(edges,
-      t.select(col("doc_id").as("node"), col("doc_id").as("label")),
-      maxRounds = 20)._1
-  }
+  private def componentLabels(s: SparkSession, d: String): DataFrame =
+    // One shared labels source with pipeline_neardup_full (round-5 verdict
+    // item 8): the bounded slice runs the identical collapse → pair →
+    // propagate → expand composition, so the sliced and full-corpus paths
+    // cannot drift apart; the DuckDB recursive-CTE oracle stays independent.
+    neardupLabelsFromDocs(tbl(s, d, "documents").where(col("doc_id") < 60))
+      ._1.select("node", "label")
 
   private val dedupConnectedComponents: Q = (s, d) =>
     componentLabels(s, d).orderBy("node")
@@ -320,15 +321,20 @@ object TextDedup {
     *     are exactly the set-level components expanded back through the
     *     collapse map; on near-dup corpora this is the big n-reducer (a
     *     production pipeline always exact-collapses before near-dedup).
-    *  2. PAIR the distinct sets. The fixture vocabulary is ≤ 64 tokens
-    *     (measured: 31), so each set is one BIGINT bitmask and the verified
-    *     edge build is a broadcast theta join with pure codegen integer ops
-    *     (bit_count(and)) — candidate df-based prefix filtering is vacuous
-    *     at this vocabulary (every token's df is ~n/13). Open-vocab fallback
-    *     (> 64 tokens) pairs via array_intersect on the sorted token arrays;
-    *     when the distinct-set residue outgrows one broadcast side, this
-    *     stage — and only this stage — swaps for dedup_minhash's banded-LSH
-    *     candidates; every stage below is unchanged.
+    *  2. PAIR the distinct sets, guarded by ONE cheap distributed
+    *     countDistinct over the exploded tokens — nothing data-sized ever
+    *     reaches the driver. Vocabulary ≤ 64 tokens (the fixture measures
+    *     31): collect the ≤ 64-row vocabulary, pack each set into one
+    *     BIGINT bitmask, and build verified edges with a broadcast theta
+    *     join of pure codegen integer ops (bit_count(and)) — candidate
+    *     df-based prefix filtering is vacuous at this vocabulary (every
+    *     token's df is ~n/13). Open vocabulary (> 64): the pair stage —
+    *     and only the pair stage — swaps for dedup_minhash's banded-LSH
+    *     candidate graph over the collapsed sets (bandedVerifiedPairs:
+    *     star + neighbor-window emission, exact-Jaccard verify, all
+    *     equi-joins); every stage below consumes the edge set unchanged.
+    *     NeardupBandedSpec forces this path on a 130-token-vocabulary
+    *     fixture and asserts labels identical to the exact closure.
     *  3. PROPAGATE min labels over the set-level graph (the same
     *     propagateMinLabels as the sliced queries, now over the collapsed
     *     nodes — rounds of O(edges) joins, lineage-truncated).
@@ -340,8 +346,15 @@ object TextDedup {
     * all-pairs Jaccard + recursive-CTE transitive closure over the whole
     * documents table. Convergence telemetry: rounds returned to the suite
     * (NeardupFullSpec asserts rounds < cap). */
-  private[graft] def neardupFullLabels(s: SparkSession, d: String): (DataFrame, Int) = {
-    val docs = tbl(s, d, "documents")
+  private[graft] def neardupFullLabels(s: SparkSession, d: String): (DataFrame, Int) =
+    neardupLabelsFromDocs(tbl(s, d, "documents"))
+
+  /** The testable core of pipeline_neardup_full over any frame with
+    * (doc_id, text) — NeardupBandedSpec feeds it an open-vocabulary fixture
+    * the parquet corpus can't produce, and the bounded-slice CC queries
+    * share it so the sliced and full-corpus label paths cannot drift. */
+  private[graft] def neardupLabelsFromDocs(docsIn: DataFrame): (DataFrame, Int) = {
+    val docs = docsIn
       .select(col("doc_id"), sort_array(array_distinct(toks(normText))).as("st"))
       // canonical set key: sorted tokens joined on a separator that cannot
       // appear in a token (tokens come from a whitespace split) — an empty
@@ -350,10 +363,15 @@ object TextDedup {
     val sets = docs.groupBy(col("skey"))
       .agg(min(col("doc_id")).as("sid"), first(col("st")).as("st"))
       .localCheckpoint(true) // reused by pairing AND the expand stage
-    val vocab = sets.select(explode(col("st")).as("tok")).distinct()
-      .orderBy("tok").collect().map(_.getString(0))
+    // Vocabulary GUARD before anything reaches the driver: ONE distributed
+    // countDistinct action. Only under the proven ≤64 bound does the
+    // (≤64-row) vocabulary collect; the open-vocab branch never collects.
+    val nVocab = sets.select(explode(col("st")).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
     val pairs =
-      if (vocab.length <= 64) {
+      if (nVocab <= 64) {
+        val vocab = sets.select(explode(col("st")).as("tok")).distinct()
+          .orderBy("tok").collect().map(_.getString(0))
         val idx = vocab.zipWithIndex.toMap
         val maskU = udf { (st: Seq[String]) =>
           var m = 0L; st.foreach(t => m |= 1L << idx(t)); m
@@ -368,13 +386,14 @@ object TextDedup {
               (col("na") + col("nb") - inter).cast("double") >= 0.8)
           .select(col("sa"), col("sb"))
       } else {
-        val a = sets.select(col("sid").as("sa"), col("st").as("sta"))
-        val b = sets.select(col("sid").as("sb"), col("st").as("stb"))
-        val inter = size(array_intersect(col("sta"), col("stb")))
-        a.join(broadcast(b), col("sa") < col("sb") &&
-            inter.cast("double") /
-              (size(col("sta")) + size(col("stb")) - inter).cast("double") >= 0.8)
-          .select(col("sa"), col("sb"))
+        // Open vocabulary: dedup_minhash's banded-LSH candidate graph over
+        // the collapsed sets — equi-joins only, no full-side broadcast, no
+        // all-pairs theta. Jaccard over xxhash64'd token sets ≡ Jaccard over
+        // the string sets (the standard minhash no-collision assumption,
+        // shared with dedup_minhash / dedup_ngram_jaccard).
+        bandedVerifiedPairs(sets.select(col("sid").as("id"),
+            sort_array(expr("transform(st, t -> xxhash64(t))")).as("sh")))
+          .select(col("da").as("sa"), col("db").as("sb"))
       }
     val edges = pairs.select(col("sa").as("src"), col("sb").as("dst"))
       .unionByName(pairs.select(col("sb").as("src"), col("sa").as("dst")))
@@ -577,7 +596,7 @@ object TextDedup {
     * driver-side LUT construction share ONE copy of the arithmetic — a
     * divergence (summation order, tie-break) would otherwise surface as a
     * missing-LUT runtime error instead of a recall regression. */
-  private def ivfTop2(cs: Array[Array[Double]], Dim: Int) = udf { (emb: Seq[Float]) =>
+  private[graft] def ivfTop2(cs: Array[Array[Double]], Dim: Int) = udf { (emb: Seq[Float]) =>
     val raw = new Array[Double](Dim)
     var i = 0
     while (i < Dim) { raw(i) = emb(i).toDouble; i += 1 }
@@ -796,7 +815,7 @@ object TextDedup {
   /** driver-side twin of ivfTop2 (identical arithmetic and tie-break) so
     * query-probe cids computed at the driver for LUT construction match the
     * executor-side assignment exactly. */
-  private def ivfTop2Local(raw: Array[Double],
+  private[graft] def ivfTop2Local(raw: Array[Double],
       cs: Array[Array[Double]]): Array[Int] = {
     var b1 = 1; var d1 = Double.NegativeInfinity
     var b2 = 1; var d2 = Double.NegativeInfinity
@@ -1137,10 +1156,10 @@ object TextDedup {
   /** Vocabulary build + out-of-vocabulary accounting: top-100 tokens by
     * global frequency (ties by token) become the vocab; each source is then
     * scored by its OOV token rate — the coverage statistic a tokenizer
-    * train/apply split needs. The vocab rank is a window over an
-    * already-LIMITed 100-row frame (TakeOrdered feeds it), and the vocab
-    * broadcasts into the per-source join: corpus-sized work is two
-    * explode+agg passes, never a corpus-sized sort. */
+    * train/apply split needs. The vocab build is orderBy+limit — a
+    * TakeOrdered(100) that never materializes a global sort — and the
+    * 100-row vocab broadcasts into the per-source LEFT join: corpus-sized
+    * work is two explode+agg passes, never a corpus-sized sort. */
   private val textVocabOov: Q = (s, d) => {
     val tok = tbl(s, d, "documents")
       .select(col("source"), explode(toks(normText)).as("t"))

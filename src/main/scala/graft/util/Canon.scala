@@ -40,6 +40,23 @@ object Canon {
   def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
   def tsMs(c: Column): Column = date_trunc("millisecond", c)
 
+  /** Content stamp of a source table's parquet path — file names, sizes and
+    * mtimes hashed driver-side, no Spark job. Folded into every staged-layout
+    * dir name (zorder / partitioned / metadata / stream replay), so a session
+    * reusing /tmp/graft_io after the source data changed re-stages into a
+    * fresh dir instead of silently reading the stale layout (round-5 verdict
+    * item 5: the staged-dir cache used to key on the path alone). */
+  def srcStamp(dir: String, name: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] = {
+      val kids = f.listFiles()
+      if (kids == null) Seq(f) else kids.toSeq.flatMap(walk)
+    }
+    val sig = walk(new java.io.File(s"$dir/$name.parquet")).filter(_.isFile)
+      .sortBy(_.getPath)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
   /** Load a testdata table (TESTDATA.md: one parquet per table). */
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")

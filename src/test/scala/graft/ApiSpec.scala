@@ -78,6 +78,49 @@ class ApiSpec extends AnyFunSuite {
     assert(out.where(col("g") === "a").agg(max("n")).head().getInt(0) == 2)
   }
 
+  test("forecast output is keyed by the caller's column names (ADVICE r5)") {
+    import spark.implicits._
+    val tiny = Seq((7L, 0L, 1.0)).toDF("store_id", "secs", "sales")
+      .select(col("store_id"), timestamp_seconds(col("secs")).as("sold_at"),
+        col("sales"))
+    val fc = graft.api.Graft.forecast(tiny, "store_id", "sold_at", "sales",
+      horizon = 2)
+    assert(fc.columns.take(2).toSeq == Seq("store_id", "sold_at"),
+      s"internal encoder names leaked: ${fc.columns.toSeq}")
+  }
+
+  test("dedupExact survivor is deterministic when tie-break values collide") {
+    import spark.implicits._
+    // two rows tie on n within group "a"; the extended total order must pick
+    // the same survivor regardless of partitioning
+    val rows = Seq(("a", 1, "x"), ("a", 1, "w"), ("a", 2, "z"), ("b", 5, "q"))
+    val expected = Map("a" -> "w", "b" -> "q")
+    for (parts <- Seq(1, 3, 7)) {
+      val out = rows.toDF("g", "n", "payload").repartition(parts)
+        .dedupExact(Seq("g"), "n")
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(out == expected, s"partitioning-dependent survivor at $parts")
+    }
+  }
+
+  test("README usage example compiles and runs as documented") {
+    graft.api.Graft.init(spark)
+    import graft.api.functions._
+    val events = graft.util.Canon.events(spark, sf)
+    val trades = events.select(col("user_id").as("sym"), col("ts"), col("value"))
+    val quotes = events.select(col("user_id").as("sym"),
+      col("ts"), col("value").as("quote"))
+    val hourly = events.resample("user_id", "ts", "value", "1 hour")
+    val fc = graft.api.Graft.forecast(hourly, "user_id", "bucket", "value",
+      horizon = 24)
+    val joined = trades.asofJoin(quotes, "sym", "ts")
+    val stats = events.agg(hllDistinct(col("user_id")),
+      kllQuantile(col("value"), 0.99, 128))
+    assert(fc.columns.contains("user_id"))
+    assert(joined.count() > 0)
+    assert(stats.head() != null)
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")
