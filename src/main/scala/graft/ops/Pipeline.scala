@@ -243,6 +243,43 @@ object Pipeline {
       .orderBy("user_id", "event_type", "version")
   }
 
+  /** Curriculum staging for training-data ordering: documents bucketed into
+    * five difficulty stages by type-token ratio (distinct / total tokens —
+    * repetitive docs are "easier"; deterministic, content-derived), with
+    * per-stage accounting. The stage is a pure map-side expression —
+    * floor(nd·5.0/nt) is exact IEEE for token counts ≪ 2^26 on both
+    * engines — so there is NO global sort: at 100 TB the curriculum order
+    * is realized by per-stage partitioned writes, never a corpus sort. */
+  private val pipelineCurriculum: Q = (s, d) => {
+    val t = tbl(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), split(normText, " ").as("tk"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("tk")).cast("long").as("nt"),
+        size(array_distinct(col("tk"))).cast("long").as("nd"))
+    t.withColumn("stage",
+        least(floor(col("nd") * 5.0 / col("nt")), lit(4.0)).cast("long"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"),
+        r4(avg(col("n_chars"))).as("avg_chars"))
+      .orderBy("stage")
+  }
+
+  /** Deterministic shard assignment for dataset publication: each document
+    * lands in one of 16 shards via the same partitioning-independent hash
+    * bucket the samplers use, with per-shard balance accounting — the check
+    * a release pipeline runs before shipping shards (a skewed shard means a
+    * skewed training job). Map + one 16-group aggregate at any scale. */
+  private val pipelineShardAssign: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .withColumn("shard", hbucket(col("doc_id"), 16))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("shard")
+
   val queries: Map[String, Q] = Map(
     "sample_stratified" -> sampleStratified,
     "sample_fixed_k" -> sampleFixedK,
@@ -253,12 +290,31 @@ object Pipeline {
     "mix_domains" -> mixDomains,
     "scd2_intervals" -> scd2Intervals,
     "fn_hbucket_domain" -> fnHbucketDomain,
+    "pipeline_curriculum" -> pipelineCurriculum,
+    "pipeline_shard_assign" -> pipelineShardAssign,
   )
 
   val oracle: Map[String, String] = Map(
     "fn_hbucket_domain" ->
       s"""SELECT doc_id - 250 AS k, ${hbucketSql("(doc_id - 250)", 100)} AS b
           FROM documents ORDER BY k""",
+    "pipeline_curriculum" ->
+      s"""WITH t AS (
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split($normSql, ' ')) AS BIGINT) AS nt,
+                   CAST(len(list_distinct(string_split($normSql, ' ')))
+                     AS BIGINT) AS nd
+            FROM documents)
+          SELECT CAST(least(floor(nd*5.0/nt), 4.0) AS BIGINT) AS stage,
+                 count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+                 floor(avg(n_chars)*10000 + 0.5)/10000.0 AS avg_chars
+          FROM t GROUP BY 1 ORDER BY 1""",
+    "pipeline_shard_assign" ->
+      s"""SELECT ${hbucketSql("doc_id", 16)} AS shard, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                 count(DISTINCT lang) AS n_langs,
+                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
+          FROM documents GROUP BY 1 ORDER BY 1""",
     "sample_stratified" ->
       s"""SELECT doc_id, lang, source, n_chars FROM documents
           WHERE ${hbucketSql("doc_id", 100)} <

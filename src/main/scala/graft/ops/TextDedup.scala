@@ -1013,6 +1013,31 @@ object TextDedup {
       .orderBy("lang", "rank")
   }
 
+  /** Tokenizer-vocabulary coverage at the BIGRAM level: the share of each
+    * source's bigram occurrences covered by the global top-25 bigrams — the
+    * merge-table coverage statistic a BPE-style tokenizer build reports per
+    * domain (low coverage → the source needs its own merges). Corpus-sized
+    * work is two generator+agg passes over the codegen graft_bigrams
+    * Generator; the top-25 table is a TakeOrdered that broadcasts into the
+    * per-source LEFT join — no corpus-wide sort, same shape as
+    * text_vocab_oov one n-gram order up. */
+  private val textNgramCoverage: Q = (s, d) => {
+    graft.ext.CatalystExt.register(s)
+    val bi = tbl(s, d, "documents")
+      .withColumn("tk", toks(normText))
+      .select(col("source"), expr("graft_bigrams(tk)").as(Seq("pos", "ngram")))
+    val top = bi.groupBy(col("ngram")).agg(count(lit(1)).as("tf"))
+      .orderBy(desc("tf"), asc("ngram")).limit(25)
+      .select(col("ngram").as("vt"))
+    bi.join(broadcast(top), col("ngram") === col("vt"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("vt").isNotNull, 1L).otherwise(0L)).as("n_covered"))
+      .withColumn("coverage",
+        r4(col("n_covered").cast("double") / col("n_bigrams").cast("double")))
+      .orderBy("source")
+  }
+
   /** Zipf-law fit over the token frequency distribution: OLS slope of
     * log(freq) vs log(rank) for the top-100 terms — the corpus-health
     * statistic (natural text ≈ −1). Global top-100 is TakeOrdered (no full
@@ -1344,6 +1369,7 @@ object TextDedup {
     "sim_mllib_lsh" -> simMllibLsh,
     "text_stats" -> textStats,
     "text_bigram_freq" -> textBigramFreq,
+    "text_ngram_coverage" -> textNgramCoverage,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_lang_keyword_score" -> textLangKeywordScore,
     "text_zipf_fit" -> textZipfFit,
@@ -1584,6 +1610,21 @@ object TextDedup {
              FROM tf)
           SELECT lang, rank, ngram, tf FROM ranked WHERE rank <= 5
           ORDER BY lang, rank""",
+    "text_ngram_coverage" ->
+      s"""WITH t AS (SELECT source, string_split($normSql, ' ') AS tk
+                     FROM documents),
+          bi AS (SELECT source, tk[i] || ' ' || tk[i + 1] AS ngram
+                 FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+          top AS (SELECT ngram FROM bi GROUP BY ngram
+                  ORDER BY count(*) DESC, ngram ASC LIMIT 25)
+          SELECT source, count(*) AS n_bigrams,
+                 CAST(sum(CASE WHEN ngram IN (SELECT ngram FROM top)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+                 floor((CAST(sum(CASE WHEN ngram IN (SELECT ngram FROM top)
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000.0
+                   AS coverage
+          FROM bi GROUP BY source ORDER BY source""",
     "text_tfidf_terms" ->
       s"""WITH tok AS (SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS tok
                        FROM documents),
