@@ -63,6 +63,13 @@ object functions {
   /** Mergeable HyperLogLog distinct-count aggregate (O(2^p) state). */
   def hllDistinct(c: Column): Column = call_function("graft_hll", c)
 
+  /** EXACT mergeable distinct count for integral ids in [0, bound):
+    * O(bound/8) bitset state, bitwise-OR merge — re-aggregates exactly
+    * (daily → monthly actives). Use for bounded id spaces;
+    * [[hllDistinct]] for open domains. Out-of-range values fail fast. */
+  def bitmapDistinct(c: Column, bound: Int): Column =
+    call_function("graft_bitmap_distinct", c, lit(bound))
+
   /** Misra–Gries heavy hitters: top frequent values with O(k) state.
     * The column must be integral (hash strings first if needed). */
   def heavyHitters(c: Column, k: Int): Column =

@@ -501,6 +501,61 @@ object CatalystExt {
     }
   }
 
+  /** EXACT distinct count over a bounded non-negative integral domain as a
+    * fixed bitset aggregate — the exact counterpart of [[GraftHLL]] for id
+    * spaces with a known bound (user/doc/item ids): O(bound/8) bytes of
+    * state per group, bitwise-OR merge (commutative, associative,
+    * idempotent — mergeable across partitions AND re-aggregation levels),
+    * popcount eval. At 100 TB this is the segment-intersection/count
+    * primitive (per-day active-user bitmaps OR-ed into monthly actives)
+    * where a sketch would surrender exactness for no state saving. Values
+    * outside [0, bound) fail fast — a silent drop would return a wrong
+    * count while looking healthy. */
+  case class GraftBitmap(child: Expression, bound: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+    require(bound > 0 && bound <= (1 << 27), "bound must be in (0, 2^27]")
+
+    override def createAggregationBuffer(): Array[Byte] =
+      new Array[Byte]((bound + 7) >> 3)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val x = v.asInstanceOf[Number].longValue()
+        if (x < 0 || x >= bound) throw new IllegalArgumentException(
+          s"graft_bitmap_distinct: value $x outside [0, $bound)")
+        buf((x >>> 3).toInt) = (buf((x >>> 3).toInt) | (1 << (x & 7)).toByte).toByte
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < buf.length) { buf(i) = (buf(i) | other(i)).toByte; i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Byte]): Any = {
+      var n = 0L; var i = 0
+      while (i < buf.length) {
+        n += java.lang.Integer.bitCount(buf(i) & 0xFF); i += 1
+      }
+      n
+    }
+
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(storage: Array[Byte]): Array[Byte] = storage
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): GraftBitmap =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): GraftBitmap =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): GraftBitmap =
+      copy(child = c)
+  }
+
   /** Register every extension into the session (idempotent). */
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
@@ -519,5 +574,8 @@ object CatalystExt {
     reg.createOrReplaceTempFunction("graft_topk_min",
       exprs => TopKMin(exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_bitmap_distinct",
+      exprs => GraftBitmap(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
   }
 }

@@ -100,6 +100,21 @@ object Extensions {
       .orderBy("l_returnflag")
   }
 
+  /** Exact bitset distinct (custom TypedImperativeAggregate, GraftBitmap):
+    * active users per event type counted through a fixed 2^21-bit bitmap
+    * with bitwise-OR merge — the exact mergeable counterpart of the HLL for
+    * bounded id domains (at 100 TB: the daily-actives → monthly-actives
+    * rollup primitive, where re-aggregating bitmaps stays exact and a
+    * sketch would not). Oracle: plain COUNT(DISTINCT). */
+  private val aggBitmapDistinct: Q = (s, d) => {
+    CatalystExt.register(s)
+    tbl(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(expr("graft_bitmap_distinct(user_id, 2097152)").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
   /** Misra–Gries heavy hitters (custom TypedImperativeAggregate) over the
     * event-type stream — the O(k)-state frequent-items path that replaces a
     * full groupBy+sort at 100 TB. Here distinct(5) ≤ k(8), where MG is
@@ -170,6 +185,7 @@ object Extensions {
     "expr_custom_cosine" -> exprCustomCosine,
     "agg_hll_custom" -> aggHllCustom,
     "agg_heavy_hitters" -> aggHeavyHitters,
+    "agg_bitmap_distinct" -> aggBitmapDistinct,
   )
 
   private val havSql =
@@ -202,6 +218,11 @@ object Extensions {
                 count(*) AS n
          FROM supplier WHERE s_suppkey <= 100
          GROUP BY s_nationkey ORDER BY s_nationkey""",
+    // the bitmap aggregate is exact by construction ⇒ COUNT(DISTINCT) IS its oracle
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+                count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // distinct(5) ≤ k(8) ⇒ the MG sketch is exact ⇒ plain counts reproduce it
     "agg_heavy_hitters" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS est

@@ -206,6 +206,40 @@ object Joins {
       .orderBy("user_id", "event_id")
   }
 
+  /** TOLERANCE-bounded backward as-of join: the latest click at or before
+    * each purchase counts only within a 1-hour window — the `tolerance`
+    * knob every as-of API carries (a match staler than the bound is no
+    * match). Same single hash shuffle + one window pass as join_asof; the
+    * matched ref timestamp rides along so the gap test is one codegen
+    * comparison, never a second join. DuckDB oracle: native ASOF LEFT JOIN
+    * + the identical gap CASE. */
+  private val joinAsofTolerance: Q = (s, d) => {
+    val ev = tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+    val ref = ev.where(col("event_type") === "click").select(
+      col("user_id"), col("tsm").as("ts"), col("event_id"),
+      col("value").as("click_value"), lit(0).as("side"),
+      lit(null).cast("double").as("purchase_value"))
+    val probe = ev.where(col("event_type") === "purchase").select(
+      col("user_id"), col("tsm").as("ts"), col("event_id"),
+      lit(null).cast("double").as("click_value"), lit(1).as("side"),
+      col("value").as("purchase_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val clickTs = when(col("side") === 0, col("ts"))
+    ref.unionByName(probe)
+      .withColumn("b_v", last(col("click_value"), ignoreNulls = true).over(w))
+      .withColumn("b_ts", last(clickTs, ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .withColumn("last_click_value_1h",
+        when(col("b_ts").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("b_ts")) > 3600000L,
+          lit(-1.0)).otherwise(col("b_v")))
+      .select("user_id", "event_id", "ts", "purchase_value",
+        "last_click_value_1h")
+      .orderBy("user_id", "event_id")
+  }
+
   /** The same as-of semantics through the NATIVE custom operator
     * (graft.plans.AsOfJoin: LogicalPlan + Strategy + merge SparkPlan) —
     * one exchange + sort per side, O(1)-state streaming merge. Must
@@ -696,6 +730,7 @@ object Joins {
     "join_asof_forward" -> joinAsofForward,
     "join_asof_nearest" -> joinAsofNearest,
     "join_asof_native" -> joinAsofNative,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_self" -> joinSelf,
     "tpch_q2" -> tpchQ2,
     "tpch_q3" -> tpchQ3,
@@ -1058,6 +1093,20 @@ object Joins {
             OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30
                 AND p_size BETWEEN 1 AND 15)""",
     "join_asof" -> asofOracle,
+    "join_asof_tolerance" ->
+      """SELECT p.user_id, p.event_id, p.ts, p.purchase_value,
+                CASE WHEN c.cts IS NULL
+                       OR epoch_ms(p.ts) - epoch_ms(c.cts) > 3600000 THEN -1.0
+                     ELSE c.click_value END AS last_click_value_1h
+         FROM (SELECT user_id, event_id, date_trunc('millisecond', ts) AS ts,
+                      value AS purchase_value
+               FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT user_id AS cu, date_trunc('millisecond', ts) AS cts,
+                      value AS click_value
+               FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.cu AND p.ts >= c.cts
+         ORDER BY p.user_id, p.event_id""",
     // Fixture note (forward/nearest oracles): among clicks sharing the same
     // ms-truncated ts for a user, the Spark side breaks the tie by event_id
     // while DuckDB's ASOF JOIN picks an unspecified equal-ts row. The events

@@ -3,7 +3,7 @@ package graft.ops
 import graft.util.Canon._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface — SURVEY.md §2.10 + §2.1 source_stream_replay.
   *
@@ -257,6 +257,61 @@ object Streaming {
       .orderBy("user_id", "start_ms")
   }
 
+  final case class TwsEv(user_id: Long, value: Double)
+  final case class TwsOut(user_id: Long, n_purchases: Long, purchase_total: Double)
+
+  /** Per-user running purchase totals as a [[StatefulProcessor]] — the
+    * transformWithState API (Spark 4's arbitrary-state surface replacing
+    * flatMapGroupsWithState: typed ValueState handles, timers, TTL).
+    * Emits the post-batch running total per key per micro-batch; cents ride
+    * as exact integers inside the state. */
+  private class PurchaseTotals extends StatefulProcessor[Long, TwsEv, TwsOut] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsEv],
+        tv: TimerValues): Iterator[TwsOut] = {
+      var (n, c) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { e => n += 1; c += math.floor(e.value * 100 + 0.5).toLong }
+      st.update((n, c))
+      Iterator.single(TwsOut(key, n, c / 100.0))
+    }
+  }
+
+  /** transformWithState (§2.10 extension): per-user purchase count + total
+    * through the modern arbitrary-state processor. Requires the RocksDB
+    * state-store provider (the API rejects the default HDFS-backed store);
+    * the provider conf is scoped to this query and restored after. The
+    * stream emits one running-totals row per (user, micro-batch); the final
+    * value per user — selected with ONE max_by pass, not a window — must
+    * equal the batch aggregate, which is the DuckDB oracle. */
+  private val streamTransformWithState: Q = (s, d) => {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"))
+        .as[TwsEv]
+        .groupByKey(_.user_id)
+        .transformWithState(new PurchaseTotals,
+          TimeMode.None(), OutputMode.Append())
+      runToTable(s, stream.toDF(), "append")
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_purchases"), col("purchase_total")), col("n_purchases"))
+          .as("fin"))
+        .select(col("user_id"), col("fin.n_purchases").as("n_purchases"),
+          col("fin.purchase_total").as("purchase_total"))
+        .orderBy("user_id")
+    } finally {
+      prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+
   /** foreachBatch sink — the production pattern for arbitrary sinks: each
     * micro-batch lands as parquet via the batch writer, results read back
     * after completion. Oracle: the plain batch aggregation. */
@@ -388,6 +443,7 @@ object Streaming {
     "stream_stream_join" -> streamStreamJoin,
     "stream_stream_outer_join" -> streamStreamOuterJoin,
     "stream_foreach_batch" -> streamForeachBatch,
+    "stream_transform_with_state" -> streamTransformWithState,
   )
 
   val oracle: Map[String, String] = Map(
@@ -459,6 +515,12 @@ object Streaming {
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
          FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_foreach_batch" ->
+      """SELECT user_id, count(*) AS n_purchases,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS purchase_total
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
+    // bounded replay: the final running total per user ≡ the batch aggregate
+    "stream_transform_with_state" ->
       """SELECT user_id, count(*) AS n_purchases,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS purchase_total
          FROM events WHERE event_type = 'purchase'

@@ -523,7 +523,42 @@ object TimeSeries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Seasonal-strength diagnostic (the STL F_s statistic, hour-of-week
+    * season): strength = SSB/SST where SSB is the between-group variance of
+    * the 168 hour-of-week means and SST the total variance — 1 means the
+    * series is pure weekly seasonality, 0 means none. All inner sums ride
+    * as exact integers (cents; per-group squares scaled ×1000 and floor-
+    * divided ONCE per group, identically on both engines), so the only
+    * float ops are two final divisions per user — order-insensitive,
+    * hash-matchable. Hour-of-week comes from epoch arithmetic, not the
+    * engines' (differently-based) dayofweek. Shape: two hash aggs, no
+    * window, no shuffle beyond groupBy — at 100 TB this is a pure
+    * map-side-partial pipeline. */
+  private val tsSeasonalStrength: Q = (s, d) => {
+    val hb = tbl(s, d, "events")
+      .withColumn("ems", unix_millis(tsMs(col("ts"))))
+      .groupBy(col("user_id"), expr("ems div 3600000").as("hb"))
+      .agg(sum(cents(col("value"))).as("c"))
+    val hw = hb.withColumn("how", col("hb") % 168)
+      .groupBy(col("user_id"), col("how"))
+      .agg(sum(col("c")).as("s1"), count(lit(1)).as("nh"),
+        sum(col("c") * col("c")).as("s2h"))
+    val u = hw.groupBy(col("user_id"))
+      .agg(sum(col("s1")).as("t1"),
+        sum(expr("s1*s1*1000 div nh")).as("t2q"),
+        sum(col("nh")).as("n"), sum(col("s2h")).as("t2"))
+    val m2 = col("t1").cast("double") * col("t1") / col("n")
+    val den = col("t2").cast("double") - m2
+    val num = col("t2q") / 1000.0 - m2
+    u.select(col("user_id"), col("n").as("n_buckets"),
+        r4(when(den <= 0.0, lit(0.0))
+          .otherwise(greatest(least(num / den, lit(1.0)), lit(0.0))))
+          .as("seasonal_strength"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_seasonal_strength" -> tsSeasonalStrength,
     "ts_multi_grain" -> tsMultiGrain,
     "ts_resample_composite" -> tsResampleComposite,
     "ts_autocorr" -> tsAutocorr,
@@ -615,6 +650,31 @@ object TimeSeries {
          FROM fit)"""
 
   val oracle: Map[String, String] = Map(
+    "ts_seasonal_strength" ->
+      """WITH hb AS (
+           SELECT user_id,
+                  epoch_ms(date_trunc('millisecond', ts)) // 3600000 AS hb,
+                  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS c
+           FROM events GROUP BY 1, 2),
+         hw AS (
+           SELECT user_id, hb % 168 AS how, CAST(sum(c) AS BIGINT) AS s1,
+                  count(*) AS nh, CAST(sum(c*c) AS BIGINT) AS s2h
+           FROM hb GROUP BY 1, 2),
+         u AS (
+           SELECT user_id, CAST(sum(s1) AS BIGINT) AS t1,
+                  CAST(sum(s1*s1*1000 // nh) AS BIGINT) AS t2q,
+                  CAST(sum(nh) AS BIGINT) AS n, CAST(sum(s2h) AS BIGINT) AS t2
+           FROM hw GROUP BY 1)
+         SELECT user_id, n AS n_buckets,
+                floor((CASE WHEN CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)*t1/n <= 0.0
+                            THEN 0.0
+                            ELSE greatest(least(
+                              (t2q/1000.0 - CAST(t1 AS DOUBLE)*t1/n) /
+                              (CAST(t2 AS DOUBLE) - CAST(t1 AS DOUBLE)*t1/n),
+                              1.0), 0.0) END)*10000 + 0.5)/10000.0
+                  AS seasonal_strength
+         FROM u ORDER BY user_id""",
     "ts_multi_grain" ->
       """SELECT grain, bucket, n, v_sum FROM (
            SELECT 'day' AS grain, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,

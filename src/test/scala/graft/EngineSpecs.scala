@@ -759,6 +759,38 @@ class TopKSpec extends AnyFunSuite {
   }
 }
 
+/** Exact bitset distinct aggregate (graft_bitmap_distinct §2.11) — exact
+  * under partitioning/merge, fail-fast out of range. */
+class BitmapSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("bitmap distinct equals exact countDistinct across partitions") {
+    graft.ext.CatalystExt.register(spark)
+    // dup-heavy values over 17 partitions so partial bitmaps really merge
+    val df = spark.range(0, 10000).toDF("id").repartition(17)
+      .withColumn("g", col("id") % 3)
+      .withColumn("v", (col("id") * col("id")) % 4096)
+    val rows = df.groupBy("g").agg(
+      expr("graft_bitmap_distinct(v, 4096)").as("bm"),
+      countDistinct(col("v")).as("exact")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"group ${r.getLong(0)}: bitmap ${r.getLong(1)} != exact ${r.getLong(2)}"))
+  }
+
+  test("out-of-range value fails fast instead of undercounting") {
+    graft.ext.CatalystExt.register(spark)
+    val ex = intercept[Throwable] {
+      spark.range(0, 10).toDF("v")
+        .agg(expr("graft_bitmap_distinct(v, 5)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null), "no diagnostic message")
+  }
+}
+
 /** Label-propagation convergence (dedup_connected_components §2.9). */
 class LabelPropSpec extends AnyFunSuite {
   import TestSession._
