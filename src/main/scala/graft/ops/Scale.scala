@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.util.Canon._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-technique operators — the shuffle-shaping patterns SURVEY.md §4
@@ -214,7 +215,40 @@ object Scale {
       .orderBy("lang")
   }
 
+  /** Small-file COMPACTION audit: a deliberately-fragmented staged layout
+    * (32 shuffle files — the small-file problem that kills 100 TB scan
+    * throughput through per-file open/footer/seek overhead) is rewritten
+    * with `maxRecordsPerFile` rollover in doc_id order, then audited from
+    * `_metadata.file_path` alone: file sequence, row count, and id range
+    * per output file. The rollover arithmetic is deterministic (one sorted
+    * writer task rolls a new file exactly every 200 records), so the DuckDB
+    * oracle is the same bucketing on row_number. At scale the single
+    * compaction task becomes repartitionByRange(n_target) with the same
+    * rollover — the audited invariant (files = contiguous sorted ranges of
+    * bounded size) is what matters, not the task count. */
+  private val sinkCompact: Q = (s, d) => {
+    val frag =
+      s"/tmp/graft_io/docs_frag_${d.hashCode.toHexString}_${srcStamp(d, "documents")}"
+    if (stagedDirs.add(frag))
+      tbl(s, d, "documents").repartition(32).write.mode("overwrite").parquet(frag)
+    val out = s"${frag}_compact"
+    if (stagedDirs.add(out))
+      s.read.parquet(frag)
+        .coalesce(1).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").option("maxRecordsPerFile", 200)
+        .parquet(out)
+    val w = Window.orderBy(col("min_doc"))
+    s.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(count(lit(1)).as("n_rows"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .select((row_number().over(w) - 1).cast("long").as("file_seq"),
+        col("n_rows"), col("min_doc"), col("max_doc"))
+      .orderBy("file_seq")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sink_compact" -> sinkCompact,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucketed" -> joinBucketed,
@@ -225,6 +259,13 @@ object Scale {
   )
 
   val oracle: Map[String, String] = Map(
+    "sink_compact" ->
+      """WITH r AS (
+           SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+           FROM documents)
+         SELECT rn // 200 AS file_seq, count(*) AS n_rows,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM r GROUP BY 1 ORDER BY 1""",
     "scan_metadata" ->
       """SELECT lang, count(*) AS n_docs, CAST(1 AS BIGINT) AS n_files
          FROM documents GROUP BY lang ORDER BY lang""",

@@ -557,8 +557,70 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** LTTB-style visualization downsampling (largest-triangle, static
+    * neighbor buckets): each user's hourly series collapses to ≤ 16 points
+    * — endpoints kept, and per interior bucket the point with the largest
+    * triangle area against the NEIGHBOR BUCKET CENTROIDS survives. The
+    * classic LTTB recurrence (area vs the previously SELECTED point) is
+    * inherently sequential; the static-neighbor variant keeps the visual
+    * property and is one window pass — the difference between a
+    * per-series loop and a distributed plan at 100 TB (more series, not
+    * bigger ones, but nothing here is per-series driver code at all).
+    * All areas are EXACT integers: area·n_prev·n_next =
+    * (Sx_p − n_p·x)(Sy_n − n_n·y) − (Sx_n − n_n·x)(Sy_p − n_p·y) over
+    * epoch-hour x and 1e4-scaled y — bounded ≪ 2^63, so argmax + (area
+    * desc, x asc) tie-break is bit-identical on both engines. */
+  private val tsDownsampleLttb: Q = (s, d) => {
+    val B = 16
+    val h = hourly(s, d).select(col("user_id"),
+      expr("unix_millis(bucket) div 3600000").as("x"),
+      floor(col("v") * 10000 + 0.5).cast("long").as("y"))
+    val wU = Window.partitionBy("user_id").orderBy("x")
+    val idx = h.withColumn("i", row_number().over(wU).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .withColumn("b", expr(s"i * $B div n"))
+    val bs = idx.groupBy(col("user_id").as("bu"), col("b").as("bb"))
+      .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy("bu").orderBy("bb")
+    val seq = bs.withColumn("j", row_number().over(wB).cast("long") - 1)
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("bu")))
+      .withColumn("sxp", lag("sx", 1).over(wB))
+      .withColumn("syp", lag("sy", 1).over(wB))
+      .withColumn("cp", lag("cnt", 1).over(wB))
+      .withColumn("sxn", lead("sx", 1).over(wB))
+      .withColumn("syn", lead("sy", 1).over(wB))
+      .withColumn("cn", lead("cnt", 1).over(wB))
+    val pts = idx.join(seq, col("user_id") === col("bu") && col("b") === col("bb"))
+    val area2 = abs(
+      (col("sxp") - col("cp") * col("x")) * (col("syn") - col("cn") * col("y")) -
+      (col("sxn") - col("cn") * col("x")) * (col("syp") - col("cp") * col("y")))
+    val wSel = Window.partitionBy("user_id", "b").orderBy(desc("a2"), asc("x"))
+    val mid = pts.where(col("j") > 0 && col("j") < col("nb") - 1)
+      .withColumn("a2", area2)
+      .withColumn("rk", row_number().over(wSel))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("x"), col("y"))
+    val fst = pts.where(col("j") === 0)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "b").orderBy("x")))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("x"), col("y"))
+    val lst = pts.where(col("j") === col("nb") - 1 && col("nb") > 1)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id", "b").orderBy(desc("x"))))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("x"), col("y"))
+    fst.unionByName(mid).unionByName(lst)
+      .select(col("user_id"),
+        timestamp_millis(col("x") * 3600000).as("bucket"),
+        (col("y") / 10000.0).as("v"))
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_seasonal_strength" -> tsSeasonalStrength,
+    "ts_downsample_lttb" -> tsDownsampleLttb,
     "ts_multi_grain" -> tsMultiGrain,
     "ts_resample_composite" -> tsResampleComposite,
     "ts_autocorr" -> tsAutocorr,
@@ -650,6 +712,45 @@ object TimeSeries {
          FROM fit)"""
 
   val oracle: Map[String, String] = Map(
+    "ts_downsample_lttb" -> (H0 + """,
+         h AS (SELECT user_id, epoch_ms(bucket) // 3600000 AS x,
+                      CAST(floor(v*10000 + 0.5) AS BIGINT) AS y
+               FROM hourly),
+         idx AS (SELECT *,
+                        row_number() OVER (PARTITION BY user_id ORDER BY x) - 1 AS i,
+                        count(*) OVER (PARTITION BY user_id) AS n
+                 FROM h),
+         ib AS (SELECT *, (i*16) // n AS b FROM idx),
+         bs AS (SELECT user_id AS bu, b AS bb, CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy, count(*) AS cnt
+                FROM ib GROUP BY 1, 2),
+         seq AS (SELECT *,
+                        row_number() OVER (PARTITION BY bu ORDER BY bb) - 1 AS j,
+                        count(*) OVER (PARTITION BY bu) AS nb,
+                        lag(sx) OVER w AS sxp, lag(sy) OVER w AS syp,
+                        lag(cnt) OVER w AS cp,
+                        lead(sx) OVER w AS sxn, lead(sy) OVER w AS syn,
+                        lead(cnt) OVER w AS cn
+                 FROM bs WINDOW w AS (PARTITION BY bu ORDER BY bb)),
+         pts AS (SELECT * FROM ib JOIN seq ON user_id = bu AND b = bb),
+         mid AS (SELECT user_id, x, y,
+                        row_number() OVER (PARTITION BY user_id, b
+                          ORDER BY abs((sxp - cp*x)*(syn - cn*y)
+                                     - (sxn - cn*x)*(syp - cp*y)) DESC,
+                                   x ASC) AS rk
+                 FROM pts WHERE j > 0 AND j < nb - 1),
+         fst AS (SELECT user_id, x, y,
+                        row_number() OVER (PARTITION BY user_id, b ORDER BY x) AS rk
+                 FROM pts WHERE j = 0),
+         lst AS (SELECT user_id, x, y,
+                        row_number() OVER (PARTITION BY user_id, b ORDER BY x DESC) AS rk
+                 FROM pts WHERE j = nb - 1 AND nb > 1)
+         SELECT user_id, make_timestamp(x*3600000*1000) AS bucket,
+                y/10000.0 AS v
+         FROM (SELECT * FROM fst WHERE rk = 1
+               UNION ALL SELECT * FROM mid WHERE rk = 1
+               UNION ALL SELECT * FROM lst WHERE rk = 1)
+         ORDER BY user_id, bucket"""),
     "ts_seasonal_strength" ->
       """WITH hb AS (
            SELECT user_id,

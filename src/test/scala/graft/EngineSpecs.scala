@@ -34,6 +34,32 @@ class SmokeSpec extends AnyFunSuite {
     assert(os.subsetOf(qs), s"oracle keys without query: ${os.diff(qs)}")
   }
 
+  // The closed list of legitimately un-oracle-able queries (sketch error
+  // bounds, LSH/ANN recall, forecast recovery, watermark exclusion, native
+  // xxhash64, stub codec) — each covered by a dedicated property suite. A
+  // NEW query missing from oracleSql gets only a weak rows-only check from
+  // the driver, so it must be registered here deliberately, not by
+  // accident.
+  private val selfVerified = Set(
+    "agg_approx_distinct", "agg_approx_percentile", "agg_hll_custom",
+    "dedup_minhash", "dedup_simhash", "fn_hash_native",
+    "forecast_prophet_backtest", "forecast_prophet_configured",
+    "forecast_prophet_holidays", "forecast_prophet_like",
+    "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann", "sim_lsh_ann",
+    "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late")
+
+  test("every query is oracle-checked unless explicitly self-verified") {
+    val orphans =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- selfVerified
+    assert(orphans.isEmpty,
+      s"queries with neither oracle nor self-verified registration: $orphans")
+    val stale = selfVerified -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"self-verified entries no longer registered: $stale")
+    val shadowed = selfVerified.intersect(SparkEntry.oracleSql.keySet)
+    assert(shadowed.isEmpty,
+      s"self-verified entries that now HAVE an oracle (remove from list): $shadowed")
+  }
+
   // A handful of ops legitimately return 0 rows on tiny/filtered slices.
   private val mayBeEmpty = Set("set_except", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "dedup_minhash", "join_left_anti",
