@@ -496,9 +496,11 @@ object Joins {
     * supplier with the LOWEST account balance among suppliers who shipped it
     * (s_acctbal stands in for ps_supplycost; the supply relation is the
     * distinct (part, supplier) pairs observed in lineitem since partsupp is
-    * absent). The correlated-min subquery becomes a per-part aggregate
-    * joined back on exact cents equality — ties kept, per spec. The min
-    * table is O(parts in the size slice): dimension-sized, broadcastable. */
+    * absent). The correlated-min subquery becomes a per-part MIN window
+    * over the already-filtered supply relation — ONE pass (an aggregate
+    * joined back would re-plan, and re-scan, the whole distinct subtree
+    * twice: measured in the round-6 plan audit); ties kept, per spec.
+    * Window groups are suppliers-per-part — bounded, never corpus-sized. */
   private val tpchQ2: Q = (s, d) => {
     val regSupp = tbl(s, d, "supplier")
       .join(broadcast(tbl(s, d, "nation").where(col("n_regionkey") === 0)),
@@ -511,10 +513,10 @@ object Joins {
         .select(col("p_partkey"), col("p_type"))),
         col("l_partkey") === col("p_partkey"))
       .join(regSupp, col("l_suppkey") === col("s_suppkey"))
-    val minBal = supply.groupBy(col("p_partkey").as("mk"))
-      .agg(min(col("bal_c")).as("min_c"))
-    supply.join(broadcast(minBal),
-        col("p_partkey") === col("mk") && col("bal_c") === col("min_c"))
+    supply
+      .withColumn("min_c", min(col("bal_c"))
+        .over(Window.partitionBy(col("p_partkey"))))
+      .where(col("bal_c") === col("min_c"))
       .select((col("bal_c") / 100.0).as("s_acctbal"), col("s_name"),
         col("n_name"), col("p_partkey"), col("p_type"))
       .orderBy(desc("s_acctbal"), asc("s_name"), asc("p_partkey"))
