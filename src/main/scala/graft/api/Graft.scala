@@ -50,6 +50,19 @@ object Graft {
       .withColumnRenamed("user_id", key)
       .withColumnRenamed("bucket", time)
   }
+
+  /** Full-corpus near-duplicate connected components (the engine's flagship
+    * dedup pipeline): exact-collapse → vocabulary-guarded pair stage
+    * (bitmask fast path / banded-LSH at open vocabulary — never all-pairs)
+    * → log-diameter min-label propagation → expand. Input needs an
+    * integral id column and a text column; output is one row per input doc
+    * with (id, label, is_keeper) where label = the component's min id and
+    * keepers are the rows a dedup run retains. Output id column keeps the
+    * caller's name. */
+  def neardupComponents(df: DataFrame, id: String, text: String): DataFrame =
+    graft.ops.TextDedup.neardupLabelsFromDocs(
+        df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
+      ._1.withColumnRenamed("node", id)
 }
 
 /** Column functions over the custom Catalyst surface. All resolve through

@@ -195,6 +195,41 @@ object Relational {
           .as("cov_pq"))
       .orderBy("l_returnflag")
 
+  /** Welch two-sample t-test (the A/B-experiment readout): purchase vs
+    * click values compared in ONE conditional-aggregate pass — n/Σ/Σ² per
+    * arm ride as exact cent integers, so the only float arithmetic is the
+    * final mean/variance/t/df expression block, evaluated in the identical
+    * order on both engines (then r4). At 100 TB this is a single
+    * partial+final aggregate over the fact scan: no shuffle of raw rows,
+    * no per-arm subqueries. */
+  private val aggAbTtest: Q = (s, d) => {
+    val ev = tbl(s, d, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        cents(col("value")).as("c"))
+    val a = ev.agg(
+      sum(when(col("arm"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm"), col("c")).otherwise(0L)).as("s1"),
+      sum(when(col("arm"), col("c") * col("c")).otherwise(0L)).as("q1"),
+      sum(when(!col("arm"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("arm"), col("c")).otherwise(0L)).as("s2"),
+      sum(when(!col("arm"), col("c") * col("c")).otherwise(0L)).as("q2"))
+    val m1 = col("s1").cast("double") / col("n1")
+    val m2 = col("s2").cast("double") / col("n2")
+    val se1 = (col("q1").cast("double") -
+      col("s1").cast("double") * col("s1") / col("n1")) /
+      (col("n1") - 1) / col("n1")
+    val se2 = (col("q2").cast("double") -
+      col("s2").cast("double") * col("s2") / col("n2")) /
+      (col("n2") - 1) / col("n2")
+    a.select(col("n1"), col("n2"),
+      r4((m1 - m2) / 100.0).as("mean_diff"),
+      r4((m1 - m2) / sqrt(se1 + se2)).as("t_stat"),
+      r4((se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
+        .as("df_welch"))
+  }
+
   private val aggPercentile: Q = (s, d) =>
     tbl(s, d, "orders")
       .groupBy(col("o_orderstatus"))
@@ -463,6 +498,7 @@ object Relational {
     "agg_cube" -> aggCube,
     "agg_filtered" -> aggFiltered,
     "agg_stats" -> aggStats,
+    "agg_ab_ttest" -> aggAbTtest,
     "agg_percentile" -> aggPercentile,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_approx_percentile" -> aggApproxPercentile,
@@ -590,6 +626,30 @@ object Relational {
                 floor((corr(l_extendedprice, l_quantity))*10000 + 0.5)/10000.0 AS corr_pq,
                 floor((covar_samp(l_extendedprice, l_quantity))*10 + 0.5)/10.0 AS cov_pq
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_ab_ttest" ->
+      """WITH a AS (
+           SELECT CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN arm THEN c ELSE 0 END) AS BIGINT) AS s1,
+                  CAST(sum(CASE WHEN arm THEN c*c ELSE 0 END) AS BIGINT) AS q1,
+                  CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN NOT arm THEN c ELSE 0 END) AS BIGINT) AS s2,
+                  CAST(sum(CASE WHEN NOT arm THEN c*c ELSE 0 END) AS BIGINT) AS q2
+           FROM (SELECT event_type = 'purchase' AS arm,
+                        CAST(floor(value*100 + 0.5) AS BIGINT) AS c
+                 FROM events WHERE event_type IN ('purchase', 'click'))),
+         m AS (
+           SELECT n1, n2,
+                  CAST(s1 AS DOUBLE)/n1 AS m1, CAST(s2 AS DOUBLE)/n2 AS m2,
+                  (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*s1/n1)/(n1 - 1)/n1 AS se1,
+                  (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*s2/n2)/(n2 - 1)/n2 AS se2
+           FROM a)
+         SELECT n1, n2,
+                floor(((m1 - m2)/100.0)*10000 + 0.5)/10000.0 AS mean_diff,
+                floor(((m1 - m2)/sqrt(se1 + se2))*10000 + 0.5)/10000.0 AS t_stat,
+                floor(((se1 + se2)*(se1 + se2)
+                       / (se1*se1/(n1 - 1) + se2*se2/(n2 - 1)))*10000 + 0.5)/10000.0
+                  AS df_welch
+         FROM m""",
     "agg_percentile" ->
       """SELECT o_orderstatus,
                 floor((quantile_cont(o_totalprice, 0.5))*10000 + 0.5)/10000.0 AS p50,

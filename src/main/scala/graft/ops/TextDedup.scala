@@ -439,6 +439,33 @@ object TextDedup {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** N-GRAM decontamination — the industry-standard alternative to token
+    * containment (pipeline_decontaminate): a corpus document is flagged
+    * when it shares ANY distinct 5-token n-gram with a benchmark document
+    * (docs 0–4 play the benchmark; production uses 8–13 grams on
+    * ~1000-token docs — 5 is the proportional window for this fixture's
+    * ~55-token docs, measured as the largest n with nonzero matches at
+    * every SF). Candidates come from an equi-join on the n-gram with the
+    * tiny benchmark side broadcast, so work scales with shared-gram mass —
+    * at 100 TB, hash the grams (xxhash64) instead of joining strings; the
+    * join shape is unchanged. */
+  private val pipelineDecontaminateNgram: Q = (s, d) => {
+    val grams = tbl(s, d, "documents")
+      .select(col("doc_id"), toks(normText).as("tk"))
+      .where(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk)-5), i -> array_join(slice(tk, i+1, 5), ' '))"))
+        .as("ng"))
+      .distinct()
+    val bench = grams.where(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), col("ng"))
+    grams.where(col("doc_id") >= 5)
+      .join(broadcast(bench), "ng")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Iterative min-label propagation with a convergence check: loops until a
     * round changes no label (or maxRounds — the runaway cap), returning
     * (labels, roundsRun). One cheap action per round decides termination —
@@ -1359,6 +1386,7 @@ object TextDedup {
     "pipeline_neardup_stats" -> pipelineNeardupStats,
     "pipeline_neardup_full" -> pipelineNeardupFull,
     "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_decontaminate_ngram" -> pipelineDecontaminateNgram,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
     "sim_cosine_topk" -> simCosineTopk,
@@ -1483,6 +1511,17 @@ object TextDedup {
           FROM inter i JOIN bs ON i.bench_id = bs.bench_id
           WHERE CAST(n_shared AS DOUBLE)/CAST(nb AS DOUBLE) >= 0.8
           ORDER BY i.doc_id, i.bench_id""",
+    "pipeline_decontaminate_ngram" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+          g AS (
+            SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS ng
+            FROM t, unnest(generate_series(1, len(tk) - 4)) AS u(i)
+            WHERE len(tk) >= 5)
+          SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared_ngrams
+          FROM (SELECT * FROM g WHERE doc_id >= 5) c
+          JOIN (SELECT * FROM g WHERE doc_id < 5) b ON c.ng = b.ng
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "pipeline_neardup_stats" ->
       s"""WITH RECURSIVE t AS (
              SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st

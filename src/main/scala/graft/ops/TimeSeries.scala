@@ -618,9 +618,29 @@ object TimeSeries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Local-maximum peak detection with a prominence floor: a point is a
+    * peak when it strictly exceeds both hourly neighbors and clears them by
+    * ≥ 0.5 (prominence = v − max(neighbors), r4-canonicalized BEFORE the
+    * threshold compare so the filter decision is identical on both
+    * engines). One window pass per series — lag/lead in a single sort. */
+  private val tsPeakDetect: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+    hourly(s, d)
+      .withColumn("v_prev", lag(col("v"), 1).over(w))
+      .withColumn("v_next", lead(col("v"), 1).over(w))
+      .where(col("v_prev").isNotNull && col("v_next").isNotNull &&
+        col("v") > col("v_prev") && col("v") > col("v_next"))
+      .withColumn("prominence",
+        r4(col("v") - greatest(col("v_prev"), col("v_next"))))
+      .where(col("prominence") >= 0.5)
+      .select("user_id", "bucket", "v", "v_prev", "v_next", "prominence")
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ts_downsample_lttb" -> tsDownsampleLttb,
+    "ts_peak_detect" -> tsPeakDetect,
     "ts_multi_grain" -> tsMultiGrain,
     "ts_resample_composite" -> tsResampleComposite,
     "ts_autocorr" -> tsAutocorr,
@@ -712,6 +732,19 @@ object TimeSeries {
          FROM fit)"""
 
   val oracle: Map[String, String] = Map(
+    "ts_peak_detect" -> (H0 + """,
+         x AS (SELECT user_id, bucket, v,
+                      lag(v) OVER w AS v_prev, lead(v) OVER w AS v_next
+               FROM hourly
+               WINDOW w AS (PARTITION BY user_id ORDER BY bucket))
+         SELECT user_id, bucket, v, v_prev, v_next,
+                floor((v - greatest(v_prev, v_next))*10000 + 0.5)/10000.0
+                  AS prominence
+         FROM x
+         WHERE v_prev IS NOT NULL AND v_next IS NOT NULL
+           AND v > v_prev AND v > v_next
+           AND floor((v - greatest(v_prev, v_next))*10000 + 0.5)/10000.0 >= 0.5
+         ORDER BY user_id, bucket"""),
     "ts_downsample_lttb" -> (H0 + """,
          h AS (SELECT user_id, epoch_ms(bucket) // 3600000 AS x,
                       CAST(floor(v*10000 + 0.5) AS BIGINT) AS y

@@ -121,6 +121,18 @@ class ApiSpec extends AnyFunSuite {
     assert(stats.head() != null)
   }
 
+  test("neardupComponents labels a tiny corpus through the public facade") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "a b c d"), (11L, "a b c d e"), (12L, "x y z w"),
+      (13L, "p q r s t u")).toDF("id", "body")
+    val got = graft.api.Graft.neardupComponents(docs, "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // jaccard(abcd, abcde) = 4/5 ≥ 0.8 → one component; 12/13 singletons
+    assert(got == Set((10L, 10L, true), (11L, 10L, false),
+      (12L, 12L, true), (13L, 13L, true)))
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")
