@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.util.Canon._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -228,6 +228,39 @@ object Relational {
       r4((se1 + se2) * (se1 + se2) /
         (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)))
         .as("df_welch"))
+  }
+
+  /** Pairwise Pearson correlation matrix over the four lineitem measures in
+    * ONE aggregate pass — the feature-screening readout (agg_stats does one
+    * per-group pair; this is the all-pairs matrix). Every moment rides as an
+    * exact integer: measures are floored to cents, per-row cross products
+    * fit a long (≤1.2e14), and the sums accumulate as DECIMAL(38,0) so a
+    * corpus-scale total can't silently overflow the way sum(long) would.
+    * The closed-form corr block is then evaluated in the identical float
+    * order on both engines (then r4). At 100 TB: one partial+final
+    * aggregate over the fact scan — 15 running sums, zero shuffled rows. */
+  private val aggCorrMatrix: Q = (s, d) => {
+    val ms = Seq("qty" -> col("l_quantity"), "price" -> col("l_extendedprice"),
+      "disc" -> col("l_discount"), "tax" -> col("l_tax"))
+    val cented = tbl(s, d, "lineitem")
+      .select(ms.map { case (n, c) => cents(c).as(n) }: _*)
+    val pairs = for { i <- ms.indices; j <- i until ms.length }
+      yield (ms(i)._1, ms(j)._1)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val a = cented.agg(count(lit(1)).as("n"),
+      ms.map { case (n, _) => sum(dec(col(n))).as(s"s_$n") } ++
+        pairs.map { case (x, y) => sum(dec(col(x) * col(y))).as(s"q_${x}_$y") }: _*)
+    def dbl(c: Column) = c.cast("double")
+    def corrOf(x: String, y: String) = r4(
+      (dbl(col("n")) * dbl(col(s"q_${x}_$y")) - dbl(col(s"s_$x")) * dbl(col(s"s_$y"))) /
+        sqrt((dbl(col("n")) * dbl(col(s"q_${x}_$x")) - dbl(col(s"s_$x")) * dbl(col(s"s_$x"))) *
+          (dbl(col("n")) * dbl(col(s"q_${y}_$y")) - dbl(col(s"s_$y")) * dbl(col(s"s_$y")))))
+    val offDiag = pairs.filter { case (x, y) => x != y }
+    val wide = a.select(offDiag.map { case (x, y) => corrOf(x, y).as(s"${x}_$y") }: _*)
+    val stackArgs = offDiag
+      .map { case (x, y) => s"'${x}_$y', ${x}_$y" }.mkString(", ")
+    wide.select(expr(s"stack(${offDiag.length}, $stackArgs) as (pair, corr)"))
+      .orderBy("pair")
   }
 
   private val aggPercentile: Q = (s, d) =>
@@ -499,6 +532,7 @@ object Relational {
     "agg_filtered" -> aggFiltered,
     "agg_stats" -> aggStats,
     "agg_ab_ttest" -> aggAbTtest,
+    "agg_corr_matrix" -> aggCorrMatrix,
     "agg_percentile" -> aggPercentile,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_approx_percentile" -> aggApproxPercentile,
@@ -650,6 +684,45 @@ object Relational {
                        / (se1*se1/(n1 - 1) + se2*se2/(n2 - 1)))*10000 + 0.5)/10000.0
                   AS df_welch
          FROM m""",
+    "agg_corr_matrix" ->
+      """WITH c AS (SELECT CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qty,
+                           CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price,
+                           CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS disc,
+                           CAST(floor(l_tax*100 + 0.5) AS BIGINT) AS tax
+                    FROM lineitem),
+            a AS (SELECT count(*) AS n,
+                         sum(qty) AS s_qty, sum(price) AS s_price,
+                         sum(disc) AS s_disc, sum(tax) AS s_tax,
+                         sum(qty*qty) AS q_qty_qty, sum(qty*price) AS q_qty_price,
+                         sum(qty*disc) AS q_qty_disc, sum(qty*tax) AS q_qty_tax,
+                         sum(price*price) AS q_price_price,
+                         sum(price*disc) AS q_price_disc,
+                         sum(price*tax) AS q_price_tax,
+                         sum(disc*disc) AS q_disc_disc, sum(disc*tax) AS q_disc_tax,
+                         sum(tax*tax) AS q_tax_tax
+                  FROM c)
+         SELECT pair,
+                floor(((CAST(n AS DOUBLE)*CAST(qxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE)*CAST(qxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE)*CAST(qyy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))))
+                      *10000 + 0.5)/10000.0 AS corr
+         FROM (
+           SELECT 'qty_price' AS pair, n, q_qty_price AS qxy, s_qty AS sx,
+                  s_price AS sy, q_qty_qty AS qxx, q_price_price AS qyy FROM a
+           UNION ALL SELECT 'qty_disc', n, q_qty_disc, s_qty, s_disc,
+                  q_qty_qty, q_disc_disc FROM a
+           UNION ALL SELECT 'qty_tax', n, q_qty_tax, s_qty, s_tax,
+                  q_qty_qty, q_tax_tax FROM a
+           UNION ALL SELECT 'price_disc', n, q_price_disc, s_price, s_disc,
+                  q_price_price, q_disc_disc FROM a
+           UNION ALL SELECT 'price_tax', n, q_price_tax, s_price, s_tax,
+                  q_price_price, q_tax_tax FROM a
+           UNION ALL SELECT 'disc_tax', n, q_disc_tax, s_disc, s_tax,
+                  q_disc_disc, q_tax_tax FROM a)
+         ORDER BY pair""",
     "agg_percentile" ->
       """SELECT o_orderstatus,
                 floor((quantile_cont(o_totalprice, 0.5))*10000 + 0.5)/10000.0 AS p50,

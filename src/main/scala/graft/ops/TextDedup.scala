@@ -1281,6 +1281,67 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Per-document mean token surprisal under the corpus unigram LM — the
+    * cheapest perplexity proxy a quality-filter cascade runs before any
+    * neural scorer (docs dominated by corpus-rare tokens score high =
+    * gibberish or OCR noise; docs of only stop-words score low = boilerplate).
+    * Shape at 100 TB: per-doc term counts (partial+final agg) equi-join the
+    * global term-count table on the token — both sides shuffle once on the
+    * term key, never on raw occurrences; the corpus total N rides as a
+    * broadcast 1-row frame. Each ln(N/c) is a 1e6-scaled INTEGER (the
+    * text_entropy trick) so the per-doc weighted sum is exact and
+    * partition-order-independent, with one division at the end. */
+  private val textUnigramLogprob: Q = (s, d) => {
+    val tok = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(toks(normText)).as("t"))
+    val dc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("dc"))
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("nn"))
+    dc.join(cnt, "t")
+      .crossJoin(broadcast(tot))
+      .withColumn("li", floor(
+        log(col("nn").cast("double") / col("c").cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_tokens"), sum(col("dc") * col("li")).as("si"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("si").cast("double") / col("n_tokens").cast("double") / 1e6)
+          .as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  /** Collocation extraction: top-15 bigrams by pointwise mutual information,
+    * PMI = ln(p(xy) / (p(x)·p(y))) — the phrase-mining pass that feeds
+    * tokenizer merge candidates and stop-phrase lists. A count floor (≥5)
+    * drops the rare-pair noise PMI is notorious for. All five log terms ride
+    * as 1e6-scaled integers, so the PMI ordering key is an exact integer —
+    * ties can't flip across partitionings — and the top-15 is a TakeOrdered,
+    * no full sort. The two unigram joins are equi-joins on the term key
+    * (broadcast-able: the candidate side is already count-floored). */
+  private val textPmiBigrams: Q = (s, d) => {
+    graft.ext.CatalystExt.register(s)
+    val docs = tbl(s, d, "documents").withColumn("tk", toks(normText))
+    val uni = docs.select(explode(col("tk")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val bi = docs.select(expr("graft_bigrams(tk)").as(Seq("pos", "ngram")))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cb"))
+    val nu = uni.agg(sum(col("c")).as("nu"))
+    val nb = bi.agg(sum(col("cb")).as("nb"))
+    def li(c: Column) = floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    bi.where(col("cb") >= 5)
+      .withColumn("t1", split(col("ngram"), " ").getItem(0))
+      .withColumn("t2", split(col("ngram"), " ").getItem(1))
+      .join(uni.select(col("t").as("t1"), col("c").as("c1")), "t1")
+      .join(uni.select(col("t").as("t2"), col("c").as("c2")), "t2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("lv",
+        li(col("cb")) - li(col("nb")) - li(col("c1")) - li(col("c2")) +
+          lit(2L) * li(col("nu")))
+      .orderBy(desc("lv"), asc("ngram")).limit(15)
+      .select(col("ngram"), col("cb").as("n_pair"),
+        r4(col("lv").cast("double") / 1e6).as("pmi"))
+  }
+
   /** Dataset card: the one-row datasheet a corpus release ships with —
     * scale, language spread, length stats, exact-dup rate. Composes the
     * engine's own stats in ONE scan plus a tiny dup-key agg (the exact-dup
@@ -1409,6 +1470,8 @@ object TextDedup {
     "pipeline_quality_gate" -> pipelineQualityGate,
     "text_vocab_oov" -> textVocabOov,
     "text_entropy" -> textEntropy,
+    "text_unigram_logprob" -> textUnigramLogprob,
+    "text_pmi_bigrams" -> textPmiBigrams,
     "embed_quantize_stats" -> embedQuantizeStats,
     "pipeline_dataset_card" -> pipelineDatasetCard,
     "multimodal_struct" -> multimodalStruct,
@@ -1789,6 +1852,44 @@ object TextDedup {
                  floor((CAST(sum(c*lv) AS DOUBLE)/max(n)/1000000)*10000 + 0.5)/10000.0
                    AS entropy
           FROM li GROUP BY doc_id ORDER BY doc_id""",
+    "text_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+                       FROM documents),
+           dc AS (SELECT doc_id, t, count(*) AS dc FROM tok GROUP BY doc_id, t),
+           cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+           tot AS (SELECT sum(c) AS nn FROM cnt),
+           li AS (SELECT dc.doc_id, dc.dc,
+                         CAST(floor(ln(CAST(nn AS DOUBLE)/c)*1000000 + 0.5) AS BIGINT) AS lv
+                  FROM dc JOIN cnt ON dc.t = cnt.t CROSS JOIN tot)
+          SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+                 floor((CAST(sum(dc*lv) AS DOUBLE)/sum(dc)/1000000)*10000 + 0.5)/10000.0
+                   AS mean_surprisal
+          FROM li GROUP BY doc_id ORDER BY doc_id""",
+    "text_pmi_bigrams" ->
+      s"""WITH t AS (SELECT string_split($normSql, ' ') AS tk FROM documents),
+           uni AS (SELECT unnest(tk) AS tok FROM t),
+           cnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+           bi AS (SELECT tk[i] AS t1, tk[i + 1] AS t2,
+                         tk[i] || ' ' || tk[i + 1] AS ngram
+                  FROM t, unnest(generate_series(1, len(tk) - 1)) AS u(i)),
+           bc AS (SELECT ngram, min(t1) AS t1, min(t2) AS t2, count(*) AS cb
+                  FROM bi GROUP BY ngram),
+           nu AS (SELECT sum(c) AS nu FROM cnt),
+           nb AS (SELECT sum(cb) AS nb FROM bc),
+           sc AS (SELECT ngram, cb,
+                         CAST(floor(ln(CAST(cb AS DOUBLE))*1000000 + 0.5) AS BIGINT)
+                         - CAST(floor(ln(CAST(nb AS DOUBLE))*1000000 + 0.5) AS BIGINT)
+                         - CAST(floor(ln(CAST(c1.c AS DOUBLE))*1000000 + 0.5) AS BIGINT)
+                         - CAST(floor(ln(CAST(c2.c AS DOUBLE))*1000000 + 0.5) AS BIGINT)
+                         + 2*CAST(floor(ln(CAST(nu AS DOUBLE))*1000000 + 0.5) AS BIGINT)
+                           AS lv
+                  FROM bc JOIN cnt c1 ON bc.t1 = c1.tok
+                          JOIN cnt c2 ON bc.t2 = c2.tok
+                          CROSS JOIN nu CROSS JOIN nb
+                  WHERE cb >= 5)
+          SELECT ngram, cb AS n_pair,
+                 floor((CAST(lv AS DOUBLE)/1000000)*10000 + 0.5)/10000.0 AS pmi
+          FROM sc ORDER BY lv DESC, ngram ASC LIMIT 15""",
     "embed_quantize_stats" ->
       """WITH p AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
                           embedding
