@@ -223,6 +223,35 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** Temperature-scaled domain mixture: q_i ∝ p_i^α over the per-source
+    * corpus shares — the standard multilingual/domain reweighting that
+    * flattens head domains and boosts tails before sampling (α = 1 keeps the
+    * natural mix, α → 0 approaches uniform). α is fixed at 0.5 so the power
+    * is sqrt — IEEE-754 correctly-rounded on BOTH engines, unlike libm
+    * pow/exp whose last-ulp disagreement could flip the scaled integers.
+    * Each sqrt rides as a 1e9-scaled integer so the normalizing sum is
+    * exact; `boost` = q_i/p_i is the per-source up/down-sampling factor a
+    * mix_domains-style hash threshold would then apply. Stats are
+    * O(#sources) rows after one partial+final count — the windows over them
+    * are driver-size details; nothing corpus-sized shuffles. */
+  private val mixDomainsTemperature: Q = (s, d) => {
+    val all = Window.partitionBy()
+    tbl(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_before"))
+      .withColumn("total", sum(col("docs_before")).over(all))
+      .withColumn("p",
+        col("docs_before").cast("double") / col("total").cast("double"))
+      .withColumn("si", floor(sqrt(col("p")) * 1e9 + 0.5).cast("long"))
+      .withColumn("ssum", sum(col("si")).over(all))
+      .select(col("source"), col("docs_before"),
+        r4(col("p")).as("p_raw"),
+        r4(col("si").cast("double") / col("ssum").cast("double")).as("w_temp"),
+        r4(col("si").cast("double") / col("ssum").cast("double") / col("p"))
+          .as("boost"))
+      .orderBy("source")
+  }
+
   // -------------------------------------------------------------------- scd2
   /** SCD2 history build from a change log: each (user_id, event_type)
     * version row becomes a validity interval [valid_from, valid_to) via
@@ -288,6 +317,7 @@ object Pipeline {
     "pack_sequences_bfd" -> packSequencesBfd,
     "chunk_documents" -> chunkDocuments,
     "mix_domains" -> mixDomains,
+    "mix_domains_temperature" -> mixDomainsTemperature,
     "scd2_intervals" -> scd2Intervals,
     "fn_hbucket_domain" -> fnHbucketDomain,
     "pipeline_curriculum" -> pipelineCurriculum,
@@ -434,6 +464,26 @@ object Pipeline {
                  coalesce(docs_after, 0) AS docs_after,
                  thresh / 10000.0 AS weight
           FROM w LEFT JOIN k ON w.source = k.source ORDER BY w.source""",
+    "mix_domains_temperature" ->
+      """WITH st AS (
+           SELECT source, count(*) AS docs_before FROM documents
+           GROUP BY source),
+         t AS (
+           SELECT source, docs_before,
+                  CAST(docs_before AS DOUBLE)
+                    / CAST(sum(docs_before) OVER () AS DOUBLE) AS p
+           FROM st),
+         q AS (
+           SELECT source, docs_before, p,
+                  CAST(floor(sqrt(p)*1000000000 + 0.5) AS BIGINT) AS si
+           FROM t),
+         z AS (SELECT source, docs_before, p, si, sum(si) OVER () AS ssum
+               FROM q)
+         SELECT source, docs_before,
+                floor(p*10000 + 0.5)/10000.0 AS p_raw,
+                floor((CAST(si AS DOUBLE)/ssum)*10000 + 0.5)/10000.0 AS w_temp,
+                floor((CAST(si AS DOUBLE)/ssum/p)*10000 + 0.5)/10000.0 AS boost
+         FROM z ORDER BY source""",
     "scd2_intervals" ->
       """WITH v AS (
            SELECT user_id, event_type, event_id,
