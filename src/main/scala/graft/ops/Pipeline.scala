@@ -83,6 +83,31 @@ object Pipeline {
       .orderBy("lang", "rk")
   }
 
+  /** Weighted reservoir sampling (Efraimidis–Spirakis A-ES), k = 10 per
+    * language with weight = n_chars — the length-weighted subsample a
+    * token-budgeted corpus draw uses (picking k docs uniformly undersamples
+    * tokens from long docs). A-ES keeps the k largest u^(1/w) keys; ranking
+    * by the monotone equivalent ln(u)/w avoids pow (libm last-ulp risk):
+    * u is the deterministic hash uniform ((hbucket+1)/1e6, never rand()),
+    * ln(u) rides as a 1e6-scaled integer, and the only float op is one
+    * integer÷integer division — identical doubles on both engines, doc_id
+    * total tiebreak. One window over a shuffle keyed by the stratum; at
+    * 100 TB this is sample_fixed_k's plan with a weighted key. */
+  private val sampleReservoirWeighted: Q = (s, d) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(desc("key"), col("doc_id"))
+    tbl(s, d, "documents")
+      .withColumn("li", floor(
+        log((hbucket(col("doc_id"), 1000000) + 1L).cast("double") / 1000000.0)
+          * 1e6 + 0.5).cast("long"))
+      .withColumn("key", col("li").cast("double") / col("n_chars").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
+        r4(col("key")).as("es_key"))
+      .orderBy("lang", "rk")
+  }
+
   /** Leakage-free train/val/test split: the split is a function of the GROUP
     * key (user_id), never the row, so all events of a user land in exactly
     * one split — the property that keeps eval honest when the corpus is
@@ -318,6 +343,7 @@ object Pipeline {
     "chunk_documents" -> chunkDocuments,
     "mix_domains" -> mixDomains,
     "mix_domains_temperature" -> mixDomainsTemperature,
+    "sample_reservoir_weighted" -> sampleReservoirWeighted,
     "scd2_intervals" -> scd2Intervals,
     "fn_hbucket_domain" -> fnHbucketDomain,
     "pipeline_curriculum" -> pipelineCurriculum,
@@ -484,6 +510,22 @@ object Pipeline {
                 floor((CAST(si AS DOUBLE)/ssum)*10000 + 0.5)/10000.0 AS w_temp,
                 floor((CAST(si AS DOUBLE)/ssum/p)*10000 + 0.5)/10000.0 AS boost
          FROM z ORDER BY source""",
+    "sample_reservoir_weighted" ->
+      s"""WITH k AS (
+           SELECT lang, doc_id, n_chars,
+                  CAST(floor(ln(CAST(${hbucketSql("doc_id", 1000000)} + 1
+                                     AS DOUBLE)/1000000.0)*1000000 + 0.5)
+                       AS BIGINT) AS li
+           FROM documents),
+         r AS (
+           SELECT lang, doc_id, n_chars,
+                  CAST(li AS DOUBLE)/n_chars AS key,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY CAST(li AS DOUBLE)/n_chars DESC, doc_id) AS rk
+           FROM k)
+         SELECT lang, rk, doc_id, n_chars,
+                floor(key*10000 + 0.5)/10000.0 AS es_key
+         FROM r WHERE rk <= 10 ORDER BY lang, rk""",
     "scd2_intervals" ->
       """WITH v AS (
            SELECT user_id, event_type, event_id,
