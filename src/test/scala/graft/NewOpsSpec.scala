@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-6 additions that the oracle hash-match
+  * can't express: value bounds, invariances, and the statistical tilt each
+  * op exists to produce. */
+class NewOpsSpec extends AnyFunSuite {
+  import TestSession._
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("agg_corr_matrix values are in [-1,1] and match Spark's corr") {
+    val rows = q("agg_corr_matrix").collect()
+    assert(rows.length == 6)
+    val m = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(c => c >= -1.0 && c <= 1.0))
+    // cents-rounding + r4 vs double corr over raw values: within 1e-3
+    val ref = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(corr(col("l_quantity"), col("l_extendedprice"))).head().getDouble(0)
+    assert(math.abs(m("qty_price") - ref) <= 1e-3, s"${m("qty_price")} vs $ref")
+  }
+
+  test("text_unigram_logprob: rare-token docs score above common-token docs") {
+    val out = q("text_unigram_logprob")
+    // mean surprisal is positive and bounded by ln(corpus tokens)
+    val n = out.agg(sum("n_tokens")).head().getLong(0)
+    val bad = out.where(col("mean_surprisal") <= 0.0 ||
+      col("mean_surprisal") > math.log(n.toDouble) + 1e-6).count()
+    assert(bad == 0)
+    // a doc of the single most frequent token would score the corpus
+    // minimum surprisal; check the observed min is >= ln(N/max_count)
+    val maxC = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("t"))
+      .groupBy("t").count().agg(max("count")).head().getLong(0)
+    val minS = out.agg(min("mean_surprisal")).head().getDouble(0)
+    assert(minS >= math.log(n.toDouble / maxC) - 1e-4)
+  }
+
+  test("text_pmi_bigrams honors the count floor and the PMI identity") {
+    val rows = q("text_pmi_bigrams").collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    assert(rows.forall(_.getLong(1) >= 5L))
+    // recompute PMI for the top row exactly from corpus counts
+    val top = rows.head
+    val Array(t1, t2) = top.getString(0).split(" ", 2)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ").as("tk"))
+    val uni = toks.select(explode(col("tk")).as("t")).groupBy("t").count()
+    val c1 = uni.where(col("t") === t1).head().getLong(1)
+    val c2 = uni.where(col("t") === t2).head().getLong(1)
+    val nu = uni.agg(sum("count")).head().getLong(0)
+    val nb = toks.select((size(col("tk")) - 1).cast("long").as("m"))
+      .agg(sum("m")).head().getLong(0)
+    val pmi = math.log(top.getLong(1).toDouble) - math.log(nb.toDouble) -
+      math.log(c1.toDouble) - math.log(c2.toDouble) + 2 * math.log(nu.toDouble)
+    assert(math.abs(top.getDouble(2) - pmi) <= 1e-3, s"${top.getDouble(2)} vs $pmi")
+  }
+
+  test("mix_domains_temperature flattens the mix toward uniform") {
+    val rows = q("mix_domains_temperature").collect()
+    val ps = rows.map(_.getDouble(2)); val ws = rows.map(_.getDouble(3))
+    // weights normalize
+    assert(math.abs(ws.sum - 1.0) <= 1e-3)
+    // temperature scaling never widens the spread, and strictly shrinks it
+    // whenever the natural mix is non-uniform (at sf0.001 it IS uniform —
+    // ratio 1.0 on both sides — so allow equality there)
+    val natural = ps.max / ps.min
+    if (natural > 1.0 + 1e-9) assert(ws.max / ws.min < natural)
+    else assert(math.abs(ws.max / ws.min - 1.0) <= 1e-3)
+    // every boost factor is positive and finite
+    assert(rows.forall(r => r.getDouble(4) > 0.0 && !r.getDouble(4).isInfinite))
+  }
+
+  test("sample_reservoir_weighted is deterministic and length-tilted") {
+    val a = q("sample_reservoir_weighted").collect()
+    val b = q("sample_reservoir_weighted").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.forall(_.getInt(1) <= 10))
+    // the weighted pick must skew long: sampled mean n_chars exceeds the
+    // corpus mean (weight = n_chars; at sf0.001 the gap is comfortably wide)
+    val sampled = a.map(_.getLong(3).toDouble)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampled.sum / sampled.length > corpus,
+      s"sampled mean ${sampled.sum / sampled.length} vs corpus mean $corpus")
+  }
+}
