@@ -709,6 +709,64 @@ class NeardupBandedSpec extends AnyFunSuite {
   }
 }
 
+/** Incremental near-dedup (round-6 verdict item 2): labels computed by
+  * deduping a batch slice against standing corpus state must equal the
+  * from-scratch whole-table labels — on the parquet corpus (bitmask pair
+  * path) AND on NeardupBandedSpec's 130-token open-vocabulary fixture,
+  * which forces the band-table ⋈ band-table path, including across several
+  * split points (batch docs bridging standing clusters, batch-internal
+  * dups, batch docs equal to corpus docs). */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("node", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("incremental labels equal full recompute on the parquet corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val full = labelsOf(TextDedup.neardupFullLabels(spark, sf)._1)
+    val split = 375L // 3/4 of the 500-doc fixture — matches the query wrapper
+    val (inc, rounds) = TextDedup.neardupIncrementalLabels(
+      docs.where(col("doc_id") < split), docs.where(col("doc_id") >= split))
+    assert(rounds < 20, s"incremental propagation hit the round cap ($rounds)")
+    assert(labelsOf(inc) == full, "incremental labels differ from full recompute")
+  }
+
+  test("open-vocab band-table path equals full recompute at several splits") {
+    // NeardupBandedSpec's fixture shape: 25 four-doc near-dup clusters over
+    // a sliding 20-token window of a 130-token vocabulary + 10 singletons.
+    def vocabTok(i: Int) = s"w${((i % 130) + 130) % 130}"
+    val fixture: Seq[(Long, Seq[String])] = {
+      val clustered = (0 until 25).flatMap { c =>
+        val base = (0 until 20).map(j => vocabTok(c * 5 + j))
+        Seq((c * 4 + 0).toLong -> base, (c * 4 + 1).toLong -> base.drop(1),
+          (c * 4 + 2).toLong -> base.dropRight(1),
+          (c * 4 + 3).toLong -> (base :+ vocabTok(c * 5 + 20)))
+      }
+      val singletons = (0 until 10).map { k =>
+        (100 + k).toLong -> (0 until 5).map(j => vocabTok(k * 13 + j * 2 + 1))
+      }
+      clustered ++ singletons
+    }
+    assert(fixture.flatMap(_._2).distinct.size > 64) // forces the band path
+    val docsDf = fixture.map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val full = labelsOf(TextDedup.neardupLabelsFromDocs(docsDf)._1)
+    // splits chosen so batches cut clusters mid-way (50: cluster 12 is half
+    // corpus half batch; 99: only cluster 24's tail + singletons; 75 — mixed)
+    for (split <- Seq(50L, 75L, 99L)) {
+      val (inc, rounds) = TextDedup.neardupIncrementalLabels(
+        docsDf.where(col("doc_id") < split), docsDf.where(col("doc_id") >= split))
+      assert(rounds < 20, s"split $split hit the round cap ($rounds)")
+      assert(labelsOf(inc) == full, s"split $split labels differ from full")
+    }
+  }
+
+}
+
 /** The round-4 verdict's literal composition sketch — min-label propagation
   * over dedup_minhash's banded VERIFIED edges — measured against the exact
   * closure pipeline_neardup_full ships. The banded edge set is a subset of
