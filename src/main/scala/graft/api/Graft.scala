@@ -63,6 +63,45 @@ object Graft {
     graft.ops.TextDedup.neardupLabelsFromDocs(
         df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
       ._1.withColumnRenamed("node", id)
+
+  /** Train an IVFADC ANN index (residual product quantization behind an
+    * inverted-file coarse quantizer — the train-once/serve-many similarity
+    * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.
+    * The returned handle persists via [[AnnIndex.save]] and answers query
+    * batches via [[AnnIndex.topk]]; reload later with [[annIndexLoad]].
+    * None when the corpus is empty. */
+  def annIndex(df: DataFrame, id: String = "vec_id",
+      embedding: String = "embedding"): Option[AnnIndex] = {
+    val e = df.select(col(id).cast("long").as("vec_id"),
+      col(embedding).as("embedding"))
+    graft.ops.TextDedup.ivfPqTrain(e).map(new AnnIndex(df.sparkSession, _))
+  }
+
+  /** Load an ANN index persisted by [[AnnIndex.save]] — bounded driver
+    * traffic (the model is K centroids + M×K codewords regardless of the
+    * corpus it was trained on). None if nothing is saved at `path`. */
+  def annIndexLoad(s: SparkSession, path: String): Option[AnnIndex] =
+    graft.ops.TextDedup.loadAnnIndex(s, path).map(new AnnIndex(s, _))
+}
+
+/** A trained (or loaded) IVFADC ANN index — see [[Graft.annIndex]]. */
+final class AnnIndex private[api] (s: SparkSession,
+    private val model: graft.ops.TextDedup.AnnIndexModel) {
+
+  /** Persist as two tiny parquet tables (`path/centroids`, `path/codebooks`). */
+  def save(path: String): Unit =
+    graft.ops.TextDedup.saveAnnIndex(s, model, path)
+
+  /** Top-k cosine neighbors in `corpus` for each row of the BOUNDED
+    * `queries` batch (ADC builds one lookup table per query at the driver,
+    * so the batch must be driver-sized; the corpus side streams through the
+    * probed inverted lists only). Output: (qid, rank, vec_id, cos). */
+  def topk(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      id: String = "vec_id", embedding: String = "embedding"): DataFrame = {
+    def norm(df: DataFrame) = df.select(col(id).cast("long").as("vec_id"),
+      col(embedding).as("embedding"))
+    graft.ops.TextDedup.ivfPqQuery(s, norm(corpus), model, norm(queries), k)
+  }
 }
 
 /** Column functions over the custom Catalyst surface. All resolve through

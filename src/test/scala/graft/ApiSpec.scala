@@ -119,6 +119,16 @@ class ApiSpec extends AnyFunSuite {
     assert(fc.columns.contains("user_id"))
     assert(joined.count() > 0)
     assert(stats.head() != null)
+    // ANN: train once, persist, serve from the loaded index
+    val embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queryBatch = embeddings.where(col("vec_id") < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_readme_ann").toString
+    val idx = graft.api.Graft.annIndex(embeddings).get
+    idx.save(dir)
+    val nbrs = graft.api.Graft.annIndexLoad(spark, dir).get
+      .topk(embeddings, queryBatch, k = 5)
+    assert(nbrs.columns.toSeq == Seq("qid", "rank", "vec_id", "cos"))
+    assert(nbrs.count() > 0)
   }
 
   test("neardupComponents labels a tiny corpus through the public facade") {

@@ -45,8 +45,9 @@ class SmokeSpec extends AnyFunSuite {
     "dedup_minhash", "dedup_simhash", "fn_hash_native",
     "forecast_prophet_backtest", "forecast_prophet_configured",
     "forecast_prophet_holidays", "forecast_prophet_like",
-    "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann", "sim_lsh_ann",
-    "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late")
+    "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",
+    "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
+    "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late")
 
   test("every query is oracle-checked unless explicitly self-verified") {
     val orphans =
@@ -795,6 +796,48 @@ class MinhashCcSpec extends AnyFunSuite {
     val agree = banded.count { case (n, l) => exact(n) == l }
     assert(agree.toDouble / banded.size >= 0.97,
       s"banded components diverge from exact closure: $agree/${banded.size}")
+  }
+}
+
+/** ANN index persistence (round-6 verdict item 3): the serving path must
+  * answer from a LOADED index with results identical to the train-path —
+  * training is deterministic and parquet round-trips doubles exactly, so
+  * served recall == trained recall by row equality, not by a looser
+  * overlap bound. */
+class AnnServeSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("sim_ivfpq_served equals sim_ivfpq_ann row for row") {
+    val trained = SparkEntry.queries("sim_ivfpq_ann")(spark, sf)
+      .collect().map(_.toSeq)
+    val served = SparkEntry.queries("sim_ivfpq_served")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(trained.nonEmpty)
+    assert(served.toSeq == trained.toSeq,
+      "load-path results differ from train-path results")
+  }
+
+  test("facade save/load round-trips the model and the query result") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = graft.api.Graft.annIndex(e).get
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    idx.save(dir)
+    val loaded = graft.api.Graft.annIndexLoad(spark, dir).get
+    val q = e.where(col("vec_id") < 7)
+    val want = idx.topk(e, q, k = 3).collect().map(_.toSeq).toSeq
+    val got = loaded.topk(e, q, k = 3).collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got == want, "loaded-index topk differs from trained-index topk")
+    // k is honored and ranks are 1..k per query
+    val byQ = got.groupBy(_.head)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_(1)).toSet == (1 to 3).map(i => i).toSet)
+    }
+  }
+
+  test("annIndexLoad on a missing path is None, not a crash") {
+    assert(graft.api.Graft.annIndexLoad(spark, "/tmp/graft_no_such_index").isEmpty)
   }
 }
 
