@@ -29,6 +29,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Ambient-load telemetry (round-6 verdict item 6): the r6 driver run was
+    // 1.17x inflated by machine load that had to be proven forensically from
+    // rep-time outliers. Recording 1/5/15-min loadavg + core count at start
+    // and end lets any reader label a run quiet/loaded directly.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString("[", ",", "]")
+      catch { case _: Throwable => "[]" }
+    val loadStart = loadavg()
+    val nCores = Runtime.getRuntime.availableProcessors()
     // Untimed warmup: JVM/codegen/parquet-reader spin-up otherwise lands on
     // whichever query happens to run first (measured ~5s of the round-1
     // "slowest query" was session start, not the operator).
@@ -104,7 +114,9 @@ object Bench {
     val repsQs = repDetail.map { case (k, ts) =>
       s"\"$k\":${ts.map(j).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"ckpt_root":"${graft.ops.Streaming.ckptRoot}","queries":$fullQs,"rep_times":$repsQs,"sf":"$sfDir"}"""
+    val loadJson =
+      s""""load":{"cores":$nCores,"start_1_5_15":$loadStart,"end_1_5_15":${loadavg()}}"""
+    val fullLine = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"ckpt_root":"${graft.ops.Streaming.ckptRoot}",$loadJson,"queries":$fullQs,"rep_times":$repsQs,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -124,7 +136,7 @@ object Bench {
     // the position the harness's parser reads.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"shown_slowest":$shown,"full":"BENCH_FULL.json","queries":{$sb},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,$loadJson,"shown_slowest":$shown,"full":"BENCH_FULL.json","queries":{$sb},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

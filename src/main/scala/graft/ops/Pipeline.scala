@@ -92,7 +92,24 @@ object Pipeline {
     * ln(u) rides as a 1e6-scaled integer, and the only float op is one
     * integer÷integer division — identical doubles on both engines, doc_id
     * total tiebreak. One window over a shuffle keyed by the stratum; at
-    * 100 TB this is sample_fixed_k's plan with a weighted key. */
+    * 100 TB this is sample_fixed_k's plan with a weighted key.
+    *
+    * Accepted cross-engine risk (ADVICE r6): ln itself is not correctly
+    * rounded in either libm, so floor(ln(x)·1e6 + 0.5) could flip by one
+    * scaled unit if a value ever landed within an ulp of a half-boundary —
+    * same accepted last-ulp posture as text_entropy's log2. The final
+    * li/n_chars double also assumes weights stay ≪ 2^26 (n_chars tops out
+    * ~1e4 here) so the quotient is exact enough that ties resolve by the
+    * explicit doc_id tiebreak, not rounding.
+    *
+    * SAMPLING-QUALITY caveat (not just determinism — ADVICE r6): u comes
+    * from hbucket, which is periodic in doc_id (mod 1000003) with 1e6
+    * distinct values. Beyond ~1e6 docs per stratum, rows repeat u (and
+    * after scaling, repeat keys), and key ties always resolve to the lowest
+    * doc_id — a systematic selection bias at full corpus scale. Production
+    * swaps the uniform for xxhash64(doc_id)/2^64: same plan, one
+    * expression, no period. The hbucket form exists so the DuckDB oracle
+    * can replay the draw exactly. */
   private val sampleReservoirWeighted: Q = (s, d) => {
     val w = Window.partitionBy("lang")
       .orderBy(desc("key"), col("doc_id"))

@@ -251,10 +251,13 @@ object Relational {
       ms.map { case (n, _) => sum(dec(col(n))).as(s"s_$n") } ++
         pairs.map { case (x, y) => sum(dec(col(x) * col(y))).as(s"q_${x}_$y") }: _*)
     def dbl(c: Column) = c.cast("double")
+    // Zero-variance guard (ADVICE r6): a constant measure makes
+    // n·qxx − sx² = 0 and corr 0/0 → NaN silently on both engines; nullif
+    // on the denominator yields NULL instead (mirrored in the oracle SQL).
     def corrOf(x: String, y: String) = r4(
       (dbl(col("n")) * dbl(col(s"q_${x}_$y")) - dbl(col(s"s_$x")) * dbl(col(s"s_$y"))) /
-        sqrt((dbl(col("n")) * dbl(col(s"q_${x}_$x")) - dbl(col(s"s_$x")) * dbl(col(s"s_$x"))) *
-          (dbl(col("n")) * dbl(col(s"q_${y}_$y")) - dbl(col(s"s_$y")) * dbl(col(s"s_$y")))))
+        nullif(sqrt((dbl(col("n")) * dbl(col(s"q_${x}_$x")) - dbl(col(s"s_$x")) * dbl(col(s"s_$x"))) *
+          (dbl(col("n")) * dbl(col(s"q_${y}_$y")) - dbl(col(s"s_$y")) * dbl(col(s"s_$y")))), lit(0.0)))
     val offDiag = pairs.filter { case (x, y) => x != y }
     val wide = a.select(offDiag.map { case (x, y) => corrOf(x, y).as(s"${x}_$y") }: _*)
     val stackArgs = offDiag
@@ -704,10 +707,10 @@ object Relational {
          SELECT pair,
                 floor(((CAST(n AS DOUBLE)*CAST(qxy AS DOUBLE)
                         - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-                       / sqrt((CAST(n AS DOUBLE)*CAST(qxx AS DOUBLE)
+                       / nullif(sqrt((CAST(n AS DOUBLE)*CAST(qxx AS DOUBLE)
                                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
                             * (CAST(n AS DOUBLE)*CAST(qyy AS DOUBLE)
-                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))))
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 0.0))
                       *10000 + 0.5)/10000.0 AS corr
          FROM (
            SELECT 'qty_price' AS pair, n, q_qty_price AS qxy, s_qty AS sx,

@@ -1605,6 +1605,9 @@ object TextDedup {
       .groupBy(col("ngram")).agg(count(lit(1)).as("cb"))
     val nu = uni.agg(sum(col("c")).as("nu"))
     val nb = bi.agg(sum(col("cb")).as("nb"))
+    // ln is not correctly rounded in either libm — a value within an ulp of
+    // a half-boundary could flip the scaled integer by 1 (ADVICE r6;
+    // accepted last-ulp risk, same posture as text_entropy — see PLANS.md)
     def li(c: Column) = floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
     bi.where(col("cb") >= 5)
       .withColumn("t1", split(col("ngram"), " ").getItem(0))

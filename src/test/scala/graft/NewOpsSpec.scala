@@ -60,8 +60,11 @@ class NewOpsSpec extends AnyFunSuite {
   test("mix_domains_temperature flattens the mix toward uniform") {
     val rows = q("mix_domains_temperature").collect()
     val ps = rows.map(_.getDouble(2)); val ws = rows.map(_.getDouble(3))
-    // weights normalize
-    assert(math.abs(ws.sum - 1.0) <= 1e-3)
+    // weights normalize — tolerance scales with the source count: each w_temp
+    // is r4-rounded (±5e-5), so the worst-case sum drift is rows × 5e-5
+    // (ADVICE r6: a fixed 1e-3 equals exactly 20 sources and would flake if
+    // the fixture ever gained some)
+    assert(math.abs(ws.sum - 1.0) <= rows.length * 5e-5)
     // temperature scaling never widens the spread, and strictly shrinks it
     // whenever the natural mix is non-uniform (at sf0.001 it IS uniform —
     // ratio 1.0 on both sides — so allow equality there)

@@ -1,0 +1,167 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** SQL-string entry point matrix (SURVEY §3 "Entry point 2", round-6
+  * verdict item 4 of "What's missing"): EVERY function CatalystExt
+  * registers must be callable through a plain `spark.sql(...)` string — no
+  * DataFrame API, no Column helpers — and return values consistent with an
+  * exact counterpart. The first test pins the registry list itself, so a
+  * newly registered function that is missing from this matrix fails the
+  * suite instead of shipping untested on the SQL surface. */
+class SqlEntrySpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val init: Unit = {
+    graft.ext.CatalystExt.register(spark)
+    // the two session-UDF registrations that normally happen inside their
+    // query closures (udf_scalar / udaf_aggregator) — forced here so the
+    // matrix covers the full SQL surface regardless of suite order
+    SparkEntry.queries("udf_scalar")(spark, sf).head()
+    SparkEntry.queries("udaf_aggregator")(spark, sf).head()
+    graft.util.Canon.events(spark, sf).createOrReplaceTempView("sql_events")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .createOrReplaceTempView("sql_embeddings")
+    spark.read.parquet(s"$sf/orders.parquet")
+      .createOrReplaceTempView("sql_orders")
+  }
+
+  private val expected = Set("graft_cosine", "graft_hll", "graft_heavy_hitters",
+    "graft_kll_quantile", "graft_bigrams", "graft_topk_min",
+    "graft_bitmap_distinct", "graft_haversine", "graft_geomean")
+
+  test("the registry holds exactly the functions this matrix covers") {
+    init
+    val registered = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).filter(_.startsWith("graft_")).toSet
+    assert(registered == expected,
+      s"matrix drift: registered=$registered vs covered=$expected")
+  }
+
+  test("graft_haversine from SQL: zero distance, symmetry, a known value") {
+    init
+    val r = spark.sql("""
+      SELECT graft_haversine(0D, 0D, 0D, 0D) AS zero,
+             graft_haversine(10D, 20D, 30D, 40D) AS ab,
+             graft_haversine(30D, 40D, 10D, 20D) AS ba,
+             graft_haversine(0D, 0D, 0D, 180D) AS anti""").head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == r.getDouble(2), "haversine not symmetric")
+    // antipodal along the equator = half the circumference (r = 6371 km)
+    assert(math.abs(r.getDouble(3) - math.Pi * 6371.0) < 1e-6)
+  }
+
+  test("graft_geomean from SQL equals exp(avg(ln(x)))") {
+    init
+    val rows = spark.sql("""
+      SELECT o_orderstatus, graft_geomean(o_totalprice) AS gm,
+             exp(avg(ln(o_totalprice))) AS want
+      FROM sql_orders GROUP BY o_orderstatus""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(
+      math.abs(r.getDouble(1) - r.getDouble(2)) <= 1e-9 * r.getDouble(2),
+      s"${r.getString(0)}: geomean ${r.getDouble(1)} vs ${r.getDouble(2)}"))
+  }
+
+  test("graft_cosine from SQL equals the HOF double-fold formulation") {
+    init
+    val rows = spark.sql("""
+      SELECT a.vec_id, graft_cosine(a.embedding, b.embedding) AS c,
+             aggregate(zip_with(a.embedding, b.embedding,
+                         (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                       0.0D, (acc, x) -> acc + x)
+               / (sqrt(aggregate(zip_with(a.embedding, a.embedding,
+                           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                         0.0D, (acc, x) -> acc + x))
+                  * sqrt(aggregate(zip_with(b.embedding, b.embedding,
+                           (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                         0.0D, (acc, x) -> acc + x))) AS want
+      FROM sql_embeddings a JOIN sql_embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id < 20""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"vec ${r.getLong(0)}: codegen cosine != HOF cosine (bit-exactness lost)"))
+  }
+
+  test("graft_hll from SQL tracks COUNT(DISTINCT) within 5%") {
+    init
+    val r = spark.sql("""
+      SELECT graft_hll(user_id) AS approx, count(DISTINCT user_id) AS exact
+      FROM sql_events""").head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"hll $approx vs exact $exact")
+  }
+
+  test("graft_heavy_hitters from SQL honors the Misra-Gries guarantee") {
+    init
+    val hh = spark.sql(
+      "SELECT graft_heavy_hitters(user_id, 5) AS hh FROM sql_events")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.nonEmpty && hh.length <= 5)
+    val ids = hh.map(_.getLong(0)).toSet
+    val users = spark.sql("SELECT DISTINCT user_id FROM sql_events")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(users), "summary invented a user id")
+    // the MG guarantee: every value with frequency > n/k MUST be present
+    val guaranteed = spark.sql("""
+      SELECT user_id FROM sql_events GROUP BY user_id
+      HAVING count(*) > (SELECT count(*) FROM sql_events) / 5""")
+      .collect().map(_.getLong(0)).toSet
+    assert(guaranteed.subsetOf(ids),
+      s"guaranteed heavy hitters ${guaranteed -- ids} missing from $ids")
+  }
+
+  test("graft_kll_quantile from SQL tracks exact percentile") {
+    init
+    val r = spark.sql("""
+      SELECT graft_kll_quantile(value, 0.5D, 128) AS med,
+             percentile(value, 0.5D) AS exact,
+             max(value) - min(value) AS span
+      FROM sql_events""").head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.1 * r.getDouble(2),
+      s"kll ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
+  }
+
+  test("graft_bigrams from SQL generates positioned bigrams") {
+    init
+    val got = spark.sql(
+      "SELECT graft_bigrams(array('a', 'b', 'c')) AS (pos, bg)")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got == Seq((0, "a b"), (1, "b c")))
+  }
+
+  test("graft_topk_min from SQL returns the exact k-smallest by key") {
+    init
+    val gotIds = spark.sql("""
+      SELECT transform(graft_topk_min(CAST(value AS DOUBLE), event_id, 7),
+                       x -> x.id) AS ids
+      FROM sql_events""").head().getSeq[Long](0).toSeq
+    val want = spark.sql("""
+      SELECT event_id FROM sql_events
+      ORDER BY CAST(value AS DOUBLE), event_id LIMIT 7""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotIds == want, s"topk $gotIds vs exact $want")
+  }
+
+  test("graft_bitmap_distinct from SQL is exactly COUNT(DISTINCT)") {
+    init
+    val r = spark.sql("""
+      SELECT graft_bitmap_distinct(user_id, 4096) AS bm,
+             count(DISTINCT user_id) AS exact
+      FROM sql_events""").head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("registered functions survive into grouped SQL aggregation") {
+    init
+    val rows = spark.sql("""
+      SELECT event_type, graft_bitmap_distinct(user_id, 4096) AS bm,
+             count(DISTINCT user_id) AS exact
+      FROM sql_events GROUP BY event_type""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"${r.getString(0)}: grouped bitmap ${r.getLong(1)} != ${r.getLong(2)}"))
+  }
+}
