@@ -77,7 +77,13 @@ object Bench {
     // BENCH_FULL.json instead of argued about.
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val repDetail = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (the driver never sets it, so round artifacts stay complete).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // GC between queries so the previous query's released blocks are
       // collected on our dime, not attributed to this query's first rep
       System.gc()
@@ -117,7 +123,9 @@ object Bench {
     val loadJson =
       s""""load":{"cores":$nCores,"start_1_5_15":$loadStart,"end_1_5_15":${loadavg()}}"""
     val fullLine = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"ckpt_root":"${graft.ops.Streaming.ckptRoot}",$loadJson,"queries":$fullQs,"rep_times":$repsQs,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(
+    // a filtered local-iteration run must NOT clobber the round's complete
+    // per-query artifact
+    if (only.isEmpty) java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     val budget = 1400

@@ -64,6 +64,35 @@ object Graft {
         df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
       ._1.withColumnRenamed("node", id)
 
+  /** Build (or rebuild) the PERSISTED standing near-dedup state for a
+    * corpus under `path` (three parquet tables: component labels, collapsed
+    * hashed token sets, minhash band table) — the bootstrap a production
+    * pipeline runs once so that every later crawl increment is labeled with
+    * [[neardupIncrement]] in work ∝ increment, never ∝ corpus. */
+  def neardupStateBuild(corpus: DataFrame, id: String, text: String,
+      path: String): Unit =
+    graft.ops.TextDedup.neardupStateWrite(
+      corpus.select(col(id).cast("long").as("doc_id"), col(text).as("text")),
+      path)
+
+  /** Label an incoming increment against the standing state built by
+    * [[neardupStateBuild]]: returns the FULL updated label table (corpus ∪
+    * batch rows, (id, label, is_keeper)) — exactly the labels a from-scratch
+    * recompute over corpus ∪ batch would produce, for work ∝ batch. Batch
+    * ids must be disjoint from (and, for min-label stability, larger than)
+    * the corpus ids. Re-run [[neardupStateBuild]] to fold the increment into
+    * the standing state when desired. */
+  def neardupIncrement(batch: DataFrame, id: String, text: String,
+      path: String): DataFrame = {
+    val b = batch.select(col(id).cast("long").as("doc_id"),
+      col(text).as("text"))
+    // corpus frame is only consulted on the bootstrap (no-standing) path;
+    // with persisted state it stays an unevaluated lazy plan
+    graft.ops.TextDedup.neardupIncrementalLabels(b.limit(0), b,
+        Some(graft.ops.TextDedup.neardupStateRead(batch.sparkSession, path)))
+      ._1.withColumnRenamed("node", id)
+  }
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

@@ -430,8 +430,53 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** STREAMING near-dedup — the between-increments production shape run
+    * continuously: an incoming document stream (the top quarter of doc ids,
+    * replayed as 4 micro-batches via maxFilesPerTrigger=1) is near-dup
+    * checked against the PERSISTED standing corpus state that
+    * pipeline_neardup_incremental stages (labels + hashed sets + band
+    * table). Each micro-batch runs TextDedup.neardupPairStage — the same
+    * vocab-guarded bitmask / banded-LSH routing as the batch path, so
+    * matches are EXACT-Jaccard — and appends its (doc, standing sid, jacc)
+    * matches to a parquet sink via foreachBatch; docs arrive exactly once,
+    * so the final per-doc aggregate equals the whole-batch answer and the
+    * DuckDB oracle is the plain batch×collapsed-corpus J ≥ 0.8 SQL. At
+    * 100 TB nothing changes shape: per-micro-batch work is ∝ batch, the
+    * standing side stays on disk, bands equi-join. */
+  private val streamNeardup: Q = (s, d) => {
+    val (st, split) = TextDedup.stagedNeardupState(s, d)
+    val srcDir = s"$ioTmp/stream_nd_${d.hashCode.toHexString}_${srcStamp(d, "documents")}"
+    if (staged.add(srcDir))
+      tbl(s, d, "documents").where(col("doc_id") >= split)
+        .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val tag = ctr.incrementAndGet()
+    val out = s"$ioTmp/stream_nd_out_${d.hashCode.toHexString}_$tag"
+    val ckpt = ckptDir(s"neardup_$tag")
+    dropCkpt(ckpt) // clear-before-start, same contract as runToTable
+    val q = s.readStream.schema(s.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val stage = TextDedup.neardupPairStage(
+          TextDedup.hashedDocSets(batch.toDF()).localCheckpoint(true), st)
+        val matches = stage.memberMap.join(stage.crossReps, "sa")
+          .select(col("id").as("doc_id"), col("sid"), col("jacc"))
+        matches.write.mode(if (id == 0) "overwrite" else "append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    dropCkpt(ckpt)
+    s.read.parquet(out)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("sid")).as("min_sid"),
+        r4(max(col("jacc"))).as("best_jacc"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "source_stream_replay" -> sourceStreamReplay,
+    "stream_neardup" -> streamNeardup,
     "stream_tumbling_count" -> streamTumblingCount,
     "stream_ohlc" -> streamOhlc,
     "stream_sliding_avg" -> streamSlidingAvg,
@@ -449,6 +494,28 @@ object Streaming {
   val oracle: Map[String, String] = Map(
     "source_stream_replay" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    "stream_neardup" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+                     AS st
+            FROM documents),
+          sp AS (SELECT (max(doc_id)+1)*3//4 AS s FROM documents),
+          corpus AS (SELECT min(doc_id) AS sid, st
+                     FROM t, sp WHERE doc_id < s GROUP BY st),
+          batch AS (SELECT doc_id, st FROM t, sp WHERE doc_id >= s),
+          m AS (SELECT b.doc_id, c.sid,
+                  CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
+                  CAST(len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))
+                       AS DOUBLE) AS jacc
+                FROM batch b, corpus c
+                WHERE CAST(len(list_intersect(b.st, c.st)) AS DOUBLE) /
+                      CAST(len(b.st) + len(c.st) - len(list_intersect(b.st, c.st))
+                           AS DOUBLE) >= 0.8)
+          SELECT doc_id, count(*) AS n_matches, min(sid) AS min_sid,
+                 floor(max(jacc)*10000 + 0.5)/10000.0 AS best_jacc
+          FROM m GROUP BY doc_id ORDER BY doc_id""",
     "stream_tumbling_count" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
                 count(*) AS n,

@@ -439,16 +439,20 @@ object TextDedup {
   /** INCREMENTAL near-dedup — the operation a standing 100 TB corpus
     * actually runs: each incoming crawl increment is deduped AGAINST the
     * persisted corpus state instead of re-deduping the world. Standing state
-    * = the doc-level component labels + the minhash band table
-    * ([[bandTable]]) over the corpus's collapsed sets; per increment the
-    * work is ∝ batch, never ∝ corpus re-pairing:
+    * = [[NeardupState]]: the doc-level component labels, the corpus's
+    * collapsed HASHED token sets, and the minhash band table ([[bandTable]])
+    * over them; per increment the work is ∝ batch, never ∝ corpus
+    * re-pairing:
     *
-    *  1. COLLAPSE the batch to distinct token sets (same collapse as
-    *     pipeline_neardup_full).
-    *  2. PAIR only batch-incident edges, guarded by the same one-action
-    *     vocabulary countDistinct as the full path. Union vocab ≤ 64: exact
-    *     bitmask verification with the BATCH side broadcast (one streaming
-    *     pass over corpus sets — no corpus×corpus work). Open vocab: the
+    *  1. HASH the batch per-doc (map-only — no collapse shuffle; exact-dup
+    *     cliques are bounded by mask-group stars / banded stars in step 2).
+    *  2. PAIR only batch-incident edges, guarded by the full path's ≤64
+    *     vocabulary routing rule as ONE bounded action (limit(65) over the
+    *     hashed union vocabulary — hitting the cap IS the open verdict).
+    *     Union vocab ≤ 64: exact bitmask verification over hash-indexed
+    *     bits of mask-group representatives with the BATCH side broadcast
+    *     (one streaming pass over the standing hashed sets — no
+    *     corpus×corpus work), plus member→rep star edges. Open vocab: the
     *     batch's band table equi-joins the STANDING corpus band table
     *     (bipartite — candidates are co-bucketed batch×corpus pairs, then
     *     exact-Jaccard verified), plus bandedVerifiedPairs within the batch.
@@ -460,7 +464,7 @@ object TextDedup {
     *  4. EXPAND: corpus rows pass through with a broadcast LEFT join against
     *     the relabel DELTA (super-nodes whose label changed — O(batch)-sized
     *     by construction since untouched nodes keep label = node); batch
-    *     docs map through their set + the same delta.
+    *     docs left-join the same delta directly on doc_id.
     *
     * Labels are EXACTLY the full-recompute labels (corpus labels are
     * component minima; new edges are all batch-incident; contraction
@@ -469,10 +473,17 @@ object TextDedup {
     * transitive closure as pipeline_neardup_full: the hash match PROVES
     * incremental ≡ full at both SFs. IncrementalDedupSpec additionally
     * forces the open-vocab band-table path on a 130-token fixture. */
-  private[graft] def neardupIncrementalLabels(corpusDocs: DataFrame,
-      batchDocs: DataFrame, standingLabels: Option[DataFrame] = None)
-      : (DataFrame, Int) = {
-    def collapse(docsIn: DataFrame): (DataFrame, DataFrame) = {
+  /** The persistable standing corpus state for incremental near-dedup:
+    * component labels (node, label), collapsed HASHED token sets (id, sh),
+    * and the minhash band table (id, band, bh) over those sets. A production
+    * pipeline writes all three to parquet after each increment and the next
+    * increment reads them back — nothing corpus-sized is recomputed. */
+  private[graft] case class NeardupState(labels: DataFrame, sets: DataFrame,
+      bands: DataFrame)
+
+  /** Collapse docs to (doc_id → skey map, distinct token sets keyed by min
+    * doc_id). Shared by the incremental path and its state-staging writer. */
+  private def collapseSets(docsIn: DataFrame): (DataFrame, DataFrame) = {
       val docs = docsIn
         .select(col("doc_id"), sort_array(array_distinct(toks(normText))).as("st"))
         .withColumn("skey", array_join(col("st"), "\u0001"))
@@ -480,64 +491,142 @@ object TextDedup {
         .agg(min(col("doc_id")).as("sid"), first(col("st")).as("st"))
         .localCheckpoint(true)
       (docs.select("doc_id", "skey"), sets)
-    }
-    val (_, corpusSets) = collapse(corpusDocs)
-    val (batchMap, batchSets) = collapse(batchDocs)
-    // Standing labels: production LOADS these from the persisted label table
-    // (the query wrapper stages them to parquet once per dataset and passes
-    // them in — the real between-increments shape); absent a persisted table
-    // they are built from the corpus, the first-increment bootstrap.
-    val corpusLabels = standingLabels
-      .getOrElse(neardupLabelsFromDocs(corpusDocs)._1.select("node", "label")
-        .localCheckpoint(true))
-    def hashSets(sets: DataFrame): DataFrame = sets.select(col("sid").as("id"),
+  }
+  private def hashCollapsedSets(sets: DataFrame): DataFrame =
+    sets.select(col("sid").as("id"),
       sort_array(expr("transform(st, t -> xxhash64(t))")).as("sh"))
-    // same ≤64 vocabulary guard as the full path: ONE distributed action
-    val nVocab = corpusSets.select(explode(col("st")).as("tok"))
-      .unionByName(batchSets.select(explode(col("st")).as("tok")))
-      .agg(countDistinct(col("tok"))).head().getLong(0)
-    // batch-incident verified pairs (sa = batch sid, sb = corpus OR batch sid)
-    val pairs =
-      if (nVocab <= 64) {
-        val vocab = corpusSets.select(explode(col("st")).as("tok"))
-          .unionByName(batchSets.select(explode(col("st")).as("tok")))
-          .distinct().orderBy("tok").collect().map(_.getString(0))
-        val idx = vocab.zipWithIndex.toMap
-        val maskU = udf { (st: Seq[String]) =>
-          var m = 0L; st.foreach(t => m |= 1L << idx(t)); m
-        }
-        val bm = batchSets.select(col("sid").as("sa"), maskU(col("st")).as("ma"),
-          size(col("st")).as("na"))
-        val om = corpusSets.unionByName(batchSets)
-          .select(col("sid").as("sb"), maskU(col("st")).as("mb"),
-            size(col("st")).as("nb"))
-        val inter = bit_count(col("ma").bitwiseAND(col("mb")))
-        // broadcast the BATCH masks (the small side at 100 TB): one codegen
-        // integer-ops pass over the corpus stream, no corpus-side shuffle
-        om.join(broadcast(bm), col("sa") =!= col("sb") &&
-            inter.cast("double") /
-              (col("na") + col("nb") - inter).cast("double") >= 0.8)
-          .select(col("sa"), col("sb"))
-      } else {
-        val hb = hashSets(batchSets).localCheckpoint(true)
-        val hc = hashSets(corpusSets).localCheckpoint(true)
-        // the standing band table (persisted in production) ⋈ batch bands:
-        // bipartite co-bucket candidates, then exact hashed-set verification
-        val cands = bandTable(hb).select(col("id").as("sa"), col("band"), col("bh"))
-          .join(bandTable(hc).select(col("id").as("sb"), col("band"), col("bh")),
-            Seq("band", "bh"))
-          .select("sa", "sb").distinct()
-        val crossV = cands
-          .join(hb.select(col("id").as("sa"), col("sh").as("sha")), "sa")
-          .join(hc.select(col("id").as("sb"), col("sh").as("shb")), "sb")
-          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-          .where(col("inter").cast("double") /
-            (size(col("sha")) + size(col("shb")) - col("inter")).cast("double") >= 0.8)
-          .select(col("sa"), col("sb"))
-        // batch-internal near-dups: the shared banded core over the batch
-        crossV.unionByName(bandedVerifiedPairs(hb)
-          .select(col("da").as("sa"), col("db").as("sb")))
+
+  /** Stage the standing state for `corpusDocs` under `dir` (three parquet
+    * subdirs) — the bootstrap a production pipeline runs ONCE; every later
+    * increment's work is ∝ batch because it reads this instead. */
+  private[graft] def neardupStateWrite(corpusDocs: DataFrame, dir: String): Unit = {
+    neardupLabelsFromDocs(corpusDocs)._1.select("node", "label")
+      .write.mode("overwrite").parquet(s"$dir/labels")
+    val hc = hashCollapsedSets(collapseSets(corpusDocs)._2).localCheckpoint(true)
+    hc.write.mode("overwrite").parquet(s"$dir/sets")
+    bandTable(hc).write.mode("overwrite").parquet(s"$dir/bands")
+  }
+  private[graft] def neardupStateRead(s: SparkSession, dir: String): NeardupState =
+    NeardupState(s.read.parquet(s"$dir/labels"), s.read.parquet(s"$dir/sets"),
+      s.read.parquet(s"$dir/bands"))
+
+  /** Per-doc hashed distinct token sets (id, sh) — ONE map-only pass. */
+  private[graft] def hashedDocSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks(normText).as("tk"))
+      .select(col("doc_id").as("id"),
+        sort_array(array_distinct(expr("transform(tk, t -> xxhash64(t))"))).as("sh"))
+
+  /** Stage-or-load the standing near-dedup state for the canonical
+    * corpus/batch split (first three quarters of doc ids = corpus) — the
+    * Scale.stagedDirs pattern shared by pipeline_neardup_incremental and
+    * stream_neardup. Returns the state plus the split id. */
+  private[graft] def stagedNeardupState(s: SparkSession, d: String)
+      : (NeardupState, Long) = {
+    val docs = tbl(s, d, "documents")
+    val split = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1) * 3 / 4
+    val dir = s"/tmp/graft_io/neardup_state_${d.hashCode.toHexString}_" +
+      srcStamp(d, "documents")
+    if (stagedState.add(dir)) neardupStateWrite(docs.where(col("doc_id") < split), dir)
+    (neardupStateRead(s, dir), split)
+  }
+
+  /** The guarded batch-incident PAIR stage shared by the incremental batch
+    * path and stream_neardup's micro-batches. Routing is the full path's
+    * ≤64-vocabulary rule over the HASHED union vocabulary, folded into ONE
+    * bounded action (limit(65) caps the driver payload at 65 longs; hitting
+    * the cap IS the open-vocabulary verdict).
+    *
+    *  - `crossReps` (sa = batch rep doc, sid = standing set id, jacc):
+    *    batch×corpus matches with exact Jaccard. ≤64 vocab: bitmask
+    *    verification of mask-group representatives with the BATCH side
+    *    broadcast — one codegen integer-ops pass over the standing hashed
+    *    sets, no corpus-side shuffle. Open vocab: batch band table ⋈ the
+    *    PERSISTED standing band table (bipartite co-bucket candidates),
+    *    exact hashed-set verification.
+    *  - `internal` (sa, sb): batch-internal near-dup pairs — member→rep
+    *    stars + rep×rep matches (bitmask) or the banded core (open), so a
+    *    k-duplicate clique emits k−1 stars, never k².
+    *  - `memberMap` (id, sa): every batch doc → its pairing representative
+    *    (identity rows in the open path), for expanding rep-level matches
+    *    back to docs. */
+  private[graft] case class NeardupPairStage(crossReps: DataFrame,
+      internal: DataFrame, memberMap: DataFrame)
+  private[graft] def neardupPairStage(hb: DataFrame, st: NeardupState)
+      : NeardupPairStage = {
+    val vocab = st.sets.select(explode(col("sh")).as("h"))
+      .unionByName(hb.select(explode(col("sh")).as("h")))
+      .distinct().limit(65).collect().map(_.getLong(0)).sorted
+    if (vocab.length <= 64) {
+      val idx = vocab.zipWithIndex.toMap
+      val maskU = udf { (sh: Seq[Long]) =>
+        var m = 0L; sh.foreach(h => m |= 1L << idx(h)); m
       }
+      val bMasks = hb.select(col("id"), maskU(col("sh")).as("ma"),
+        size(col("sh")).as("na")).localCheckpoint(true)
+      val reps = bMasks.groupBy(col("ma"), col("na"))
+        .agg(min(col("id")).as("sa"))
+      val bm = reps.select(col("sa"), col("ma"), col("na"))
+      val inter = bit_count(col("ma").bitwiseAND(col("mb")))
+      val jc = inter.cast("double") /
+        (col("na") + col("nb") - inter).cast("double")
+      val omC = st.sets.select(col("id").as("sb"),
+        maskU(col("sh")).as("mb"), size(col("sh")).as("nb"))
+      val omB = bm.select(col("sa").as("sb"), col("ma").as("mb"),
+        col("na").as("nb"))
+      val crossReps = omC.join(broadcast(bm), jc >= 0.8)
+        .select(col("sa"), col("sb").as("sid"), jc.as("jacc"))
+      val bbPairs = omB.join(broadcast(bm), col("sa") =!= col("sb") && jc >= 0.8)
+        .select(col("sa"), col("sb"))
+      val star = bMasks.join(broadcast(reps), Seq("ma", "na"))
+        .where(col("id") =!= col("sa"))
+        .select(col("sa"), col("id").as("sb"))
+      NeardupPairStage(crossReps, bbPairs.unionByName(star),
+        bMasks.join(broadcast(reps), Seq("ma", "na")).select(col("id"), col("sa")))
+    } else {
+      val cands = bandTable(hb).select(col("id").as("sa"), col("band"), col("bh"))
+        .join(st.bands.select(col("id").as("sid"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .select("sa", "sid").distinct()
+      val crossReps = cands
+        .join(hb.select(col("id").as("sa"), col("sh").as("sha")), "sa")
+        .join(st.sets.select(col("id").as("sid"), col("sh").as("shb")), "sid")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("jacc", col("inter").cast("double") /
+          (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
+        .where(col("jacc") >= 0.8)
+        .select(col("sa"), col("sid"), col("jacc"))
+      NeardupPairStage(crossReps,
+        bandedVerifiedPairs(hb).select(col("da").as("sa"), col("db").as("sb")),
+        hb.select(col("id"), col("id").as("sa")))
+    }
+  }
+
+  private[graft] def neardupIncrementalLabels(corpusDocs: DataFrame,
+      batchDocs: DataFrame, standing: Option[NeardupState] = None)
+      : (DataFrame, Int) = {
+    // Batch side stays PER-DOC: one map-only pass builds the hashed sets —
+    // no collapse shuffle and no string-skey expand join (both measured as
+    // the incremental path's overhead floor at sf0.1). Exact-duplicate
+    // cliques inside the batch cannot blow up pair emission: the bitmask
+    // path pairs mask-group REPRESENTATIVES and stars members onto them,
+    // and the open path's banded core already emits star + window edges.
+    val hb = hashedDocSets(batchDocs).localCheckpoint(true)
+    // Standing state: production LOADS it from the persisted tables (the
+    // query wrapper stages them to parquet once per dataset and passes them
+    // in — the real between-increments shape with ZERO corpus-sized
+    // recomputation); absent persisted state it is built from the corpus,
+    // the first-increment bootstrap.
+    val st = standing.getOrElse {
+      val hc = hashCollapsedSets(collapseSets(corpusDocs)._2).localCheckpoint(true)
+      NeardupState(neardupLabelsFromDocs(corpusDocs)._1.select("node", "label")
+        .localCheckpoint(true), hc, bandTable(hc))
+    }
+    val corpusLabels = st.labels
+    // batch-incident verified pairs via the shared guarded stage
+    // (sa = batch rep doc, sb = corpus sid OR batch doc)
+    val stage = neardupPairStage(hb, st)
+    val pairs = stage.crossReps.select(col("sa"), col("sid").as("sb"))
+      .unionByName(stage.internal)
     // CONTRACT: corpus endpoint → its standing component label (super-node);
     // batch endpoints stay themselves. corpus sids are corpus doc_ids, so
     // the standing label table resolves them directly.
@@ -545,6 +634,11 @@ object TextDedup {
       .join(corpusLabels.withColumnRenamed("node", "sb"), Seq("sb"), "left")
       .select(col("sa"), coalesce(col("label"), col("sb")).as("sbn"))
       .where(col("sa") =!= col("sbn"))
+      // many raw pairs contract onto the SAME (batch, component) edge —
+      // dedup before iterating: one shuffle shrinks the graph to ≤
+      // |batch reps| × |touched components| and is what lets small deltas
+      // take propagateMinLabels' bounded local solve
+      .distinct()
     val edges = contracted.select(col("sa").as("src"), col("sbn").as("dst"))
       .unionByName(contracted.select(col("sbn").as("src"), col("sa").as("dst")))
     // propagate over TOUCHED super-nodes only — untouched nodes keep
@@ -561,11 +655,9 @@ object TextDedup {
     val corpusOut = corpusLabels
       .join(delta, col("label") === col("snode"), "left")
       .select(col("node"), coalesce(col("slabel"), col("label")).as("label"))
-    val batchOut = batchMap
-      .join(batchSets.select(col("skey"), col("sid")), "skey")
-      .join(delta, col("sid") === col("snode"), "left")
-      .select(col("doc_id").as("node"),
-        coalesce(col("slabel"), col("sid")).as("label"))
+    val batchOut = hb.select(col("id").as("node"))
+      .join(delta, col("node") === col("snode"), "left")
+      .select(col("node"), coalesce(col("slabel"), col("node")).as("label"))
     val out = corpusOut.unionByName(batchOut)
       .select(col("node"), col("label"), (col("node") === col("label")).as("is_keeper"))
     (out, rounds)
@@ -577,21 +669,14 @@ object TextDedup {
     * non-empty). Oracle: the SAME whole-table recursive closure as
     * pipeline_neardup_full, proving incremental ≡ full recompute. */
   private val pipelineNeardupIncremental: Q = (s, d) => {
+    // Standing state (labels + hashed sets + band table) is staged to
+    // parquet ONCE per dataset and loaded on every later increment — the
+    // honest between-increments production shape: per-increment work is
+    // ∝ batch; corpus docs are never re-collapsed, re-hashed, or re-banded.
     val docs = tbl(s, d, "documents")
-    val split = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1) * 3 / 4
-    val corpus = docs.where(col("doc_id") < split)
-    // Stage the standing label table to parquet ONCE per dataset (the
-    // Scale.stagedDirs pattern): the first invocation bootstraps and
-    // persists it; every later increment — and every bench rep — loads it,
-    // which is the honest between-increments production shape. The band
-    // table would persist alongside it in the open-vocab regime.
-    val dir = s"/tmp/graft_io/neardup_state_${d.hashCode.toHexString}_" +
-      srcStamp(d, "documents")
-    if (stagedState.add(dir))
-      neardupLabelsFromDocs(corpus)._1.select("node", "label")
-        .write.mode("overwrite").parquet(dir)
-    neardupIncrementalLabels(corpus, docs.where(col("doc_id") >= split),
-      Some(s.read.parquet(dir)))._1.orderBy("node")
+    val (st, split) = stagedNeardupState(s, d)
+    neardupIncrementalLabels(docs.where(col("doc_id") < split),
+      docs.where(col("doc_id") >= split), Some(st))._1.orderBy("node")
   }
   private val stagedState = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -665,10 +750,50 @@ object TextDedup {
     * relax-only needs 200 (LabelPropSpec) — the property that keeps a
     * pathological long-thin component from exhausting ANY fixed cap at
     * corpus scale. localCheckpoint truncates lineage each round — the
-    * self-referencing iterative plan otherwise doubles per iteration. */
+    * self-referencing iterative plan otherwise doubles per iteration.
+    * Graphs whose (already-materialized, exactly-counted) edge frame fits
+    * `localSolveCap` skip the loop for a driver union-find — see the
+    * inline rationale; rounds = 0 signals that path. */
   private[graft] def propagateMinLabels(edges: DataFrame, init: DataFrame,
-      maxRounds: Int): (DataFrame, Int) = {
+      maxRounds: Int, localSolveCap: Long = 1L << 19): (DataFrame, Int) = {
     val edgesC = edges.localCheckpoint(true)
+    // ADAPTIVE bounded-graph solve (the AQE move, applied to iteration): the
+    // edge frame is materialized and exactly counted by the checkpoint;
+    // when it fits the cap (default 2^19 directed edges ≈ 8 MB of longs — a bounded,
+    // documented driver payload like the ANN codebook collects), driver
+    // union-find with path compression replaces log(diameter) Spark rounds
+    // whose fixed per-round job cost dominates small graphs. Above the cap —
+    // the 100 TB regime — the distributed loop below runs unchanged.
+    // Preconditions (hold at every call site): every edge endpoint appears
+    // in `init`, and untouched rows of `init` carry label == node (touched
+    // labels are recomputed from scratch as component minima here).
+    val nEdges = edgesC.count()
+    if (nEdges > 0 && nEdges <= localSolveCap) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val seen = scala.collection.mutable.LongMap.empty[Unit]
+      edgesC.select(col("src"), col("dst")).collect().foreach { e =>
+        val (a, b) = (e.getLong(0), e.getLong(1))
+        seen(a) = (); seen(b) = ()
+        val (ra, rb) = (find(a), find(b))
+        // larger root attaches under smaller ⇒ every root IS its
+        // component's min node id, so find() returns the label directly
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = seen.keys.toArray.map(n => n -> find(n))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val touchedDf = broadcast(touched.toSeq.toDF("tn", "tl"))
+      val out = init.join(touchedDf, col("node") === col("tn"), "left")
+        .select(col("node"), coalesce(col("tl"), col("label")).as("label"))
+      return (out, 0)
+    }
     var labels = init.localCheckpoint(true)
     var rounds = 0
     var converged = false
@@ -822,7 +947,7 @@ object TextDedup {
     * closure loop over the broadcast K×Dim model, not K 64-literal HOF folds
     * (expression-tree blowup was 20 s of pure planning at sf0.1, round-1
     * fix). Only the K×Dim centroid matrix ever reaches the driver. */
-  private def ivfTrain(e: DataFrame, K: Int, Iters: Int, Dim: Int): Array[Array[Double]] = {
+  private[graft] def ivfTrain(e: DataFrame, K: Int, Iters: Int, Dim: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = e.orderBy("vec_id").limit(K)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
     for (_ <- 1 to Iters) {
@@ -1343,6 +1468,42 @@ object TextDedup {
       .orderBy("source")
   }
 
+  /** Corpus-frequent 3-gram BOILERPLATE detection — the CCNet-style cleanup
+    * signal a web-scale pipeline computes before quality filtering: a
+    * 3-gram occurring in ≥ 1% of documents (and ≥ 2 docs) is boilerplate
+    * (headers, navigation, license blurbs); each document reports how much
+    * of its DISTINCT 3-gram mass is boilerplate. Shape: distinct grams per
+    * doc → one document-frequency hash agg → equi-join back (Catalyst/AQE
+    * broadcasts when the boilerplate table is small) → per-doc agg — three
+    * key-local shuffles, no sort, no driver data. The df threshold compares
+    * 100·df ≥ N in INTEGER arithmetic (no cross-engine float ceil); N comes
+    * from one bounded scalar action. */
+  private val textBoilerplateNgrams: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val nDocs = docs.count()
+    val g = docs.select(col("doc_id"), toks(normText).as("tk"))
+      .where(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk)-3), i -> array_join(slice(tk, i+1, 3), ' '))"))
+        .as("ng"))
+      .distinct()
+    val boiler = g.groupBy(col("ng")).agg(count(lit(1)).as("df"))
+      .where(col("df") * 100 >= nDocs && col("df") >= 2)
+      .select(col("ng"), lit(1L).as("isb"))
+    docs.select(col("doc_id"))
+      .join(g.join(boiler, Seq("ng"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_ngrams"),
+            sum(coalesce(col("isb"), lit(0L))).as("n_boiler")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac", when(col("n_ngrams") > 0,
+        r4(col("n_boiler").cast("double") / col("n_ngrams").cast("double"))))
+      .orderBy("doc_id")
+  }
+
   /** Zipf-law fit over the token frequency distribution: OLS slope of
     * log(freq) vs log(rank) for the top-100 terms — the corpus-health
     * statistic (natural text ≈ −1). Global top-100 is TakeOrdered (no full
@@ -1533,6 +1694,83 @@ object TextDedup {
       .select(col("dim"), col("n"), r4(col("mn")).as("mn"), r4(col("mx")).as("mx"),
         r4(col("errsum") / col("n")).as("avg_abs_err"))
       .orderBy("dim")
+  }
+
+  /** Embedding-space OUTLIER detection — the geometric quality filter a
+    * training pipeline runs over an embedded corpus (broken encoders, OCR
+    * noise, off-distribution content all land far from the centroid). The
+    * per-dim centroid is an exact integer mean (components ride as
+    * 1e6-scaled longs, so the cross-row sum is partition-order-independent
+    * — the embed_quantize_stats discipline); each row's distance then
+    * accumulates dims IN LIST ORDER (the `dot` discipline), so both engines
+    * produce bit-identical doubles; distances z-score via the same
+    * scaled-integer moments (Σdi² ≤ ~1.3e18 at sf0.1 — the documented long
+    * headroom; beyond ~2^63 mass the sum rides a decimal). Two aggs + one
+    * Dim-length broadcast array; everything else map-side — the same plan
+    * at 100 TB. */
+  private val embedOutliers: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val cent = e.select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos"),
+        floor(col("xf").cast("double") * 1000000 + 0.5).cast("long").as("lv"))
+      .groupBy("pos").agg(sum(col("lv")).as("sv"), count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("pos"),
+        (col("sv").cast("double") / col("n").cast("double") / 1000000.0)
+          .as("c")))).as("ps"))
+      .select(expr("transform(ps, p -> p.c)").as("cent"))
+    val dist = e.crossJoin(broadcast(cent))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("embedding"), col("cent"),
+          (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("di", floor(col("dist") * 1000000 + 0.5).cast("long"))
+      .select(col("vec_id"), col("dist"), col("di"))
+      .localCheckpoint(true) // two downstream passes (moments + z)
+    val m = dist.agg(count(lit(1)).as("n"), sum(col("di")).as("sdi"),
+      sum(col("di") * col("di")).as("sdi2"))
+    dist.crossJoin(broadcast(m))
+      .withColumn("mu",
+        col("sdi").cast("double") / col("n").cast("double") / 1000000.0)
+      .withColumn("sd", sqrt((col("sdi2").cast("double") -
+          col("sdi").cast("double") * col("sdi").cast("double") /
+            col("n").cast("double")) / col("n").cast("double")) / 1000000.0)
+      .withColumn("z", when(col("sd") > 0.0,
+        (col("di").cast("double") / 1000000.0 - col("mu")) / col("sd")))
+      .select(col("vec_id"), r4(col("dist")).as("dist"), r4(col("z")).as("z"),
+        when(col("z").isNotNull, abs(col("z")) >= 2.0).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  /** K-means cluster PROFILE over the embedding corpus — the SemDeDup-style
+    * semantic bucketing a pipeline runs to pick dedup/pruning targets:
+    * the shared seeded-Lloyd trainer ([[ivfTrain]] — only the K×Dim
+    * centroid matrix reaches the driver) assigns every vector to its
+    * top-inner-product centroid; output is each cluster's size and mean
+    * L2 distance-to-centroid (spread — tight clusters are dedup
+    * candidates, diffuse ones are diversity). Distance sums ride as
+    * 1e6-scaled longs for partition-order independence. Self-verified
+    * (KmeansSpec: assignment optimality, total coverage, spread sanity —
+    * float centroid means are legitimately un-oracle-able cross-engine). */
+  private val embedKmeans: Q = (s, d) => {
+    val K = 8; val Iters = 3; val Dim = 64
+    val e = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val cents = ivfTrain(e, K, Iters, Dim)
+    val assignU = ivfTop2(cents, Dim)
+    val distU = udf { (emb: Seq[Float], cid: Int) =>
+      val c = cents(cid - 1); var s2 = 0.0; var i = 0
+      while (i < Dim) { val dx = emb(i).toDouble - c(i); s2 += dx * dx; i += 1 }
+      math.sqrt(s2)
+    }
+    e.withColumn("cid", element_at(assignU(col("embedding")), 1))
+      .withColumn("dist", distU(col("embedding"), col("cid")))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("dist") * 1000000 + 0.5).cast("long")).cast("double")
+          / 1000000.0).as("dsum"))
+      .select(col("cid").cast("long").as("cluster_id"), col("n_vecs"),
+        r4(col("dsum") / col("n_vecs").cast("double")).as("avg_dist"))
+      .orderBy("cluster_id")
   }
 
   /** Per-document unigram entropy — the information-diversity filter signal
@@ -1742,6 +1980,7 @@ object TextDedup {
     "text_stats" -> textStats,
     "text_bigram_freq" -> textBigramFreq,
     "text_ngram_coverage" -> textNgramCoverage,
+    "text_boilerplate_ngrams" -> textBoilerplateNgrams,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_lang_keyword_score" -> textLangKeywordScore,
     "text_zipf_fit" -> textZipfFit,
@@ -1756,6 +1995,8 @@ object TextDedup {
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_pmi_bigrams" -> textPmiBigrams,
     "embed_quantize_stats" -> embedQuantizeStats,
+    "embed_outliers" -> embedOutliers,
+    "embed_kmeans" -> embedKmeans,
     "pipeline_dataset_card" -> pipelineDatasetCard,
     "multimodal_struct" -> multimodalStruct,
     "multimodal_binary" -> multimodalBinary,
@@ -1857,6 +2098,64 @@ object TextDedup {
           FROM inter i JOIN bs ON i.bench_id = bs.bench_id
           WHERE CAST(n_shared AS DOUBLE)/CAST(nb AS DOUBLE) >= 0.8
           ORDER BY i.doc_id, i.bench_id""",
+    "embed_outliers" ->
+      """WITH li AS (
+            SELECT vec_id, i AS pos,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE)*1000000 + 0.5)
+                        AS BIGINT) AS lv
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+          c AS (SELECT pos, sum(lv) AS sv, count(*) AS n FROM li GROUP BY pos),
+          cent AS (SELECT list(CAST(sv AS DOUBLE)/CAST(n AS DOUBLE)/1000000.0
+                               ORDER BY pos) AS cent FROM c),
+          d AS (SELECT vec_id,
+                  sqrt(list_sum(list_transform(list_zip(embedding, cent),
+                    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                       * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))))
+                    AS dist
+                FROM embeddings, cent),
+          di AS (SELECT vec_id, dist,
+                        CAST(floor(dist*1000000 + 0.5) AS BIGINT) AS di FROM d),
+          m AS (SELECT count(*) AS n, sum(di) AS sdi, sum(di*di) AS sdi2
+                FROM di),
+          zc AS (SELECT vec_id, dist,
+                   CAST(sdi AS DOUBLE)/CAST(n AS DOUBLE)/1000000.0 AS mu,
+                   sqrt((CAST(sdi2 AS DOUBLE) -
+                         CAST(sdi AS DOUBLE)*CAST(sdi AS DOUBLE)/CAST(n AS DOUBLE))
+                        /CAST(n AS DOUBLE))/1000000.0 AS sd,
+                   di
+                 FROM di, m)
+          SELECT vec_id, floor(dist*10000 + 0.5)/10000.0 AS dist,
+                 CASE WHEN sd > 0.0 THEN
+                   floor(((CAST(di AS DOUBLE)/1000000.0 - mu)/sd)*10000 + 0.5)
+                     /10000.0 END AS z,
+                 CASE WHEN sd > 0.0 THEN
+                   abs((CAST(di AS DOUBLE)/1000000.0 - mu)/sd) >= 2.0
+                 END AS is_outlier
+          FROM zc ORDER BY vec_id""",
+    "text_boilerplate_ngrams" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+          g AS (
+            SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS ng
+            FROM t, unnest(generate_series(1, len(tk) - 2)) AS u(i)
+            WHERE len(tk) >= 3),
+          nd AS (SELECT count(*) AS n FROM documents),
+          b AS (SELECT ng FROM (SELECT ng, count(*) AS df FROM g GROUP BY ng), nd
+                WHERE df * 100 >= n AND df >= 2),
+          per AS (
+            SELECT g.doc_id, count(*) AS n_ngrams,
+                   CAST(sum(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler
+            FROM g LEFT JOIN b ON g.ng = b.ng GROUP BY g.doc_id)
+          SELECT d.doc_id,
+                 coalesce(n_ngrams, 0) AS n_ngrams,
+                 coalesce(n_boiler, 0) AS n_boiler,
+                 CASE WHEN coalesce(n_ngrams, 0) > 0 THEN
+                   floor((CAST(n_boiler AS DOUBLE) / CAST(n_ngrams AS DOUBLE))
+                         * 10000 + 0.5) / 10000.0
+                 END AS boiler_frac
+          FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+          ORDER BY d.doc_id""",
     "pipeline_decontaminate_ngram" ->
       s"""WITH t AS (
             SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),

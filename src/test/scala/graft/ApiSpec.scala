@@ -143,6 +143,25 @@ class ApiSpec extends AnyFunSuite {
       (12L, 12L, true), (13L, 13L, true)))
   }
 
+  test("neardupStateBuild + neardupIncrement equal a full recompute") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "a b c d"), (11L, "a b c d e"), (12L, "x y z w")).toDF("id", "body")
+    val batch = Seq(
+      (20L, "a b c d"),          // joins the 10/11 component
+      (21L, "m n o p q")).toDF("id", "body") // singleton
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_api_nd").toString
+    graft.api.Graft.neardupStateBuild(corpus, "id", "body", dir)
+    val got = graft.api.Graft.neardupIncrement(batch, "id", "body", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = graft.api.Graft
+      .neardupComponents(corpus.unionByName(batch), "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == full, "incremental facade labels diverge from recompute")
+    assert(got(20L) == 10L && got(21L) == 21L)
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")

@@ -45,6 +45,7 @@ class SmokeSpec extends AnyFunSuite {
     "dedup_minhash", "dedup_simhash", "fn_hash_native",
     "forecast_prophet_backtest", "forecast_prophet_configured",
     "forecast_prophet_holidays", "forecast_prophet_like",
+    "embed_kmeans", // KmeansSpec: exact-recompute assignment verification
     "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",
     "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
     "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late")
@@ -986,7 +987,8 @@ class LabelPropSpec extends AnyFunSuite {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val init = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "label")
     val (labels, rounds) =
-      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 20)
+      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 20,
+        localSolveCap = 0L) // pin the distributed loop: rounds is the subject
     assert(rounds == 1, s"expected early exit after 1 round, ran $rounds")
     assert(labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 1L), (2L, 1L), (3L, 3L)))
@@ -997,7 +999,8 @@ class LabelPropSpec extends AnyFunSuite {
       .toDF("src", "dst")
     val init = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("node", "label")
     val (labels, rounds) =
-      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 20)
+      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 20,
+        localSolveCap = 0L)
     assert(labels.collect().map(_.getLong(1)).forall(_ == 1L))
     assert(rounds <= 5, s"chain of diameter 3 took $rounds rounds")
   }
@@ -1011,10 +1014,32 @@ class LabelPropSpec extends AnyFunSuite {
     val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
     val init = (1L to n).map(i => (i, i)).toDF("node", "label")
     val (labels, rounds) =
-      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 15)
+      ops.TextDedup.propagateMinLabels(edges, init, maxRounds = 15,
+        localSolveCap = 0L)
     assert(labels.collect().map(_.getLong(1)).forall(_ == 1L),
       "path graph did not collapse to one component")
     assert(rounds <= 12, s"200-node chain took $rounds rounds")
+  }
+
+  test("bounded local solve equals the distributed loop on a random graph") {
+    // seeded random graph with isolated nodes, chains, and merged cliques;
+    // the adaptive union-find path (edges under the cap) must produce the
+    // exact labels the distributed loop produces
+    val rng = new scala.util.Random(7)
+    val n = 300L
+    val pairs = (1 to 400).map { _ =>
+      val a = rng.nextInt(n.toInt).toLong; val b = rng.nextInt(n.toInt).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val init = (0L until n).map(i => (i, i)).toDF("node", "label")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = m(ops.TextDedup.propagateMinLabels(edges, init,
+      maxRounds = 20)._1) // default cap: takes the union-find path
+    val looped = m(ops.TextDedup.propagateMinLabels(edges, init,
+      maxRounds = 20, localSolveCap = 0L)._1)
+    assert(local == looped, "local union-find diverged from the loop")
   }
 }
 
@@ -1252,5 +1277,31 @@ class QualityGateSpec extends AnyFunSuite {
       .map(_.getAs[Long]("custdist")).sum
     val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
     assert(total == nCust, s"sum(custdist)=$total != customers=$nCust")
+  }
+}
+
+/** Embedding k-means profile (embed_kmeans): cluster sizes must match an
+  * independent recomputation from the deterministic seeded-Lloyd trainer,
+  * proving assignments are inner-product-optimal against the same model
+  * (the float-mean centroids make a cross-engine oracle impossible; this
+  * exact-recompute is the self-verification). */
+class KmeansSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("cluster profile covers the corpus with recomputable assignments") {
+    val out = SparkEntry.queries("embed_kmeans")(spark, sf).collect()
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    assert(out.map(_.getLong(1)).sum == e.count(), "sizes must cover corpus")
+    assert(out.nonEmpty && out.length <= 8)
+    assert(out.forall(_.getDouble(2) >= 0.0), "avg_dist must be non-negative")
+    val ed = e.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val cents = ops.TextDedup.ivfTrain(ed, K = 8, Iters = 3, Dim = 64)
+    val sizes = ed.collect().groupBy { r =>
+      ops.TextDedup.ivfTop2Local(
+        r.getSeq[Float](1).map(_.toDouble).toArray, cents)(0).toLong
+    }.view.mapValues(_.length.toLong).toMap
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == sizes, "query cluster sizes diverge from local recompute")
   }
 }
