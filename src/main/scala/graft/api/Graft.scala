@@ -93,6 +93,19 @@ object Graft {
       ._1.withColumnRenamed("node", id)
   }
 
+  /** Fold a labeled increment into the standing state under `path` (labels
+    * overwritten with the corpus∪batch labels, the batch's genuinely new
+    * collapsed sets and their bands appended) — after this, the NEXT
+    * increment dedups against corpus ∪ batch exactly as if the state had
+    * been rebuilt from scratch. Together with [[neardupStateBuild]] and
+    * [[neardupIncrement]] this is the complete between-increments loop a
+    * standing 100 TB corpus runs per crawl. */
+  def neardupStateRefresh(batch: DataFrame, id: String, text: String,
+      path: String): Unit =
+    graft.ops.TextDedup.neardupStateRefresh(
+      batch.select(col(id).cast("long").as("doc_id"), col(text).as("text")),
+      path)
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

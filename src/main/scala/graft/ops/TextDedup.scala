@@ -530,6 +530,31 @@ object TextDedup {
     (neardupStateRead(s, dir), split)
   }
 
+  /** Fold an increment into the persisted standing state under `dir` — the
+    * WRITE half of the between-increments loop: labels become the
+    * incremental labels over corpus ∪ batch, the batch's genuinely NEW
+    * collapsed sets (anti-joined on hashed-set equality) append to the set
+    * table, and their bands append to the band table. Refreshed state ≡
+    * [[neardupStateWrite]] over corpus ∪ batch — standing sids are corpus
+    * minima (corpus ids precede batch ids) and new sets keep their batch
+    * minimum, exactly what a full rebuild assigns. Everything appended is
+    * localCheckpoint-materialized BEFORE any write so the state tables are
+    * never read and overwritten in one plan. ApiSpec chains a second
+    * increment on refreshed state to prove equivalence. */
+  private[graft] def neardupStateRefresh(batchDocs: DataFrame, dir: String): Unit = {
+    val s = batchDocs.sparkSession
+    val st = neardupStateRead(s, dir)
+    val hb = hashedDocSets(batchDocs).localCheckpoint(true)
+    val labels = neardupIncrementalLabels(batchDocs.limit(0), batchDocs, Some(st))
+      ._1.select("node", "label").localCheckpoint(true)
+    val newSets = hb.groupBy(col("sh")).agg(min(col("id")).as("id"))
+      .join(st.sets.select(col("sh")), Seq("sh"), "left_anti")
+      .select(col("id"), col("sh")).localCheckpoint(true)
+    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    newSets.write.mode("append").parquet(s"$dir/sets")
+    bandTable(newSets).write.mode("append").parquet(s"$dir/bands")
+  }
+
   /** The guarded batch-incident PAIR stage shared by the incremental batch
     * path and stream_neardup's micro-batches. Routing is the full path's
     * ≤64-vocabulary rule over the HASHED union vocabulary, folded into ONE
@@ -679,6 +704,24 @@ object TextDedup {
       docs.where(col("doc_id") >= split), Some(st))._1.orderBy("node")
   }
   private val stagedState = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The refreshed SET TABLE a state fold produces (read-only twin of
+    * [[neardupStateRefresh]] so bench reps stay idempotent): standing
+    * collapsed sets ∪ the batch's genuinely new sets, each with its token
+    * count and an is_new flag. Oracle: collapsing the WHOLE table from
+    * scratch must give the identical (sid, n_tokens) rows — proving the
+    * append-only refresh equals a full rebuild. */
+  private val pipelineNeardupRefresh: Q = (s, d) => {
+    val (st, split) = stagedNeardupState(s, d)
+    val docs = tbl(s, d, "documents")
+    val hb = hashedDocSets(docs.where(col("doc_id") >= split)).localCheckpoint(true)
+    val newSets = hb.groupBy(col("sh")).agg(min(col("id")).as("id"))
+      .join(st.sets.select(col("sh")), Seq("sh"), "left_anti")
+    st.sets.select(col("id").as("sid"), size(col("sh")).as("n_tokens"))
+      .unionByName(newSets.select(col("id").as("sid"), size(col("sh")).as("n_tokens")))
+      .withColumn("is_new", col("sid") >= split)
+      .orderBy("sid")
+  }
 
   /** Benchmark decontamination — the training-data op that checks eval-set
     * leakage: docs 0–4 play the benchmark; a corpus document is contaminated
@@ -1966,6 +2009,7 @@ object TextDedup {
     "pipeline_neardup_stats" -> pipelineNeardupStats,
     "pipeline_neardup_full" -> pipelineNeardupFull,
     "pipeline_neardup_incremental" -> pipelineNeardupIncremental,
+    "pipeline_neardup_refresh" -> pipelineNeardupRefresh,
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "pipeline_decontaminate_ngram" -> pipelineDecontaminateNgram,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -2220,6 +2264,17 @@ object TextDedup {
     // the Spark side computes labels incrementally (standing corpus labels +
     // band table + batch-incident edges only), so the hash match against the
     // from-scratch closure PROVES incremental ≡ full recompute at both SFs.
+    "pipeline_neardup_refresh" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(string_split($normSql, ' '))) AS st
+            FROM documents),
+          sp AS (SELECT (max(doc_id)+1)*3//4 AS s FROM documents),
+          sets AS (SELECT min(doc_id) AS sid,
+                          CAST(len(st) AS INTEGER) AS n_tokens
+                   FROM t GROUP BY st)
+          SELECT sid, n_tokens, sid >= s AS is_new
+          FROM sets, sp ORDER BY sid""",
     "pipeline_neardup_incremental" ->
       s"""WITH RECURSIVE t AS (
              SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st

@@ -162,6 +162,29 @@ class ApiSpec extends AnyFunSuite {
     assert(got(20L) == 10L && got(21L) == 21L)
   }
 
+  test("neardupStateRefresh folds an increment; next increment still exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "a b c d"), (11L, "a b c d e"), (12L, "x y z w")).toDF("id", "body")
+    val batch1 = Seq(
+      (20L, "a b c d"), (21L, "m n o p q")).toDF("id", "body")
+    val batch2 = Seq(
+      (30L, "m n o p q r"),   // near-dup of 21 → joins its component
+      (31L, "x y z w")).toDF("id", "body") // exact dup of 12
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_api_ndr").toString
+    graft.api.Graft.neardupStateBuild(corpus, "id", "body", dir)
+    graft.api.Graft.neardupStateRefresh(batch1, "id", "body", dir)
+    val got = graft.api.Graft.neardupIncrement(batch2, "id", "body", dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = graft.api.Graft.neardupComponents(
+        corpus.unionByName(batch1).unionByName(batch2), "id", "body")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == full,
+      "increment on refreshed state diverges from full recompute")
+    assert(got(30L) == 21L && got(31L) == 12L && got(20L) == 10L)
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")
