@@ -128,9 +128,63 @@ object Bpe {
       .orderBy("lang", "pack_id")
   }
 
+  /** BPE merge TRAINING over the corpus — the FIT half of the tokenizer
+    * story (the cascade above APPLIES a checked-in table): the classic
+    * Sennrich procedure on the distinct-word frequency dictionary — count
+    * adjacent symbol pairs weighted by word frequency, take the most
+    * frequent pair (count desc, then lexicographic — fully deterministic),
+    * merge it everywhere, repeat. The dictionary is the scale-correct
+    * state: at 100 TB it is millions of distinct words, never the corpus;
+    * each of the K iterations is one weighted pair-count hash agg, a 1-row
+    * TakeOrdered collect (the only driver payload), and a map-side merge
+    * application over the checkpointed dict. Self-verified:
+    * TokenizerFitSpec compares the learned table against an independent
+    * driver-side reference trainer on the fixture. */
+  private val pipelineTokenizerFit: Q = (s, d) => {
+    import s.implicits._
+    val K = 16
+    var dict = tbl(s, d, "documents")
+      .select(explode(split(normText, " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(split(col("w"), "").as("sym"), col("wc"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (k <- 1 to K if !exhausted) {
+      val best = dict.where(size(col("sym")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(sym)-2), i -> struct(sym[i] AS a, sym[i+1] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("c"))
+        .orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        learned += ((k, a, b, c))
+        val mergeU = udf { (sym: Seq[String]) =>
+          val out = Seq.newBuilder[String]; var i = 0
+          while (i < sym.length) {
+            if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += sym(i); i += 1 }
+          }
+          out.result()
+        }
+        dict = dict.select(mergeU(col("sym")).as("sym"), col("wc"))
+          .localCheckpoint(true)
+      }
+    }
+    learned.toSeq.toDF("rank", "left", "right", "pair_count")
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_token_count_bpe" -> textTokenCountBpe,
     "pack_sequences_bpe" -> packSequencesBpe,
+    "pipeline_tokenizer_fit" -> pipelineTokenizerFit,
   )
 
   val oracle: Map[String, String] = Map(

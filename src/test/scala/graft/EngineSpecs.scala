@@ -46,6 +46,7 @@ class SmokeSpec extends AnyFunSuite {
     "forecast_prophet_backtest", "forecast_prophet_configured",
     "forecast_prophet_holidays", "forecast_prophet_like",
     "embed_kmeans", // KmeansSpec: exact-recompute assignment verification
+    "pipeline_tokenizer_fit", // TokenizerFitSpec: reference-trainer equality
     "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",
     "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
     "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late")
@@ -1303,5 +1304,71 @@ class KmeansSpec extends AnyFunSuite {
     }.view.mapValues(_.length.toLong).toMap
     val got = out.map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == sizes, "query cluster sizes diverge from local recompute")
+  }
+}
+
+/** BPE merge TRAINING (pipeline_tokenizer_fit): the distributed
+  * dictionary-based trainer must learn the IDENTICAL merge table as an
+  * independent driver-side Sennrich reference implementation — same
+  * most-frequent-pair selection, same (count desc, lexicographic) ties,
+  * same left-to-right non-overlapping merge application. */
+class TokenizerFitSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def applyMerge(sym: Vector[String], a: String, b: String)
+      : Vector[String] = {
+    val out = Vector.newBuilder[String]; var i = 0
+    while (i < sym.length) {
+      if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def referenceTrain(words: Map[String, Long], k: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var dict: Map[Vector[String], Long] = words.toSeq
+      .map { case (w, c) => (w.map(_.toString).toVector, c) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1; var done = false
+    while (r <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (sym, wc) =>
+        var i = 0
+        while (i < sym.length - 1) {
+          val key = (sym(i), sym(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + wc
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((r, a, b, c))
+        dict = dict.toSeq
+          .map { case (sym, wc) => (applyMerge(sym, a, b), wc) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        r += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed trainer equals the driver-side Sennrich reference") {
+    val got = SparkEntry.queries("pipeline_tokenizer_fit")(spark, sf)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.replaceAll("\\s+", " ")
+        .split(" "))
+      .filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = referenceTrain(words, 16)
+    assert(got.size == want.size, s"learned ${got.size} of ${want.size} merges")
+    assert(got == want, "distributed trainer diverges from the reference")
   }
 }
