@@ -247,8 +247,33 @@ object Scale {
       .orderBy("file_seq")
   }
 
+  /** Dynamic partition pruning — THE partitioned-warehouse join pattern at
+    * 100 TB: the fact side is the lang-partitioned layout, the dim side a
+    * tiny staged lang dimension with a selective filter (the most common
+    * language, fixed by one bounded scalar action); Catalyst injects a
+    * DynamicPruningSubquery on the partition key, so only the surviving
+    * lang directories are ever read — at scale that is the difference
+    * between scanning one partition and scanning the lake. DppSpec pins
+    * `dynamicpruning` into the executed plan so a regression that silently
+    * reverts to a full scan fails the suite, not a benchmark. */
+  private val joinDpp: Q = (s, d) => {
+    val dimDir = s"/tmp/graft_io/lang_dim_${d.hashCode.toHexString}_${srcStamp(d, "documents")}"
+    if (stagedDirs.add(dimDir))
+      tbl(s, d, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    val dim = s.read.parquet(dimDir)
+    val top = dim.agg(max(col("n_docs"))).head().getLong(0)
+    partitionedDocs(s, d)
+      .join(dim.where(col("n_docs") === top), "lang")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "sink_compact" -> sinkCompact,
+    "join_dpp" -> joinDpp,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucketed" -> joinBucketed,
@@ -259,6 +284,14 @@ object Scale {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_dpp" ->
+      """WITH dim AS (SELECT lang, count(*) AS n_docs
+                      FROM documents GROUP BY lang),
+          top AS (SELECT max(n_docs) AS m FROM dim)
+         SELECT d.lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents d JOIN dim ON d.lang = dim.lang, top
+         WHERE dim.n_docs = top.m
+         GROUP BY d.lang ORDER BY d.lang""",
     "sink_compact" ->
       """WITH r AS (
            SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn

@@ -1372,3 +1372,18 @@ class TokenizerFitSpec extends AnyFunSuite {
     assert(got == want, "distributed trainer diverges from the reference")
   }
 }
+
+/** Dynamic partition pruning (join_dpp): the executed plan must carry a
+  * DynamicPruningSubquery on the partitioned scan — the guarantee that the
+  * fact side reads only the dimension-selected lang directories. */
+class DppSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("join_dpp plans a dynamic pruning subquery on the partitioned scan") {
+    val q = SparkEntry.queries("join_dpp")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "partitioned join lost dynamic partition pruning")
+    assert(q.count() > 0)
+  }
+}
