@@ -1547,6 +1547,29 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Inverted-index build — the search/retrieval side of a training-data
+    * platform (dedup provenance lookups, contamination audits, corpus
+    * search all read posting lists): term → document frequency + the first
+    * 20 postings in doc_id order. Two phases over the distinct (doc, term)
+    * pairs: a df hash agg, and a rank-filtered posting collect whose
+    * row_number ≤ 20 predicate Spark 4 pushes into WindowGroupLimit — the
+    * per-term sort is bounded MAP-SIDE, so a stopword's posting list never
+    * materializes beyond the cap (the full-list collect_list is exactly
+    * what breaks at 100 TB; production shards exactly like this). */
+  private val textInvertedIndex: Q = (s, d) => {
+    val t = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(toks(normText))).as("term"))
+    val dfreq = t.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val post = t.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 20)
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    dfreq.join(post, Seq("term"))
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy("term")
+  }
+
   /** Zipf-law fit over the token frequency distribution: OLS slope of
     * log(freq) vs log(rank) for the top-100 terms — the corpus-health
     * statistic (natural text ≈ −1). Global top-100 is TakeOrdered (no full
@@ -2025,6 +2048,7 @@ object TextDedup {
     "text_bigram_freq" -> textBigramFreq,
     "text_ngram_coverage" -> textNgramCoverage,
     "text_boilerplate_ngrams" -> textBoilerplateNgrams,
+    "text_inverted_index" -> textInvertedIndex,
     "text_tfidf_terms" -> textTfidfTerms,
     "text_lang_keyword_score" -> textLangKeywordScore,
     "text_zipf_fit" -> textZipfFit,
@@ -2176,6 +2200,22 @@ object TextDedup {
                    abs((CAST(di AS DOUBLE)/1000000.0 - mu)/sd) >= 2.0
                  END AS is_outlier
           FROM zc ORDER BY vec_id""",
+    "text_inverted_index" ->
+      s"""WITH t AS (
+            SELECT DISTINCT doc_id, term
+            FROM (SELECT doc_id,
+                         unnest(list_distinct(string_split($normSql, ' ')))
+                           AS term
+                  FROM documents)),
+          d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+          p AS (SELECT term, list_sort(list(doc_id)) AS postings
+                FROM (SELECT term, doc_id,
+                             row_number() OVER (PARTITION BY term
+                                                ORDER BY doc_id) AS rn
+                      FROM t)
+                WHERE rn <= 20 GROUP BY term)
+          SELECT d.term, df, postings
+          FROM d JOIN p USING (term) ORDER BY term""",
     "text_boilerplate_ngrams" ->
       s"""WITH t AS (
             SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),

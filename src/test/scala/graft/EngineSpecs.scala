@@ -1387,3 +1387,22 @@ class DppSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 }
+
+/** Inverted index (text_inverted_index): the rank-filtered posting collect
+  * must plan a WindowGroupLimit (bounded map-side per-term sort) — the
+  * property that keeps a stopword's posting list from materializing
+  * unbounded at corpus scale. */
+class InvertedIndexSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("posting collection plans a WindowGroupLimit") {
+    val q = SparkEntry.queries("text_inverted_index")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank filter was not pushed into WindowGroupLimit")
+    val rows = q.collect()
+    assert(rows.forall(_.getSeq[Long](2).length <= 20), "postings cap broken")
+    assert(rows.forall(r => r.getSeq[Long](2).length <= r.getLong(1)),
+      "postings longer than df")
+  }
+}
