@@ -140,7 +140,18 @@ object Bpe {
     * application over the checkpointed dict. Self-verified:
     * TokenizerFitSpec compares the learned table against an independent
     * driver-side reference trainer on the fixture. */
-  private val pipelineTokenizerFit: Q = (s, d) => {
+  private val pipelineTokenizerFit: Q = (s, d) => tokenizerFit(s, d)
+
+  /** `localSolveCap` mirrors propagateMinLabels' adaptive move: the word
+    * dictionary is materialized and exactly counted by its checkpoint;
+    * when it fits the cap (default 2^16 distinct words — a bounded,
+    * documented driver payload) the K iterations run driver-side over the
+    * collected dictionary instead of as 16 rounds of fixed Spark-job
+    * overhead. Above the cap — the 100 TB regime, where the dictionary is
+    * millions of words — the distributed loop runs unchanged.
+    * TokenizerFitSpec proves BOTH paths equal an independent reference. */
+  private[graft] def tokenizerFit(s: SparkSession, d: String,
+      localSolveCap: Long = 1L << 16): DataFrame = {
     import s.implicits._
     val K = 16
     var dict = tbl(s, d, "documents")
@@ -150,31 +161,63 @@ object Bpe {
       .select(split(col("w"), "").as("sym"), col("wc"))
       .localCheckpoint(true)
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    var exhausted = false
-    for (k <- 1 to K if !exhausted) {
-      val best = dict.where(size(col("sym")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(0, size(sym)-2), i -> struct(sym[i] AS a, sym[i+1] AS b))"))
-          .as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("wc")).as("c"))
-        .orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        learned += ((k, a, b, c))
-        val mergeU = udf { (sym: Seq[String]) =>
-          val out = Seq.newBuilder[String]; var i = 0
-          while (i < sym.length) {
-            if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += sym(i); i += 1 }
+    if (dict.count() <= localSolveCap) {
+      var ld = dict.collect()
+        .map(r => (r.getSeq[String](0).toVector, r.getLong(1)))
+      var k = 1; var done = false
+      while (k <= K && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        ld.foreach { case (sym, wc) =>
+          var i = 0
+          while (i < sym.length - 1) {
+            val key = (sym(i), sym(i + 1))
+            counts(key) = counts.getOrElse(key, 0L) + wc
+            i += 1
           }
-          out.result()
         }
-        dict = dict.select(mergeU(col("sym")).as("sym"), col("wc"))
-          .localCheckpoint(true)
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          learned += ((k, a, b, c))
+          ld = ld.map { case (sym, wc) =>
+            val out = Vector.newBuilder[String]; var i = 0
+            while (i < sym.length) {
+              if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += sym(i); i += 1 }
+            }
+            (out.result(), wc)
+          }
+          k += 1
+        }
+      }
+    } else {
+      var exhausted = false
+      for (k <- 1 to K if !exhausted) {
+        val best = dict.where(size(col("sym")) >= 2)
+          .select(col("wc"), explode(expr(
+            "transform(sequence(0, size(sym)-2), i -> struct(sym[i] AS a, sym[i+1] AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("wc")).as("c"))
+          .orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          learned += ((k, a, b, c))
+          val mergeU = udf { (sym: Seq[String]) =>
+            val out = Seq.newBuilder[String]; var i = 0
+            while (i < sym.length) {
+              if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += sym(i); i += 1 }
+            }
+            out.result()
+          }
+          dict = dict.select(mergeU(col("sym")).as("sym"), col("wc"))
+            .localCheckpoint(true)
+        }
       }
     }
     learned.toSeq.toDF("rank", "left", "right", "pair_count")

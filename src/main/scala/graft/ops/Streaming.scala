@@ -453,13 +453,21 @@ object Streaming {
     val out = s"$ioTmp/stream_nd_out_${d.hashCode.toHexString}_$tag"
     val ckpt = ckptDir(s"neardup_$tag")
     dropCkpt(ckpt) // clear-before-start, same contract as runToTable
+    // union vocabulary probed ONCE over standing ∪ the full increment —
+    // every micro-batch's vocabulary is a subset, so routing and mask bits
+    // match the batch path exactly without a per-trigger driver action
+    val vocab = TextDedup.neardupUnionVocab(
+      TextDedup.hashedDocSets(s.read.parquet(srcDir)), st)
     val q = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
+        // no hb checkpoint: the bitmask path reads it once (into its own
+        // checkpointed mask frame) and a micro-batch re-derivation is one
+        // map-only pass — a per-trigger checkpoint job costs more
         val stage = TextDedup.neardupPairStage(
-          TextDedup.hashedDocSets(batch.toDF()).localCheckpoint(true), st)
+          TextDedup.hashedDocSets(batch.toDF()), st, Some(vocab))
         val matches = stage.memberMap.join(stage.crossReps, "sa")
           .select(col("id").as("doc_id"), col("sid"), col("jacc"))
         matches.write.mode(if (id == 0) "overwrite" else "append").parquet(out)

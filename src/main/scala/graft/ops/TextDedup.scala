@@ -576,11 +576,21 @@ object TextDedup {
     *    back to docs. */
   private[graft] case class NeardupPairStage(crossReps: DataFrame,
       internal: DataFrame, memberMap: DataFrame)
-  private[graft] def neardupPairStage(hb: DataFrame, st: NeardupState)
-      : NeardupPairStage = {
-    val vocab = st.sets.select(explode(col("sh")).as("h"))
+  /** ≤64-vocabulary probe over standing ∪ batch hashed tokens: ONE bounded
+    * action — limit(65) caps the driver payload at 65 longs, and hitting
+    * the cap is the open-vocabulary verdict. */
+  private[graft] def neardupUnionVocab(hb: DataFrame, st: NeardupState): Array[Long] =
+    st.sets.select(explode(col("sh")).as("h"))
       .unionByName(hb.select(explode(col("sh")).as("h")))
       .distinct().limit(65).collect().map(_.getLong(0)).sorted
+  private[graft] def neardupPairStage(hb: DataFrame, st: NeardupState,
+      precomputedVocab: Option[Array[Long]] = None): NeardupPairStage = {
+    // callers that pair MANY batches against one standing state (the
+    // streaming path) compute the union vocabulary ONCE over the full
+    // increment and pass it in: each micro-batch's vocabulary is a subset
+    // (a batch token outside it would break mask indexing), so the ≤64
+    // routing verdict and the mask bit assignment are identical
+    val vocab = precomputedVocab.getOrElse(neardupUnionVocab(hb, st))
     if (vocab.length <= 64) {
       val idx = vocab.zipWithIndex.toMap
       val maskU = udf { (sh: Seq[Long]) =>

@@ -1356,11 +1356,19 @@ class TokenizerFitSpec extends AnyFunSuite {
     out.toSeq
   }
 
-  test("distributed trainer equals the driver-side Sennrich reference") {
+  private def run(cap: Long): Seq[(Int, String, String, Long)] =
+    ops.Bpe.tokenizerFit(spark, sf, cap).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  test("both trainer paths equal the driver-side Sennrich reference") {
     val got = SparkEntry.queries("pipeline_tokenizer_fit")(spark, sf)
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
+    // cap = 0 pins the DISTRIBUTED loop; the query takes the adaptive
+    // bounded-dictionary path — both must match the same reference
+    assert(run(0L) == got, "distributed path diverges from adaptive path")
     val words = spark.read.parquet(s"$sf/documents.parquet")
       .select("text").collect()
       .flatMap(_.getString(0).trim.toLowerCase.replaceAll("\\s+", " ")
