@@ -97,14 +97,18 @@ object Graft {
     * overwritten with the corpus∪batch labels, the batch's genuinely new
     * collapsed sets and their bands appended) — after this, the NEXT
     * increment dedups against corpus ∪ batch exactly as if the state had
-    * been rebuilt from scratch. Together with [[neardupStateBuild]] and
-    * [[neardupIncrement]] this is the complete between-increments loop a
-    * standing 100 TB corpus runs per crawl. */
+    * been rebuilt from scratch. Returns the refreshed (id, label,
+    * is_keeper) table, MATERIALIZED so it survives the state overwrite;
+    * note that lazy frames returned by an EARLIER [[neardupIncrement]]
+    * read the state files this call replaces — consume them first (normal
+    * Spark overwrite-source semantics). Together with
+    * [[neardupStateBuild]] and [[neardupIncrement]] this is the complete
+    * between-increments loop a standing 100 TB corpus runs per crawl. */
   def neardupStateRefresh(batch: DataFrame, id: String, text: String,
-      path: String): Unit =
+      path: String): DataFrame =
     graft.ops.TextDedup.neardupStateRefresh(
       batch.select(col(id).cast("long").as("doc_id"), col(text).as("text")),
-      path)
+      path).withColumnRenamed("node", id)
 
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity

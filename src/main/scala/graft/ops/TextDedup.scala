@@ -541,18 +541,22 @@ object TextDedup {
     * localCheckpoint-materialized BEFORE any write so the state tables are
     * never read and overwritten in one plan. ApiSpec chains a second
     * increment on refreshed state to prove equivalence. */
-  private[graft] def neardupStateRefresh(batchDocs: DataFrame, dir: String): Unit = {
+  private[graft] def neardupStateRefresh(batchDocs: DataFrame, dir: String)
+      : DataFrame = {
     val s = batchDocs.sparkSession
     val st = neardupStateRead(s, dir)
     val hb = hashedDocSets(batchDocs).localCheckpoint(true)
-    val labels = neardupIncrementalLabels(batchDocs.limit(0), batchDocs, Some(st))
-      ._1.select("node", "label").localCheckpoint(true)
+    val full = neardupIncrementalLabels(batchDocs.limit(0), batchDocs, Some(st))
+      ._1.localCheckpoint(true)
     val newSets = hb.groupBy(col("sh")).agg(min(col("id")).as("id"))
       .join(st.sets.select(col("sh")), Seq("sh"), "left_anti")
       .select(col("id"), col("sh")).localCheckpoint(true)
-    labels.write.mode("overwrite").parquet(s"$dir/labels")
+    full.select("node", "label").write.mode("overwrite").parquet(s"$dir/labels")
     newSets.write.mode("append").parquet(s"$dir/sets")
     bandTable(newSets).write.mode("append").parquet(s"$dir/bands")
+    // the checkpointed labels survive the overwrite of their source dir —
+    // returned so callers need no separate (and now-invalidated) read
+    full
   }
 
   /** The guarded batch-incident PAIR stage shared by the incremental batch

@@ -129,6 +129,16 @@ class ApiSpec extends AnyFunSuite {
       .topk(embeddings, queryBatch, k = 5)
     assert(nbrs.columns.toSeq == Seq("qid", "rank", "vec_id", "cos"))
     assert(nbrs.count() > 0)
+    // Incremental near-dedup: bootstrap, then label-and-fold an increment
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("id"), col("text").as("body"))
+    val corpus = docs.where(col("id") < 30)
+    val crawl1 = docs.where(col("id") >= 30)
+    val sdir = java.nio.file.Files.createTempDirectory("graft_readme_nd").toString
+    graft.api.Graft.neardupStateBuild(corpus, "id", "body", sdir)
+    val labels = graft.api.Graft.neardupStateRefresh(crawl1, "id", "body", sdir)
+    assert(labels.columns.toSeq == Seq("id", "label", "is_keeper"))
+    assert(labels.count() == docs.count())
   }
 
   test("neardupComponents labels a tiny corpus through the public facade") {
