@@ -368,6 +368,23 @@ object Relational {
       ORDER BY o_orderkey""")
   }
 
+  /** LATERAL correlated table subquery — the per-row top-k join form
+    * Catalyst decorrelates (DecorrelateInnerQuery) into a ranked window
+    * join instead of executing the inner query per outer row: top-2
+    * orders per customer by price. Exercises the SQL-string LATERAL
+    * surface end to end. */
+  private val subLateral: Q = (s, d) => {
+    tbl(s, d, "customer").createOrReplaceTempView("sub_cust_l")
+    tbl(s, d, "orders").createOrReplaceTempView("sub_ord_l")
+    s.sql("""
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM sub_cust_l c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM sub_ord_l o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
   /** IN-subquery — rewritten to a left-semi join (RewritePredicateSubquery). */
   private val subIn: Q = (s, d) => {
     tbl(s, d, "customer").createOrReplaceTempView("sub_cust")
@@ -546,6 +563,7 @@ object Relational {
     "agg_unpivot" -> aggUnpivot,
     "agg_mode" -> aggMode,
     "sub_correlated_scalar" -> subCorrelatedScalar,
+    "sub_lateral" -> subLateral,
     "sub_in" -> subIn,
     "sub_exists" -> subExists,
     "sub_not_in" -> subNotIn,
@@ -766,6 +784,14 @@ object Relational {
                   /count(*)
            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+    "sub_lateral" ->
+      """WITH r AS (SELECT c_custkey, o_orderkey, o_totalprice,
+                           row_number() OVER (PARTITION BY o_custkey
+                                              ORDER BY o_totalprice DESC,
+                                                       o_orderkey) AS rn
+                    FROM customer JOIN orders ON o_custkey = c_custkey)
+         SELECT c_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 2
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     "sub_in" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
