@@ -110,6 +110,29 @@ object Graft {
       batch.select(col(id).cast("long").as("doc_id"), col(text).as("text")),
       path).withColumnRenamed("node", id)
 
+  /** Corpus-frequent n-gram boilerplate profile (CCNet-style cleanup
+    * signal): per input row, its distinct-3-gram count, how many of those
+    * 3-grams are corpus boilerplate (document frequency ≥ 1% and ≥ 2
+    * docs), and the boilerplate fraction. */
+  def boilerplateNgrams(df: DataFrame, id: String, text: String): DataFrame =
+    graft.ops.TextDedup.boilerplateNgramsCore(
+        df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
+  /** Inverted-index build: term → document frequency + the first
+    * `postingCap`-bounded postings in id order (bounded map-side via
+    * WindowGroupLimit — no unbounded stopword posting lists). */
+  def invertedIndex(df: DataFrame, id: String, text: String): DataFrame =
+    graft.ops.TextDedup.invertedIndexCore(
+      df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
+
+  /** Learn a BPE merge table from a corpus (classic Sennrich procedure on
+    * the distinct-word frequency dictionary — deterministic: count desc,
+    * lexicographic ties). Returns (rank, left, right, pair_count) rows,
+    * the same shape as the checked-in table the apply side consumes. */
+  def bpeTrain(df: DataFrame, text: String, mergeCount: Int): DataFrame =
+    graft.ops.Bpe.tokenizerFitCore(df.select(col(text).as("text")), mergeCount)
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

@@ -151,10 +151,15 @@ object Bpe {
     * millions of words — the distributed loop runs unchanged.
     * TokenizerFitSpec proves BOTH paths equal an independent reference. */
   private[graft] def tokenizerFit(s: SparkSession, d: String,
+      localSolveCap: Long = 1L << 16): DataFrame =
+    tokenizerFitCore(tbl(s, d, "documents"), 16, localSolveCap)
+
+  private[graft] def tokenizerFitCore(docs: DataFrame, mergeCount: Int,
       localSolveCap: Long = 1L << 16): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val K = 16
-    var dict = tbl(s, d, "documents")
+    val K = mergeCount
+    var dict = docs
       .select(explode(split(normText, " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("wc"))

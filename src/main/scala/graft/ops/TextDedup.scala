@@ -1535,8 +1535,9 @@ object TextDedup {
     * key-local shuffles, no sort, no driver data. The df threshold compares
     * 100·df ≥ N in INTEGER arithmetic (no cross-engine float ceil); N comes
     * from one bounded scalar action. */
-  private val textBoilerplateNgrams: Q = (s, d) => {
-    val docs = tbl(s, d, "documents")
+  private val textBoilerplateNgrams: Q = (s, d) =>
+    boilerplateNgramsCore(tbl(s, d, "documents"))
+  private[graft] def boilerplateNgramsCore(docs: DataFrame): DataFrame = {
     val nDocs = docs.count()
     val g = docs.select(col("doc_id"), toks(normText).as("tk"))
       .where(size(col("tk")) >= 3)
@@ -1570,8 +1571,10 @@ object TextDedup {
     * per-term sort is bounded MAP-SIDE, so a stopword's posting list never
     * materializes beyond the cap (the full-list collect_list is exactly
     * what breaks at 100 TB; production shards exactly like this). */
-  private val textInvertedIndex: Q = (s, d) => {
-    val t = tbl(s, d, "documents")
+  private val textInvertedIndex: Q = (s, d) =>
+    invertedIndexCore(tbl(s, d, "documents"))
+  private[graft] def invertedIndexCore(docs: DataFrame): DataFrame = {
+    val t = docs
       .select(col("doc_id"), explode(array_distinct(toks(normText))).as("term"))
     val dfreq = t.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("term").orderBy("doc_id")

@@ -195,6 +195,25 @@ class ApiSpec extends AnyFunSuite {
     assert(got(30L) == 21L && got(31L) == 12L && got(20L) == 10L)
   }
 
+  test("text-pipeline facade: boilerplate, inverted index, BPE training") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the hat"),
+      (3L, "a dog ran in the park"), (4L, "the cat sat on the rug"),
+      (5L, "entirely different words here")).toDF("id", "body")
+    val bp = graft.api.Graft.boilerplateNgrams(docs, "id", "body")
+    assert(bp.columns.toSeq ==
+      Seq("id", "n_ngrams", "n_boiler", "boiler_frac"))
+    // "the cat sat" / "cat sat on" / "sat on the" appear in 3/5 docs ≥ 2
+    assert(bp.where(col("n_boiler") > 0).count() == 3)
+    val idx = graft.api.Graft.invertedIndex(docs, "id", "body")
+    val theRow = idx.where(col("term") === "the").head()
+    assert(theRow.getLong(1) == 4L && theRow.getSeq[Long](2) == Seq(1L, 2L, 3L, 4L))
+    val merges = graft.api.Graft.bpeTrain(docs, "body", mergeCount = 4)
+    assert(merges.count() == 4)
+    assert(merges.head().getString(1).nonEmpty)
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")
