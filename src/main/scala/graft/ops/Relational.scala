@@ -55,6 +55,25 @@ object Relational {
     s.read.orc(out).orderBy("s_suppkey")
   }
 
+  /** Raw text-line source — the format crawl corpora actually arrive in
+    * (one record per line): stage documents as TSV lines, read back with
+    * the `text` source (one `value` column), parse with split. Pushdown
+    * does not apply to unstructured lines — the parse IS the query; the
+    * oracle recomputes from the structured table, proving the
+    * line-round-trip is lossless for in-alphabet text. */
+  private val scanText: Q = (s, d) => {
+    val out = s"$ioTmp/text_docs_${d.hashCode.toHexString}"
+    tbl(s, d, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")))
+      .coalesce(1).write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("lang"),
+        length(col("p").getItem(2)).cast("long").as("n_text_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Bitwise function family (AND/OR/XOR/NOT/shifts/bit_count) — portable:
     * two's-complement integer ops are identical on both engines. */
   private val fnBitwise: Q = (s, d) =>
@@ -536,6 +555,7 @@ object Relational {
     "scan_csv" -> scanCsv,
     "scan_json" -> scanJson,
     "scan_orc" -> scanOrc,
+    "scan_text" -> scanText,
     "fn_bitwise" -> fnBitwise,
     "proj_select" -> projSelect,
     "filter_compare" -> filterCompare,
@@ -591,6 +611,9 @@ object Relational {
     "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+    "scan_text" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_text_chars
+         FROM documents ORDER BY doc_id""",
     "fn_bitwise" ->
       """SELECT o_orderkey,
                 o_orderkey & 255 AS b_and,
