@@ -16,7 +16,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "forecast_linear_trend", "forecast_prophet_like", "text_tfidf_terms",
     // round 6: new accumulation-order-sensitive shapes
     "ts_seasonal_strength", "tpch_q9", "tpch_q22", "text_ngram_coverage",
-    "pipeline_curriculum", "agg_bitmap_distinct")
+    "pipeline_curriculum", "agg_bitmap_distinct",
+    // round 7: scaled-integer centroid/moment sums, boilerplate df
+    // threshold, posting collection, incremental labels + refreshed sets
+    "embed_outliers", "text_boilerplate_ngrams", "text_inverted_index",
+    "pipeline_neardup_incremental", "pipeline_neardup_refresh",
+    "pipeline_tokenizer_fit")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
