@@ -351,6 +351,95 @@ object Pipeline {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .orderBy("shard")
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 / Dolma's
+    * rule cascade): per-document word count, mean word length, stopword
+    * presence, and top-word repetition, each emitted as its own boolean so a
+    * pipeline can audit WHICH rule fired, plus the conjunctive keep flag.
+    * Every rule compares exact integers (cross-multiplied ratios — e.g.
+    * `max_c * 10 <= n_words` instead of `max_c/n_words <= 0.1`), so the
+    * verdicts are bit-reproducible on any engine and any partitioning; the
+    * reported ratio columns are display-only r4 derivations. Shape at
+    * 100 TB: one explode → (doc, term) count agg → per-doc agg; two shuffles
+    * on keys that grow with the corpus, no window, no driver state. */
+  private val pipelineGopherRules: Q = (s, d) => {
+    val stop = Seq("the", "a", "and", "of", "to")
+    val tc = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(normText, " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n_words"),
+        max(col("c")).as("max_c"),
+        sum(col("c") * length(col("t"))).as("len_sum"),
+        sum(when(col("t").isInCollection(stop), col("c")).otherwise(0L))
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        r4(col("len_sum").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        r4(col("max_c").cast("double") / col("n_words").cast("double"))
+          .as("max_word_frac"),
+        col("n_stop"),
+        (col("n_words") >= 20 && col("n_words") <= 1000).as("r_word_count"),
+        (col("len_sum") >= col("n_words") * 2 &&
+          col("len_sum") <= col("n_words") * 5).as("r_mean_len"),
+        (col("n_stop") >= 2).as("r_stopwords"),
+        (col("max_c") * 10 <= col("n_words")).as("r_repetition"))
+      .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
+        col("r_stopwords") && col("r_repetition"))
+      .orderBy("doc_id")
+  }
+
+  /** Perplexity-proxy gate: the unigram-LM mean-surprisal filter a quality
+    * cascade runs before any neural scorer (too-low surprisal = boilerplate
+    * of only corpus-common tokens; too-high = gibberish/OCR noise — the
+    * CCNet/Gopher perplexity-band idea with the engine's own unigram LM).
+    * Reuses text_unigram_logprob's exact-integer surprisal: each ln(N/c)
+    * rides as a 1e6-scaled BIGINT, and the band check cross-multiplies
+    * (`si >= 3_395_000 * n_tokens`) so the verdict never touches a float.
+    * Shape at 100 TB: per-doc term counts equi-join the global term table
+    * on the token key; corpus total N broadcasts as one row. */
+  private val pipelinePerplexityGate: Q = (s, d) => {
+    val tok = tbl(s, d, "documents")
+      .select(col("doc_id"), explode(split(normText, " ")).as("t"))
+    val dc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("dc"))
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("nn"))
+    dc.join(cnt, "t")
+      .crossJoin(broadcast(tot))
+      .withColumn("li", floor(
+        log(col("nn").cast("double") / col("c").cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dc")).as("n_tokens"), sum(col("dc") * col("li")).as("si"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("si").cast("double") / col("n_tokens").cast("double") / 1e6)
+          .as("mean_surprisal"),
+        (col("si") >= lit(3395000L) * col("n_tokens")).as("r_not_boilerplate"),
+        (col("si") <= lit(3410000L) * col("n_tokens")).as("r_not_gibberish"))
+      .withColumn("keep", col("r_not_boilerplate") && col("r_not_gibberish"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing (the Dolma/C4 redaction pass): regex-replace sensitive
+    * spans with typed placeholder tags and count what was redacted, so the
+    * pipeline can audit redaction rates per source. Demonstrated on
+    * events.props — digit runs stand in for phone/account numbers (the
+    * fixture corpus has no real PII); the email pattern exercises the
+    * zero-match path. Patterns stay in the Java∩RE2 common dialect
+    * (char classes + quantifiers only) so the DuckDB oracle replays them
+    * exactly. Pure map-side at any scale: no shuffle, no state — the scan
+    * fuses into one WholeStageCodegen projection. */
+  private val pipelinePiiScrub: Q = (s, d) => {
+    val numPat = "[0-9]+"
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    tbl(s, d, "events")
+      .select(col("event_id"),
+        regexp_count(col("props"), lit(numPat)).cast("long").as("n_num"),
+        regexp_count(col("props"), lit(emailPat)).cast("long").as("n_email"),
+        regexp_replace(regexp_replace(col("props"), emailPat, "<EMAIL>"),
+          numPat, "<NUM>").as("scrubbed"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_stratified" -> sampleStratified,
     "sample_fixed_k" -> sampleFixedK,
@@ -365,9 +454,72 @@ object Pipeline {
     "fn_hbucket_domain" -> fnHbucketDomain,
     "pipeline_curriculum" -> pipelineCurriculum,
     "pipeline_shard_assign" -> pipelineShardAssign,
+    "pipeline_gopher_rules" -> pipelineGopherRules,
+    "pipeline_perplexity_gate" -> pipelinePerplexityGate,
+    "pipeline_pii_scrub" -> pipelinePiiScrub,
   )
 
   val oracle: Map[String, String] = Map(
+    "pipeline_gopher_rules" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+            FROM documents),
+          tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+          per AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                   CAST(max(c) AS BIGINT) AS max_c,
+                   CAST(sum(c * len(t)) AS BIGINT) AS len_sum,
+                   CAST(sum(CASE WHEN t IN ('the','a','and','of','to')
+                            THEN c ELSE 0 END) AS BIGINT) AS n_stop
+            FROM tc GROUP BY 1)
+          SELECT doc_id, n_words,
+                 floor((CAST(len_sum AS DOUBLE) / n_words) * 10000 + 0.5)
+                   / 10000.0 AS mean_word_len,
+                 floor((CAST(max_c AS DOUBLE) / n_words) * 10000 + 0.5)
+                   / 10000.0 AS max_word_frac,
+                 n_stop,
+                 (n_words BETWEEN 20 AND 1000) AS r_word_count,
+                 (len_sum >= n_words * 2 AND len_sum <= n_words * 5)
+                   AS r_mean_len,
+                 (n_stop >= 2) AS r_stopwords,
+                 (max_c * 10 <= n_words) AS r_repetition,
+                 ((n_words BETWEEN 20 AND 1000)
+                  AND len_sum >= n_words * 2 AND len_sum <= n_words * 5
+                  AND n_stop >= 2 AND max_c * 10 <= n_words) AS keep
+          FROM per ORDER BY doc_id""",
+    "pipeline_perplexity_gate" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+            FROM documents),
+          dc AS (SELECT doc_id, t, count(*) AS dc FROM tok GROUP BY 1, 2),
+          cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+          j AS (SELECT doc_id, dc,
+                       CAST(floor(ln(CAST(nn AS DOUBLE) / CAST(c AS DOUBLE))
+                                  * 1e6 + 0.5) AS BIGINT) AS li
+                FROM dc JOIN cnt USING (t), tot),
+          per AS (SELECT doc_id, CAST(sum(dc) AS BIGINT) AS n_tokens,
+                         CAST(sum(dc * li) AS BIGINT) AS si
+                  FROM j GROUP BY 1)
+          SELECT doc_id, n_tokens,
+                 floor((CAST(si AS DOUBLE) / n_tokens / 1e6) * 10000 + 0.5)
+                   / 10000.0 AS mean_surprisal,
+                 (si >= 3395000 * n_tokens) AS r_not_boilerplate,
+                 (si <= 3410000 * n_tokens) AS r_not_gibberish,
+                 (si >= 3395000 * n_tokens AND si <= 3410000 * n_tokens)
+                   AS keep
+          FROM per ORDER BY doc_id""",
+    "pipeline_pii_scrub" ->
+      s"""SELECT event_id,
+                 CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+                   AS n_num,
+                 CAST(len(regexp_extract_all(props,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT)
+                   AS n_email,
+                 regexp_replace(regexp_replace(props,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                   '[0-9]+', '<NUM>', 'g') AS scrubbed
+          FROM events ORDER BY event_id""",
     "fn_hbucket_domain" ->
       s"""SELECT doc_id - 250 AS k, ${hbucketSql("(doc_id - 250)", 100)} AS b
           FROM documents ORDER BY k""",

@@ -2038,12 +2038,86 @@ object TextDedup {
                 256)""").as("sample_digest"))
       .orderBy("doc_id")
 
+  /** Repeated-substring span detection — the n-gram approximation of
+    * suffix-array substring dedup (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better": repeated ≥k-token spans are memorized
+    * verbatim; production clips them). Every positional K-gram is counted
+    * corpus-wide; a position whose K-gram occurs ≥2 times anywhere (within OR
+    * across documents) is a duplicated span position. Reports per document
+    * the duplicated-position fraction and the LONGEST consecutive duplicated
+    * run (a long run = one long repeated substring, the clip target).
+    * Shape at 100 TB: grams explode ≈ tokens×1 rows; one count agg + one
+    * equi-join, both shuffling on the gram key (hash-joinable, never
+    * all-pairs); the run-length pass windows per doc_id over ≤ |doc| rows.
+    * A real suffix-array build is a different algorithm class — this n-gram
+    * form is the standard distributed approximation and finds every repeat
+    * of length ≥ K. */
+  private val dedupSubstring: Q = (s, d) => {
+    val K = 5
+    val docs = tbl(s, d, "documents")
+    val grams = docs
+      .withColumn("tk", toks(normText))
+      .where(size(col("tk")) >= K)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(tk) - ${K - 1}), " +
+          s"i -> named_struct('i', i, 'ng', array_join(slice(tk, i, $K), ' ')))"))
+          .as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.ng").as("ng"))
+    val tf = grams.groupBy(col("ng")).agg(count(lit(1)).as("tf"))
+    val marked = grams.join(tf, "ng")
+    val per = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("tf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val runs = marked.where(col("tf") >= 2)
+      .select(col("doc_id"), col("i"))
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id")).agg(max(col("run")).as("max_run"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        when(col("n_grams") > 0,
+          r4(col("n_dup").cast("double") / col("n_grams").cast("double")))
+          .as("dup_frac"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental index APPEND — the second half of the serving story
+    * (sim_ivfpq_served is train-once/serve-many; this is grow-without-
+    * retrain): the coarse centroids and PQ codebooks are trained on the
+    * BASE corpus only (vec_id % 10 ≠ 7), then the delta vectors are
+    * assigned + residual-encoded with that FROZEN model and served in the
+    * same inverted lists — exactly how a production IVFADC index absorbs
+    * a new embedding batch (FAISS `add` after `train`). Quantization error
+    * on the delta is slightly higher (its distribution never reached the
+    * trainer), which is the documented trade; AnnAppendSpec proves delta
+    * vectors are reachable — retrieved as neighbors, and delta QUERIES get
+    * full top-k — with overlap against exact top-k over the FULL corpus. */
+  private val simAnnAppend: Q = (s, d) => {
+    val all = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val base = all.where(col("vec_id") % 10 =!= 7)
+    ivfPqTrain(base) match {
+      case Some(model) => ivfPqQuery(s, all, model)
+      case None =>
+        all.limit(0).select(col("vec_id").as("qid"), lit(1).as("rank"),
+          col("vec_id"), r4(lit(0.0)).as("cos"))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "pipeline_dedup_stats" -> pipelineDedupStats,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_substring" -> dedupSubstring,
+    "sim_ann_append" -> simAnnAppend,
     "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_cluster_stats" -> dedupClusterStats,
     "pipeline_neardup_stats" -> pipelineNeardupStats,
@@ -2092,6 +2166,38 @@ object TextDedup {
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "dedup_substring" ->
+      s"""WITH t AS (
+            SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+          g AS (
+            SELECT doc_id, i, array_to_string(tk[i:i+4], ' ') AS ng
+            FROM t, unnest(generate_series(1, len(tk) - 4)) AS u(i)
+            WHERE len(tk) >= 5),
+          tf AS (SELECT ng, count(*) AS tf FROM g GROUP BY ng),
+          m AS (SELECT g.doc_id, g.i, tf.tf FROM g JOIN tf USING (ng)),
+          per AS (
+            SELECT doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup
+            FROM m GROUP BY doc_id),
+          runs AS (
+            SELECT doc_id,
+                   i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                     AS grp
+            FROM m WHERE tf >= 2),
+          rc AS (SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY 1, 2),
+          mr AS (SELECT doc_id, max(run) AS max_run FROM rc GROUP BY 1)
+          SELECT d.doc_id,
+                 coalesce(n_grams, 0) AS n_grams,
+                 coalesce(n_dup, 0) AS n_dup,
+                 CASE WHEN coalesce(n_grams, 0) > 0 THEN
+                   floor((CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE))
+                         * 10000 + 0.5) / 10000.0
+                 END AS dup_frac,
+                 coalesce(max_run, 0) AS max_run
+          FROM documents d LEFT JOIN per USING (doc_id)
+                           LEFT JOIN mr USING (doc_id)
+          ORDER BY d.doc_id""",
     "dedup_exact" ->
       s"""SELECT sha256($normSql) AS h, min(doc_id) AS keep_id,
                  count(*) AS n_copies

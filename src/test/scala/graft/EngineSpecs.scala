@@ -49,6 +49,7 @@ class SmokeSpec extends AnyFunSuite {
     "pipeline_tokenizer_fit", // TokenizerFitSpec: reference-trainer equality
     "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",
     "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
+    "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
     "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late")
 
   test("every query is oracle-checked unless explicitly self-verified") {
@@ -899,6 +900,34 @@ class AnnServeSpec extends AnyFunSuite {
 
   test("annIndexLoad on a missing path is None, not a crash") {
     assert(graft.api.Graft.annIndexLoad(spark, "/tmp/graft_no_such_index").isEmpty)
+  }
+}
+
+/** Incremental index append (sim_ann_append): the model is trained on the
+  * base corpus only (vec_id % 10 ≠ 7), the delta is encoded with the frozen
+  * model — so the spec must prove the delta actually entered the index. */
+class AnnAppendSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("append-path serves delta queries and retrieves delta vectors") {
+    val rows = SparkEntry.queries("sim_ann_append")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // every fixture query (vec_id < 10) answered with ranks 1..5 — including
+    // qid 7, which is itself a delta vector the trainer never saw
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 10L).toSet, s"missing qids: ${byQ.keySet}")
+    byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == (1 to 5)))
+    // delta vectors are reachable as NEIGHBORS: appended rows really landed
+    // in the inverted lists, they aren't just query-able
+    assert(rows.exists(_._3 % 10 == 7),
+      "no delta vector retrieved — append path dropped the new batch")
+    // recall sanity vs exact top-5 over the FULL corpus
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = rows.map(r => (r._1, r._3)).toSet
+    assert(ann.intersect(exact).nonEmpty,
+      "append-path found no exact top-5 neighbors at all")
   }
 }
 

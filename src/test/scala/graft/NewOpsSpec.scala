@@ -75,6 +75,74 @@ class NewOpsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(4) > 0.0 && !r.getDouble(4).isInfinite))
   }
 
+  test("pipeline_gopher_rules: keep is the rule conjunction, every rule discriminates") {
+    val rows = q("pipeline_gopher_rules").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val Seq(wc, ml, sw, rep, keep) = (5 to 9).map(r.getBoolean)
+      assert(keep == (wc && ml && sw && rep), s"keep != conjunction at $r")
+      assert(r.getDouble(2) > 1.0 && r.getDouble(2) < 20.0) // mean_word_len
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0) // max_word_frac
+    }
+    // a gate where some rule never fires isn't filtering anything
+    for (i <- 5 to 8) {
+      val vals = rows.map(_.getBoolean(i)).toSet
+      assert(vals == Set(true, false), s"rule col $i is constant: $vals")
+    }
+  }
+
+  test("pipeline_perplexity_gate: band conjunction, plausible surprisal range") {
+    val rows = q("pipeline_perplexity_gate").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getBoolean(3) && r.getBoolean(4)))
+      val ms = r.getDouble(2)
+      assert(ms > 3.0 && ms < 4.0, s"surprisal $ms outside fixture range")
+    }
+    val kept = rows.count(_.getBoolean(5))
+    assert(kept > 0 && kept < rows.length, s"gate is degenerate: $kept/500")
+  }
+
+  test("dedup_substring: counts nest, runs bound, grams match token count") {
+    val rows = q("dedup_substring").collect()
+    assert(rows.length == 500)
+    val nTok = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+          .cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var anyDup = false
+    rows.foreach { r =>
+      val (id, ng, nd, run) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(ng == math.max(0L, nTok(id) - 4), s"gram count wrong for doc $id")
+      assert(nd >= 0 && nd <= ng)
+      assert(run <= nd, s"longest run $run exceeds dup positions $nd")
+      assert((run > 0) == (nd > 0))
+      if (nd > 0) { anyDup = true; assert(!r.isNullAt(3)) }
+    }
+    assert(anyDup, "fixture corpus has zero repeated 5-gram — vacuous test")
+  }
+
+  test("pipeline_pii_scrub: no digit survives, untouched rows pass through") {
+    val rows = q("pipeline_pii_scrub").collect()
+    assert(rows.nonEmpty)
+    val props = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("props"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var anyNum = false
+    rows.foreach { r =>
+      val (id, nNum, nEmail, scrubbed) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(!scrubbed.exists(_.isDigit), s"digit survived scrub: $scrubbed")
+      if (nNum > 0) anyNum = true
+      if (nNum == 0 && nEmail == 0)
+        assert(scrubbed == props(id), "untouched row was modified")
+      else assert(scrubbed != props(id))
+    }
+    assert(anyNum, "no redactions happened — vacuous test")
+  }
+
   test("sample_reservoir_weighted is deterministic and length-tilted") {
     val a = q("sample_reservoir_weighted").collect()
     val b = q("sample_reservoir_weighted").collect()

@@ -21,7 +21,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // threshold, posting collection, incremental labels + refreshed sets
     "embed_outliers", "text_boilerplate_ngrams", "text_inverted_index",
     "pipeline_neardup_incremental", "pipeline_neardup_refresh",
-    "pipeline_tokenizer_fit")
+    "pipeline_tokenizer_fit",
+    // round 7b: corpus-wide gram counts + scaled-integer surprisal bands
+    "dedup_substring", "pipeline_gopher_rules", "pipeline_perplexity_gate")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
