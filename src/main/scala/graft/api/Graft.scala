@@ -133,6 +133,38 @@ object Graft {
   def bpeTrain(df: DataFrame, text: String, mergeCount: Int): DataFrame =
     graft.ops.Bpe.tokenizerFitCore(df.select(col(text).as("text")), mergeCount)
 
+  /** Gopher-style rule-based quality gate: per row, the word-count /
+    * mean-word-length / stopword / top-word-repetition verdicts as separate
+    * boolean columns plus the conjunctive `keep` — so a pipeline can audit
+    * WHICH rule rejected a document, not just that one did. */
+  def gopherRules(df: DataFrame, id: String, text: String): DataFrame =
+    graft.ops.Pipeline.gopherRulesCore(
+        df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
+  /** Unigram-LM mean-surprisal band filter (the perplexity-proxy gate a
+    * quality cascade runs before any neural scorer): too-low = boilerplate,
+    * too-high = gibberish; verdicts ride exact scaled-integer arithmetic. */
+  def perplexityGate(df: DataFrame, id: String, text: String): DataFrame =
+    graft.ops.Pipeline.perplexityGateCore(
+        df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
+  /** PII scrubbing: digit runs → `<NUM>`, emails → `<EMAIL>`, with per-row
+    * redaction counts for rate auditing. Map-side at any scale. */
+  def piiScrub(df: DataFrame, id: String, payload: String): DataFrame =
+    graft.ops.Pipeline.piiScrubCore(df, id, payload)
+
+  /** Repeated-substring span stats (n-gram approximation of suffix-array
+    * substring dedup, Lee et al. 2021): per row, how many of its positional
+    * k-grams occur ≥2 times corpus-wide and the longest consecutive
+    * duplicated run — the clip target for verbatim-memorization cleanup. */
+  def substringSpans(df: DataFrame, id: String, text: String,
+      k: Int = 5): DataFrame =
+    graft.ops.TextDedup.substringSpansCore(
+        df.select(col(id).cast("long").as("doc_id"), col(text).as("text")), k)
+      .withColumnRenamed("doc_id", id)
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

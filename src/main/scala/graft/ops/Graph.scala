@@ -1,0 +1,255 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship structures the relational tables imply
+  * (SURVEY §2's scale mandate applied to a new operator axis): entity
+  * importance (PageRank), cohesion (triangles / clustering coefficient),
+  * degree shape, and link prediction — the graph passes a data-quality /
+  * entity-resolution pipeline runs next to dedup's connected components.
+  *
+  * Two derived graphs, both deterministic functions of the fixture tables:
+  * - BUSINESS graph: supplier ↔ customer bipartite edges via
+  *   lineitem ⋈ orders (who supplied whom), undirected = both directions.
+  * - CO-OCCURRENCE graph: user–user edges when two users act in the same
+  *   (event_type, minute) cell — the co-session graph event pipelines mine.
+  *
+  * Determinism contract (the Canon rule applied to iterative graph math):
+  * PageRank runs ENTIRELY in scaled BIGINT arithmetic — mass starts at
+  * 10^12 // n per node, each contribution is `pr div degree` (integer
+  * division), damping is `(15·base)//100 + (85·Σcontrib)//100` — so every
+  * iteration is an exact integer fixpoint step, identical on any engine,
+  * any partitioning, any executor count. No float ever enters the loop;
+  * DuckDB replays all 5 unrolled iterations bit-for-bit.
+  *
+  * Scale shapes: PageRank is the Pregel pattern as DataFrame joins — the
+  * static adjacency (src, dst, deg) is checkpointed once and each of the
+  * T=5 rounds is one equi-join + one partial-aggregated groupBy on the
+  * node key (at 100 TB: shuffle ∝ edges per round, T bounded; GraphX's
+  * Pregel materializes the same joins). Triangles use the compact-forward
+  * orientation (a < b) so each triangle is counted once, and the two-hop
+  * join shuffles on node keys — production orders by degree instead of id
+  * to bound the heavy-hitter wedge blowup; id order keeps the fixture
+  * oracle-replayable (the synthetic co-occurrence graph is near-uniform,
+  * so the two orderings have the same worst case here). */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Undirected bipartite business edges, encoded on one BIGINT node axis:
+    * supplier s → node 2s, customer c → node 2c+1 (parity = node type). */
+  private def bizEdges(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(tbl(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey").cast("long") * 2).as("a"),
+        (col("o_custkey").cast("long") * 2 + 1).as("b"))
+      .distinct()
+
+  /** 5-iteration damped PageRank over the business graph in exact scaled
+    * integers (see object doc). Output: node kind + original key, the
+    * EXACT scaled mass (pr_scaled, the oracle-compared value), ranked. */
+  private val graphPagerank: Q = (s, d) => {
+    val e = bizEdges(s, d)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val adj = dir.join(deg, "src").localCheckpoint(true)
+    val nodes = deg.select(col("src").as("node"), col("deg"))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(nRow))
+      .select(col("node"),
+        expr("cast(1000000000000 as bigint) div n").as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 5) {
+      val sums = adj
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("pr div deg").as("ctr"))
+        .groupBy(col("node")).agg(sum(col("ctr")).as("ctr_sum"))
+      pr = nodes.select(col("node"))
+        .join(sums, Seq("node"), "left")
+        .crossJoin(broadcast(nRow))
+        .select(col("node"),
+          expr("(15 * (cast(1000000000000 as bigint) div n)) div 100 + " +
+            "(85 * coalesce(ctr_sum, cast(0 as bigint))) div 100").as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.orderBy(desc("pr"), asc("node"))
+      .select(
+        when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("customer"))
+          .as("kind"),
+        expr("node div 2").as("key"),
+        col("pr").as("pr_scaled"))
+  }
+
+  /** Distinct undirected user co-occurrence edges (a < b) from shared
+    * (event_type, minute) activity cells. */
+  private def coocEdges(s: SparkSession, d: String): DataFrame = {
+    val b = tbl(s, d, "events")
+      .select(col("user_id").as("u"), col("event_type"),
+        date_trunc("minute", col("ts")).as("w"))
+      .distinct()
+    val b2 = b.select(col("u").as("v"), col("event_type"), col("w"))
+    b.join(b2, Seq("event_type", "w"))
+      .where(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+      .distinct()
+  }
+
+  /** Global triangle census of the co-occurrence graph: nodes, edges,
+    * wedges (paths of length 2), triangles (compact-forward a<b<c join —
+    * each triangle counted exactly once), and the global clustering
+    * coefficient 3·T / wedges. All counts are exact integers; only the
+    * final coefficient is a display r4. */
+  private val graphTriangleCount: Q = (s, d) => {
+    val e = coocEdges(s, d).localCheckpoint(true)
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // coalesce: an EMPTY graph (no two users share a cell — true at
+    // sf0.001) must yield a 0-row census, not NULLs
+    val stats = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("n_wedges"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    stats.crossJoin(ne).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          r4(col("n_triangles").cast("double") * 3.0 /
+            col("n_wedges").cast("double"))).as("clustering"))
+  }
+
+  /** Degree distribution of the co-occurrence graph — the first sanity
+    * check on any derived graph (a power-law tail vs the near-uniform
+    * synthetic shape here). degree → node count, exact integers. */
+  private val graphDegreeDistribution: Q = (s, d) => {
+    val e = coocEdges(s, d)
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("deg")
+  }
+
+  /** Common-neighbors link prediction over the co-occurrence graph: for
+    * user pairs NOT currently connected, count shared neighbors and rank —
+    * the classic first-order link predictor (Liben-Nowell & Kleinberg).
+    * Wedge join on the shared-neighbor key, then an anti-join against the
+    * edge set; top-20 by (count desc, pair) is a TakeOrdered, no full
+    * sort. */
+  private val graphCommonNeighbors: Q = (s, d) => {
+    val e = coocEdges(s, d).localCheckpoint(true)
+    // symmetric neighbor list: (node, neighbor) both ways
+    val nbr = e.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(e.select(col("b").as("n"), col("a").as("m")))
+    val wedges = nbr.select(col("m").as("c"), col("n").as("x"))
+      .join(nbr.select(col("m").as("c"), col("n").as("y")), "c")
+      .where(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_common"))
+    wedges.join(e, wedges("x") === e("a") && wedges("y") === e("b"),
+        "left_anti")
+      .orderBy(desc("n_common"), asc("x"), asc("y")).limit(20)
+      .select(col("x").as("user_a"), col("y").as("user_b"), col("n_common"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> graphPagerank,
+    "graph_triangle_count" -> graphTriangleCount,
+    "graph_degree_distribution" -> graphDegreeDistribution,
+    "graph_common_neighbors" -> graphCommonNeighbors,
+  )
+
+  private val iter =
+    """SELECT n2.node,
+              (15 * (1000000000000 // nn.n)) // 100
+                + (85 * coalesce(c.s, 0)) // 100 AS pr
+       FROM (SELECT node FROM deg0) n2
+       LEFT JOIN (SELECT d.dst AS node,
+                         CAST(sum(p.pr // dg.deg) AS BIGINT) AS s
+                  FROM dir d
+                  JOIN %s p ON d.src = p.node
+                  JOIN deg0 dg ON dg.node = d.src
+                  GROUP BY 1) c ON n2.node = c.node, nn"""
+
+  val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH e AS (
+            SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          dir AS (SELECT a AS src, b AS dst FROM e
+                  UNION ALL SELECT b, a FROM e),
+          deg0 AS (SELECT src AS node, count(*) AS deg FROM dir GROUP BY 1),
+          nn AS (SELECT count(*) AS n FROM deg0),
+          p0 AS (SELECT node, 1000000000000 // nn.n AS pr FROM deg0, nn),
+          p1 AS (${iter.format("p0")}),
+          p2 AS (${iter.format("p1")}),
+          p3 AS (${iter.format("p2")}),
+          p4 AS (${iter.format("p3")}),
+          p5 AS (${iter.format("p4")})
+          SELECT CASE WHEN node % 2 = 0 THEN 'supplier'
+                      ELSE 'customer' END AS kind,
+                 node // 2 AS key, CAST(pr AS BIGINT) AS pr_scaled
+          FROM p5 ORDER BY pr_scaled DESC, node""",
+    "graph_triangle_count" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          deg AS (SELECT n, count(*) AS deg FROM (
+                    SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY 1),
+          s AS (SELECT count(*) AS n_nodes,
+                       CAST(coalesce(sum(deg * (deg - 1) // 2), 0)
+                            AS BIGINT) AS n_wedges
+                FROM deg),
+          ne AS (SELECT count(*) AS n_edges FROM e),
+          tri AS (SELECT count(*) AS n_triangles
+                  FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                 CASE WHEN n_wedges > 0 THEN
+                   floor((CAST(n_triangles AS DOUBLE) * 3.0
+                          / CAST(n_wedges AS DOUBLE)) * 10000 + 0.5)
+                     / 10000.0
+                 END AS clustering
+          FROM s, ne, tri""",
+    "graph_degree_distribution" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          deg AS (SELECT n, count(*) AS deg FROM (
+                    SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+                  GROUP BY 1)
+          SELECT deg, count(*) AS n_nodes FROM deg
+          GROUP BY deg ORDER BY deg""",
+    "graph_common_neighbors" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          nbr AS (SELECT a AS n, b AS m FROM e
+                  UNION ALL SELECT b, a FROM e),
+          w AS (SELECT n1.n AS x, n2.n AS y, count(*) AS n_common
+                FROM nbr n1 JOIN nbr n2 ON n1.m = n2.m
+                WHERE n1.n < n2.n GROUP BY 1, 2),
+          miss AS (SELECT w.* FROM w LEFT JOIN e
+                     ON w.x = e.a AND w.y = e.b
+                   WHERE e.a IS NULL)
+          SELECT x AS user_a, y AS user_b, n_common
+          FROM miss ORDER BY n_common DESC, x, y LIMIT 20""",
+  )
+}

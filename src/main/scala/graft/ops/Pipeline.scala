@@ -361,9 +361,9 @@ object Pipeline {
     * reported ratio columns are display-only r4 derivations. Shape at
     * 100 TB: one explode → (doc, term) count agg → per-doc agg; two shuffles
     * on keys that grow with the corpus, no window, no driver state. */
-  private val pipelineGopherRules: Q = (s, d) => {
+  private[graft] def gopherRulesCore(docs: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to")
-    val tc = tbl(s, d, "documents")
+    val tc = docs
       .select(col("doc_id"), explode(split(normText, " ")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
     tc.groupBy(col("doc_id")).agg(
@@ -387,6 +387,8 @@ object Pipeline {
         col("r_stopwords") && col("r_repetition"))
       .orderBy("doc_id")
   }
+  private val pipelineGopherRules: Q = (s, d) =>
+    gopherRulesCore(tbl(s, d, "documents"))
 
   /** Perplexity-proxy gate: the unigram-LM mean-surprisal filter a quality
     * cascade runs before any neural scorer (too-low surprisal = boilerplate
@@ -397,8 +399,8 @@ object Pipeline {
     * (`si >= 3_395_000 * n_tokens`) so the verdict never touches a float.
     * Shape at 100 TB: per-doc term counts equi-join the global term table
     * on the token key; corpus total N broadcasts as one row. */
-  private val pipelinePerplexityGate: Q = (s, d) => {
-    val tok = tbl(s, d, "documents")
+  private[graft] def perplexityGateCore(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(split(normText, " ")).as("t"))
     val dc = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("dc"))
     val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
@@ -418,6 +420,8 @@ object Pipeline {
       .withColumn("keep", col("r_not_boilerplate") && col("r_not_gibberish"))
       .orderBy("doc_id")
   }
+  private val pipelinePerplexityGate: Q = (s, d) =>
+    perplexityGateCore(tbl(s, d, "documents"))
 
   /** PII scrubbing (the Dolma/C4 redaction pass): regex-replace sensitive
     * spans with typed placeholder tags and count what was redacted, so the
@@ -428,17 +432,19 @@ object Pipeline {
     * (char classes + quantifiers only) so the DuckDB oracle replays them
     * exactly. Pure map-side at any scale: no shuffle, no state — the scan
     * fuses into one WholeStageCodegen projection. */
-  private val pipelinePiiScrub: Q = (s, d) => {
+  private[graft] def piiScrubCore(df: DataFrame, id: String,
+      payload: String): DataFrame = {
     val numPat = "[0-9]+"
     val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    tbl(s, d, "events")
-      .select(col("event_id"),
-        regexp_count(col("props"), lit(numPat)).cast("long").as("n_num"),
-        regexp_count(col("props"), lit(emailPat)).cast("long").as("n_email"),
-        regexp_replace(regexp_replace(col("props"), emailPat, "<EMAIL>"),
+    df.select(col(id),
+        regexp_count(col(payload), lit(numPat)).cast("long").as("n_num"),
+        regexp_count(col(payload), lit(emailPat)).cast("long").as("n_email"),
+        regexp_replace(regexp_replace(col(payload), emailPat, "<EMAIL>"),
           numPat, "<NUM>").as("scrubbed"))
-      .orderBy("event_id")
+      .orderBy(id)
   }
+  private val pipelinePiiScrub: Q = (s, d) =>
+    piiScrubCore(tbl(s, d, "events"), "event_id", "props")
 
   val queries: Map[String, Q] = Map(
     "sample_stratified" -> sampleStratified,

@@ -2052,9 +2052,7 @@ object TextDedup {
     * A real suffix-array build is a different algorithm class — this n-gram
     * form is the standard distributed approximation and finds every repeat
     * of length ≥ K. */
-  private val dedupSubstring: Q = (s, d) => {
-    val K = 5
-    val docs = tbl(s, d, "documents")
+  private[graft] def substringSpansCore(docs: DataFrame, K: Int = 5): DataFrame = {
     val grams = docs
       .withColumn("tk", toks(normText))
       .where(size(col("tk")) >= K)
@@ -2086,6 +2084,8 @@ object TextDedup {
         coalesce(col("max_run"), lit(0L)).as("max_run"))
       .orderBy("doc_id")
   }
+  private val dedupSubstring: Q = (s, d) =>
+    substringSpansCore(tbl(s, d, "documents"))
 
   /** Incremental index APPEND — the second half of the serving story
     * (sim_ivfpq_served is train-once/serve-many; this is grow-without-

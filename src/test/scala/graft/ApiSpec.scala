@@ -139,6 +139,19 @@ class ApiSpec extends AnyFunSuite {
     val labels = graft.api.Graft.neardupStateRefresh(crawl1, "id", "body", sdir)
     assert(labels.columns.toSeq == Seq("id", "label", "is_keeper"))
     assert(labels.count() == docs.count())
+    // Quality gates + scrubbing cascade
+    val records = events.select(col("event_id").as("rec_id"),
+      col("props").as("note"))
+    val gated = graft.api.Graft.gopherRules(docs, "id", "body")
+    val banded = graft.api.Graft.perplexityGate(docs, "id", "body")
+    val scrubbed = graft.api.Graft.piiScrub(records, "rec_id", "note")
+    val spans = graft.api.Graft.substringSpans(docs, "id", "body")
+    assert(gated.columns.contains("keep") && gated.count() == docs.count())
+    assert(banded.columns.contains("keep") && banded.count() == docs.count())
+    assert(scrubbed.columns.toSeq ==
+      Seq("rec_id", "n_num", "n_email", "scrubbed"))
+    assert(spans.columns.toSeq ==
+      Seq("id", "n_grams", "n_dup", "dup_frac", "max_run"))
   }
 
   test("neardupComponents labels a tiny corpus through the public facade") {
@@ -212,6 +225,37 @@ class ApiSpec extends AnyFunSuite {
     val merges = graft.api.Graft.bpeTrain(docs, "body", mergeCount = 4)
     assert(merges.count() == 4)
     assert(merges.head().getString(1).nonEmpty)
+  }
+
+  test("quality/scrub facade: gopherRules, perplexityGate, piiScrub, substringSpans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on a mat and a dog ran in the park with two birds " +
+        "plus one frog near our old red barn today"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "tiny doc")).toDF("id", "body")
+    val g = graft.api.Graft.gopherRules(docs, "id", "body")
+    assert(g.columns.head == "id")
+    val byId = g.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(5), r.getBoolean(8), r.getBoolean(9))).toMap
+    assert(byId(1L)._3, "clean doc must pass the gate")        // keep
+    assert(!byId(2L)._2, "all-spam doc must fail repetition")  // r_repetition
+    assert(!byId(3L)._1, "3-word doc must fail word count")    // r_word_count
+    val p = graft.api.Graft.perplexityGate(docs, "id", "body")
+    assert(p.columns.toSeq.take(3) == Seq("id", "n_tokens", "mean_surprisal"))
+    assert(p.count() == 3)
+    val recs = Seq((1L, "call 5551234 re account 889"), (2L, "no pii here"))
+      .toDF("rec", "note")
+    val sc = graft.api.Graft.piiScrub(recs, "rec", "note")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    assert(sc(1L) == (2L, "call <NUM> re account <NUM>"))
+    assert(sc(2L) == (0L, "no pii here"))
+    // doc 2 is one long repeat: every 3-gram is "spam spam spam" → all dup
+    val row2 = graft.api.Graft.substringSpans(docs, "id", "body", k = 3)
+      .where(col("id") === 2L).head()
+    assert(row2.getLong(1) == row2.getLong(2), "all-repeat doc: n_dup == n_grams")
+    assert(row2.getLong(4) == row2.getLong(1), "run spans the whole doc")
   }
 
   test("Graft.forecast emits horizon rows per key") {

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Structural properties of the graph family that the oracle hash-match
+  * can't see: conservation laws, cross-operator consistency, and a
+  * brute-force triangle recount. */
+class GraphSpec extends AnyFunSuite {
+  import TestSession._
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("graph_pagerank: integer mass is conserved up to division loss") {
+    val rows = q("graph_pagerank").collect()
+    val n = rows.length
+    assert(n > 0)
+    assert(rows.forall(_.getLong(2) > 0L), "non-positive PageRank mass")
+    val total = rows.map(_.getLong(2)).sum
+    // every integer division discards < 1 unit of scaled mass: the initial
+    // split loses < n, each of 5 rounds loses < 1 per directed edge
+    // (contribution div) + < 2 per node (the two damping divs). With
+    // E ≤ n² the bound below is loose but safe at fixture sizes.
+    assert(total <= 1000000000000L, s"mass grew: $total")
+    val edges = 2L * 1000000 // loose directed-edge cap for sf0.001
+    val lossBound = n + 5L * (edges + 2L * n)
+    assert(total >= 1000000000000L - lossBound,
+      s"mass lost beyond division-loss bound: $total")
+    // bipartite sanity: both node kinds present, keys are original ids
+    val kinds = rows.map(_.getString(0)).toSet
+    assert(kinds == Set("supplier", "customer"))
+  }
+
+  test("graph_pagerank: a customer with more suppliers outranks one with fewer") {
+    val pr = q("graph_pagerank").collect()
+      .filter(_.getString(0) == "customer")
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val deg = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey")).distinct()
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDeg = deg.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    val degs = byDeg.keys.toSeq.sorted
+    if (degs.length >= 2) {
+      // compare the MEAN pr of the highest- vs lowest-degree customers:
+      // individual inversions are possible through 2-hop effects, the
+      // aggregate tilt is not
+      val lo = byDeg(degs.head).map(pr).map(_.toDouble)
+      val hi = byDeg(degs.last).map(pr).map(_.toDouble)
+      assert(hi.sum / hi.length > lo.sum / lo.length,
+        "higher-degree customers do not outrank lower-degree ones on average")
+    }
+  }
+
+  test("graph_triangle_count matches a brute-force recount; handshake holds") {
+    val row = q("graph_triangle_count").head()
+    val (nNodes, nEdges, nWedges, nTri) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // rebuild the co-occurrence edge set exactly as the operator defines it
+    val ev = graft.util.Canon.events(spark, sf)
+      .select(col("user_id").as("u"), col("event_type"),
+        date_trunc("minute", col("ts")).as("w")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2).toString))
+    val cells = ev.groupBy(t => (t._2, t._3)).values
+    val edges = cells.flatMap { us =>
+      val ids = us.map(_._1).distinct.sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    assert(edges.size.toLong == nEdges, s"${edges.size} vs $nEdges")
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(nbrs.size.toLong == nNodes)
+    val wedges = nbrs.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(wedges == nWedges)
+    val tri = edges.toSeq.map { case (a, b) =>
+      nbrs(a).intersect(nbrs(b)).count(c => c > b)
+    }.sum
+    assert(tri.toLong == nTri, s"brute-force $tri vs operator $nTri")
+  }
+
+  test("graph_degree_distribution is consistent with the triangle census") {
+    val census = q("graph_triangle_count").head()
+    val dist = q("graph_degree_distribution").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // handshake lemma: Σ deg·count = 2·|E|; node total matches
+    assert(dist.map { case (d, c) => d * c }.sum == 2 * census.getLong(1))
+    assert(dist.map(_._2).sum == census.getLong(0))
+  }
+
+  test("graph_common_neighbors predicts only NON-edges with real support") {
+    val preds = q("graph_common_neighbors").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sf0.001's co-occurrence graph is empty → no wedges, no predictions;
+    // the sf0.01/sf0.1 oracle gate covers the populated case
+    assert(preds.forall(p => p._1 < p._2 && p._3 >= 1))
+    val ev = graft.util.Canon.events(spark, sf)
+      .select(col("user_id").as("u"), col("event_type"),
+        date_trunc("minute", col("ts")).as("w")).distinct()
+    val e2 = ev.select(col("u").as("v"), col("event_type"), col("w"))
+    val edges = ev.join(e2, Seq("event_type", "w"))
+      .where(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preds.forall(p => !edges.contains((p._1, p._2))),
+      "predicted a pair that is already an edge")
+  }
+}

@@ -22,8 +22,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "embed_outliers", "text_boilerplate_ngrams", "text_inverted_index",
     "pipeline_neardup_incremental", "pipeline_neardup_refresh",
     "pipeline_tokenizer_fit",
-    // round 7b: corpus-wide gram counts + scaled-integer surprisal bands
-    "dedup_substring", "pipeline_gopher_rules", "pipeline_perplexity_gate")
+    // round 7b: corpus-wide gram counts + scaled-integer surprisal bands,
+    // and the integer-PageRank fixpoint (exact ⇒ invariant by construction)
+    "dedup_substring", "pipeline_gopher_rules", "pipeline_perplexity_gate",
+    "graph_pagerank", "graph_triangle_count")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
