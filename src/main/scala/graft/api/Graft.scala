@@ -165,6 +165,31 @@ object Graft {
         df.select(col(id).cast("long").as("doc_id"), col(text).as("text")), k)
       .withColumnRenamed("doc_id", id)
 
+  /** Damped PageRank over an edge frame, ENTIRELY in exact scaled-integer
+    * arithmetic (10^12 total mass, integer-division contributions and
+    * damping) — results are bit-identical at any partitioning/executor
+    * count, the determinism contract every graft sampler shares. Pass
+    * `undirected = true` (default) to add the symmetric closure; with
+    * directed edges every node must have out-degree ≥ 1 (no dangling-mass
+    * redistribution is applied). Returns (node, pr_scaled) descending. */
+  def pagerank(edges: DataFrame, src: String, dst: String,
+      iters: Int = 5, undirected: Boolean = true): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"))
+    val dir = if (undirected)
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    else e
+    graft.ops.Graph.pagerankCore(dir.distinct(), iters)
+      .orderBy(desc("pr"), asc("node"))
+      .select(col("node"), col("pr").as("pr_scaled"))
+  }
+
+  /** Triangle census of an undirected graph given as (a, b) edges with
+    * a < b: nodes, edges, wedges, triangles, global clustering. */
+  def triangleCensus(edges: DataFrame, a: String, b: String): DataFrame =
+    graft.ops.Graph.triangleCensusCore(
+      edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")))
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

@@ -47,13 +47,15 @@ object Graph {
         (col("o_custkey").cast("long") * 2 + 1).as("b"))
       .distinct()
 
-  /** 5-iteration damped PageRank over the business graph in exact scaled
-    * integers (see object doc). Output: node kind + original key, the
-    * EXACT scaled mass (pr_scaled, the oracle-compared value), ranked. */
-  private val graphPagerank: Q = (s, d) => {
-    val e = bizEdges(s, d)
-    val dir = e.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+  /** Exact-integer PageRank core over a DIRECTED edge frame (src, dst) —
+    * see the object doc for the arithmetic contract. Returns (node,
+    * pr_scaled); nodes are everything appearing as a source (callers pass
+    * the symmetric closure for undirected graphs, which also guarantees
+    * every node has out-degree ≥ 1 — no dangling-mass term needed). */
+  private[graft] def pagerankCore(dirEdges: DataFrame,
+      iters: Int = 5): DataFrame = {
+    val dir = dirEdges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val adj = dir.join(deg, "src").localCheckpoint(true)
     val nodes = deg.select(col("src").as("node"), col("deg"))
@@ -62,7 +64,7 @@ object Graph {
       .select(col("node"),
         expr("cast(1000000000000 as bigint) div n").as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to 5) {
+    for (_ <- 1 to iters) {
       val sums = adj
         .join(pr.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("pr div deg").as("ctr"))
@@ -75,7 +77,18 @@ object Graph {
             "(85 * coalesce(ctr_sum, cast(0 as bigint))) div 100").as("pr"))
         .localCheckpoint(true)
     }
-    pr.orderBy(desc("pr"), asc("node"))
+    pr
+  }
+
+  /** 5-iteration damped PageRank over the business graph in exact scaled
+    * integers (see object doc). Output: node kind + original key, the
+    * EXACT scaled mass (pr_scaled, the oracle-compared value), ranked. */
+  private val graphPagerank: Q = (s, d) => {
+    val e = bizEdges(s, d)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    pagerankCore(dir)
+      .orderBy(desc("pr"), asc("node"))
       .select(
         when(col("node") % 2 === 0, lit("supplier")).otherwise(lit("customer"))
           .as("kind"),
@@ -102,8 +115,9 @@ object Graph {
     * each triangle counted exactly once), and the global clustering
     * coefficient 3·T / wedges. All counts are exact integers; only the
     * final coefficient is a display r4. */
-  private val graphTriangleCount: Q = (s, d) => {
-    val e = coocEdges(s, d).localCheckpoint(true)
+  private[graft] def triangleCensusCore(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // coalesce: an EMPTY graph (no two users share a cell — true at
@@ -123,6 +137,9 @@ object Graph {
           r4(col("n_triangles").cast("double") * 3.0 /
             col("n_wedges").cast("double"))).as("clustering"))
   }
+
+  private val graphTriangleCount: Q = (s, d) =>
+    triangleCensusCore(coocEdges(s, d))
 
   /** Degree distribution of the co-occurrence graph — the first sanity
     * check on any derived graph (a power-law tail vs the near-uniform

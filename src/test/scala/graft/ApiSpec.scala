@@ -152,6 +152,15 @@ class ApiSpec extends AnyFunSuite {
       Seq("rec_id", "n_num", "n_email", "scrubbed"))
     assert(spans.columns.toSeq ==
       Seq("id", "n_grams", "n_dup", "dup_frac", "max_run"))
+    // Graph analytics over an arbitrary edge frame
+    val links = docs.where(col("id") >= 10)
+      .select(col("id").as("src"), (col("id") % 10).as("dst"))
+    val ranks = graft.api.Graft.pagerank(links, "src", "dst")
+    val census = graft.api.Graft.triangleCensus(links, "src", "dst")
+    assert(ranks.columns.toSeq == Seq("node", "pr_scaled"))
+    assert(ranks.count() > 0)
+    assert(census.columns.toSeq ==
+      Seq("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering"))
   }
 
   test("neardupComponents labels a tiny corpus through the public facade") {
@@ -256,6 +265,25 @@ class ApiSpec extends AnyFunSuite {
       .where(col("id") === 2L).head()
     assert(row2.getLong(1) == row2.getLong(2), "all-repeat doc: n_dup == n_grams")
     assert(row2.getLong(4) == row2.getLong(1), "run spans the whole doc")
+  }
+
+  test("graph facade: pagerank centrality and triangle census on known graphs") {
+    import spark.implicits._
+    // star: hub 1 ↔ {2,3,4} plus a pendant pair 5–6; hub must rank first
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L)).toDF("s", "t")
+    val pr = graft.api.Graft.pagerank(star, "s", "t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(pr.head._1 == 1L, s"hub is not top-ranked: ${pr.toSeq}")
+    assert(pr.map(_._2).sum <= 1000000000000L)
+    val prMap = pr.toMap
+    assert(prMap(5L) == prMap(6L), "symmetric pendant pair must tie exactly")
+    assert(prMap(2L) == prMap(3L) && prMap(3L) == prMap(4L))
+    // K3 plus one pendant edge: exactly 1 triangle, clustering 3/5
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val c = graft.api.Graft.triangleCensus(k3, "x", "y").head()
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
+      ((4L, 4L, 5L, 1L)))
+    assert(math.abs(c.getDouble(4) - 0.6) < 1e-9)
   }
 
   test("Graft.forecast emits horizon rows per key") {
