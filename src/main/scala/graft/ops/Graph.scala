@@ -173,8 +173,42 @@ object Graph {
       .select(col("x").as("user_a"), col("y").as("user_b"), col("n_common"))
   }
 
+  /** Bounded-hop BFS shortest paths from the lowest-id user over the
+    * co-occurrence graph (hop limit 8 ≳ the fixture diameter 7): the
+    * Pregel frontier pattern as a fixed-depth join loop — each round
+    * expands the CURRENT frontier only (not all reached nodes) and
+    * min-merges into the distance table, so per-round shuffle is
+    * ∝ frontier edges, the textbook distributed-BFS cost. Distances are
+    * exact small integers; a depth-limited recursive CTE replays them.
+    * Unreached nodes are omitted (not ∞) — at 100 TB you report the
+    * reachable set, you don't materialize the complement. */
+  private val graphShortestPaths: Q = (s, d) => {
+    val hops = 8
+    val e0 = coocEdges(s, d)
+    val dir = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    // empty-graph guard (sf0.001): no edges → no source → empty output
+    val src = e0.agg(min(col("a")).as("node")).where(col("node").isNotNull)
+    var dist = src.select(col("node"), lit(0).as("d")).localCheckpoint(true)
+    var frontier = dist
+    for (h <- 1 to hops) {
+      val next = frontier
+        .join(dir.withColumnRenamed("src", "node"), "node")
+        .select(col("dst").as("node"), lit(h).as("d"))
+        .join(dist.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .distinct()
+        .localCheckpoint(true)
+      dist = dist.unionAll(next).localCheckpoint(true)
+      frontier = next
+    }
+    dist.orderBy("node").select(col("node").as("user_id"), col("d").as("dist"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
+    "graph_shortest_paths" -> graphShortestPaths,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_degree_distribution" -> graphDegreeDistribution,
     "graph_common_neighbors" -> graphCommonNeighbors,
@@ -250,6 +284,23 @@ object Graph {
                   GROUP BY 1)
           SELECT deg, count(*) AS n_nodes FROM deg
           GROUP BY deg ORDER BY deg""",
+    "graph_shortest_paths" ->
+      s"""WITH RECURSIVE b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e0 AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                 FROM b a JOIN b b2
+                   ON a.event_type = b2.event_type AND a.w = b2.w
+                 WHERE a.u < b2.u),
+          e AS (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
+          src AS (SELECT min(a) AS m FROM e0),
+          reach(node, d) AS (
+            SELECT m, 0 FROM src WHERE m IS NOT NULL
+            UNION
+            SELECT e.t, reach.d + 1 FROM reach
+            JOIN e ON reach.node = e.s WHERE reach.d < 8)
+          SELECT node AS user_id, CAST(min(d) AS INT) AS dist
+          FROM reach GROUP BY node ORDER BY node""",
     "graph_common_neighbors" ->
       s"""WITH b AS (
             SELECT DISTINCT user_id AS u, event_type,

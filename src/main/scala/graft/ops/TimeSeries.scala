@@ -637,7 +637,62 @@ object TimeSeries {
       .orderBy("user_id", "bucket")
   }
 
+  /** Dynamic-time-warping distance between user daily-value profiles —
+    * the alignment-tolerant series similarity measure (Sakoe & Chiba 1978)
+    * a behavioral-clustering pass runs where Euclidean distance breaks on
+    * phase shifts. Profiles are 31-slot day-of-month vectors of EXACT cent
+    * sums (gapfilled 0), so the DP cost |a−b| and every min-accumulation
+    * are pure BIGINT ops — the distance is exact, engine- and
+    * partition-independent. The comparison cohort is the 10 lowest user
+    * ids (bounded all-pairs: 45 rows × a 31×31 DP each, executed
+    * executor-side via a tight closure UDF — no built-in expresses a DP
+    * recurrence; the closure replaces a 961-node expression tree).
+    * Self-verified: TsToolkitSpec recomputes the DP in plain Scala.
+    * Scale shape: profile build is one (user, day) agg + one map-assembly
+    * agg over the keyed shuffle; the cohort cross join is O(k²) rows with
+    * k fixed — corpus size only enters through the linear profile agg. */
+  private val tsDtwDistance: Q = (s, d) => {
+    val cohort = 10
+    val prof = events(s, d)
+      .select(col("user_id"), dayofmonth(col("ts")).as("dd"), col("value"))
+      .groupBy(col("user_id"), col("dd"))
+      .agg(sum(cents(col("value"))).as("v"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("dd"), col("v"))))
+        .as("m"))
+      .select(col("user_id"),
+        expr("transform(sequence(1, 31), dd -> coalesce(element_at(m, dd), " +
+          "cast(0 as bigint)))").as("profile"))
+    val top = prof.orderBy("user_id").limit(cohort).localCheckpoint(true)
+    val dtwU = udf { (a: Seq[Long], b: Seq[Long]) =>
+      val n = a.length; val m = b.length
+      val prev = Array.fill(m + 1)(Long.MaxValue / 4)
+      val cur = Array.fill(m + 1)(Long.MaxValue / 4)
+      prev(0) = 0L
+      var i = 1
+      while (i <= n) {
+        cur(0) = Long.MaxValue / 4
+        var j = 1
+        while (j <= m) {
+          val c = math.abs(a(i - 1) - b(j - 1))
+          cur(j) = c + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+          j += 1
+        }
+        Array.copy(cur, 0, prev, 0, m + 1)
+        i += 1
+      }
+      prev(m)
+    }
+    top.select(col("user_id").as("user_a"), col("profile").as("pa"))
+      .crossJoin(top.select(col("user_id").as("user_b"), col("profile").as("pb")))
+      .where(col("user_a") < col("user_b"))
+      .select(col("user_a"), col("user_b"),
+        dtwU(col("pa"), col("pb")).as("dtw_cents"))
+      .orderBy("user_a", "user_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_dtw_distance" -> tsDtwDistance,
     "ts_seasonal_strength" -> tsSeasonalStrength,
     "ts_downsample_lttb" -> tsDownsampleLttb,
     "ts_peak_detect" -> tsPeakDetect,

@@ -50,7 +50,8 @@ class SmokeSpec extends AnyFunSuite {
     "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",
     "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
     "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
-    "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late")
+    "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late",
+    "ts_dtw_distance") // TsToolkitSpec: plain-Scala DP recompute equality
 
   test("every query is oracle-checked unless explicitly self-verified") {
     val orphans =
@@ -69,7 +70,8 @@ class SmokeSpec extends AnyFunSuite {
     "dedup_embedding_cosine", "dedup_minhash", "join_left_anti",
     "sink_zorder",
     // sf0.001's (event_type, minute) co-occurrence graph has zero edges
-    "graph_common_neighbors", "graph_degree_distribution")
+    "graph_common_neighbors", "graph_degree_distribution",
+    "graph_shortest_paths")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"smoke: $name") {

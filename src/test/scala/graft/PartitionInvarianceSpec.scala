@@ -25,7 +25,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 7b: corpus-wide gram counts + scaled-integer surprisal bands,
     // and the integer-PageRank fixpoint (exact ⇒ invariant by construction)
     "dedup_substring", "pipeline_gopher_rules", "pipeline_perplexity_gate",
-    "graph_pagerank", "graph_triangle_count")
+    "graph_pagerank", "graph_triangle_count", "graph_shortest_paths",
+    "ts_dtw_distance")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

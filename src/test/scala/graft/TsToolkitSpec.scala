@@ -25,6 +25,40 @@ class TsToolkitSpec extends AnyFunSuite {
     assert(gap.forall { case (_, _, v, g) => v.isEmpty == g })
   }
 
+  test("ts_dtw_distance equals a plain-Scala DP recompute; DTW axioms hold") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("ts_dtw_distance")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    // rebuild the exact 31-slot cent profiles independently
+    val prof = graft.util.Canon.events(spark, sf)
+      .select(col("user_id"), dayofmonth(col("ts")).as("dd"),
+        graft.util.Canon.cents(col("value")).as("c"))
+      .groupBy("user_id", "dd").agg(sum("c").as("v")).collect()
+      .groupBy(_.getLong(0)).view.mapValues { rows =>
+        val m = rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+        Array.tabulate(31)(i => m.getOrElse(i + 1, 0L))
+      }.toMap
+    def dtw(a: Array[Long], b: Array[Long]): Long = {
+      val big = Long.MaxValue / 4
+      val dp = Array.fill(a.length + 1, b.length + 1)(big)
+      dp(0)(0) = 0L
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.abs(a(i - 1) - b(j - 1)) +
+          math.min(dp(i - 1)(j), math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+      dp(a.length)(b.length)
+    }
+    val cohort = prof.keys.toSeq.sorted.take(10)
+    for (i <- cohort.indices; j <- i + 1 until cohort.length) {
+      val (a, b) = (cohort(i), cohort(j))
+      assert(got((a, b)) == dtw(prof(a), prof(b)),
+        s"DTW mismatch for ($a, $b)")
+    }
+    assert(got.keys.size == cohort.length * (cohort.length - 1) / 2)
+    // identity axiom on a self-pair (not emitted, but the DP must agree)
+    assert(dtw(prof(cohort.head), prof(cohort.head)) == 0L)
+  }
+
   test("locf equals a direct scan-forward recompute") {
     val expected: Map[(Long, Long), Option[Double]] =
       gap.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
