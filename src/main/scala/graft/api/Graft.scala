@@ -190,6 +190,23 @@ object Graft {
     graft.ops.Graph.triangleCensusCore(
       edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")))
 
+  /** Bounded-hop BFS distances from `source` over an edge frame (frontier-
+    * only expansion — per-round work ∝ frontier edges, the distributed-BFS
+    * contract). Returns (node, dist) for every node reached within `hops`;
+    * unreached nodes are omitted, never materialized as ∞. */
+  def shortestPaths(edges: DataFrame, src: String, dst: String,
+      source: Long, hops: Int = 8, undirected: Boolean = true): DataFrame = {
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst"))
+    val dir = if (undirected)
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    else e
+    val s = edges.sparkSession
+    import s.implicits._
+    graft.ops.Graph.bfsCore(dir, Seq(source).toDF("node"), hops)
+      .orderBy("node").select(col("node"), col("d").as("dist"))
+  }
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

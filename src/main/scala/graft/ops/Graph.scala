@@ -182,15 +182,12 @@ object Graph {
     * exact small integers; a depth-limited recursive CTE replays them.
     * Unreached nodes are omitted (not ∞) — at 100 TB you report the
     * reachable set, you don't materialize the complement. */
-  private val graphShortestPaths: Q = (s, d) => {
-    val hops = 8
-    val e0 = coocEdges(s, d)
-    val dir = e0.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint(true)
-    // empty-graph guard (sf0.001): no edges → no source → empty output
-    val src = e0.agg(min(col("a")).as("node")).where(col("node").isNotNull)
-    var dist = src.select(col("node"), lit(0).as("d")).localCheckpoint(true)
+  private[graft] def bfsCore(dirEdges: DataFrame, sources: DataFrame,
+      hops: Int): DataFrame = {
+    val dir = dirEdges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    var dist = sources.select(col("node").cast("long").as("node"),
+      lit(0).as("d")).localCheckpoint(true)
     var frontier = dist
     for (h <- 1 to hops) {
       val next = frontier
@@ -203,7 +200,17 @@ object Graph {
       dist = dist.unionAll(next).localCheckpoint(true)
       frontier = next
     }
-    dist.orderBy("node").select(col("node").as("user_id"), col("d").as("dist"))
+    dist
+  }
+
+  private val graphShortestPaths: Q = (s, d) => {
+    val e0 = coocEdges(s, d)
+    val dir = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+    // empty-graph guard (sf0.001): no edges → no source → empty output
+    val src = e0.agg(min(col("a")).as("node")).where(col("node").isNotNull)
+    bfsCore(dir, src, hops = 8)
+      .orderBy("node").select(col("node").as("user_id"), col("d").as("dist"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -284,6 +284,15 @@ class ApiSpec extends AnyFunSuite {
     assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3)) ==
       ((4L, 4L, 5L, 1L)))
     assert(math.abs(c.getDouble(4) - 0.6) < 1e-9)
+    // BFS on the path 1-2-3-4 from node 1: exact hop distances
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val dists = graft.api.Graft.shortestPaths(path, "x", "y", source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dists == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // hop bound is honored: hops = 1 reaches only the source's neighbors
+    val near = graft.api.Graft.shortestPaths(path, "x", "y", 1L, hops = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(near == Set(1L, 2L))
   }
 
   test("Graft.forecast emits horizon rows per key") {
