@@ -2087,6 +2087,31 @@ object TextDedup {
   private val dedupSubstring: Q = (s, d) =>
     substringSpansCore(tbl(s, d, "documents"))
 
+  /** Character-level fuzzy dedup via blocking + edit distance — the classic
+    * entity-resolution plan (blocking key → in-block pairwise Levenshtein)
+    * applied to document prefixes; complements the token-level Jaccard /
+    * MinHash family by catching small CHARACTER edits (OCR noise, typos)
+    * that token-set measures miss. Block = first two normalized tokens
+    * (sorted-neighborhood stand-in), candidates = in-block pairs only —
+    * never all-pairs; the pair stage is one equi-join on the block key.
+    * Levenshtein is unit-cost in both engines, so distances are exact
+    * integers. At 100 TB the block-size distribution is the risk (a head
+    * prefix makes one quadratic block): production caps block size or
+    * salts the key with a third token — same plan, one more column. */
+  private val dedupFuzzyPrefix: Q = (s, d) => {
+    val t = tbl(s, d, "documents")
+      .select(col("doc_id"),
+        substring(normText, 1, 60).as("pfx"),
+        array_join(slice(toks(normText), 1, 2), " ").as("blk"))
+    val b = t.select(col("blk"), col("doc_id").as("db"), col("pfx").as("pb"))
+    t.join(b, Seq("blk"))
+      .where(col("doc_id") < col("db"))
+      .select(col("doc_id").as("da"), col("db"),
+        levenshtein(col("pfx"), col("pb")).as("dist"))
+      .where(col("dist") <= 20)
+      .orderBy("da", "db")
+  }
+
   /** Incremental index APPEND — the second half of the serving story
     * (sim_ivfpq_served is train-once/serve-many; this is grow-without-
     * retrain): the coarse centroids and PQ codebooks are trained on the
@@ -2117,6 +2142,7 @@ object TextDedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_substring" -> dedupSubstring,
+    "dedup_fuzzy_prefix" -> dedupFuzzyPrefix,
     "sim_ann_append" -> simAnnAppend,
     "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_cluster_stats" -> dedupClusterStats,
@@ -2166,6 +2192,17 @@ object TextDedup {
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "dedup_fuzzy_prefix" ->
+      s"""WITH t AS (
+            SELECT doc_id, substr($normSql, 1, 60) AS pfx,
+                   array_to_string(string_split($normSql, ' ')[1:2], ' ')
+                     AS blk
+            FROM documents)
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+          FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+          WHERE levenshtein(a.pfx, b.pfx) <= 20
+          ORDER BY da, db""",
     "dedup_substring" ->
       s"""WITH t AS (
             SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
