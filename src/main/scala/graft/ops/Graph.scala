@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.util.Canon._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relationship structures the relational tables imply
@@ -229,8 +230,47 @@ object Graph {
       .orderBy("node").select(col("node").as("user_id"), col("d").as("dist"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007) over the co-occurrence graph, T=3 unrolled rounds: every node
+    * simultaneously adopts its neighborhood's most frequent label, ties
+    * broken by the SMALLEST label — with integer node-id seeds that makes
+    * each round a deterministic function of the last, so the oracle replays
+    * the exact fixpoint prefix round-for-round (same unrolled-iteration
+    * contract as pagerank; no float, no rand, partition-invariant).
+    * Per-round cost is the canonical distributed-LPA shape: one equi-join
+    * of the label table onto the checkpointed symmetric adjacency, one
+    * (node, label) count aggregate, and a per-node arg-max window whose
+    * partition key is the node — shuffle ∝ edges, state ∝ nodes, nothing
+    * driver-sized. T is fixed (bounded rounds, the production guard against
+    * LPA's known oscillation) rather than run-to-convergence. */
+  private[graft] def lpaCore(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    val nbr = e.select(col("a").as("node"), col("b").as("m"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("m")))
+      .localCheckpoint(true)
+    val byVotes = Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))
+    var lab = nbr.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      lab = nbr
+        .join(lab.withColumnRenamed("node", "m"), "m")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byVotes))
+        .where(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
+  private val graphLabelPropagation: Q = (s, d) =>
+    lpaCore(coocEdges(s, d), rounds = 3).orderBy("node")
+      .select(col("node").as("user_id"), col("lbl").as("community"))
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
+    "graph_label_propagation" -> graphLabelPropagation,
     "graph_shortest_paths" -> graphShortestPaths,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_degree_distribution" -> graphDegreeDistribution,
@@ -249,7 +289,33 @@ object Graph {
                   JOIN deg0 dg ON dg.node = d.src
                   GROUP BY 1) c ON n2.node = c.node, nn"""
 
+  /** One synchronous LPA round: most-frequent neighbor label per node,
+    * ties to the smallest label (row_number ordering = Spark's window). */
+  private val lpaIter =
+    """SELECT node, lbl FROM (
+         SELECT n.node, l.lbl, count(*) AS c,
+                row_number() OVER (PARTITION BY n.node
+                  ORDER BY count(*) DESC, l.lbl) AS rn
+         FROM nbr n JOIN %s l ON n.m = l.node
+         GROUP BY n.node, l.lbl)
+       WHERE rn = 1"""
+
   val oracle: Map[String, String] = Map(
+    "graph_label_propagation" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          nbr AS (SELECT a AS node, b AS m FROM e
+                  UNION ALL SELECT b, a FROM e),
+          l0 AS (SELECT DISTINCT node, node AS lbl FROM nbr),
+          l1 AS (${lpaIter.format("l0")}),
+          l2 AS (${lpaIter.format("l1")}),
+          l3 AS (${lpaIter.format("l2")})
+          SELECT node AS user_id, lbl AS community FROM l3 ORDER BY node""",
     "graph_pagerank" ->
       s"""WITH e AS (
             SELECT DISTINCT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b

@@ -446,6 +446,43 @@ object Pipeline {
   private val pipelinePiiScrub: Q = (s, d) =>
     piiScrubCore(tbl(s, d, "events"), "event_id", "props")
 
+  /** Hashed linear text classifier — the fastText-style domain/quality
+    * scorer (Joulin et al. 2016) that sits between the rule gates and any
+    * neural scorer in an LLM data pipeline. Each token maps to a feature id
+    * via the same portable arithmetic family as text_fingerprint (ascii
+    * prefix + length — `ascii('')` is 0 on both engines, so short tokens
+    * need no guard); each (feature, class) weight is a fixed deterministic
+    * integer standing in for learned weights (the sandbox has no trainer;
+    * the SERVING plan shape is the point); a document's class score is the
+    * sum of its token weights and the argmax (ties → smallest class id, via
+    * ordered CASE) is the predicted domain. All-integer → bit-reproducible
+    * on any engine/partitioning.
+    * Shape at 100 TB: per-row array expressions only (aggregate over the
+    * token array — NO explode, NO shuffle, no (doc, term) blowup); scoring
+    * fuses into one codegen'd map stage; the sole exchange is the
+    * presentation sort. A real weight table would broadcast-join on the
+    * feature id instead of inlining — same map-side property. */
+  private val classifierClasses =
+    Seq("web", "code", "wiki", "news", "social")
+  private def classScore(c: Int): Column = expr(
+    s"""aggregate(tk, cast(0 as bigint), (acc, t) -> acc +
+        ((((ascii(substr(t, 1, 1)) * 961 + ascii(substr(t, 2, 1)) * 31 +
+            ascii(substr(t, 3, 1)) + length(t) * 7) * ${2 * c + 3} +
+           ${97 * c}) % 1001) - 500))""")
+  private val pipelineDomainClassifier: Q = (s, d) => {
+    val scored = tbl(s, d, "documents")
+      .select(col("doc_id"), split(normText, " ").as("tk"))
+      .select(col("doc_id") +:
+        classifierClasses.indices.map(c => classScore(c).as(s"s$c")): _*)
+    val best = greatest(classifierClasses.indices.map(c => col(s"s$c")): _*)
+    val pred = classifierClasses.indices.foldRight(lit(null): Column) {
+      (c, els) => when(col(s"s$c") === best, lit(classifierClasses(c)))
+        .otherwise(els)
+    }
+    scored.withColumn("pred_domain", pred).withColumn("best_score", best)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sample_stratified" -> sampleStratified,
     "sample_fixed_k" -> sampleFixedK,
@@ -463,9 +500,35 @@ object Pipeline {
     "pipeline_gopher_rules" -> pipelineGopherRules,
     "pipeline_perplexity_gate" -> pipelinePerplexityGate,
     "pipeline_pii_scrub" -> pipelinePiiScrub,
+    "pipeline_domain_classifier" -> pipelineDomainClassifier,
   )
 
+  /** DuckDB twin of classScore: same integer arithmetic over the same
+    * token list (list_sum∘list_transform ≡ Spark aggregate — both exact
+    * integer folds here, so order is irrelevant). */
+  private def classScoreSql(c: Int): String =
+    s"""CAST(list_sum(list_transform(tk, t ->
+        ((((ascii(substr(t, 1, 1)) * 961 + ascii(substr(t, 2, 1)) * 31 +
+            ascii(substr(t, 3, 1)) + len(t) * 7) * ${2 * c + 3} +
+           ${97 * c}) % 1001) - 500))) AS BIGINT)"""
+
   val oracle: Map[String, String] = Map(
+    "pipeline_domain_classifier" -> {
+      val cases = classifierClasses.zipWithIndex
+        .map { case (n, c) => s"WHEN s$c = g THEN '$n'" }.mkString(" ")
+      s"""WITH t AS (
+            SELECT doc_id, string_split($normSql, ' ') AS tk
+            FROM documents),
+          s AS (SELECT doc_id,
+                  ${classifierClasses.indices
+                     .map(c => s"${classScoreSql(c)} AS s$c").mkString(",\n")}
+                FROM t),
+          g AS (SELECT *, greatest(s0, s1, s2, s3, s4) AS g FROM s)
+          SELECT doc_id, s0, s1, s2, s3, s4,
+                 CASE $cases END AS pred_domain,
+                 g AS best_score
+          FROM g ORDER BY doc_id"""
+    },
     "pipeline_gopher_rules" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest(string_split($normSql, ' ')) AS t

@@ -2135,7 +2135,37 @@ object TextDedup {
     }
   }
 
+  /** Readability / lexical-complexity profile (Flesch reading ease,
+    * Kincaid et al. 1975): word count, vowel-group syllable estimate
+    * (≥1 per token, covering vowelless tokens), long words (≥6 chars),
+    * sentence count (terminal-punctuation runs, floored at 1 — the
+    * synthetic corpus has none, which deliberately exercises the
+    * fallback), and the Flesch score in exact 1e3-scaled integer
+    * arithmetic: 206.835 − 1.015·words/sentence − 84.6·syllables/word
+    * becomes 206835 − (1015·w) div s − (84600·y) div w, every division on
+    * positive integers — bit-identical on any engine or partitioning.
+    * Pure per-row array expressions (aggregate/filter over the token
+    * array — no explode): at 100 TB a single codegen'd map stage; the
+    * only exchange is the presentation sort. */
+  private val textReadability: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("doc_id"), normText.as("nt"), toks(normText).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_words"),
+        expr("""aggregate(tk, cast(0 as bigint), (acc, t) -> acc +
+                greatest(1, size(regexp_extract_all(t, '[aeiou]+', 0))))""")
+          .as("n_syllables"),
+        size(expr("filter(tk, t -> length(t) >= 6)")).cast("long")
+          .as("n_long_words"),
+        greatest(lit(1L), regexp_count(col("nt"), lit("[.!?]+")).cast("long"))
+          .as("n_sentences"))
+      .withColumn("fre_milli",
+        lit(206835L) - expr("(1015 * n_words) div n_sentences") -
+          expr("(84600 * n_syllables) div n_words"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "text_readability" -> textReadability,
     "dedup_exact" -> dedupExact,
     "pipeline_dedup_stats" -> pipelineDedupStats,
     "dedup_minhash" -> dedupMinhash,
@@ -2192,6 +2222,24 @@ object TextDedup {
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    "text_readability" ->
+      s"""WITH t AS (
+            SELECT doc_id, $normSql AS nt, string_split($normSql, ' ') AS tk
+            FROM documents),
+          p AS (SELECT doc_id,
+                  CAST(len(tk) AS BIGINT) AS n_words,
+                  CAST(list_sum(list_transform(tk, t ->
+                    greatest(1, len(regexp_extract_all(t, '[aeiou]+')))))
+                    AS BIGINT) AS n_syllables,
+                  CAST(len(list_filter(tk, t -> len(t) >= 6)) AS BIGINT)
+                    AS n_long_words,
+                  CAST(greatest(1, len(regexp_extract_all(nt, '[.!?]+')))
+                    AS BIGINT) AS n_sentences
+                FROM t)
+          SELECT doc_id, n_words, n_syllables, n_long_words, n_sentences,
+                 206835 - (1015 * n_words) // n_sentences
+                        - (84600 * n_syllables) // n_words AS fre_milli
+          FROM p ORDER BY doc_id""",
     "dedup_fuzzy_prefix" ->
       s"""WITH t AS (
             SELECT doc_id, substr($normSql, 1, 60) AS pfx,

@@ -89,6 +89,27 @@ class GraphSpec extends AnyFunSuite {
     assert(dist.map(_._2).sum == census.getLong(0))
   }
 
+  test("graph_label_propagation: barbell communities converge deterministically") {
+    import spark.implicits._
+    // two 4-cliques {0..3} and {10..13} joined by the single bridge 3–10:
+    // hand-traced synchronous LPA (min tie-break) settles clique A on 0 and
+    // clique B on 10 after 3 rounds, bridge endpoints included
+    val cliques = for {
+      base <- Seq(0L, 10L); i <- 0 to 3; j <- i + 1 to 3
+    } yield (base + i, base + j)
+    val edges = (cliques :+ (3L, 10L)).toDF("a", "b")
+    def run() = graft.ops.Graph.lpaCore(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lab = run()
+    assert(lab.size == 8)
+    assert((0L to 3L).forall(n => lab(n) == 0L), s"clique A: $lab")
+    assert((10L to 13L).forall(n => lab(n) == 10L), s"clique B: $lab")
+    assert(lab == run(), "LPA is not deterministic across runs")
+    // fixture path: empty graph at sf0.001 → empty result, not a crash
+    val fix = q("graph_label_propagation").collect()
+    assert(fix.forall(r => r.getLong(0) >= 0))
+  }
+
   test("graph_common_neighbors predicts only NON-edges with real support") {
     val preds = q("graph_common_neighbors").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

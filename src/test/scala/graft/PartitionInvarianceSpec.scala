@@ -26,7 +26,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // and the integer-PageRank fixpoint (exact ⇒ invariant by construction)
     "dedup_substring", "pipeline_gopher_rules", "pipeline_perplexity_gate",
     "graph_pagerank", "graph_triangle_count", "graph_shortest_paths",
-    "ts_dtw_distance")
+    "ts_dtw_distance",
+    // round 7c: windowed arg-max voting, per-row integer classifier/score
+    "graph_label_propagation", "pipeline_domain_classifier",
+    "text_readability")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

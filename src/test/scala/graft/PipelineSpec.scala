@@ -104,6 +104,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_domain_classifier: argmax + tie-break hold; one doc recomputed") {
+    val rows = SparkEntry.queries("pipeline_domain_classifier")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val classes = Seq("web", "code", "wiki", "news", "social")
+    rows.foreach { r =>
+      val scores = (0 to 4).map(c => r.getAs[Long](s"s$c"))
+      assert(r.getAs[Long]("best_score") == scores.max)
+      // predicted class is the FIRST argmax (smallest class id on ties)
+      assert(r.getAs[String]("pred_domain") ==
+        classes(scores.indexOf(scores.max)))
+    }
+    // recompute every class score for the first document in plain Scala
+    // (independent tokenizer + arithmetic) and compare
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").select("text").head().getString(0)
+    val tk = doc.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+    def at(t: String, i: Int): Int =
+      if (i < t.length) t.codePointAt(i) else 0
+    val expect = (0 to 4).map { c =>
+      tk.map { t =>
+        val h = at(t, 0) * 961 + at(t, 1) * 31 + at(t, 2) + t.length * 7
+        ((h * (2 * c + 3) + 97 * c) % 1001) - 500
+      }.map(_.toLong).sum
+    }
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert((0 to 4).forall(c => first.getAs[Long](s"s$c") == expect(c)),
+      s"recomputed $expect vs row $first")
+  }
+
+  test("text_readability: counts consistent, score recomputable from counts") {
+    val rows = SparkEntry.queries("text_readability")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, y, lg, sn, fre) = (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_syllables"), r.getAs[Long]("n_long_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("fre_milli"))
+      assert(w >= 1 && y >= w && lg <= w)
+      assert(sn == 1, "fixture text has no terminal punctuation")
+      assert(fre == 206835L - 1015L * w / sn - 84600L * y / w)
+    }
+    // hand-recompute the first document's counts independently
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").select("text").head().getString(0)
+    val tk = doc.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+    val syll = tk.map(t =>
+      math.max(1, "[aeiou]+".r.findAllIn(t).length).toLong).sum
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_words") == tk.length.toLong)
+    assert(first.getAs[Long]("n_syllables") == syll)
+    assert(first.getAs[Long]("n_long_words") ==
+      tk.count(_.length >= 6).toLong)
+  }
+
   test("scd2_intervals: versions chain without gaps or overlaps") {
     val h = SparkEntry.queries("scd2_intervals")(spark, sf)
     import org.apache.spark.sql.expressions.Window
