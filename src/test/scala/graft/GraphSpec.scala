@@ -110,6 +110,27 @@ class GraphSpec extends AnyFunSuite {
     assert(fix.forall(r => r.getLong(0) >= 0))
   }
 
+  test("graph_resource_allocation: degree-weighted support, non-edges only") {
+    val rows = q("graph_resource_allocation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // RA is bounded by its unweighted count: each shared neighbor adds
+    // at most 1e9//1 and at least 1e9//deg_max > 0
+    rows.foreach { case (_, _, ra, nc) =>
+      assert(ra > 0 && ra <= nc * 1000000000L)
+    }
+    // top-20 ordering holds
+    assert(rows.map(-_._3).sameElements(rows.map(-_._3).sorted))
+    // hand-traced graph: path 1-2-3 (deg(2)=2) plus triangle 10-11-12.
+    // Only (1,3) is a non-adjacent pair with a shared neighbor:
+    // ra = 1e9 div 2; the triangle's wedge pairs are all real edges.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("a", "b")
+    val out = graft.ops.Graph.raCore(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 500000000L, 1L)), out.mkString(","))
+  }
+
   test("graph_common_neighbors predicts only NON-edges with real support") {
     val preds = q("graph_common_neighbors").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

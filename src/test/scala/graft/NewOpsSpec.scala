@@ -10,6 +10,31 @@ class NewOpsSpec extends AnyFunSuite {
   import TestSession._
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("dedup_keeper_quality: keeper is the longest cluster member") {
+    val rows = q("dedup_keeper_quality").collect()
+    assert(rows.nonEmpty)
+    // independent cluster ground truth from the CC query it shares labels
+    // with, and doc lengths straight from the table
+    val labels = q("dedup_connected_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val chars = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 60).select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLabel = labels.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(rows.length == byLabel.size)
+    rows.foreach { r =>
+      val (label, size, keeper, kChars, removed) = (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val members = byLabel(label)
+      assert(members.length.toLong == size)
+      assert(members.contains(keeper), s"keeper $keeper not in cluster $label")
+      val best = members.map(m => (chars(m), -m)).max
+      assert(keeper == -best._2 && kChars == best._1,
+        s"cluster $label kept $keeper, expected ${-best._2}")
+      assert(removed == members.map(chars).sum - kChars)
+    }
+  }
+
   test("agg_corr_matrix values are in [-1,1] and match Spark's corr") {
     val rows = q("agg_corr_matrix").collect()
     assert(rows.length == 6)

@@ -29,7 +29,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "ts_dtw_distance",
     // round 7c: windowed arg-max voting, per-row integer classifier/score
     "graph_label_propagation", "pipeline_domain_classifier",
-    "text_readability")
+    "text_readability", "graph_resource_allocation", "dedup_keeper_quality")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
