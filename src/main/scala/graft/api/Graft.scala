@@ -207,6 +207,30 @@ object Graft {
       .orderBy("node").select(col("node"), col("d").as("dist"))
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007) over
+    * an undirected (a, b) edge frame: `rounds` bounded simultaneous-update
+    * iterations, most-frequent neighbor label per node, ties to the
+    * smallest label — fully deterministic (integer seeds, no rand), so the
+    * result is partition-invariant. Returns (node, community). */
+  def labelPropagation(edges: DataFrame, a: String, b: String,
+      rounds: Int = 3): DataFrame =
+    graft.ops.Graph.lpaCore(
+        edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")),
+        rounds)
+      .orderBy("node").select(col("node"), col("lbl").as("community"))
+
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009) over an
+    * undirected (a, b) edge frame: for each non-adjacent pair, the sum of
+    * 1/deg over shared neighbors, in exact 1e9-scaled integer arithmetic
+    * (ra_scaled). Returns every candidate pair with its score and raw
+    * common-neighbor count, unranked — compose with topkPerGroup or a
+    * TakeOrdered for serving. */
+  def resourceAllocation(edges: DataFrame, a: String, b: String): DataFrame =
+    graft.ops.Graph.raCore(
+        edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")))
+      .select(col("x").as("node_a"), col("y").as("node_b"),
+        col("ra_scaled"), col("n_common"))
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

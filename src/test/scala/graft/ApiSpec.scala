@@ -295,6 +295,24 @@ class ApiSpec extends AnyFunSuite {
     assert(near == Set(1L, 2L))
   }
 
+  test("graph facade: label propagation and resource allocation on known graphs") {
+    import spark.implicits._
+    // barbell: two 4-cliques bridged by 3–10 → communities 0 and 10
+    val cliques = for {
+      base <- Seq(0L, 10L); i <- 0 to 3; j <- i + 1 to 3
+    } yield (base + i, base + j)
+    val lab = graft.api.Graft.labelPropagation(
+        (cliques :+ (3L, 10L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(lab(_) == 0L))
+    assert((10L to 13L).forall(lab(_) == 10L))
+    // path 1-2-3: the only candidate pair is (1,3) via center 2 (deg 2)
+    val ra = graft.api.Graft.resourceAllocation(
+        Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(ra.toSeq == Seq((1L, 3L, 500000000L, 1L)))
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")
