@@ -249,6 +249,46 @@ object Relational {
         .as("df_welch"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the purchase and
+    * click value distributions — the distribution-shift gate a training
+    * pipeline runs between data snapshots (agg_ab_ttest reads the MEAN
+    * shift; KS reads the whole CDF). Computed over the binned ECDF (cents
+    * bins — the standard production shape, because binning bounds the
+    * cumulative stage): per-bin conditional counts are one distributed
+    * partial+final hash aggregate over the fact scan; the cumulative sums
+    * then run over ≤ #bins rows (bounded by the metric's range, NOT by
+    * corpus size — the deliberately-global window is safe by construction),
+    * and the KS numerator |cumA·nB − cumB·nA| is exact integer
+    * cross-multiplication, bit-identical on any engine or partitioning.
+    * (Cross-products fit a long up to ~3e9 rows per arm; beyond that the
+    * sums ride DECIMAL(38,0) like agg_corr_matrix's.) */
+  private val aggKsDrift: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = tbl(s, d, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        cents(col("value")).as("bin"))
+    val binned = ev.groupBy(col("bin")).agg(
+      sum(when(col("arm"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("arm"), 1L).otherwise(0L)).as("cb"))
+    val byBin = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned.select(
+      sum(col("ca")).over(byBin).as("cuma"),
+      sum(col("cb")).over(byBin).as("cumb"))
+    val tot = ev.agg(
+      sum(when(col("arm"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("arm"), 1L).otherwise(0L)).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .as("num_max"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        expr("(1000000 * num_max) div (n_a * n_b)").as("ks_scaled"),
+        r4(col("num_max").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
   /** Pairwise Pearson correlation matrix over the four lineitem measures in
     * ONE aggregate pass — the feature-screening readout (agg_stats does one
     * per-group pair; this is the all-pairs matrix). Every moment rides as an
@@ -572,6 +612,7 @@ object Relational {
     "agg_filtered" -> aggFiltered,
     "agg_stats" -> aggStats,
     "agg_ab_ttest" -> aggAbTtest,
+    "agg_ks_drift" -> aggKsDrift,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_percentile" -> aggPercentile,
     "agg_percentile_disc" -> aggPercentileDisc,
@@ -727,6 +768,28 @@ object Relational {
                 floor(((se1 + se2)*(se1 + se2)
                        / (se1*se1/(n1 - 1) + se2*se2/(n2 - 1)))*10000 + 0.5)/10000.0
                   AS df_welch
+         FROM m""",
+    "agg_ks_drift" ->
+      """WITH ev AS (
+           SELECT event_type = 'purchase' AS arm,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS bin
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         b AS (SELECT bin,
+                      CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                      CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS cb
+               FROM ev GROUP BY bin),
+         c AS (SELECT CAST(sum(ca) OVER (ORDER BY bin) AS BIGINT) AS cuma,
+                      CAST(sum(cb) OVER (ORDER BY bin) AS BIGINT) AS cumb
+               FROM b),
+         t AS (SELECT CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                      CAST(sum(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT) AS nb
+               FROM ev),
+         m AS (SELECT max(abs(cuma*nb - cumb*na)) AS num_max,
+                      max(na) AS n_a, max(nb) AS n_b
+               FROM c, t)
+         SELECT n_a, n_b,
+                CAST((1000000 * num_max) // (n_a * n_b) AS BIGINT) AS ks_scaled,
+                floor((CAST(num_max AS DOUBLE)/CAST(n_a * n_b AS DOUBLE))*10000 + 0.5)/10000.0 AS ks
          FROM m""",
     "agg_corr_matrix" ->
       """WITH c AS (SELECT CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qty,

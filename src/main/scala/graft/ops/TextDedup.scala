@@ -264,6 +264,39 @@ object TextDedup {
       .orderBy("da", "db")
   }
 
+  /** Asymmetric CONTAINMENT near-superset detection on the bounded slice:
+    * C = |A∩B| / min(|A|,|B|) ≥ 0.9 flags "one doc's token set nearly
+    * inside the other's" — the quote-expansion / boilerplate-wrapper dups
+    * symmetric Jaccard structurally misses (a 100-token doc inside a
+    * 10000-token doc has J ≈ 0.01 but C = 1.0; Broder distinguishes
+    * resemblance from containment for exactly this reason). The threshold
+    * is the exact integer cross-multiplication 10·inter ≥ 9·min(na,nb) —
+    * no float in the filter; the reported containment is display-r4.
+    * Same slice + token-intersect shape as dedup_ngram_jaccard, so DuckDB
+    * replays it verbatim; at 100 TB the candidate stage swaps to the
+    * banded-LSH path (min-side containment LSH buckets exactly like
+    * Jaccard bands since C ≥ J always — bands RECALL a superset of the
+    * containment-qualifying pairs at the same threshold). */
+  private val dedupContainment: Q = (s, d) => {
+    val t = tbl(s, d, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), array_distinct(toks(normText)).as("st"))
+    val tok = t.select(col("doc_id"), explode(col("st")).as("tok"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = t.select(col("doc_id"), size(col("st")).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .where(col("inter") * 10 >= least(col("na"), col("nb")) * 9)
+      .select(col("da"), col("db"), col("inter"),
+        least(col("na"), col("nb")).as("n_min"),
+        r4(col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .orderBy("da", "db")
+  }
+
   /** Connected components over the verified near-dup graph (bounded slice):
     * iterative min-label propagation turns pairwise dup edges into dedup
     * clusters; the DuckDB oracle computes the same labels by recursive
@@ -2204,6 +2237,7 @@ object TextDedup {
     "dedup_connected_components" -> dedupConnectedComponents,
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_keeper_quality" -> dedupKeeperQuality,
+    "dedup_containment" -> dedupContainment,
     "pipeline_neardup_stats" -> pipelineNeardupStats,
     "pipeline_neardup_full" -> pipelineNeardupFull,
     "pipeline_neardup_incremental" -> pipelineNeardupIncremental,
@@ -2347,6 +2381,21 @@ object TextDedup {
                  floor((CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE))*10000 + 0.5)/10000.0 AS jacc
           FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
           WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+          ORDER BY da, db""",
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
+                     FROM documents WHERE doc_id < 60),
+           tok AS (SELECT doc_id, unnest(st) AS tok FROM t),
+           pairs AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+             FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+           sizes AS (SELECT doc_id, len(st) AS n FROM t)
+          SELECT da, db, inter,
+                 CAST(least(sa.n, sb.n) AS INT) AS n_min,
+                 floor((CAST(inter AS DOUBLE)/CAST(least(sa.n, sb.n) AS DOUBLE))*10000 + 0.5)/10000.0 AS containment
+          FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+          WHERE inter * 10 >= least(sa.n, sb.n) * 9
           ORDER BY da, db""",
     "dedup_connected_components" ->
       s"""WITH RECURSIVE t AS (

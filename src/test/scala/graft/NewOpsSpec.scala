@@ -10,6 +10,60 @@ class NewOpsSpec extends AnyFunSuite {
   import TestSession._
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("agg_ks_drift: matches a plain-Scala exact KS over the same bins") {
+    val r = q("agg_ks_drift").head()
+    val (na, nb, ksS, ks) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))
+    assert(ks >= 0.0 && ks <= 1.0)
+    // ks is the r4 display of the exact rational num/(na*nb); ks_scaled is
+    // its floor at 1e6 — they must agree within their rounding grids
+    assert(math.abs(ks - ksS.toDouble / 1e6) <= 1e-4 + 1e-6)
+    // independent recompute: cents-binned ECDFs in plain Scala
+    val vals = graft.util.Canon.events(spark, sf)
+      .where(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase"), col("value")).collect()
+      .map(r => (r.getBoolean(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val (a, b) = vals.partition(_._1)
+    assert(a.length.toLong == na && b.length.toLong == nb)
+    val bins = vals.map(_._2).distinct.sorted
+    var (ca, cb, best) = (0L, 0L, 0L)
+    val aByBin = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bByBin = b.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    bins.foreach { bin =>
+      ca += aByBin.getOrElse(bin, 0L); cb += bByBin.getOrElse(bin, 0L)
+      best = math.max(best, math.abs(ca * nb - cb * na))
+    }
+    assert(ksS == 1000000L * best / (na * nb),
+      s"scala KS ${1000000L * best / (na * nb)} vs op $ksS")
+  }
+
+  test("dedup_containment: threshold exact, containment recomputed") {
+    val rows = q("dedup_containment").collect()
+    assert(rows.nonEmpty)
+    // independent token sets from the raw table
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 60).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1).toSet).toMap
+    rows.foreach { r =>
+      val (da, db, inter, nMin) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      val exact = (sets(da) & sets(db)).size.toLong
+      assert(inter == exact, s"pair ($da,$db): inter $inter != $exact")
+      assert(nMin == math.min(sets(da).size, sets(db).size))
+      assert(inter * 10 >= nMin * 9, "threshold violated")
+      assert(math.abs(r.getDouble(4) - inter.toDouble / nMin) <= 5e-5)
+    }
+    // every exact-Jaccard dup pair is necessarily a containment pair at
+    // the lower J=0.8 bar only when sizes are equal; but C >= J always,
+    // so any jaccard pair at >= 0.9 must appear here
+    val jacc = q("dedup_ngram_jaccard").collect()
+      .filter(_.getDouble(3) >= 0.9).map(r => (r.getLong(0), r.getLong(1)))
+    val have = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    jacc.foreach(p => assert(have.contains(p), s"missing jaccard pair $p"))
+  }
+
   test("dedup_keeper_quality: keeper is the longest cluster member") {
     val rows = q("dedup_keeper_quality").collect()
     assert(rows.nonEmpty)

@@ -29,7 +29,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "ts_dtw_distance",
     // round 7c: windowed arg-max voting, per-row integer classifier/score
     "graph_label_propagation", "pipeline_domain_classifier",
-    "text_readability", "graph_resource_allocation", "dedup_keeper_quality")
+    "text_readability", "graph_resource_allocation", "dedup_keeper_quality",
+    "agg_ks_drift", "dedup_containment")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
