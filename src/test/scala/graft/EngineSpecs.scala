@@ -71,7 +71,8 @@ class SmokeSpec extends AnyFunSuite {
     "sink_zorder",
     // sf0.001's (event_type, minute) co-occurrence graph has zero edges
     "graph_common_neighbors", "graph_degree_distribution",
-    "graph_shortest_paths")
+    "graph_shortest_paths", "graph_label_propagation",
+    "graph_resource_allocation")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"smoke: $name") {
