@@ -231,6 +231,16 @@ object Graft {
       .select(col("x").as("node_a"), col("y").as("node_b"),
         col("ra_scaled"), col("n_common"))
 
+  /** Two-sample Kolmogorov–Smirnov drift between the rows where `arm` is
+    * true and the rest, over the cents-binned ECDF of `value` — the
+    * distribution-shift gate between data snapshots. Returns one row
+    * (n_a, n_b, ks_scaled, ks); the KS numerator is exact integer
+    * cross-multiplication over bounded bins (see agg_ks_drift scaladoc),
+    * so the statistic is bit-stable under any partitioning. */
+  def ksDrift(df: DataFrame, arm: Column, value: Column): DataFrame =
+    graft.ops.Relational.ksCore(df.select(arm.cast("boolean").as("arm"),
+      graft.util.Canon.cents(value).as("bin")))
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

@@ -262,12 +262,10 @@ object Relational {
     * cross-multiplication, bit-identical on any engine or partitioning.
     * (Cross-products fit a long up to ~3e9 rows per arm; beyond that the
     * sums ride DECIMAL(38,0) like agg_corr_matrix's.) */
-  private val aggKsDrift: Q = (s, d) => {
+  /** KS core over an (arm: boolean, bin: long) frame — see aggKsDrift for
+    * the contract; exposed for the Graft.ksDrift facade. */
+  private[graft] def ksCore(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = tbl(s, d, "events")
-      .where(col("event_type").isin("purchase", "click"))
-      .select((col("event_type") === "purchase").as("arm"),
-        cents(col("value")).as("bin"))
     val binned = ev.groupBy(col("bin")).agg(
       sum(when(col("arm"), 1L).otherwise(0L)).as("ca"),
       sum(when(!col("arm"), 1L).otherwise(0L)).as("cb"))
@@ -288,6 +286,12 @@ object Relational {
         r4(col("num_max").cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("ks"))
   }
+
+  private val aggKsDrift: Q = (s, d) =>
+    ksCore(tbl(s, d, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .select((col("event_type") === "purchase").as("arm"),
+        cents(col("value")).as("bin")))
 
   /** Pairwise Pearson correlation matrix over the four lineitem measures in
     * ONE aggregate pass — the feature-screening readout (agg_stats does one

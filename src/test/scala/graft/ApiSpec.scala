@@ -313,6 +313,21 @@ class ApiSpec extends AnyFunSuite {
     assert(ra.toSeq == Seq((1L, 3L, 500000000L, 1L)))
   }
 
+  test("Graft.ksDrift: 0 on identical samples, 1 on disjoint ones") {
+    import spark.implicits._
+    // identical distributions → every cumA*nB == cumB*nA → KS = 0
+    val same = (1 to 50).flatMap(i => Seq((true, i.toDouble), (false, i.toDouble)))
+      .toDF("arm", "v")
+    val r0 = graft.api.Graft.ksDrift(same, col("arm"), col("v")).head()
+    assert(r0.getLong(2) == 0L && r0.getDouble(3) == 0.0)
+    // fully separated supports → KS = 1 exactly
+    val split = ((1 to 30).map(i => (true, i.toDouble)) ++
+      (101 to 140).map(i => (false, i.toDouble))).toDF("arm", "v")
+    val r1 = graft.api.Graft.ksDrift(split, col("arm"), col("v")).head()
+    assert(r1.getLong(0) == 30L && r1.getLong(1) == 40L)
+    assert(r1.getLong(2) == 1000000L && r1.getDouble(3) == 1.0)
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")
