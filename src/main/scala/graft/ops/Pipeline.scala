@@ -483,7 +483,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Greedy best-docs-under-budget selection, per language — the curation
+    * step that turns a scored corpus into a training mix: order each
+    * language's docs by quality (n_chars desc as the deterministic proxy,
+    * doc_id tie-break — the same keeper contract as dedup_keeper_quality;
+    * production plugs any integer score in), take the longest PREFIX whose
+    * cumulative token count fits the per-lang budget. The strict-prefix
+    * rule (first over-budget doc ends the lang, no skip-ahead knapsack) is
+    * what makes the selection a pure window predicate — deterministic,
+    * partition-invariant, and O(1) state per row. Shape at 100 TB: one
+    * shuffle on lang, a per-lang rank window + running-sum window (both
+    * keyed — no global ordering), then a filter; the same plan as
+    * pack_sequences but with a stop condition. */
+  private val pipelineTokenBudget: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 10000L // tokens per lang — fixture-sized; a parameter IRL
+    val byQ = Window.partitionBy("lang")
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    tbl(s, d, "documents")
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        size(split(normText, " ")).cast("long").as("tok"))
+      .withColumn("cum_tok",
+        sum(col("tok")).over(byQ.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .where(col("cum_tok") <= budget)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("tok"),
+        col("cum_tok"))
+      .orderBy("lang", "cum_tok")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_token_budget" -> pipelineTokenBudget,
     "sample_stratified" -> sampleStratified,
     "sample_fixed_k" -> sampleFixedK,
     "split_group_hash" -> splitGroupHash,
@@ -513,6 +543,19 @@ object Pipeline {
            ${97 * c}) % 1001) - 500))) AS BIGINT)"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_token_budget" ->
+      s"""WITH t AS (
+            SELECT lang, doc_id, n_chars,
+                   CAST(len(string_split($normSql, ' ')) AS BIGINT) AS tok
+            FROM documents),
+          c AS (SELECT lang, doc_id, n_chars, tok,
+                       CAST(sum(tok) OVER (PARTITION BY lang
+                         ORDER BY n_chars DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum_tok
+                FROM t)
+          SELECT lang, doc_id, n_chars, tok, cum_tok
+          FROM c WHERE cum_tok <= 10000 ORDER BY lang, cum_tok""",
     "pipeline_domain_classifier" -> {
       val cases = classifierClasses.zipWithIndex
         .map { case (n, c) => s"WHEN s$c = g THEN '$n'" }.mkString(" ")

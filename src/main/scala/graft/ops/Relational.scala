@@ -293,6 +293,77 @@ object Relational {
       .select((col("event_type") === "purchase").as("arm"),
         cents(col("value")).as("bin")))
 
+  /** χ² test of independence between the two categorical axes of the corpus
+    * (lang × source) — the CATEGORICAL drift/association gate next to
+    * agg_ks_drift's continuous one: "is language mix independent of crawl
+    * source?" is the first question a corpus audit asks before mixing.
+    * The dense cell grid comes from crossing the per-lang and per-source
+    * marginals (bounded: #langs × #sources rows) and left-joining observed
+    * counts, so ZERO cells contribute their full expected mass instead of
+    * silently vanishing. Each cell's χ² term is computed in the identical
+    * IEEE operand order on both engines from EXACT integer inputs
+    * (n·o − rt·ct and n·rt·ct are exact in double at any realistic corpus:
+    * ≤2^53 up to ~30 M docs — beyond that, scale the counts to thousands),
+    * floored once to a 1e6-scaled long, then summed as integers —
+    * order-insensitive, partition-invariant. One pass over the fact scan
+    * for all three marginal aggregates; everything after is marginal-sized. */
+  private val aggChi2Independence: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val obs = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+    val ct = docs.groupBy(col("source")).agg(count(lit(1)).as("ct"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val cells = rt.crossJoin(ct).crossJoin(broadcast(n))
+      .join(obs, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n"), col("rt"), col("ct"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    cells
+      .select(col("lang"), col("source"), col("n"),
+        ((col("n") * col("o") - col("rt") * col("ct")).cast("double") *
+          (col("n") * col("o") - col("rt") * col("ct")).cast("double") /
+          (col("n") * col("rt") * col("ct")).cast("double") * 1e6)
+          .as("term"))
+      .agg(max(col("n")).as("n_docs"),
+        ((countDistinct(col("lang")) - 1) *
+          (countDistinct(col("source")) - 1)).as("dof"),
+        sum(floor(col("term") + lit(0.5)).cast("long")).as("chi2_scaled"))
+      .select(col("n_docs"), col("dof"), col("chi2_scaled"),
+        r4(col("chi2_scaled").cast("double") / 1e6).as("chi2"))
+  }
+
+  /** Gini concentration of characters across documents, per source — the
+    * corpus-balance audit ("is this crawl a few giant docs or many small
+    * ones?"). G = Σ(2i − n − 1)·cᵢ / (n·Σc) over ascending cᵢ, folded as
+    * 2·Σ(i·cᵢ) − (n+1)·Σc so one per-source hash aggregate finishes it
+    * after the rank window. Ranks come from a per-source window ordered by
+    * (n_chars, doc_id) — ties contribute the same sum under any internal
+    * order (block coefficients are fixed), so the statistic is exact,
+    * integer, and partition-invariant; only the display ratio is r4.
+    * At 100 TB: one shuffle on source, per-source window + agg — the
+    * standard keyed-window shape, nothing global. */
+  private val aggGiniConcentration: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+      .orderBy(col("n_chars"), col("doc_id"))
+    tbl(s, d, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("i", row_number().over(bySrc).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (lit(2L) * sum(col("i") * col("n_chars"))).as("a2"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        (col("a2") - (col("n_docs") + 1) * col("total_chars"))
+          .as("gini_num"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("(1000000 * gini_num) div (n_docs * total_chars)")
+          .as("gini_scaled"),
+        r4(col("gini_num").cast("double") /
+          (col("n_docs") * col("total_chars")).cast("double")).as("gini"))
+      .orderBy("source")
+  }
+
   /** Pairwise Pearson correlation matrix over the four lineitem measures in
     * ONE aggregate pass — the feature-screening readout (agg_stats does one
     * per-group pair; this is the all-pairs matrix). Every moment rides as an
@@ -617,6 +688,8 @@ object Relational {
     "agg_stats" -> aggStats,
     "agg_ab_ttest" -> aggAbTtest,
     "agg_ks_drift" -> aggKsDrift,
+    "agg_chi2_independence" -> aggChi2Independence,
+    "agg_gini_concentration" -> aggGiniConcentration,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_percentile" -> aggPercentile,
     "agg_percentile_disc" -> aggPercentileDisc,
@@ -795,6 +868,52 @@ object Relational {
                 CAST((1000000 * num_max) // (n_a * n_b) AS BIGINT) AS ks_scaled,
                 floor((CAST(num_max AS DOUBLE)/CAST(n_a * n_b AS DOUBLE))*10000 + 0.5)/10000.0 AS ks
          FROM m""",
+    "agg_chi2_independence" ->
+      """WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                      FROM documents GROUP BY 1, 2),
+         rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt
+                FROM documents GROUP BY 1),
+         ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
+                FROM documents GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         cells AS (
+           SELECT rt.lang, ct.source, n.n, rt.rt, ct.ct,
+                  coalesce(obs.o, 0) AS o
+           FROM rt CROSS JOIN ct CROSS JOIN n
+           LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source),
+         t AS (SELECT lang, source, n,
+                      CAST(floor(CAST(n*o - rt*ct AS DOUBLE)
+                                 * CAST(n*o - rt*ct AS DOUBLE)
+                                 / CAST(n*rt*ct AS DOUBLE) * 1000000.0 + 0.5)
+                           AS BIGINT) AS term
+               FROM cells)
+         SELECT max(n) AS n_docs,
+                CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                     AS BIGINT) AS dof,
+                CAST(sum(term) AS BIGINT) AS chi2_scaled,
+                floor((CAST(sum(term) AS DOUBLE)/1000000.0)*10000 + 0.5)/10000.0
+                  AS chi2
+         FROM t""",
+    "agg_gini_concentration" ->
+      """WITH r AS (
+           SELECT source, doc_id, n_chars,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars, doc_id) AS BIGINT) AS i
+           FROM documents),
+         a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                      CAST(2 * sum(i * n_chars) AS BIGINT) AS a2
+               FROM r GROUP BY source),
+         g AS (SELECT source, n_docs, total_chars,
+                      a2 - (n_docs + 1) * total_chars AS gini_num
+               FROM a)
+         SELECT source, n_docs, total_chars,
+                CAST((1000000 * gini_num) // (n_docs * total_chars)
+                     AS BIGINT) AS gini_scaled,
+                floor((CAST(gini_num AS DOUBLE)
+                       / CAST(n_docs * total_chars AS DOUBLE))*10000 + 0.5)
+                  / 10000.0 AS gini
+         FROM g ORDER BY source""",
     "agg_corr_matrix" ->
       """WITH c AS (SELECT CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qty,
                            CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price,

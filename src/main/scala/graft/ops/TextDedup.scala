@@ -264,6 +264,35 @@ object TextDedup {
       .orderBy("da", "db")
   }
 
+  /** Pairwise SOURCE-level vocabulary Jaccard — the corpus-curation
+    * readout above document granularity: "which crawls are the same
+    * material?" drives mixing weights and dedup priorities before any
+    * per-doc work. Token sets aggregate per source ((source, term)
+    * DISTINCT — one hash agg over the exploded scan), the pair stage meets
+    * on the TERM key (shuffle ∝ vocabulary, never |sources|² × vocab), and
+    * the output is the bounded #source-pairs frame. Exact integer
+    * intersections/sizes; only the displayed ratio is r4. At 100 TB the
+    * term join is the same shape as text_tfidf_terms' document-frequency
+    * meet — sources are the bounded axis (hundreds), vocab the distributed
+    * one. */
+  private val textSourceSimilarity: Q = (s, d) => {
+    val st = tbl(s, d, "documents")
+      .select(col("source"), explode(toks(normText)).as("term"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("sa"), col("n").as("na")), "sa")
+      .join(sizes.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .select(col("sa"), col("sb"), col("inter"), col("na"), col("nb"),
+        r4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jacc"))
+      .orderBy("sa", "sb")
+  }
+
   /** Asymmetric CONTAINMENT near-superset detection on the bounded slice:
     * C = |A∩B| / min(|A|,|B|) ≥ 0.9 flags "one doc's token set nearly
     * inside the other's" — the quote-expansion / boilerplate-wrapper dups
@@ -2238,6 +2267,7 @@ object TextDedup {
     "dedup_cluster_stats" -> dedupClusterStats,
     "dedup_keeper_quality" -> dedupKeeperQuality,
     "dedup_containment" -> dedupContainment,
+    "text_source_similarity" -> textSourceSimilarity,
     "pipeline_neardup_stats" -> pipelineNeardupStats,
     "pipeline_neardup_full" -> pipelineNeardupFull,
     "pipeline_neardup_incremental" -> pipelineNeardupIncremental,
@@ -2382,6 +2412,26 @@ object TextDedup {
           FROM pairs JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
           WHERE CAST(inter AS DOUBLE)/CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
           ORDER BY da, db""",
+    "text_source_similarity" ->
+      s"""WITH st AS (
+            SELECT DISTINCT source, term FROM (
+              SELECT source, unnest(string_split($normSql, ' ')) AS term
+              FROM documents)),
+          sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                    FROM st GROUP BY source),
+          pairs AS (
+            SELECT a.source AS sa, b.source AS sb,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM st a JOIN st b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY 1, 2)
+          SELECT sa, sb, inter, za.n AS na, zb.n AS nb,
+                 floor((CAST(inter AS DOUBLE)
+                        / CAST(za.n + zb.n - inter AS DOUBLE))*10000 + 0.5)
+                   / 10000.0 AS jacc
+          FROM pairs JOIN sizes za ON sa = za.source
+          JOIN sizes zb ON sb = zb.source
+          ORDER BY sa, sb""",
     "dedup_containment" ->
       s"""WITH t AS (SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
                      FROM documents WHERE doc_id < 60),

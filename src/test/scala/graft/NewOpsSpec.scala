@@ -64,6 +64,86 @@ class NewOpsSpec extends AnyFunSuite {
     jacc.foreach(p => assert(have.contains(p), s"missing jaccard pair $p"))
   }
 
+  test("agg_chi2_independence: matches a plain-Scala chi-squared") {
+    val r = q("agg_chi2_independence").head()
+    val (n, dof, chi2s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    val langs = docs.map(_._1).distinct.sorted
+    val srcs = docs.map(_._2).distinct.sorted
+    assert(n == docs.length.toLong)
+    assert(dof == (langs.length - 1).toLong * (srcs.length - 1))
+    val obs = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = (for { l <- langs; s0 <- srcs } yield {
+      val o = obs.getOrElse((l, s0), 0L)
+      val d = (n * o - rt(l) * ct(s0)).toDouble
+      math.floor(d * d / (n * rt(l) * ct(s0)).toDouble * 1e6 + 0.5).toLong
+    }).sum
+    assert(chi2s == expect, s"op $chi2s vs scala $expect")
+  }
+
+  test("agg_gini_concentration: bounds hold and one source recomputes") {
+    val rows = q("agg_gini_concentration").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getDouble(4)
+      assert(g >= 0.0 && g < 1.0, s"gini out of range: $r")
+    }
+    val src = rows.head.getString(0)
+    val cs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("source") === src).select("n_chars").collect()
+      .map(_.getLong(0)).sorted
+    val nd = cs.length.toLong
+    val num = cs.zipWithIndex
+      .map { case (c, i) => (2L * (i + 1) - nd - 1) * c }.sum
+    assert(rows.head.getLong(3) == 1000000L * num / (nd * cs.sum))
+  }
+
+  test("pipeline_token_budget: per-lang prefix under budget, nothing skipped") {
+    val rows = q("pipeline_token_budget").collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getString(0))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    byLang.foreach { case (lang, sel) =>
+      // budget respected and cum_tok consistent with the tok column
+      val ordered = sel.sortBy(_.getAs[Long]("cum_tok"))
+      var run = 0L
+      ordered.foreach { r =>
+        run += r.getAs[Long]("tok")
+        assert(r.getAs[Long]("cum_tok") == run)
+      }
+      assert(run <= 10000L)
+      // prefix property: selected docs are exactly the top-|sel| by
+      // (n_chars desc, doc_id) for the lang
+      val want = docs.filter(_._1 == lang).sortBy(t => (-t._3, t._2))
+        .take(sel.length).map(_._2).toSet
+      assert(sel.map(_.getAs[Long]("doc_id")).toSet == want)
+    }
+  }
+
+  test("text_source_similarity: all pairs present, one pair recomputed") {
+    val rows = q("text_source_similarity").collect()
+    val srcs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct().collect().map(_.getString(0))
+    assert(rows.length == srcs.length * (srcs.length - 1) / 2,
+      s"${rows.length} pairs for ${srcs.length} sources")
+    val (sa, sb) = (rows.head.getString(0), rows.head.getString(1))
+    def vocab(s0: String) = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("source") === s0)
+      .select(explode(split(regexp_replace(lower(trim(col("text"))),
+        "\\s+", " "), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (va, vb) = (vocab(sa), vocab(sb))
+    assert(rows.head.getLong(2) == (va & vb).size.toLong)
+    assert(rows.head.getLong(3) == va.size.toLong)
+    assert(rows.head.getLong(4) == vb.size.toLong)
+  }
+
   test("dedup_keeper_quality: keeper is the longest cluster member") {
     val rows = q("dedup_keeper_quality").collect()
     assert(rows.nonEmpty)

@@ -30,7 +30,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 7c: windowed arg-max voting, per-row integer classifier/score
     "graph_label_propagation", "pipeline_domain_classifier",
     "text_readability", "graph_resource_allocation", "dedup_keeper_quality",
-    "agg_ks_drift", "dedup_containment")
+    "agg_ks_drift", "dedup_containment",
+    // round 7d: dataset-audit tier — exact-integer stats + keyed windows
+    "agg_chi2_independence", "agg_gini_concentration",
+    "pipeline_token_budget", "text_source_similarity")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
