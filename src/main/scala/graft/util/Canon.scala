@@ -61,13 +61,24 @@ object Canon {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(s, dir) else s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a ns bigint via the legacy conf and
-    * rebuild a µs TimestampType column (floor division, matching both Spark's
-    * own µs semantics and DuckDB's floor-truncating epoch_ms/date_trunc). */
+  /** events.ts has shipped in two physical shapes across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark rejects outright —
+    * [PARQUET_TYPE_ILLEGAL] — so it's read as a ns bigint via the legacy conf
+    * and floor-divided to µs) and plain TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ directly).
+    * Dispatch on the observed type so both generations load identically:
+    * the NTZ wall-clock is reinterpreted as the same UTC instant (cast to
+    * TimestampType under the UTC session zone — value-preserving), matching
+    * DuckDB, whose TIMESTAMP is naive and compares wall-clock. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }
