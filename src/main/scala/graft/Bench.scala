@@ -26,6 +26,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/Explain/TestSession: Canon.events() casts the NTZ
+      // ts column under the session zone — a non-UTC JVM default would
+      // shift benched timestamps relative to the verified values (ADVICE r7)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -121,7 +121,9 @@ object Graft {
 
   /** Inverted-index build: term → document frequency + the first
     * `postingCap`-bounded postings in id order (bounded map-side via
-    * WindowGroupLimit — no unbounded stopword posting lists). */
+    * WindowGroupLimit — no unbounded stopword posting lists). Postings are
+    * a canonical comma-joined string (Canon.listCol) — split on ',' to
+    * recover ids. */
   def invertedIndex(df: DataFrame, id: String, text: String): DataFrame =
     graft.ops.TextDedup.invertedIndexCore(
       df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))

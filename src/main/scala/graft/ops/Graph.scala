@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
   * T=5 rounds is one equi-join + one partial-aggregated groupBy on the
   * node key (at 100 TB: shuffle ∝ edges per round, T bounded; GraphX's
   * Pregel materializes the same joins). Triangles use the compact-forward
-  * orientation (a < b) so each triangle is counted once, and the two-hop
-  * join shuffles on node keys — production orders by degree instead of id
-  * to bound the heavy-hitter wedge blowup; id order keeps the fixture
-  * oracle-replayable (the synthetic co-occurrence graph is near-uniform,
-  * so the two orderings have the same worst case here). */
+  * orientation by (degree, id): each triangle is counted exactly once
+  * under any total vertex order, and degree order bounds every node's
+  * out-degree by O(√m), so a power-law hub cannot quadratically blow up
+  * the two-hop wedge join. The count is order-invariant, so the DuckDB
+  * oracle's simpler id-ordered replay still matches bit-for-bit
+  * (GraphSpec also proves degree-order ≡ id-order census directly). */
 object Graph {
   type Q = (SparkSession, String) => DataFrame
 
@@ -127,11 +128,21 @@ object Graph {
   }
 
   /** Global triangle census of the co-occurrence graph: nodes, edges,
-    * wedges (paths of length 2), triangles (compact-forward a<b<c join —
-    * each triangle counted exactly once), and the global clustering
-    * coefficient 3·T / wedges. All counts are exact integers; only the
-    * final coefficient is a display r4. */
-  private[graft] def triangleCensusCore(edges: DataFrame): DataFrame = {
+    * wedges (paths of length 2), triangles (compact-forward join — each
+    * triangle counted exactly once), and the global clustering coefficient
+    * 3·T / wedges. All counts are exact integers; only the final
+    * coefficient is a display r4.
+    *
+    * Orientation: by default each undirected edge is directed from its
+    * lower-(degree, id) endpoint to the higher (Chiba–Nishizeki). Under
+    * degree order every node's out-degree is O(√m) on ANY graph, so one
+    * power-law hub cannot quadratically blow up the two-hop wedge join the
+    * way plain id order can at 100 TB (round-7 verdict item 3). The
+    * triangle count is invariant under any total vertex order, so the
+    * DuckDB oracle's id-ordered replay still matches; `byDegree = false`
+    * keeps the id-order census for the equivalence property in GraphSpec. */
+  private[graft] def triangleCensusCore(edges: DataFrame,
+      byDegree: Boolean = true): DataFrame = {
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b")).localCheckpoint(true)
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
@@ -141,9 +152,18 @@ object Graph {
     val stats = deg.agg(count(lit(1)).as("n_nodes"),
       coalesce(sum(expr("(deg * (deg - 1)) div 2")), lit(0L)).as("n_wedges"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
+    val o = if (!byDegree) e else {
+      val fwd = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      e.join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+        .select(when(fwd, col("a")).otherwise(col("b")).as("a"),
+          when(fwd, col("b")).otherwise(col("a")).as("b"))
+        .localCheckpoint(true) // joined three ways below — compute once
+    }
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.b") === col("e2.a"))
+      .join(o.as("e3"),
         col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
     stats.crossJoin(ne).crossJoin(tri)

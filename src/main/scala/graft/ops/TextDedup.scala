@@ -1672,7 +1672,9 @@ object TextDedup {
       .groupBy("term")
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
     dfreq.join(post, Seq("term"))
-      .select(col("term"), col("df"), col("postings"))
+      // listCol: the driver's pandas comparator cannot sort an array-typed
+      // column (round-7 crash) — ship postings as a canonical CSV string
+      .select(col("term"), col("df"), listCol(col("postings")).as("postings"))
       .orderBy("term")
   }
 
@@ -2574,7 +2576,8 @@ object TextDedup {
                            AS term
                   FROM documents)),
           d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
-          p AS (SELECT term, list_sort(list(doc_id)) AS postings
+          p AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',')
+                        AS postings
                 FROM (SELECT term, doc_id,
                              row_number() OVER (PARTITION BY term
                                                 ORDER BY doc_id) AS rn

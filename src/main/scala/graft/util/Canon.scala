@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.DecimalType
   *    order-sensitive (~1e-3 absolute noise at 1e9 magnitude, §5.3.2).
   *  - r4: round irreducibly-float outputs (stddev/corr/ln/cosine) to 4
   *    decimals on both engines (§5.3.3).
-  *  - tsMs: events.ts is ns in parquet; Spark truncates to µs, DuckDB keeps
-  *    ns — truncate to ms on both sides before any emit/compare (§5.3.4).
+  *  - tsMs: events.ts has shipped as ns or µs depending on testdata
+  *    generation; events() normalizes both shapes to µs TimestampType
+  *    first (under the UTC session zone every entry point sets), then tsMs
+  *    truncates to ms on both sides before any emit/compare (§5.3.4).
   */
 object Canon {
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
@@ -39,6 +41,20 @@ object Canon {
     * DuckDB equivalent: floor(x*10000 + 0.5)/10000.0 */
   def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
   def tsMs(c: Column): Column = date_trunc("millisecond", c)
+
+  /** Serialize a list-valued result column to a canonical comma-joined
+    * string BEFORE it leaves a query. The driver's pandas comparator sorts
+    * the result frame with `sort_values`, which raises
+    * `unhashable type: 'numpy.ndarray'` on any array-typed column — the
+    * query then has no green CORRECTNESS row at all (round-7:
+    * text_inverted_index crashed exactly this way; multimodal_struct had
+    * already dodged it ad hoc with to_json). Elements are cast to string
+    * first so the combinator works for array<long>/array<double> too.
+    * DuckDB mirror: `array_to_string(list_col, ',')` (DuckDB casts
+    * elements implicitly). Order must already be canonical (sort_array /
+    * list_sort on both sides) — joining does not sort. */
+  def listCol(c: Column): Column =
+    array_join(transform(c, _.cast("string")), ",")
 
   /** Content stamp of a source table's parquet path — file names, sizes and
     * mtimes hashed driver-side, no Spark job. Folded into every staged-layout

@@ -230,7 +230,7 @@ class ApiSpec extends AnyFunSuite {
     assert(bp.where(col("n_boiler") > 0).count() == 3)
     val idx = graft.api.Graft.invertedIndex(docs, "id", "body")
     val theRow = idx.where(col("term") === "the").head()
-    assert(theRow.getLong(1) == 4L && theRow.getSeq[Long](2) == Seq(1L, 2L, 3L, 4L))
+    assert(theRow.getLong(1) == 4L && theRow.getString(2) == "1,2,3,4")
     val merges = graft.api.Graft.bpeTrain(docs, "body", mergeCount = 4)
     assert(merges.count() == 4)
     assert(merges.head().getString(1).nonEmpty)

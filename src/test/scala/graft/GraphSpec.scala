@@ -80,6 +80,33 @@ class GraphSpec extends AnyFunSuite {
     assert(tri.toLong == nTri, s"brute-force $tri vs operator $nTri")
   }
 
+  test("triangle census: degree-order orientation ≡ id-order orientation") {
+    import spark.implicits._
+    // A wheel graph (hub 0 adjacent to all 12 rim nodes, rim a cycle) is
+    // exactly the heavy-hitter shape degree ordering exists for: under id
+    // order the hub sources 12 out-edges (66 wedge pairs through one
+    // node); under degree order it sources none. The census — one
+    // triangle per rim edge — must be identical either way.
+    val wheel = ((1L to 12L).map(i => (0L, i)) ++
+      (1L to 12L).map(i => (math.min(i, i % 12 + 1), math.max(i, i % 12 + 1))))
+      .toDF("a", "b")
+    val byDeg = graft.ops.Graph.triangleCensusCore(wheel).head()
+    val byId = graft.ops.Graph.triangleCensusCore(wheel, byDegree = false).head()
+    assert(byDeg == byId, s"degree-order census $byDeg != id-order $byId")
+    assert(byDeg.getLong(3) == 12L, "wheel must have 12 triangles")
+    assert(byDeg.getLong(0) == 13L && byDeg.getLong(1) == 24L)
+    // and on a deterministic pseudo-random graph (no hand-checkable
+    // answer — pure orientation-invariance)
+    val rnd = (for {
+      a <- 0L until 40L; b <- a + 1 until 40L
+      if (a * 31 + b) * 2654435761L % 97 < 30
+    } yield (a, b)).toDF("a", "b")
+    val rd = graft.ops.Graph.triangleCensusCore(rnd).head()
+    val ri = graft.ops.Graph.triangleCensusCore(rnd, byDegree = false).head()
+    assert(rd == ri, s"degree-order census $rd != id-order $ri")
+    assert(rd.getLong(3) > 0L, "fixture graph should contain triangles")
+  }
+
   test("graph_degree_distribution is consistent with the triangle census") {
     val census = q("graph_triangle_count").head()
     val dist = q("graph_degree_distribution").collect()
