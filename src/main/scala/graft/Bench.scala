@@ -37,11 +37,14 @@ object Bench {
     // 1.17x inflated by machine load that had to be proven forensically from
     // rep-time outliers. Recording 1/5/15-min loadavg + core count at start
     // and end lets any reader label a run quiet/loaded directly.
-    def loadavg(): String =
+    def loadavgVals(): Seq[Double] =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split("\\s+").take(3).mkString("[", ",", "]")
-      catch { case _: Throwable => "[]" }
-    val loadStart = loadavg()
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    def loadFmt(l: Seq[Double]): String = l.map(v =>
+      "%.2f".formatLocal(java.util.Locale.US, v)).mkString("[", ",", "]")
+    val loadStartVals = loadavgVals()
+    val loadStart = loadFmt(loadStartVals)
     val nCores = Runtime.getRuntime.availableProcessors()
     // Untimed warmup: JVM/codegen/parquet-reader spin-up otherwise lands on
     // whichever query happens to run first (measured ~5s of the round-1
@@ -124,8 +127,16 @@ object Bench {
     val repsQs = repDetail.map { case (k, ts) =>
       s"\"$k\":${ts.map(j).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    // Self-labeling (round-7 verdict item 6): a run is `quiet` only if the
+    // 1-min loadavg stayed under cores/8 at BOTH ends — the r7 driver run
+    // started at 3.43 (quiet by a start-only rule) but ended at 5.33 and
+    // its totals were 1.3x inflated; BASELINE.md's state-of-record must
+    // only cite quiet-flagged artifacts.
+    val loadEndVals = loadavgVals()
+    val quiet = (loadStartVals.headOption ++ loadEndVals.headOption)
+      .forall(_ < nCores / 8.0)
     val loadJson =
-      s""""load":{"cores":$nCores,"start_1_5_15":$loadStart,"end_1_5_15":${loadavg()}}"""
+      s""""load":{"cores":$nCores,"quiet":$quiet,"start_1_5_15":$loadStart,"end_1_5_15":${loadFmt(loadEndVals)}}"""
     val fullLine = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"ckpt_root":"${graft.ops.Streaming.ckptRoot}",$loadJson,"queries":$fullQs,"rep_times":$repsQs,"sf":"$sfDir"}"""
     // a filtered local-iteration run must NOT clobber the round's complete
     // per-query artifact

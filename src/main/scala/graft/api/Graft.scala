@@ -128,6 +128,26 @@ object Graft {
     graft.ops.TextDedup.invertedIndexCore(
       df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
 
+  /** Readability / lexical-complexity profile per row (Flesch reading
+    * ease, Kincaid et al. 1975): word, syllable-estimate, long-word and
+    * sentence counts plus `fre_milli`, the 1e3-scaled Flesch score in
+    * exact integer arithmetic — bit-identical on any partitioning. Pure
+    * per-row array expressions; one codegen'd map stage at any scale. */
+  def readability(df: DataFrame, id: String, text: String): DataFrame =
+    graft.ops.TextDedup.readabilityCore(
+        df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
+      .withColumnRenamed("doc_id", id)
+
+  /** Pairwise source-level vocabulary Jaccard — "which crawls are the
+    * same material?" above document granularity. The pair stage meets on
+    * the TERM key (shuffle ∝ vocabulary, never |sources|² × vocab);
+    * output is the bounded #source-pairs frame with exact integer
+    * intersection/size counts and a display-rounded `jacc`. */
+  def sourceSimilarity(df: DataFrame, source: String,
+      text: String): DataFrame =
+    graft.ops.TextDedup.sourceSimilarityCore(
+      df.select(col(source).as("source"), col(text).as("text")))
+
   /** Learn a BPE merge table from a corpus (classic Sennrich procedure on
     * the distinct-word frequency dictionary — deterministic: count desc,
     * lexicographic ties). Returns (rank, left, right, pair_count) rows,
@@ -242,6 +262,38 @@ object Graft {
   def ksDrift(df: DataFrame, arm: Column, value: Column): DataFrame =
     graft.ops.Relational.ksCore(df.select(arm.cast("boolean").as("arm"),
       graft.util.Canon.cents(value).as("bin")))
+
+  /** χ² test of independence between two categorical columns — the
+    * categorical drift/association gate next to [[ksDrift]]'s continuous
+    * one. Returns one row (n_docs, dof, chi2_scaled, chi2); cell terms are
+    * computed from exact integer marginals and summed as 1e6-scaled
+    * integers, so the statistic is partition-invariant. Zero cells
+    * contribute their full expected mass (dense marginal cross). */
+  def chi2Independence(df: DataFrame, a: String, b: String): DataFrame =
+    graft.ops.Relational.chi2IndependenceCore(df, a, b)
+
+  /** Gini concentration of `weight` across rows, per `group` — the
+    * corpus-balance audit ("a few giant docs or many small ones?").
+    * Exact integer statistic via the rank-window folding (see
+    * agg_gini_concentration scaladoc); one keyed shuffle + window. */
+  def giniConcentration(df: DataFrame, group: String, id: String,
+      weight: String): DataFrame =
+    graft.ops.Relational.giniConcentrationCore(
+        df.select(col(group).as("source"), col(id).cast("long").as("doc_id"),
+          col(weight).cast("long").as("n_chars")))
+      .withColumnRenamed("source", group)
+
+  /** Greedy best-docs-under-budget curation per language: order each
+    * lang's docs by (`sizeCol` desc, id), keep the longest prefix whose
+    * cumulative whitespace-token count fits `budget`. Deterministic,
+    * partition-invariant, O(1) window state per row. */
+  def tokenBudget(df: DataFrame, lang: String, id: String, text: String,
+      sizeCol: String, budget: Long): DataFrame =
+    graft.ops.Pipeline.tokenBudgetCore(
+        df.select(col(lang).as("lang"), col(id).cast("long").as("doc_id"),
+          col(sizeCol).cast("long").as("n_chars"), col(text).as("text")),
+        budget)
+      .withColumnRenamed("lang", lang).withColumnRenamed("doc_id", id)
 
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity

@@ -495,12 +495,14 @@ object Pipeline {
     * shuffle on lang, a per-lang rank window + running-sum window (both
     * keyed — no global ordering), then a filter; the same plan as
     * pack_sequences but with a stop condition. */
-  private val pipelineTokenBudget: Q = (s, d) => {
+  private val pipelineTokenBudget: Q = (s, d) =>
+    tokenBudgetCore(tbl(s, d, "documents"), 10000L) // fixture-sized budget
+  private[graft] def tokenBudgetCore(docs: DataFrame,
+      budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val budget = 10000L // tokens per lang — fixture-sized; a parameter IRL
     val byQ = Window.partitionBy("lang")
       .orderBy(desc("n_chars"), asc("doc_id"))
-    tbl(s, d, "documents")
+    docs
       .select(col("lang"), col("doc_id"), col("n_chars"),
         size(split(normText, " ")).cast("long").as("tok"))
       .withColumn("cum_tok",

@@ -307,8 +307,11 @@ object Relational {
     * floored once to a 1e6-scaled long, then summed as integers —
     * order-insensitive, partition-invariant. One pass over the fact scan
     * for all three marginal aggregates; everything after is marginal-sized. */
-  private val aggChi2Independence: Q = (s, d) => {
-    val docs = tbl(s, d, "documents")
+  private val aggChi2Independence: Q = (s, d) =>
+    chi2IndependenceCore(tbl(s, d, "documents"), "lang", "source")
+  private[graft] def chi2IndependenceCore(facts: DataFrame, a: String,
+      b: String): DataFrame = {
+    val docs = facts.select(col(a).as("lang"), col(b).as("source"))
     val obs = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("o"))
     val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
@@ -342,11 +345,13 @@ object Relational {
     * integer, and partition-invariant; only the display ratio is r4.
     * At 100 TB: one shuffle on source, per-source window + agg — the
     * standard keyed-window shape, nothing global. */
-  private val aggGiniConcentration: Q = (s, d) => {
+  private val aggGiniConcentration: Q = (s, d) =>
+    giniConcentrationCore(tbl(s, d, "documents"))
+  private[graft] def giniConcentrationCore(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bySrc = Window.partitionBy("source")
       .orderBy(col("n_chars"), col("doc_id"))
-    tbl(s, d, "documents")
+    docs
       .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("i", row_number().over(bySrc).cast("long"))
       .groupBy(col("source"))

@@ -275,8 +275,10 @@ object TextDedup {
     * term join is the same shape as text_tfidf_terms' document-frequency
     * meet — sources are the bounded axis (hundreds), vocab the distributed
     * one. */
-  private val textSourceSimilarity: Q = (s, d) => {
-    val st = tbl(s, d, "documents")
+  private val textSourceSimilarity: Q = (s, d) =>
+    sourceSimilarityCore(tbl(s, d, "documents"))
+  private[graft] def sourceSimilarityCore(docs: DataFrame): DataFrame = {
+    val st = docs
       .select(col("source"), explode(toks(normText)).as("term"))
       .distinct()
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -2239,7 +2241,9 @@ object TextDedup {
     * array — no explode): at 100 TB a single codegen'd map stage; the
     * only exchange is the presentation sort. */
   private val textReadability: Q = (s, d) =>
-    tbl(s, d, "documents")
+    readabilityCore(tbl(s, d, "documents"))
+  private[graft] def readabilityCore(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), normText.as("nt"), toks(normText).as("tk"))
       .select(col("doc_id"),
         size(col("tk")).cast("long").as("n_words"),

@@ -313,6 +313,56 @@ class ApiSpec extends AnyFunSuite {
     assert(ra.toSeq == Seq((1L, 3L, 500000000L, 1L)))
   }
 
+  test("audit facade: chi2Independence, giniConcentration, tokenBudget") {
+    import spark.implicits._
+    // perfectly independent 2x2 uniform grid → chi2 = 0, dof = 1
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("lang", "src")
+    val chi = graft.api.Graft.chi2Independence(ind, "lang", "src").head()
+    assert(chi.getLong(0) == 4L && chi.getLong(1) == 1L &&
+      chi.getLong(2) == 0L, s"independent grid must score 0: $chi")
+    // perfect dependence (lang determines src) on 2x2 → chi2 = n = 4
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("lang", "src")
+    val chiD = graft.api.Graft.chi2Independence(dep, "lang", "src").head()
+    assert(chiD.getLong(2) == 4000000L, s"determined grid must score n: $chiD")
+    // equal weights within a group → Gini 0; [1..4] hand-folds to 0.25
+    val g = (Seq.fill(5)(100L).zipWithIndex.map { case (c, i) =>
+      ("flat", i.toLong, c) } ++
+      (1L to 4L).map(c => ("ramp", c, c))).toDF("grp", "id", "w")
+    val gini = graft.api.Graft.giniConcentration(g, "grp", "id", "w")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(gini("flat") == 0.0, s"equal weights must be Gini 0: $gini")
+    assert(gini("ramp") == 0.25, s"1..4 folds to 0.25: $gini")
+    // budget of 5 tokens keeps the longest-prefix docs only, per lang
+    val docs = Seq(
+      ("en", 1L, 30L, "one two three"), ("en", 2L, 20L, "four five"),
+      ("en", 3L, 10L, "six seven"), ("de", 4L, 5L, "acht")).toDF(
+      "language", "docid", "chars", "body")
+    val kept = graft.api.Graft.tokenBudget(
+        docs, "language", "docid", "body", "chars", budget = 5L)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    // en: doc1 (3 tok, cum 3) + doc2 (2 tok, cum 5) fit; doc3 would be 7
+    assert(kept == Map(1L -> 3L, 2L -> 5L, 4L -> 1L), s"got $kept")
+  }
+
+  test("text facade: readability hand-trace and sourceSimilarity identity") {
+    import spark.implicits._
+    // "the cat sat on the mat": 6 words, 6 single-vowel-group syllables,
+    // no terminal punctuation → 1 sentence (floored), no long words.
+    // fre_milli = 206835 - (1015*6) div 1 - (84600*6) div 6 = 116145
+    val docs = Seq((1L, "the cat sat on the mat")).toDF("id", "body")
+    val r = graft.api.Graft.readability(docs, "id", "body").head()
+    assert(r.getLong(1) == 6L && r.getLong(2) == 6L && r.getLong(3) == 0L &&
+      r.getLong(4) == 1L && r.getLong(5) == 116145L, s"hand-trace broke: $r")
+    // identical vocabularies → Jaccard exactly 1; disjoint pair absent
+    val src = Seq(("c1", "alpha beta"), ("c2", "beta alpha"),
+      ("c3", "gamma delta")).toDF("crawl", "body")
+    val sim = graft.api.Graft.sourceSimilarity(src, "crawl", "body")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+    assert(sim.toSeq == Seq(("c1", "c2", 1.0)), s"got ${sim.toSeq}")
+  }
+
   test("Graft.ksDrift: 0 on identical samples, 1 on disjoint ones") {
     import spark.implicits._
     // identical distributions → every cumA*nB == cumB*nA → KS = 0
