@@ -127,14 +127,21 @@ object Bench {
     val repsQs = repDetail.map { case (k, ts) =>
       s"\"$k\":${ts.map(j).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
-    // Self-labeling (round-7 verdict item 6): a run is `quiet` only if the
-    // 1-min loadavg stayed under cores/8 at BOTH ends — the r7 driver run
-    // started at 3.43 (quiet by a start-only rule) but ended at 5.33 and
-    // its totals were 1.3x inflated; BASELINE.md's state-of-record must
-    // only cite quiet-flagged artifacts.
+    // Self-labeling (round-7 verdict item 6): BASELINE.md's state-of-record
+    // must only cite quiet-flagged artifacts. Calibration against the two
+    // known runs: the r7 LOADED driver run started at [3.43, 3.20, 2.07]
+    // (ambient work already burning 3+ cores before any Spark started);
+    // a measured QUIET round-8 run started at [1.33, 1.53, 1.53] but ENDED
+    // at 1-min 5.80 — the end 1-min sample is dominated by the bench's OWN
+    // final-minute queries and cannot mark ambient load. So: quiet =
+    // pre-warmup 1- and 5-min loadavg under cores/16 (ambient-only sample)
+    // AND end 15-min under cores/8 (self-load dilutes to ~2 over a ~10-min
+    // suite; a sustained mid-run interferer pushes it past the bar). The
+    // end-15min term is calibrated to the current ~10-min suite length —
+    // re-derive if the suite ever triples.
     val loadEndVals = loadavgVals()
-    val quiet = (loadStartVals.headOption ++ loadEndVals.headOption)
-      .forall(_ < nCores / 8.0)
+    val quiet = loadStartVals.take(2).forall(_ < nCores / 16.0) &&
+      loadEndVals.drop(2).forall(_ < nCores / 8.0)
     val loadJson =
       s""""load":{"cores":$nCores,"quiet":$quiet,"start_1_5_15":$loadStart,"end_1_5_15":${loadFmt(loadEndVals)}}"""
     val fullLine = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"ckpt_root":"${graft.ops.Streaming.ckptRoot}",$loadJson,"queries":$fullQs,"rep_times":$repsQs,"sf":"$sfDir"}"""
