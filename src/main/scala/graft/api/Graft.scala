@@ -253,6 +253,30 @@ object Graft {
       .select(col("x").as("node_a"), col("y").as("node_b"),
         col("ra_scaled"), col("n_common"))
 
+  /** Bounded k-core peeling over an undirected edge frame (Montresor et
+    * al.): `rounds` synchronous rounds of "drop nodes with degree < k,
+    * restrict edges to survivors", returning (node, deg) for the surviving
+    * subgraph — dense cores are the spam-ring / link-farm signal in a
+    * crawl graph. Bounded-rounds prefix, deterministic at any
+    * partitioning; per-round cost is one degree agg + two node-keyed
+    * semi-joins over a monotonically shrinking edge set. */
+  def kcore(edges: DataFrame, a: String, b: String, k: Int = 2,
+      rounds: Int = 5): DataFrame =
+    graft.ops.Graph.kcoreCore(
+      edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")),
+      k, rounds)
+      .select(col("n").as("node"), col("deg")).orderBy("node")
+
+  /** Shannon entropy + Pielou evenness (H / ln K) of the row-count
+    * distribution over one categorical column — "how many effective
+    * sources is this corpus drawn from?". One row (axis, n_docs, k,
+    * entropy, evenness); NULL evenness when k = 1. Scaled-integer ln
+    * arithmetic (text_entropy posture, PLANS.md); everything past the
+    * per-value count is O(k). */
+  def entropyBalance(df: DataFrame, axis: String): DataFrame =
+    graft.ops.Relational.entropyAxisCore(
+      df.select(col(axis).as("v")), axis)
+
   /** Two-sample Kolmogorov–Smirnov drift between the rows where `arm` is
     * true and the rest, over the cents-binned ECDF of `value` — the
     * distribution-shift gate between data snapshots. Returns one row

@@ -115,7 +115,7 @@ object Graph {
 
   /** Distinct undirected user co-occurrence edges (a < b) from shared
     * (event_type, minute) activity cells. */
-  private def coocEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def coocEdges(s: SparkSession, d: String): DataFrame = {
     val b = tbl(s, d, "events")
       .select(col("user_id").as("u"), col("event_type"),
         date_trunc("minute", col("ts")).as("w"))
@@ -326,6 +326,41 @@ object Graph {
     lpaCore(coocEdges(s, d), rounds = 3).orderBy("node")
       .select(col("node").as("user_id"), col("lbl").as("community"))
 
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop every
+    * node with degree < k, restrict edges to survivors", then the residual
+    * degree table of the surviving subgraph. The k-core is the classic
+    * corpus-graph audit (dense cores = spam rings / SEO link farms in a
+    * web crawl; the periphery is what a quality filter keeps), and
+    * synchronous peeling is its distributed form (Montresor et al.):
+    * full peeling iterates to fixpoint, so like pagerank's T=5 and LPA's
+    * T=3 this ships the bounded-rounds prefix — deterministic and
+    * oracle-replayable round-for-round; the fixture graph converges well
+    * inside 5 rounds (KCoreSpec proves round-5 ≡ round-6 there). Each
+    * round is one degree hash-agg plus two node-keyed left-semi joins —
+    * shuffle ∝ surviving edges, monotonically shrinking; localCheckpoint
+    * per round keeps the plan depth constant (the iterative-loop rule
+    * every graft propagation shares). */
+  private[graft] def kcoreCore(edges: DataFrame, k: Int = 2,
+      rounds: Int = 5): DataFrame = {
+    var e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint(true)
+    }
+    e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+  }
+
+  private val graphKcore: Q = (s, d) =>
+    kcoreCore(coocEdges(s, d))
+      .select(col("n").as("user_id"), col("deg"))
+      .orderBy("user_id")
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_label_propagation" -> graphLabelPropagation,
@@ -334,7 +369,16 @@ object Graph {
     "graph_degree_distribution" -> graphDegreeDistribution,
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_resource_allocation" -> graphResourceAllocation,
+    "graph_kcore" -> graphKcore,
   )
+
+  /** One k=2 peel round: survivors of the degree filter over edge set %s. */
+  private val peelKeep =
+    """SELECT n FROM (SELECT a AS n FROM %s UNION ALL SELECT b FROM %s)
+       GROUP BY n HAVING count(*) >= 2"""
+  private val peelEdge =
+    """SELECT a, b FROM %s
+       WHERE a IN (SELECT n FROM %s) AND b IN (SELECT n FROM %s)"""
 
   private val iter =
     """SELECT n2.node,
@@ -360,6 +404,31 @@ object Graph {
        WHERE rn = 1"""
 
   val oracle: Map[String, String] = Map(
+    "graph_kcore" ->
+      // every CTE is MATERIALIZED: each peel round references its
+      // predecessor three times (twice in the degree union, once in the
+      // edge restriction), so the default inlining re-evaluates the base
+      // co-occurrence self-join ~3^5 times and the oracle never finishes
+      s"""WITH b AS MATERIALIZED (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e0 AS MATERIALIZED (SELECT DISTINCT a.u AS a, b2.u AS b
+                 FROM b a JOIN b b2
+                   ON a.event_type = b2.event_type AND a.w = b2.w
+                 WHERE a.u < b2.u),
+          k1 AS MATERIALIZED (${peelKeep.format("e0", "e0")}),
+          e1 AS MATERIALIZED (${peelEdge.format("e0", "k1", "k1")}),
+          k2 AS MATERIALIZED (${peelKeep.format("e1", "e1")}),
+          e2 AS MATERIALIZED (${peelEdge.format("e1", "k2", "k2")}),
+          k3 AS MATERIALIZED (${peelKeep.format("e2", "e2")}),
+          e3 AS MATERIALIZED (${peelEdge.format("e2", "k3", "k3")}),
+          k4 AS MATERIALIZED (${peelKeep.format("e3", "e3")}),
+          e4 AS MATERIALIZED (${peelEdge.format("e3", "k4", "k4")}),
+          k5 AS MATERIALIZED (${peelKeep.format("e4", "e4")}),
+          e5 AS MATERIALIZED (${peelEdge.format("e4", "k5", "k5")})
+          SELECT n AS user_id, CAST(count(*) AS BIGINT) AS deg
+          FROM (SELECT a AS n FROM e5 UNION ALL SELECT b FROM e5)
+          GROUP BY n ORDER BY n""",
     "graph_label_propagation" ->
       s"""WITH b AS (
             SELECT DISTINCT user_id AS u, event_type,

@@ -369,6 +369,43 @@ object Relational {
       .orderBy("source")
   }
 
+  /** Shannon entropy + Pielou evenness of the document-count distribution
+    * over each categorical corpus axis (source, lang) — the third leg of
+    * the balance audit next to agg_gini_concentration (size skew) and
+    * agg_chi2_independence (axis association): H answers "how many
+    * effective sources is this corpus really drawn from?", evenness
+    * H/ln(K) normalizes it to [0,1] for cross-corpus comparison (the
+    * statistic temperature-mixing recipes tune against). Arithmetic is the
+    * text_entropy posture: each ln(n/c) is a 1e6-scaled INTEGER (floor(
+    * ln·1e6+0.5) — accepted last-ulp risk, PLANS.md), the weighted sum is
+    * exact and partition-order-independent, and the two final divisions
+    * run in identical IEEE operand order on both engines, then r4. K=1
+    * axes emit NULL evenness (ln(1)=0). At 100 TB: one partial+final
+    * count per axis value, then everything downstream is O(K) — the
+    * marginal frame never exceeds the label-set size. */
+  private val aggEntropyBalance: Q = (s, d) => {
+    def axis(name: String) =
+      entropyAxisCore(tbl(s, d, "documents").select(col(name).as("v")), name)
+    axis("source").unionAll(axis("lang")).orderBy("axis")
+  }
+  private[graft] def entropyAxisCore(vals: DataFrame,
+      label: String): DataFrame = {
+    val cnt = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("li", floor(
+        log(col("n").cast("double") / col("c").cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .agg(max(col("n")).as("n_docs"), max(col("k")).as("k"),
+        sum(col("c") * col("li")).as("si"))
+      .select(lit(label).as("axis"), col("n_docs"), col("k"),
+        r4(col("si").cast("double") / col("n_docs").cast("double") / 1e6)
+          .as("entropy"),
+        when(col("k") > 1,
+          r4(col("si").cast("double") / col("n_docs").cast("double") /
+            floor(log(col("k").cast("double")) * 1e6 + 0.5))).as("evenness"))
+  }
+
   /** Pairwise Pearson correlation matrix over the four lineitem measures in
     * ONE aggregate pass — the feature-screening readout (agg_stats does one
     * per-group pair; this is the all-pairs matrix). Every moment rides as an
@@ -695,6 +732,7 @@ object Relational {
     "agg_ks_drift" -> aggKsDrift,
     "agg_chi2_independence" -> aggChi2Independence,
     "agg_gini_concentration" -> aggGiniConcentration,
+    "agg_entropy_balance" -> aggEntropyBalance,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_percentile" -> aggPercentile,
     "agg_percentile_disc" -> aggPercentileDisc,
@@ -919,6 +957,35 @@ object Relational {
                        / CAST(n_docs * total_chars AS DOUBLE))*10000 + 0.5)
                   / 10000.0 AS gini
          FROM g ORDER BY source""",
+    "agg_entropy_balance" ->
+      """WITH sc AS (SELECT source AS v, CAST(count(*) AS BIGINT) AS c
+                     FROM documents GROUP BY 1),
+          st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                        CAST(count(*) AS BIGINT) AS k FROM sc),
+          sa AS (SELECT 'source' AS axis, st.n AS n_docs, st.k AS k,
+                        CAST(sum(c * CAST(floor(
+                          ln(CAST(st.n AS DOUBLE)/CAST(c AS DOUBLE))*1000000
+                          + 0.5) AS BIGINT)) AS BIGINT) AS si
+                 FROM sc, st GROUP BY st.n, st.k),
+          lc AS (SELECT lang AS v, CAST(count(*) AS BIGINT) AS c
+                 FROM documents GROUP BY 1),
+          lt AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                        CAST(count(*) AS BIGINT) AS k FROM lc),
+          la AS (SELECT 'lang' AS axis, lt.n AS n_docs, lt.k AS k,
+                        CAST(sum(c * CAST(floor(
+                          ln(CAST(lt.n AS DOUBLE)/CAST(c AS DOUBLE))*1000000
+                          + 0.5) AS BIGINT)) AS BIGINT) AS si
+                 FROM lc, lt GROUP BY lt.n, lt.k),
+          u AS (SELECT * FROM sa UNION ALL SELECT * FROM la)
+          SELECT axis, n_docs, k,
+                 floor(CAST(si AS DOUBLE)/CAST(n_docs AS DOUBLE)/1000000.0
+                       *10000 + 0.5)/10000.0 AS entropy,
+                 CASE WHEN k > 1 THEN
+                   floor(CAST(si AS DOUBLE)/CAST(n_docs AS DOUBLE)
+                         /floor(ln(CAST(k AS DOUBLE))*1000000 + 0.5)
+                         *10000 + 0.5)/10000.0
+                 END AS evenness
+          FROM u ORDER BY axis""",
     "agg_corr_matrix" ->
       """WITH c AS (SELECT CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qty,
                            CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price,

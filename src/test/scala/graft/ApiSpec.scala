@@ -363,6 +363,34 @@ class ApiSpec extends AnyFunSuite {
     assert(sim.toSeq == Seq(("c1", "c2", 1.0)), s"got ${sim.toSeq}")
   }
 
+  test("graph facade: kcore peels the chain, keeps the clique") {
+    import spark.implicits._
+    // path 1-2-3 peels away entirely; K4 {10..13} is a 3-core (all deg 3)
+    val k4 = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val e = (Seq((1L, 2L), (2L, 3L)) ++ k4).toDF("x", "y")
+    val c2 = graft.api.Graft.kcore(e, "x", "y").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c2 == (10L to 13L).map(_ -> 3L).toMap, s"got $c2")
+    // raising k above the clique degree empties the core
+    assert(graft.api.Graft.kcore(e, "x", "y", k = 4).count() == 0L)
+  }
+
+  test("Graft.entropyBalance: uniform axis scores ln(k), single axis 0") {
+    import spark.implicits._
+    // 4 values x 25 rows: H = ln 4, evenness = 1
+    val u = (0 until 100).map(i => ("v" + i % 4)).toDF("src")
+    val r = graft.api.Graft.entropyBalance(u, "src").head()
+    assert(r.getString(0) == "src" && r.getLong(1) == 100L &&
+      r.getLong(2) == 4L)
+    assert(r.getDouble(3) == math.floor(
+      math.floor(math.log(4.0) * 1e6 + 0.5) / 1e6 * 1e4 + 0.5) / 1e4)
+    assert(r.getDouble(4) == 1.0, s"uniform evenness must be 1: $r")
+    // one value: H = 0, evenness NULL (ln 1 = 0)
+    val one = Seq("a", "a", "a").toDF("src")
+    val r1 = graft.api.Graft.entropyBalance(one, "src").head()
+    assert(r1.getDouble(3) == 0.0 && r1.isNullAt(4))
+  }
+
   test("Graft.ksDrift: 0 on identical samples, 1 on disjoint ones") {
     import spark.implicits._
     // identical distributions → every cumA*nB == cumB*nA → KS = 0

@@ -72,7 +72,7 @@ class SmokeSpec extends AnyFunSuite {
     // sf0.001's (event_type, minute) co-occurrence graph has zero edges
     "graph_common_neighbors", "graph_degree_distribution",
     "graph_shortest_paths", "graph_label_propagation",
-    "graph_resource_allocation")
+    "graph_resource_allocation", "graph_kcore")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"smoke: $name") {

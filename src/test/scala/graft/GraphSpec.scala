@@ -107,6 +107,25 @@ class GraphSpec extends AnyFunSuite {
     assert(rd.getLong(3) > 0L, "fixture graph should contain triangles")
   }
 
+  test("graph_kcore: pendant chains peel away, the triangle survives") {
+    import spark.implicits._
+    // path 1-2-3-4-5 fully peels within 3 rounds (endpoints first, then
+    // inward); the triangle's nodes hold degree 2 through every round
+    val e = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (10L, 12L), (11L, 12L))).toDF("a", "b")
+    val core = graft.ops.Graph.kcoreCore(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(10L -> 2L, 11L -> 2L, 12L -> 2L), s"got $core")
+    // the registered 5-round prefix has reached the fixpoint on the
+    // fixture graph: one more peel round changes nothing
+    val q5 = q("graph_kcore").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q6 = graft.ops.Graph.kcoreCore(
+        graft.ops.Graph.coocEdges(spark, sf), 2, 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q5 == q6, "5-round peel has not converged on the fixture")
+  }
+
   test("graph_degree_distribution is consistent with the triangle census") {
     val census = q("graph_triangle_count").head()
     val dist = q("graph_degree_distribution").collect()

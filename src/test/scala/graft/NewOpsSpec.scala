@@ -102,6 +102,29 @@ class NewOpsSpec extends AnyFunSuite {
     assert(rows.head.getLong(3) == 1000000L * num / (nd * cs.sum))
   }
 
+  test("agg_entropy_balance: plain-Scala recompute; evenness bounded") {
+    val rows = q("agg_entropy_balance").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("lang", "source"))
+    rows.foreach { r =>
+      val (axis, n, k, h) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-4,
+        s"$axis entropy above ln(k): $r")
+      if (!r.isNullAt(4)) {
+        val ev = r.getDouble(4)
+        assert(ev >= 0.0 && ev <= 1.0 + 1e-4, s"$axis evenness range: $r")
+      }
+      // independent recompute of the scaled-integer weighted sum
+      val cs = spark.read.parquet(s"$sf/documents.parquet")
+        .groupBy(axis).count().collect().map(_.getLong(1))
+      assert(k == cs.length.toLong && n == cs.sum)
+      val si = cs.map(c =>
+        c * math.floor(math.log(n.toDouble / c) * 1e6 + 0.5).toLong).sum
+      val exp = math.floor(si.toDouble / n / 1e6 * 10000 + 0.5) / 10000
+      assert(h == exp, s"$axis: op $h vs scala $exp")
+    }
+  }
+
   test("pipeline_token_budget: per-lang prefix under budget, nothing skipped") {
     val rows = q("pipeline_token_budget").collect()
     assert(rows.nonEmpty)

@@ -33,7 +33,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "agg_ks_drift", "dedup_containment",
     // round 7d: dataset-audit tier — exact-integer stats + keyed windows
     "agg_chi2_independence", "agg_gini_concentration",
-    "pipeline_token_budget", "text_source_similarity")
+    "pipeline_token_budget", "text_source_similarity",
+    // round 8: scaled-integer entropy sum + iterative peel joins
+    "agg_entropy_balance", "graph_kcore")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
