@@ -1029,6 +1029,63 @@ object TextDedup {
       .orderBy("qid", "rank")
   }
 
+  /** Exact FILTERED top-k: each query's neighbors restricted to corpus
+    * vectors whose metadata (`label`) matches the query's own — the
+    * predicate-constrained vector search every retrieval stack serves
+    * ("top-k among docs with lang=X / license=Y": FAISS IDSelector,
+    * qdrant/pgvector filters). Brute-force label-equi-join by design: the
+    * recall oracle for sim_ann_filtered, DuckDB-replayed. Note the join IS
+    * the filter — an equi-join on the label key, so even this exact path
+    * shuffles only same-label pairs, never the full cross product. */
+  private val simFilteredTopk: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    e.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", cosineGen(s)(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"),
+        r4(col("cos_raw")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Filtered ANN — sim_filtered_topk's scale path: the IVF top-2-probe
+    * search with the metadata predicate applied to the inverted lists
+    * BEFORE candidate scoring (PRE-filtering, the FAISS-IDSelector shape:
+    * the predicate shrinks the candidate set going into the ranker,
+    * instead of post-filtering a top-k that a selective predicate would
+    * starve below k). Candidates = same probed cell AND same label — both
+    * ride the one equi-join, so per-query work ∝ matching list occupancy.
+    * Self-verified: AnnFilteredSpec checks label purity, rank contract,
+    * and overlap against the exact filtered oracle. */
+  private val simAnnFiltered: Q = (s, d) => {
+    val K = 8; val Iters = 3; val Dim = 64
+    val e = tbl(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint(true)
+    val top2U = ivfTop2(ivfTrain(e, K, Iters, Dim), Dim)
+    val lists = e
+      .withColumn("cid", element_at(top2U(col("embedding")), 1))
+      .select("vec_id", "embedding", "label", "cid")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"),
+        explode(top2U(col("embedding"))).as("cid"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    lists.join(q, Seq("cid"))
+      .where(col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", cosineGen(s)(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("vec_id"), col("label"),
+        r4(col("cos_raw")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Approximate NN via random-hyperplane LSH: 4 independent 8-bit hash
     * tables (32 planes, seed 42); a candidate shares ANY table's bucket with
     * the query (multi-table OR-probing — the standard recall lever). Bucket
@@ -2283,6 +2340,8 @@ object TextDedup {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
     "sim_cosine_topk" -> simCosineTopk,
+    "sim_filtered_topk" -> simFilteredTopk,
+    "sim_ann_filtered" -> simAnnFiltered,
     "sim_lsh_ann" -> simLshAnn,
     "sim_ivf_ann" -> simIvfAnn,
     "sim_pq_ann" -> simPqAnn,
@@ -2739,6 +2798,22 @@ object TextDedup {
                                        ORDER BY cos_raw DESC, vec_id ASC) AS rank
              FROM scored)
           SELECT qid, rank, vec_id, floor(cos_raw*10000 + 0.5)/10000.0 AS cos
+          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "sim_filtered_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+                     FROM embeddings WHERE vec_id < 10),
+           scored AS (
+             SELECT q.qid, e.vec_id, e.label,
+                    ${cosineSql("e.embedding", "q.qe")} AS cos_raw
+             FROM embeddings e JOIN q
+               ON e.label = q.qlabel AND e.vec_id <> q.qid),
+           ranked AS (
+             SELECT qid, vec_id, label, cos_raw,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY cos_raw DESC, vec_id ASC) AS rank
+             FROM scored)
+          SELECT qid, rank, vec_id, label,
+                 floor(cos_raw*10000 + 0.5)/10000.0 AS cos
           FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "text_zipf_fit" ->
       s"""WITH tok AS (

@@ -50,6 +50,7 @@ class SmokeSpec extends AnyFunSuite {
     "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",
     "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
     "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
+    "sim_ann_filtered", // AnnFilteredSpec: label purity + filtered recall
     "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late",
     "ts_dtw_distance") // TsToolkitSpec: plain-Scala DP recompute equality
 
@@ -1138,6 +1139,41 @@ class StreamingSpec extends AnyFunSuite {
       val overlap = ann.intersect(exact).size.toDouble / exact.size
       assert(overlap > 0.0, s"$name found no exact top-5 neighbors at all")
     }
+  }
+}
+
+/** Filtered vector search (sim_filtered_topk / sim_ann_filtered): the
+  * metadata predicate must hold on EVERY result row (pre-filter purity —
+  * a post-filtered top-k silently returns fewer than k under a selective
+  * predicate instead), ranks stay contiguous per query, and the ANN path
+  * overlaps the exact filtered oracle. */
+class AnnFilteredSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("sim_ann_filtered: label purity, rank contract, recall vs exact") {
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val exact = SparkEntry.queries("sim_filtered_topk")(spark, sf).collect()
+    assert(exact.nonEmpty)
+    exact.foreach { r =>
+      assert(labels(r.getLong(2)) == labels(r.getLong(0)),
+        s"exact row crosses labels: $r")
+    }
+    val ann = SparkEntry.queries("sim_ann_filtered")(spark, sf).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      assert(r.getInt(3) == labels(r.getLong(0)), s"ann row crosses labels: $r")
+      assert(labels(r.getLong(2)) == r.getInt(3))
+    }
+    ann.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq,
+        "ranks not contiguous from 1")
+    }
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val annSet = ann.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = annSet.intersect(exactSet).size.toDouble / exactSet.size
+    assert(overlap > 0.0, "filtered ANN found no exact filtered neighbor")
   }
 }
 
