@@ -369,6 +369,47 @@ object Relational {
       .orderBy("source")
   }
 
+  /** Mutual information between the two categorical corpus axes — chi2's
+    * information-theoretic twin (feature-selection / drift readout: "how
+    * many bits does knowing the crawl source tell you about language?").
+    * I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) folded as (1/n)·Σ o·li with
+    * li = floor(ln(n·o/(rt·ct))·1e6 + 0.5) per OBSERVED cell (zero cells
+    * contribute exactly 0 in the limit, so the observed-cells-only join is
+    * not an approximation, unlike chi2's dense grid). Scaled-integer ln
+    * posture (PLANS.md); the weighted sum is exact; one fact-scan pass for
+    * all three marginals, everything after is O(#cells). Also emits the
+    * normalized I/min(H(x),H(y)) uncertainty coefficient bound via the
+    * marginal entropies, same arithmetic. */
+  private val aggMutualInformation: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val obs = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
+    val ct = docs.groupBy(col("source")).agg(count(lit(1)).as("ct"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val cells = obs.join(rt, Seq("lang")).join(ct, Seq("source"))
+      .crossJoin(broadcast(n))
+    def ent(marg: DataFrame, cnt: String): DataFrame =
+      marg.crossJoin(broadcast(n))
+        .select((col(cnt) * floor(
+          log(col("n").cast("double") / col(cnt).cast("double")) * 1e6 + 0.5)
+          .cast("long")).as("t"))
+        .agg(sum(col("t")).as(s"h_$cnt"))
+    val mi = cells
+      .select(col("n"), (col("o") * floor(
+        log((col("n") * col("o")).cast("double") /
+          (col("rt") * col("ct")).cast("double")) * 1e6 + 0.5).cast("long"))
+        .as("t"))
+      .agg(max(col("n")).as("n_docs"), sum(col("t")).as("si"))
+    mi.crossJoin(broadcast(ent(rt, "rt"))).crossJoin(broadcast(ent(ct, "ct")))
+      .select(col("n_docs"),
+        r4(col("si").cast("double") / col("n_docs").cast("double") / 1e6)
+          .as("mi"),
+        when(least(col("h_rt"), col("h_ct")) > 0,
+          r4(col("si").cast("double") /
+            least(col("h_rt"), col("h_ct")).cast("double"))).as("mi_norm"))
+  }
+
   /** Shannon entropy + Pielou evenness of the document-count distribution
     * over each categorical corpus axis (source, lang) — the third leg of
     * the balance audit next to agg_gini_concentration (size skew) and
@@ -733,6 +774,7 @@ object Relational {
     "agg_chi2_independence" -> aggChi2Independence,
     "agg_gini_concentration" -> aggGiniConcentration,
     "agg_entropy_balance" -> aggEntropyBalance,
+    "agg_mutual_information" -> aggMutualInformation,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_percentile" -> aggPercentile,
     "agg_percentile_disc" -> aggPercentileDisc,
@@ -986,6 +1028,33 @@ object Relational {
                          *10000 + 0.5)/10000.0
                  END AS evenness
           FROM u ORDER BY axis""",
+    "agg_mutual_information" ->
+      """WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                      FROM documents GROUP BY 1, 2),
+          rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt
+                 FROM documents GROUP BY 1),
+          ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
+                 FROM documents GROUP BY 1),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          mi AS (SELECT max(n) AS n_docs,
+                        CAST(sum(o * CAST(floor(
+                          ln(CAST(n*o AS DOUBLE)/CAST(rt*ct AS DOUBLE))
+                          *1000000 + 0.5) AS BIGINT)) AS BIGINT) AS si
+                 FROM obs JOIN rt USING (lang) JOIN ct USING (source), nn),
+          hr AS (SELECT CAST(sum(rt * CAST(floor(
+                   ln(CAST(n AS DOUBLE)/CAST(rt AS DOUBLE))*1000000 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS h_rt FROM rt, nn),
+          hc AS (SELECT CAST(sum(ct * CAST(floor(
+                   ln(CAST(n AS DOUBLE)/CAST(ct AS DOUBLE))*1000000 + 0.5)
+                   AS BIGINT)) AS BIGINT) AS h_ct FROM ct, nn)
+          SELECT n_docs,
+                 floor(CAST(si AS DOUBLE)/CAST(n_docs AS DOUBLE)/1000000.0
+                       *10000 + 0.5)/10000.0 AS mi,
+                 CASE WHEN least(h_rt, h_ct) > 0 THEN
+                   floor(CAST(si AS DOUBLE)/CAST(least(h_rt, h_ct) AS DOUBLE)
+                         *10000 + 0.5)/10000.0
+                 END AS mi_norm
+          FROM mi, hr, hc""",
     "agg_corr_matrix" ->
       """WITH c AS (SELECT CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS qty,
                            CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price,

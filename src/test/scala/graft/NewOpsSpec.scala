@@ -125,6 +125,29 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_mutual_information: plain-Scala recompute; bounds hold") {
+    val r = q("agg_mutual_information").head()
+    val (n, mi) = (r.getLong(0), r.getDouble(1))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(n == docs.length.toLong)
+    val obs = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rt = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ct = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val si = obs.map { case ((l, s0), o) =>
+      o * math.floor(math.log((n * o).toDouble / (rt(l) * ct(s0))) * 1e6
+        + 0.5).toLong
+    }.sum
+    val exp = math.floor(si.toDouble / n / 1e6 * 1e4 + 0.5) / 1e4
+    assert(mi == exp, s"op $mi vs scala $exp")
+    // I <= min(H(x), H(y)); normalized coefficient in [0, 1]
+    if (!r.isNullAt(2)) {
+      val miN = r.getDouble(2)
+      assert(miN >= -1e-4 && miN <= 1.0 + 1e-4, s"mi_norm out of range: $r")
+    }
+  }
+
   test("pipeline_token_budget: per-lang prefix under budget, nothing skipped") {
     val rows = q("pipeline_token_budget").collect()
     assert(rows.nonEmpty)

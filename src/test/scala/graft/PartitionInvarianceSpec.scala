@@ -34,8 +34,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 7d: dataset-audit tier — exact-integer stats + keyed windows
     "agg_chi2_independence", "agg_gini_concentration",
     "pipeline_token_budget", "text_source_similarity",
-    // round 8: scaled-integer entropy sum + iterative peel joins
-    "agg_entropy_balance", "graph_kcore")
+    // round 8: scaled-integer entropy/MI sums + iterative peel joins
+    "agg_entropy_balance", "graph_kcore", "agg_mutual_information")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
