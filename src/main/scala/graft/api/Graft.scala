@@ -277,6 +277,21 @@ object Graft {
     graft.ops.Relational.entropyAxisCore(
       df.select(col(axis).as("v")), axis)
 
+  /** Predicate-constrained exact vector search (FAISS IDSelector /
+    * qdrant-filter shape): for each row of `queries`, the top-k
+    * cosine neighbors among `corpus` rows sharing its `key` value —
+    * "top-k among docs with lang=X". The filter IS the join (a key
+    * equi-join: only matching pairs ever shuffle, never the cross
+    * product); queries must be driver-bounded (they broadcast). Output
+    * (qid, rank, vec_id, label, cos); self-matches by id are excluded. */
+  def filteredTopk(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, key: String, k: Int = 5): DataFrame = {
+    def norm(df: DataFrame) = df.select(col(id).cast("long").as("vec_id"),
+      col(vec).as("embedding"), col(key).as("label"))
+    graft.ops.TextDedup.simFilteredTopkCore(corpus.sparkSession,
+      norm(corpus), norm(queries), k)
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift between the rows where `arm` is
     * true and the rest, over the cents-binned ECDF of `value` — the
     * distribution-shift gate between data snapshots. Returns one row

@@ -1039,15 +1039,21 @@ object TextDedup {
     * shuffles only same-label pairs, never the full cross product. */
   private val simFilteredTopk: Q = (s, d) => {
     val e = tbl(s, d, "embeddings")
-    val q = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("label").as("qlabel"))
+    simFilteredTopkCore(s, e, e.where(col("vec_id") < 10), 5)
+  }
+  /** Shared by the registry query and Graft.filteredTopk: both frames
+    * carry (vec_id, embedding, label); queries are assumed driver-bounded
+    * (they broadcast). */
+  private[graft] def simFilteredTopkCore(s: SparkSession, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("label").as("qlabel"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
-    e.join(broadcast(q),
+    corpus.join(broadcast(q),
         col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
       .withColumn("cos_raw", cosineGen(s)(col("embedding"), col("qe")))
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+      .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("vec_id"), col("label"),
         r4(col("cos_raw")).as("cos"))
       .orderBy("qid", "rank")

@@ -391,6 +391,22 @@ class ApiSpec extends AnyFunSuite {
     assert(r1.getDouble(3) == 0.0 && r1.isNullAt(4))
   }
 
+  test("Graft.filteredTopk: neighbors restricted to the key group") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f), "en"), (2L, Array(0.9f, 0.1f, 0f), "en"),
+      (3L, Array(1f, 0f, 0f), "de"), (4L, Array(0f, 1f, 0f), "en"))
+      .toDF("id", "emb", "lang")
+    val q = corpus.where(col("id") === 1L)
+    val r = graft.api.Graft.filteredTopk(corpus, q, "id", "emb", "lang", k = 2)
+      .collect()
+    // doc 3 is the identical vector but lives in 'de' — the filter drops
+    // it; doc 2 (cos .9939) then doc 4 (cos 0) fill the k=2 window
+    assert(r.map(_.getLong(2)).toSeq == Seq(2L, 4L), s"got ${r.toSeq}")
+    assert(r.forall(_.getString(3) == "en"))
+    assert(r.map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
   test("Graft.ksDrift: 0 on identical samples, 1 on disjoint ones") {
     import spark.implicits._
     // identical distributions → every cumA*nB == cumB*nA → KS = 0
