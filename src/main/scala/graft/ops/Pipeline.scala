@@ -423,6 +423,34 @@ object Pipeline {
   private val pipelinePerplexityGate: Q = (s, d) =>
     perplexityGateCore(tbl(s, d, "documents"))
 
+  /** Quality-cascade ablation report — the tuning readout every filter
+    * cascade needs before shipping a threshold change: each gate's
+    * MARGINAL rejections (docs only IT would remove), the overlap both
+    * gates agree on, and the surviving fraction. A gate whose rejections
+    * are all overlap is redundant; one with a large unique share is doing
+    * real work (the Gopher/Dolma papers report exactly this table).
+    * Composes the two per-doc verdict frames by doc_id equi-join and
+    * folds to ONE row of exact integer counts — at 100 TB the verdict
+    * frames are the gates' own partial+final aggregates (each ∝ corpus
+    * tokens, shared scan if cached) and the ablation join/agg is per-doc
+    * then single-row. */
+  private val pipelineQualityAblation: Q = (s, d) => {
+    val g = gopherRulesCore(tbl(s, d, "documents"))
+      .select(col("doc_id"), col("keep").as("kg"))
+    val p = perplexityGateCore(tbl(s, d, "documents"))
+      .select(col("doc_id"), col("keep").as("kp"))
+    g.join(p, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("kg") && col("kp"), 1L).otherwise(0L))
+          .as("gopher_only"),
+        sum(when(col("kg") && !col("kp"), 1L).otherwise(0L)).as("ppl_only"),
+        sum(when(!col("kg") && !col("kp"), 1L).otherwise(0L))
+          .as("both_gates"),
+        sum(when(col("kg") && col("kp"), 1L).otherwise(0L)).as("kept"))
+      .withColumn("kept_frac",
+        r4(col("kept").cast("double") / col("n_docs").cast("double")))
+  }
+
   /** PII scrubbing (the Dolma/C4 redaction pass): regex-replace sensitive
     * spans with typed placeholder tags and count what was redacted, so the
     * pipeline can audit redaction rates per source. Demonstrated on
@@ -530,6 +558,7 @@ object Pipeline {
     "pipeline_curriculum" -> pipelineCurriculum,
     "pipeline_shard_assign" -> pipelineShardAssign,
     "pipeline_gopher_rules" -> pipelineGopherRules,
+    "pipeline_quality_ablation" -> pipelineQualityAblation,
     "pipeline_perplexity_gate" -> pipelinePerplexityGate,
     "pipeline_pii_scrub" -> pipelinePiiScrub,
     "pipeline_domain_classifier" -> pipelineDomainClassifier,
@@ -623,6 +652,42 @@ object Pipeline {
                  (si >= 3395000 * n_tokens AND si <= 3410000 * n_tokens)
                    AS keep
           FROM per ORDER BY doc_id""",
+    "pipeline_quality_ablation" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest(string_split($normSql, ' ')) AS t
+            FROM documents),
+          tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+          g AS (SELECT doc_id,
+                       (sum(c) BETWEEN 20 AND 1000
+                        AND sum(c * len(t)) >= sum(c) * 2
+                        AND sum(c * len(t)) <= sum(c) * 5
+                        AND sum(CASE WHEN t IN ('the','a','and','of','to')
+                                THEN c ELSE 0 END) >= 2
+                        AND max(c) * 10 <= sum(c)) AS kg
+                FROM tc GROUP BY 1),
+          cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+          j AS (SELECT tc.doc_id, tc.c AS dc,
+                       CAST(floor(ln(CAST(nn AS DOUBLE)/CAST(cnt.c AS DOUBLE))
+                                  * 1e6 + 0.5) AS BIGINT) AS li
+                FROM tc JOIN cnt USING (t), tot),
+          p AS (SELECT doc_id,
+                       (sum(dc * li) >= 3395000 * sum(dc)
+                        AND sum(dc * li) <= 3410000 * sum(dc)) AS kp
+                FROM j GROUP BY 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN NOT kg AND kp THEN 1 ELSE 0 END)
+                      AS BIGINT) AS gopher_only,
+                 CAST(sum(CASE WHEN kg AND NOT kp THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ppl_only,
+                 CAST(sum(CASE WHEN NOT kg AND NOT kp THEN 1 ELSE 0 END)
+                      AS BIGINT) AS both_gates,
+                 CAST(sum(CASE WHEN kg AND kp THEN 1 ELSE 0 END)
+                      AS BIGINT) AS kept,
+                 floor(CAST(sum(CASE WHEN kg AND kp THEN 1 ELSE 0 END)
+                            AS DOUBLE)/CAST(count(*) AS DOUBLE)
+                       *10000 + 0.5)/10000.0 AS kept_frac
+          FROM g JOIN p USING (doc_id)""",
     "pipeline_pii_scrub" ->
       s"""SELECT event_id,
                  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)

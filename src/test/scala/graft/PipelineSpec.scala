@@ -11,6 +11,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineSpec extends AnyFunSuite {
   import TestSession._
 
+  test("pipeline_quality_ablation: cells recompute from the two gates") {
+    val r = SparkEntry.queries("pipeline_quality_ablation")(spark, sf).head()
+    val kg = SparkEntry.queries("pipeline_gopher_rules")(spark, sf).collect()
+      .map(x => x.getLong(0) -> x.getAs[Boolean]("keep")).toMap
+    val kp = SparkEntry.queries("pipeline_perplexity_gate")(spark, sf)
+      .collect().map(x => x.getLong(0) -> x.getAs[Boolean]("keep")).toMap
+    assert(kg.keySet == kp.keySet)
+    val cells = kg.keys.toSeq.map(id => (kg(id), kp(id)))
+    assert(r.getLong(0) == cells.length.toLong)
+    assert(r.getLong(1) == cells.count { case (g, p) => !g && p }.toLong,
+      "gopher-only cell")
+    assert(r.getLong(2) == cells.count { case (g, p) => g && !p }.toLong,
+      "ppl-only cell")
+    assert(r.getLong(3) == cells.count { case (g, p) => !g && !p }.toLong,
+      "both-gates cell")
+    assert(r.getLong(4) == cells.count { case (g, p) => g && p }.toLong)
+    // the four cells partition the corpus
+    assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) ==
+      r.getLong(0))
+  }
+
   test("split_group_hash is leakage-free: every user in exactly one split") {
     // Recompute the per-user split assignment the query is built on and
     // assert it is a function of user_id alone.
