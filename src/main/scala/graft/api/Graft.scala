@@ -253,6 +253,69 @@ object Graft {
       .select(col("x").as("node_a"), col("y").as("node_b"),
         col("ra_scaled"), col("n_common"))
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over an undirected
+    * (a, b) edge frame: for each non-adjacent pair, Σ 1/ln(deg) over
+    * shared neighbors as a 1e12-scaled integer (aa_scaled; ln rides the
+    * 1e6-scaled-integer step, PLANS.md posture). Logarithmic hub damping —
+    * between commonNeighbors' none and resourceAllocation's 1/deg.
+    * Unranked, like resourceAllocation — compose with a TakeOrdered. */
+  def adamicAdar(edges: DataFrame, a: String, b: String): DataFrame =
+    graft.ops.Graph.aaCore(
+        edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")))
+      .select(col("x").as("node_a"), col("y").as("node_b"),
+        col("aa_scaled"), col("n_common"))
+
+  /** Okapi BM25 keyword retrieval (k1 = 1.2, b = 0.75): top-`k` documents
+    * for a term set, scored with scaled-integer idf and exact per-document
+    * integer score sums (bit-stable at any partitioning). One filtered
+    * corpus scan + broadcast stats — no index build needed for batch
+    * scoring; pair with invertedIndex for the serving-side structure. */
+  def bm25Search(df: DataFrame, id: String, text: String,
+      terms: Seq[String]): DataFrame =
+    graft.ops.Curation.bm25Core(
+      df.select(col(id).cast("long").as("doc_id"), col(text).as("text")),
+      terms)
+
+  /** DSIR importance weights (Xie et al. 2023): rank documents by
+    * log p_target − log p_raw under add-1-smoothed hashed-unigram LMs
+    * (256 portable hash buckets), target = the rows whose `lang` equals
+    * `targetLang`. Top-25 most target-like documents with their scaled
+    * log-weights — the resampling pool for target-domain curation. */
+  def dsirWeights(df: DataFrame, id: String, text: String, lang: String,
+      targetLang: String): DataFrame =
+    graft.ops.Curation.dsirCore(
+      df.select(col(id).cast("long").as("doc_id"), col(lang).as("lang"),
+        col(text).as("text")),
+      targetLang)
+
+  /** Temperature-scaled source mixing (α < 1 upsamples tail sources —
+    * the Conneau & Lample 2019 multilingual sampling rule): per source,
+    * token share p, normalized mixing weight ∝ p^α, and the boost q/p a
+    * data loader applies. Exact-integer normalization (the Σ q_t
+    * denominator cannot drift with aggregation order). */
+  def mixTemperature(df: DataFrame, source: String, text: String,
+      alpha: Double = 0.3): DataFrame =
+    graft.ops.Curation.mixTemperatureCore(
+      df.select(col(source).as("source"), col(text).as("text")), alpha)
+
+  /** Embedding covariance matrix (upper triangle, exact-integer moment
+    * sums over 1e4-scaled coordinates — bit-identical at any partition
+    * count). The anisotropy audit input for [[pcaSpectrum]]. */
+  def embeddingCovariance(df: DataFrame, id: String, vec: String): DataFrame =
+    graft.ops.Curation.covDisplay(graft.ops.Curation.covCore(
+      df.select(col(id).cast("long").as("vec_id"), col(vec).as("embedding"))))
+
+  /** PCA explained-variance spectrum of an embedding column: top-`topK`
+    * eigenvalues (×100, display-rounded) of the covariance matrix with
+    * explained-variance ratios. Distributed work is the exact-integer
+    * covariance; only the d×d matrix crosses to the driver for the Jacobi
+    * solve (the aggregate-then-solve-small split embed_kmeans uses). */
+  def pcaSpectrum(df: DataFrame, id: String, vec: String,
+      topK: Int = 10): DataFrame =
+    graft.ops.Curation.pcaCore(df.sparkSession,
+      df.select(col(id).cast("long").as("vec_id"), col(vec).as("embedding")),
+      topK)
+
   /** Bounded k-core peeling over an undirected edge frame (Montresor et
     * al.): `rounds` synchronous rounds of "drop nodes with degree < k,
     * restrict edges to survivors", returning (node, deg) for the surviving

@@ -1,0 +1,452 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus curation + retrieval scoring — the operators a training-data
+  * pipeline runs AFTER cleaning/dedup to decide what to keep, what to
+  * upsample, and how to find things in the corpus (SURVEY §2.9's scale
+  * mandate, BASELINE.json:6):
+  *
+  *  - `text_bm25_search`: BM25-ranked keyword retrieval (Robertson–Spärck
+  *    Jones probabilistic relevance, the Okapi BM25 formula) — the lexical
+  *    search every corpus-provenance / contamination-audit surface serves
+  *    next to the embedding ANN family.
+  *  - `pipeline_dsir_weights`: Data Selection via Importance Resampling
+  *    (Xie et al. 2023): per-document log importance weight between a
+  *    target-domain hashed-unigram LM and the raw-corpus LM — the
+  *    principled "pick raw documents that look like the target domain"
+  *    curation step.
+  *  - `pipeline_mix_temperature`: temperature-scaled source mixing
+  *    (the multilingual-sampling rule of Conneau & Lample 2019, α < 1
+  *    upsamples the tail) — turns per-source token shares into the
+  *    sampling weights a data loader consumes.
+  *  - `embed_covariance` / `embed_pca_variance`: the embedding-space
+  *    covariance spectrum (explained-variance PCA audit) — the collapse /
+  *    anisotropy check run before trusting an embedding column for
+  *    semantic dedup or ANN.
+  *
+  * Determinism contract (Canon rules): every cross-engine number is either
+  * an exact integer aggregate or a pure IEEE expression over exact
+  * integers, with ln/pow appearing only through the 1e6-scaled-integer
+  * `li` step or a scaled `floor(pow·1e9 + 0.5)` — the accepted last-ulp
+  * posture documented in PLANS.md (text_entropy / sample_weighted
+  * precedent). Float SUMS never cross an engine boundary: per-term BM25
+  * partials, DSIR per-bucket contributions, covariance products, and
+  * temperature weights are all summed as BIGINTs.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+  import TextDedup.{normText, normSql, toks}
+
+  /** 1e6-scaled natural log of a positive value — exact-integer carrier
+    * for log-linear scores (same accepted ln last-ulp risk as
+    * text_unigram_logprob; PLANS.md). */
+  private def li(c: Column): Column =
+    floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+  private def liSql(x: String): String =
+    s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+
+  // ------------------------------------------------------------ BM25 search
+  /** The fixed search query the registry entry scores (three corpus terms
+    * with distinct document frequencies). `Graft.bm25Search` takes any
+    * term set; the oracle needs a literal. */
+  private val QueryTerms = Seq("hash", "join", "stream")
+
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) top-15 for a fixed 3-term query.
+    *
+    * score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale shape: ONE corpus scan; the explode is filtered to the query
+    * terms BEFORE the (doc, term) aggregate, so shuffled volume is ∝
+    * matching postings, not corpus tokens; df and the (N, total-token)
+    * stats are tiny broadcast frames; top-15 is a TakeOrdered. This is the
+    * sharded term-at-a-time plan a distributed BM25 serves — no inverted
+    * index materialization needed for batch scoring (text_inverted_index
+    * covers the index itself).
+    *
+    * Determinism: idf rides as a 1e6-scaled integer; the per-term fraction
+    * is a fixed-shape IEEE expression over exact integers (products and
+    * divisions are correctly rounded, so identical operand order ⇒
+    * identical doubles on both engines); each per-term score is floored
+    * back to a scaled BIGINT so the per-document SUM is exact-integer —
+    * float addition order never matters. */
+  private[graft] def bm25Core(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(normText).as("tk"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("tk")).cast("long")).as("n_tokens"))
+    val tf = base
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("n_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf_s",
+        floor(log((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)) + lit(1.0)) * 1e6 + 0.5)
+          .cast("long"))
+      .withColumn("frac",
+        (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("sc",
+        floor(col("idf_s").cast("double") * col("frac") + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sc")).as("score_scaled"), count(lit(1)).as("n_terms"))
+      .withColumn("bm25", r4(col("score_scaled").cast("double") / 1e6))
+      .orderBy(desc("score_scaled"), asc("doc_id")).limit(15)
+      .select(col("doc_id"), col("n_terms"), col("bm25"))
+  }
+  private val textBm25Search: Q = (s, d) =>
+    bm25Core(tbl(s, d, "documents"), QueryTerms)
+
+  // ----------------------------------------------------------- DSIR weights
+  /** Portable hashed-feature bucket for a TERM (string): degree-7
+    * polynomial over the codepoints of the first 8 chars (space-padded),
+    * mod 256 — the cross-engine stand-in for `xxhash64(term) % B` (DuckDB
+    * cannot replay xxhash64; hbucket only takes integer keys). Collisions
+    * are the POINT: DSIR's hashed n-gram models bound the model at B
+    * buckets regardless of vocabulary size. Max value 127·Σ31^i < 2^63. */
+  private val P31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+    887503681L, 27512614111L)
+  private def tbucket(c: Column): Column = {
+    val p = rpad(c, 8, " ")
+    (1 to 8).map(i => ascii(substring(p, i, 1)).cast("long") * lit(P31(i - 1)))
+      .reduce(_ + _) % 256
+  }
+  private def tbucketSql(t: String): String = {
+    val terms = (1 to 8)
+      .map(i =>
+        s"CAST(ascii(substr(rpad($t, 8, ' '), $i, 1)) AS BIGINT) * ${P31(i - 1)}")
+      .mkString(" + ")
+    s"($terms) % 256"
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw documents by
+    * log p_target(doc) − log p_raw(doc) under add-1-smoothed
+    * hashed-unigram LMs (B = 256 buckets; target = the `en` slice). Top-25
+    * most target-like documents, the selection DSIR resamples from.
+    *
+    * log w(doc) = Σ_b n_doc(b)·[ln(ct(b)+1) − ln(cr(b)+1)]
+    *              + n_toks·[ln(Nr+B) − ln(Nt+B)]
+    *
+    * Scale shape: token→bucket is a map-side expression; the two LM tables
+    * are ≤ B rows (broadcast); the per-document weight is one equi-join on
+    * the bucket key plus an exact BIGINT aggregate keyed by doc — at
+    * 100 TB this is a narrow two-pass plan whose only wide state is 256
+    * rows. Determinism: both ln terms ride as 1e6-scaled integers (li);
+    * everything after is exact integer arithmetic. */
+  private[graft] def dsirCore(docs: DataFrame, targetLang: String): DataFrame = {
+    val B = 256
+    val dtoks = docs
+      .select(col("doc_id"), col("lang"), explode(toks(normText)).as("t"))
+      .withColumn("b", tbucket(col("t")))
+    val db = dtoks.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"))
+    val per = dtoks.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("n_db"))
+    val raw = dtoks.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = dtoks.where(col("lang") === targetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // raw is a superset of every bucket any document populates; a bucket
+    // the target never hits smooths to ct = 0 (add-1 ⇒ li(1) = 0)
+    val model = raw.join(tgt, Seq("b"), "left")
+      .withColumn("wt", li(coalesce(col("ct"), lit(0L)) + 1) - li(col("cr") + 1))
+      .select(col("b"), col("wt"))
+    val norms = raw.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+      .select((li(col("nr") + B) - li(col("nt") + B)).as("kadj"))
+    per.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_db") * col("wt")).as("wsum"))
+      .join(db, "doc_id")
+      .crossJoin(broadcast(norms))
+      .withColumn("logw_scaled", col("wsum") + col("n_toks") * col("kadj"))
+      .orderBy(desc("logw_scaled"), asc("doc_id")).limit(25)
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        r4(col("logw_scaled").cast("double") / 1e6).as("logw"))
+  }
+  private val pipelineDsirWeights: Q = (s, d) =>
+    dsirCore(tbl(s, d, "documents"), "en")
+
+  // ----------------------------------------------- temperature source mixing
+  /** Temperature-scaled source mixing (α = 0.3): q_s ∝ p_s^α where p_s is
+    * the source's token share — the sampling rule that upsamples tail
+    * sources (boost > 1) without flattening the mixture entirely. Output:
+    * per source, its token share, its mixing weight, and the resulting
+    * up/down-sampling boost q_s/p_s a data loader applies.
+    *
+    * Shape: one scan → per-source token agg (#sources rows), the rest is
+    * arithmetic on a broadcast-sized frame. Determinism: p_s is an exact
+    * int ratio; pow(p, 0.3) is one libm call (accepted last-ulp posture,
+    * PLANS.md pow/exp paragraph) floored to a 1e9-scaled BIGINT so the
+    * normalizing SUM is exact-integer — the Σ q_t denominator can never
+    * drift with aggregation order. */
+  private[graft] def mixTemperatureCore(docs: DataFrame, alpha: Double): DataFrame = {
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(size(toks(normText)).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
+    val ws = perSrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("ws",
+        floor(pow(col("p"), lit(alpha)) * 1e9 + 0.5).cast("long"))
+    val wtot = ws.agg(sum(col("ws")).as("wtot"))
+    ws.crossJoin(broadcast(wtot))
+      .withColumn("mix_weight", col("ws").cast("double") / col("wtot").cast("double"))
+      .select(col("source"), col("n_tokens"), r4(col("p")).as("p"),
+        r4(col("mix_weight")).as("mix_weight"),
+        r4(col("mix_weight") / col("p")).as("boost"))
+      .orderBy("source")
+  }
+  private val pipelineMixTemperature: Q = (s, d) =>
+    mixTemperatureCore(tbl(s, d, "documents"), 0.3)
+
+  // ------------------------------------------------------- embedding PCA
+  /** Exact-integer covariance sufficient statistics over the embedding
+    * column: per-coordinate sums Sx(i) and upper-triangle product sums
+    * Sxy(i,j) on 1e4-scaled BIGINT coordinates, plus n. cov(i,j) =
+    * (n·Sxy − Sx·Sy) / (n²·1e8) — every aggregate is an exact integer, so
+    * the matrix is bit-identical at any partitioning.
+    *
+    * Scale shape: the d(d+1)/2 products are generated MAP-SIDE per row
+    * (nested transform over the slice — no self-join, unlike the oracle's
+    * replay), then one partial-aggregated groupBy on (i,j): shuffled
+    * volume is ≤ #partitions·d², never n·d². Headroom: |x|≲4 scaled 1e4 ⇒
+    * products ≲ 1.6e9; BIGINT sums overflow only past ~5e9 rows — at that
+    * scale production switches the two sum aggregates to DECIMAL(38,0)
+    * (same plan, wider accumulator). */
+  private[graft] def covCore(e: DataFrame): DataFrame = {
+    val sc = e.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))")
+      .as("xs"))
+    val n = sc.agg(count(lit(1)).as("n"))
+    val sums = sc.select(posexplode(col("xs")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x")).as("sx"))
+    val pairs = sc.select(explode(expr(
+      """flatten(transform(xs, (x, i) ->
+           transform(slice(xs, i + 1, size(xs) - i), (y, k) ->
+             named_struct('i', i, 'j', i + k, 'p', x * y))))""")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("sxy"))
+    pairs
+      .join(sums.select(col("i"), col("sx").as("sxi")), "i")
+      .join(sums.select(col("i").as("j"), col("sx").as("sxj")), "j")
+      .crossJoin(broadcast(n))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        (col("n") * col("sxy") - col("sxi") * col("sxj")).as("num"), col("n"))
+  }
+  /** Display projection over covCore's exact-integer moments. */
+  private[graft] def covDisplay(m: DataFrame): DataFrame =
+    m.select(col("i"), col("j"),
+        r4(col("num").cast("double")
+          / (col("n").cast("double") * col("n").cast("double")) / lit(1.0e8))
+          .as("cov"))
+      .orderBy("i", "j")
+  private val embedCovariance: Q = (s, d) =>
+    covDisplay(covCore(tbl(s, d, "embeddings")))
+
+  /** Cyclic Jacobi eigensolver for a symmetric d×d matrix (textbook
+    * rotation sweep; Golub & Van Loan §8.5). Deterministic: fixed sweep
+    * order, fixed convergence threshold, driver-side over d² doubles. */
+  private[graft] def jacobiEigenvalues(a0: Array[Array[Double]]): Array[Double] = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // θ = 0 (equal diagonal) still needs the full 45° rotation —
+            // signum(0) = 0 would silently skip it and never converge
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - sn * akq
+              a(k)(q) = sn * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - sn * aqk
+              a(q)(k) = sn * apk + c * aqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { off = math.max(off, math.abs(a(i)(j))); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    (0 until d).map(i => a(i)(i)).sortBy(-_).toArray
+  }
+
+  /** PCA explained-variance spectrum of the embedding column: top-10
+    * eigenvalues of the covariance matrix with explained-variance ratios —
+    * the anisotropy / effective-dimension audit (an embedding table whose
+    * first component eats most of the variance is collapsed; ANN recall
+    * and semantic dedup both degrade).
+    *
+    * The distributed work is exactly covCore (exact-integer sufficient
+    * statistics); only the d×d matrix (bounded: d = 64 here, d² doubles)
+    * crosses to the driver for the Jacobi solve — the same
+    * "aggregate-then-solve-small" split embed_kmeans uses. Self-verified
+    * (CurationSpec): Σλ = trace, λ descending and ≥ 0 (PSD), top-λ matches
+    * an independent power-iteration estimate. No DuckDB oracle — the
+    * rotation sweep is not SQL-expressible; the covariance INPUT is the
+    * oracle-checked embed_covariance. */
+  private val embedPcaVariance: Q = (s, d) =>
+    pcaCore(s, tbl(s, d, "embeddings"), 10)
+  private[graft] def pcaCore(s: SparkSession, e: DataFrame, topK: Int): DataFrame = {
+    val rows = covCore(e).collect()
+    val dim = rows.map(_.getLong(1)).max.toInt + 1
+    val cov = Array.ofDim[Double](dim, dim)
+    var n = 1L
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      n = r.getLong(3)
+      val v = r.getLong(2).toDouble / (n.toDouble * n.toDouble) / 1.0e8
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    val ev = jacobiEigenvalues(cov)
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val cums = ev.scanLeft(0.0)(_ + _).drop(1)
+    val out = ev.zip(cums).zipWithIndex.take(topK).map { case ((l, c), idx) =>
+      (idx + 1, l, l / trace, c / trace)
+    }
+    import s.implicits._
+    out.toSeq.toDF("component", "eigenvalue", "evr", "cum_evr")
+      .select(col("component"), r4(col("eigenvalue") * 100).as("eigenvalue_x100"),
+        r4(col("evr")).as("evr"), r4(col("cum_evr")).as("cum_evr"))
+  }
+
+  // ------------------------------------------------------------- registry
+  val queries: Map[String, Q] = Map(
+    "text_bm25_search" -> textBm25Search,
+    "pipeline_dsir_weights" -> pipelineDsirWeights,
+    "pipeline_mix_temperature" -> pipelineMixTemperature,
+    "embed_covariance" -> embedCovariance,
+    "embed_pca_variance" -> embedPcaVariance,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25_search" ->
+      s"""WITH dcs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+          st AS (SELECT count(*) AS n_docs,
+                        CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM dcs),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                              unnest(tk) AS term FROM dcs)
+                 WHERE term IN ('hash', 'join', 'stream')
+                 GROUP BY 1, 2, 3),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT doc_id,
+                   CAST(floor(
+                     CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+                     * ((CAST(tf AS DOUBLE) * 2.2) /
+                        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                          (CAST(dl AS DOUBLE) /
+                           (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                     + 0.5) AS BIGINT) AS s
+                 FROM tf JOIN dfq USING (term), st),
+          agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_scaled,
+                         count(*) AS n_terms
+                  FROM sc GROUP BY 1)
+          SELECT doc_id, n_terms,
+                 floor(CAST(score_scaled AS DOUBLE) / 1000000.0 * 10000 + 0.5)
+                   / 10000.0 AS bm25
+          FROM agg ORDER BY score_scaled DESC, doc_id LIMIT 15""",
+    "pipeline_dsir_weights" ->
+      s"""WITH dt AS (
+            SELECT doc_id, lang, ${tbucketSql("term")} AS b
+            FROM (SELECT doc_id, lang, unnest(string_split($normSql, ' '))
+                    AS term FROM documents)),
+          db AS (SELECT doc_id, lang, count(*) AS n_toks FROM dt GROUP BY 1, 2),
+          per AS (SELECT doc_id, b, count(*) AS n_db FROM dt GROUP BY 1, 2),
+          raw AS (SELECT b, count(*) AS cr FROM dt GROUP BY 1),
+          tgt AS (SELECT b, count(*) AS ct FROM dt WHERE lang = 'en' GROUP BY 1),
+          model AS (SELECT raw.b,
+                           ${liSql("coalesce(ct, 0) + 1")} - ${liSql("cr + 1")} AS wt
+                    FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+          norms AS (SELECT ${liSql("nr + 256")} - ${liSql("nt + 256")} AS kadj
+                    FROM (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+                         (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt)),
+          w AS (SELECT per.doc_id, CAST(sum(n_db * wt) AS BIGINT) AS wsum
+                FROM per JOIN model ON per.b = model.b GROUP BY 1)
+          SELECT w.doc_id, lang, n_toks,
+                 floor(CAST(wsum + n_toks * kadj AS DOUBLE) / 1000000.0
+                   * 10000 + 0.5) / 10000.0 AS logw
+          FROM w JOIN db ON w.doc_id = db.doc_id, norms
+          ORDER BY wsum + n_toks * kadj DESC, w.doc_id LIMIT 25""",
+    "pipeline_mix_temperature" ->
+      s"""WITH src AS (
+            SELECT source,
+                   CAST(sum(len(string_split($normSql, ' '))) AS BIGINT)
+                     AS n_tokens
+            FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM src),
+          ws AS (SELECT source, n_tokens,
+                        CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS p,
+                        CAST(floor(pow(CAST(n_tokens AS DOUBLE)
+                            / CAST(tot AS DOUBLE), 0.3) * 1000000000 + 0.5)
+                          AS BIGINT) AS ws
+                 FROM src, tot),
+          wt AS (SELECT CAST(sum(ws) AS BIGINT) AS wtot FROM ws)
+          SELECT source, n_tokens,
+                 floor(p * 10000 + 0.5) / 10000.0 AS p,
+                 floor(CAST(ws AS DOUBLE) / CAST(wtot AS DOUBLE) * 10000 + 0.5)
+                   / 10000.0 AS mix_weight,
+                 floor(CAST(ws AS DOUBLE) / CAST(wtot AS DOUBLE) / p * 10000
+                   + 0.5) / 10000.0 AS boost
+          FROM ws, wt ORDER BY source""",
+    "embed_covariance" ->
+      """WITH sc AS (
+            SELECT vec_id, list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))
+                     AS xs
+            FROM embeddings),
+          e1 AS (SELECT vec_id, xs, unnest(range(0, len(xs))) AS i FROM sc),
+          sums AS (SELECT i, CAST(sum(xs[i+1]) AS BIGINT) AS sx
+                   FROM e1 GROUP BY 1),
+          pp AS (SELECT a.i AS i, b.i AS j,
+                        CAST(sum(a.xs[a.i+1] * a.xs[b.i+1]) AS BIGINT) AS sxy
+                 FROM e1 a JOIN e1 b
+                   ON a.vec_id = b.vec_id AND a.i <= b.i
+                 GROUP BY 1, 2),
+          n AS (SELECT count(*) AS n FROM sc)
+          SELECT pp.i, pp.j,
+                 floor(CAST(n.n * pp.sxy - s1.sx * s2.sx AS DOUBLE)
+                     / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE))
+                     / 100000000.0 * 10000 + 0.5) / 10000.0 AS cov
+          FROM pp JOIN sums s1 ON pp.i = s1.i
+                  JOIN sums s2 ON pp.j = s2.i, n
+          ORDER BY pp.i, pp.j""",
+  )
+}

@@ -222,8 +222,10 @@ object Graph {
     * anti-join removes existing edges, and top-20 is a TakeOrdered — no
     * global sort, nothing driver-sized. */
   private[graft] def raCore(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b")).localCheckpoint(true)
+    // canonicalize to a < b: the wedge pairs are emitted x < y, so the
+    // existing-edge anti-join silently misses any edge stored reversed
+    val e = edges.select(least(col("a"), col("b")).cast("long").as("a"),
+      greatest(col("a"), col("b")).cast("long").as("b")).localCheckpoint(true)
     val nbr = e.select(col("a").as("n"), col("b").as("m"))
       .unionAll(e.select(col("b").as("n"), col("a").as("m")))
     val deg = nbr.groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -246,6 +248,45 @@ object Graph {
       .orderBy(desc("ra_scaled"), asc("x"), asc("y")).limit(20)
       .select(col("x").as("user_a"), col("y").as("user_b"),
         col("ra_scaled"), col("n_common"))
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) — the third member of
+    * the classic trio next to common-neighbors and resource-allocation:
+    * AA(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/ln(deg z), damping shared hubs
+    * LOGARITHMICALLY (between CN's no-damping and RA's 1/deg). The weight
+    * runs as 10^12 div li(deg) where li = floor(ln(deg)·1e6+0.5) — one
+    * scaled-ln step then exact integer sums, the text_pmi_bigrams posture
+    * (accepted last-ulp risk, PLANS.md). Centers with deg = 1 are filtered
+    * BEFORE the wedge join: they cannot center a wedge anyway, and ln(1)=0
+    * would zero-divide — the filter makes that explicit on both engines.
+    * Scale shape is identical to raCore: one node-keyed weight join, one
+    * wedge equi-join on the shared-neighbor key, one anti-join, TakeOrdered
+    * top-20 — no global sort, nothing driver-sized. */
+  private[graft] def aaCore(edges: DataFrame): DataFrame = {
+    // canonical a < b, as raCore (anti-join correctness for any caller)
+    val e = edges.select(least(col("a"), col("b")).cast("long").as("a"),
+      greatest(col("a"), col("b")).cast("long").as("b")).localCheckpoint(true)
+    val nbr = e.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(e.select(col("b").as("n"), col("a").as("m")))
+    val deg = nbr.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val wdeg = deg.where(col("deg") >= 2)
+      .withColumn("li",
+        floor(log(col("deg").cast("double")) * 1e6 + 0.5).cast("long"))
+      .select(col("n").as("c"), expr("1000000000000 div li").as("w"))
+    val byC = nbr.select(col("m").as("c"), col("n").as("x")).join(wdeg, "c")
+    val wedges = byC
+      .join(byC.select(col("c"), col("x").as("y")), "c")
+      .where(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(sum(col("w")).as("aa_scaled"), count(lit(1)).as("n_common"))
+    wedges.join(e, wedges("x") === e("a") && wedges("y") === e("b"),
+      "left_anti")
+  }
+
+  private val graphAdamicAdar: Q = (s, d) =>
+    aaCore(coocEdges(s, d))
+      .orderBy(desc("aa_scaled"), asc("x"), asc("y")).limit(20)
+      .select(col("x").as("user_a"), col("y").as("user_b"),
+        col("aa_scaled"), col("n_common"))
 
   /** Bounded-hop BFS shortest paths from the lowest-id user over the
     * co-occurrence graph (hop limit 8 ≳ the fixture diameter 7): the
@@ -369,6 +410,7 @@ object Graph {
     "graph_degree_distribution" -> graphDegreeDistribution,
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_resource_allocation" -> graphResourceAllocation,
+    "graph_adamic_adar" -> graphAdamicAdar,
     "graph_kcore" -> graphKcore,
   )
 
@@ -542,6 +584,34 @@ object Graph {
                    WHERE e.a IS NULL)
           SELECT x AS user_a, y AS user_b, ra_scaled, n_common
           FROM miss ORDER BY ra_scaled DESC, x, y LIMIT 20""",
+    "graph_adamic_adar" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          nbr AS (SELECT a AS n, b AS m FROM e
+                  UNION ALL SELECT b, a FROM e),
+          deg AS (SELECT n, count(*) AS deg FROM nbr GROUP BY 1),
+          wdeg AS (SELECT n AS c,
+                          1000000000000
+                            // CAST(floor(ln(deg)*1000000 + 0.5) AS BIGINT)
+                            AS w
+                   FROM deg WHERE deg >= 2),
+          byc AS (SELECT nbr.m AS c, nbr.n AS x, w
+                  FROM nbr JOIN wdeg ON nbr.m = wdeg.c),
+          wdg AS (SELECT b1.x AS x, b2.x AS y,
+                         CAST(sum(b1.w) AS BIGINT) AS aa_scaled,
+                         count(*) AS n_common
+                  FROM byc b1 JOIN byc b2 ON b1.c = b2.c
+                  WHERE b1.x < b2.x GROUP BY 1, 2),
+          miss AS (SELECT wdg.* FROM wdg LEFT JOIN e
+                     ON wdg.x = e.a AND wdg.y = e.b
+                   WHERE e.a IS NULL)
+          SELECT x AS user_a, y AS user_b, aa_scaled, n_common
+          FROM miss ORDER BY aa_scaled DESC, x, y LIMIT 20""",
     "graph_common_neighbors" ->
       s"""WITH b AS (
             SELECT DISTINCT user_id AS u, event_type,

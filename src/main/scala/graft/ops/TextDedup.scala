@@ -20,31 +20,31 @@ object TextDedup {
   type Q = (SparkSession, String) => DataFrame
 
   /** Normalized text + token helpers. */
-  private val normText = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-  private def toks(c: Column): Column = split(c, " ")
+  private[ops] val normText = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+  private[ops] def toks(c: Column): Column = split(c, " ")
 
   /** Sequential-fold cosine similarity in doubles — bit-identical to the
     * DuckDB `list_sum(list_transform(list_zip(a,b), …))` formulation.
     * (DuckDB's native list_cosine_similarity accumulates in float32 and does
     * NOT match; measured 0.2085 vs 0.20845.) */
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-  private def cosine(a: Column, b: Column): Column =
+  private[ops] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Whole-stage-codegen'd cosine (CatalystExt.CosineSimilarity): identical
     * element-order double accumulation to the HOF `cosine` above — verified
     * bit-equal (CosineSpec) — but fused into generated Java instead of
     * interpreted per element. Used in every similarity hot path (§4.3). */
-  private def cosineGen(s: SparkSession)(a: Column, b: Column): Column = {
+  private[ops] def cosineGen(s: SparkSession)(a: Column, b: Column): Column = {
     graft.ext.CatalystExt.register(s)
     call_function("graft_cosine", a, b)
   }
 
-  private val cosSql =
+  private[ops] val cosSql =
     "list_sum(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
-  private def cosineSql(a: String, b: String): String =
+  private[ops] def cosineSql(a: String, b: String): String =
     s"${cosSql.format(a, b)} / (sqrt(${cosSql.format(a, a)}) * sqrt(${cosSql.format(b, b)}))"
 
   // -------------------------------------------------------------------- dedup
@@ -2382,7 +2382,7 @@ object TextDedup {
     "multimodal_frame_sample" -> multimodalFrameSample,
   )
 
-  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private[ops] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
     "text_readability" ->

@@ -422,6 +422,40 @@ class ApiSpec extends AnyFunSuite {
     assert(r1.getLong(2) == 1000000L && r1.getDouble(3) == 1.0)
   }
 
+  test("curation facade: bm25Search, dsirWeights, mixTemperature, " +
+    "adamicAdar, embeddingCovariance, pcaSpectrum ≡ their registry queries") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bm = graft.api.Graft.bm25Search(docs, "doc_id", "text",
+      Seq("hash", "join", "stream")).collect().map(_.toString)
+    assert(bm sameElements
+      SparkEntry.queries("text_bm25_search")(spark, sf).collect().map(_.toString))
+    val ds = graft.api.Graft.dsirWeights(docs, "doc_id", "text", "lang", "en")
+      .collect().map(_.toString)
+    assert(ds sameElements SparkEntry.queries("pipeline_dsir_weights")(spark, sf)
+      .collect().map(_.toString))
+    val mx = graft.api.Graft.mixTemperature(docs, "source", "text")
+      .collect().map(_.toString)
+    assert(mx sameElements SparkEntry.queries("pipeline_mix_temperature")(
+      spark, sf).collect().map(_.toString))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cv = graft.api.Graft.embeddingCovariance(emb, "vec_id", "embedding")
+      .collect().map(_.toString)
+    assert(cv sameElements SparkEntry.queries("embed_covariance")(spark, sf)
+      .collect().map(_.toString))
+    val pc = graft.api.Graft.pcaSpectrum(emb, "vec_id", "embedding")
+      .collect().map(_.toString)
+    assert(pc sameElements SparkEntry.queries("embed_pca_variance")(spark, sf)
+      .collect().map(_.toString))
+    // star 5—{1,2,3} + edge 1—2 (see CurationSpec hand trace)
+    import spark.implicits._
+    val aa = graft.api.Graft.adamicAdar(
+        Seq((5L, 1L), (5L, 2L), (5L, 3L), (1L, 2L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    val w5 = 1000000000000L / math.floor(math.log(3.0) * 1e6 + 0.5).toLong
+    assert(aa.toSeq == Seq((1L, 3L, w5, 1L), (2L, 3L, w5, 1L)))
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")

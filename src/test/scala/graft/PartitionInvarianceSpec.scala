@@ -35,7 +35,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "agg_chi2_independence", "agg_gini_concentration",
     "pipeline_token_budget", "text_source_similarity",
     // round 8: scaled-integer entropy/MI sums + iterative peel joins
-    "agg_entropy_balance", "graph_kcore", "agg_mutual_information")
+    "agg_entropy_balance", "graph_kcore", "agg_mutual_information",
+    // round 8b: curation tier — scaled-integer BM25/DSIR/temperature sums,
+    // exact-integer covariance moments, scaled-ln link-prediction weights
+    "text_bm25_search", "pipeline_dsir_weights", "pipeline_mix_temperature",
+    "embed_covariance", "embed_pca_variance", "graph_adamic_adar")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
