@@ -265,6 +265,30 @@ object Graft {
       .select(col("x").as("node_a"), col("y").as("node_b"),
         col("aa_scaled"), col("n_common"))
 
+  /** Jaccard-coefficient link prediction over an undirected (a, b) edge
+    * frame: nc / (deg_a + deg_b − nc) for non-adjacent pairs, carried as
+    * an exact integer rational (1e6-scaled) — no ln, no float, bit-exact
+    * ranking. Unranked; compose with a TakeOrdered. */
+  def jaccardLinkpred(edges: DataFrame, a: String, b: String): DataFrame =
+    graft.ops.Graph.jaccardLpCore(
+        edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")))
+      .select(col("x").as("node_a"), col("y").as("node_b"),
+        col("j_scaled"), col("n_common"))
+
+  /** MMR diversity re-ranking (Carbonell & Goldstein 1998): for each query
+    * row, greedily pick `k` of its top-`poolK` cosine candidates maximizing
+    * λ·sim(query,c) − (1−λ)·max sim(c, already-picked). The greedy loop is
+    * per-query over a bounded pool (one task); candidate generation is the
+    * distributed stage. Queries must be driver-bounded (they broadcast). */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, id: String,
+      vec: String, poolK: Int = 20, k: Int = 5,
+      lambda: Double = 0.7): DataFrame = {
+    def norm(df: DataFrame) = df.select(col(id).cast("long").as("vec_id"),
+      col(vec).as("embedding"))
+    graft.ops.Curation.mmrCore(corpus.sparkSession, norm(corpus),
+      norm(queries), poolK, k, lambda)
+  }
+
   /** Okapi BM25 keyword retrieval (k1 = 1.2, b = 0.75): top-`k` documents
     * for a term set, scored with scaled-integer idf and exact per-document
     * integer score sums (bit-stable at any partitioning). One filtered

@@ -345,6 +345,82 @@ object Curation {
         r4(col("evr")).as("evr"), r4(col("cum_evr")).as("cum_evr"))
   }
 
+  // ------------------------------------------------------- MMR re-ranking
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * from each query's top-`poolK` cosine candidates, greedily select `k`
+    * maximizing λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s) — the diversity
+    * re-rank every retrieval stack runs between ANN and serving, so the
+    * result set isn't k near-copies of the same document.
+    *
+    * Scale shape: the DISTRIBUTED work is candidate generation (here the
+    * exact top-poolK per query — in production the IVFADC path feeds this);
+    * the greedy loop runs per query over its own ≤ poolK candidates inside
+    * one task (a bounded-model UDF, the DTW/BPE posture — MMR is
+    * inherently sequential in k, so this is production's shape too: rerank
+    * always happens on the bounded pool, never the corpus). Candidates
+    * cross into the UDF as a sort_array'd struct list, so selection order
+    * is deterministic at any partitioning; ties break to the lower id. */
+  private[graft] def mmrCore(s: SparkSession, corpus: DataFrame,
+      queries: DataFrame, poolK: Int, k: Int, lambda: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    val pool = corpus.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", TextDedup.cosineGen(s)(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= poolK)
+    val agg = pool.groupBy(col("qid"), col("qe"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("cands"))
+    val mmr = udf((qe: Seq[Float], ids: Seq[Long], embs: Seq[Seq[Float]]) => {
+      def dot(a: Seq[Float], b: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      def cos(a: Seq[Float], b: Seq[Float]): Double =
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      val qsim = embs.map(cos(qe, _))
+      val n = ids.length
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+      var r = 1
+      while (r <= math.min(k, n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!selected.contains(i)) {
+            val div =
+              if (selected.isEmpty) 0.0
+              else selected.map(j => cos(embs(i), embs(j))).max
+            val sc = lambda * qsim(i) - (1 - lambda) * div
+            if (sc > bestScore ||
+                (sc == bestScore && (best == -1 || ids(i) < ids(best)))) {
+              best = i; bestScore = sc
+            }
+          }
+          i += 1
+        }
+        selected += best
+        out += ((r, ids(best), bestScore))
+        r += 1
+      }
+      out.toSeq
+    })
+    agg.select(col("qid"),
+        explode(mmr(col("qe"),
+          expr("transform(cands, c -> c.vec_id)"),
+          expr("transform(cands, c -> c.embedding)"))).as("sel"))
+      .select(col("qid"), col("sel._1").as("rank"), col("sel._2").as("vec_id"),
+        r4(col("sel._3")).as("mmr"))
+      .orderBy("qid", "rank")
+  }
+  private val embedMmrRerank: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    mmrCore(s, e, e.where(col("vec_id") < 3), poolK = 20, k = 5, lambda = 0.7)
+  }
+
   // ------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_bm25_search" -> textBm25Search,
@@ -352,6 +428,7 @@ object Curation {
     "pipeline_mix_temperature" -> pipelineMixTemperature,
     "embed_covariance" -> embedCovariance,
     "embed_pca_variance" -> embedPcaVariance,
+    "embed_mmr_rerank" -> embedMmrRerank,
   )
 
   val oracle: Map[String, String] = Map(

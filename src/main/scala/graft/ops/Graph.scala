@@ -288,6 +288,40 @@ object Graph {
       .select(col("x").as("user_a"), col("y").as("user_b"),
         col("aa_scaled"), col("n_common"))
 
+  /** Jaccard-coefficient link prediction — the fourth classic predictor
+    * (Liben-Nowell & Kleinberg's survey): J(x,y) = |Γx∩Γy| / |Γx∪Γy| =
+    * nc / (deg x + deg y − nc). Unlike AA/RA this needs NO ln at all —
+    * the score is an exact rational of three integers, carried as
+    * 1e6·nc div (dx+dy−nc), so the ranking is bit-exact on any engine.
+    * Same plan as commonNeighbors plus two broadcast-sized degree joins;
+    * top-20 TakeOrdered. */
+  private[graft] def jaccardLpCore(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("a"), col("b")).cast("long").as("a"),
+      greatest(col("a"), col("b")).cast("long").as("b")).localCheckpoint(true)
+    val nbr = e.select(col("a").as("n"), col("b").as("m"))
+      .unionAll(e.select(col("b").as("n"), col("a").as("m")))
+    val deg = nbr.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val byC = nbr.select(col("m").as("c"), col("n").as("x"))
+    val wedges = byC
+      .join(byC.select(col("c"), col("x").as("y")), "c")
+      .where(col("x") < col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_common"))
+    wedges
+      .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
+      .withColumn("j_scaled",
+        expr("1000000 * n_common div (dx + dy - n_common)"))
+      .join(e, wedges("x") === e("a") && wedges("y") === e("b"), "left_anti")
+      // the USING-joins above reorder columns (y, x, …) — fix the contract
+      .select(col("x"), col("y"), col("j_scaled"), col("n_common"))
+  }
+
+  private val graphJaccardLinkpred: Q = (s, d) =>
+    jaccardLpCore(coocEdges(s, d))
+      .orderBy(desc("j_scaled"), asc("x"), asc("y")).limit(20)
+      .select(col("x").as("user_a"), col("y").as("user_b"),
+        col("j_scaled"), col("n_common"))
+
   /** Bounded-hop BFS shortest paths from the lowest-id user over the
     * co-occurrence graph (hop limit 8 ≳ the fixture diameter 7): the
     * Pregel frontier pattern as a fixed-depth join loop — each round
@@ -411,6 +445,7 @@ object Graph {
     "graph_common_neighbors" -> graphCommonNeighbors,
     "graph_resource_allocation" -> graphResourceAllocation,
     "graph_adamic_adar" -> graphAdamicAdar,
+    "graph_jaccard_linkpred" -> graphJaccardLinkpred,
     "graph_kcore" -> graphKcore,
   )
 
@@ -612,6 +647,30 @@ object Graph {
                    WHERE e.a IS NULL)
           SELECT x AS user_a, y AS user_b, aa_scaled, n_common
           FROM miss ORDER BY aa_scaled DESC, x, y LIMIT 20""",
+    "graph_jaccard_linkpred" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          nbr AS (SELECT a AS n, b AS m FROM e
+                  UNION ALL SELECT b, a FROM e),
+          deg AS (SELECT n, count(*) AS deg FROM nbr GROUP BY 1),
+          wdg AS (SELECT n1.n AS x, n2.n AS y, count(*) AS n_common
+                  FROM nbr n1 JOIN nbr n2 ON n1.m = n2.m
+                  WHERE n1.n < n2.n GROUP BY 1, 2),
+          sc AS (SELECT x, y, n_common,
+                        1000000 * n_common // (dx.deg + dy.deg - n_common)
+                          AS j_scaled
+                 FROM wdg JOIN deg dx ON wdg.x = dx.n
+                          JOIN deg dy ON wdg.y = dy.n),
+          miss AS (SELECT sc.* FROM sc LEFT JOIN e
+                     ON sc.x = e.a AND sc.y = e.b
+                   WHERE e.a IS NULL)
+          SELECT x AS user_a, y AS user_b, j_scaled, n_common
+          FROM miss ORDER BY j_scaled DESC, x, y LIMIT 20""",
     "graph_common_neighbors" ->
       s"""WITH b AS (
             SELECT DISTINCT user_id AS u, event_type,

@@ -454,6 +454,15 @@ class ApiSpec extends AnyFunSuite {
         r.getLong(3))).sortBy(t => (t._1, t._2))
     val w5 = 1000000000000L / math.floor(math.log(3.0) * 1e6 + 0.5).toLong
     assert(aa.toSeq == Seq((1L, 3L, w5, 1L), (2L, 3L, w5, 1L)))
+    val jc = graft.api.Graft.jaccardLinkpred(
+        Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(jc.toSeq == Seq((1L, 3L, 1000000L, 1L)))
+    val mm = graft.api.Graft.mmrRerank(emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding").collect().map(_.toString)
+    assert(mm sameElements SparkEntry.queries("embed_mmr_rerank")(spark, sf)
+      .collect().map(_.toString))
   }
 
   test("Graft.forecast emits horizon rows per key") {

@@ -173,6 +173,66 @@ class CurationSpec extends AnyFunSuite {
       s"jacobi λmax ${ev.head} vs power iteration $lambda")
   }
 
+  test("embed_mmr_rerank: matches an independent greedy MMR recompute") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s0, i) => s0 + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val got = q("embed_mmr_rerank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(got.keySet == Set(0L, 1L, 2L))
+    got.foreach { case (qid, rows) =>
+      val qe = vecs(qid)
+      // pool: top-20 by (cos desc, id) excluding self
+      val pool = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, v, cos(qe, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(20)
+      // independent greedy (recursion instead of the op's while loop)
+      def pick(sel: List[(Long, Array[Float])],
+          acc: List[(Int, Long, Double)]): List[(Int, Long, Double)] =
+        if (sel.length == 5) acc.reverse
+        else {
+          val cands = pool.filterNot(p => sel.exists(_._1 == p._1))
+            .map { case (id, v, c) =>
+              val div = if (sel.isEmpty) 0.0 else sel.map(s => cos(v, s._2)).max
+              (id, v, 0.7 * c - 0.3 * div)
+            }
+          val best = cands.minBy { case (id, _, sc) => (-sc, id) }
+          pick((best._1, best._2) :: sel,
+            (sel.length + 1, best._1, best._3) :: acc)
+        }
+      val ref = pick(Nil, Nil)
+      val gotRows = rows.sortBy(_._2).map(r => (r._2, r._3, r._4)).toList
+      ref.zip(gotRows).foreach { case ((rr, ri, rs), (gr, gi, gs)) =>
+        assert(rr == gr && ri == gi, s"qid $qid rank $rr: $ri vs $gi")
+        assert(math.abs(gs - math.floor(rs * 10000 + 0.5) / 10000.0) < 1e-9)
+      }
+      // first pick is the plain top-1 (no diversity term yet)
+      assert(gotRows.head._2 == pool.head._1)
+    }
+  }
+
+  test("graph_jaccard_linkpred: hand-traced scores, non-edges only") {
+    // star 5—{1,2,3} + edge 1—2: candidates (1,3) and (2,3) via center 5.
+    // J(1,3) = 1/(2+1−1) = 1/2; J(2,3) = 1/2 (deg 1 = deg 2 = 2, deg 3 = 1)
+    import spark.implicits._
+    val fixEdges = Seq((5L, 1L), (5L, 2L), (5L, 3L), (1L, 2L)).toDF("a", "b")
+    val out = graft.ops.Graph.jaccardLpCore(fixEdges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 3L, 500000L, 1L), (2L, 3L, 500000L, 1L)),
+      out.mkString(","))
+    // path 1-2-3: Γ1 = Γ3 = {2} → J(1,3) = 1/(1+1−1) = 1 → 1e6
+    val path = graft.ops.Graph.jaccardLpCore(
+        Seq((1L, 2L), (2L, 3L)).toDF("a", "b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(path.toSeq == Seq((1L, 3L, 1000000L, 1L)), path.mkString(","))
+  }
+
   test("graph_adamic_adar: exact match vs plain-Scala AA over the op's edges") {
     val edges = graft.ops.Graph.coocEdges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

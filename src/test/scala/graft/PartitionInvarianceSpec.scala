@@ -39,7 +39,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 8b: curation tier — scaled-integer BM25/DSIR/temperature sums,
     // exact-integer covariance moments, scaled-ln link-prediction weights
     "text_bm25_search", "pipeline_dsir_weights", "pipeline_mix_temperature",
-    "embed_covariance", "embed_pca_variance", "graph_adamic_adar")
+    "embed_covariance", "embed_pca_variance", "graph_adamic_adar",
+    "graph_jaccard_linkpred", "embed_mmr_rerank")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
