@@ -265,6 +265,28 @@ object Graft {
       .select(col("x").as("node_a"), col("y").as("node_b"),
         col("aa_scaled"), col("n_common"))
 
+  /** CCNet-style perplexity terciles (Wenzek et al. 2020): head / middle /
+    * tail split of each language's documents by unigram mean surprisal,
+    * with per-(lang, tier) doc/token accounting and band edges. The
+    * pretraining cut is tier = 'head'. Requires (id, lang, text). */
+  def ccnetBucket(df: DataFrame, id: String, lang: String,
+      text: String): DataFrame =
+    graft.ops.Pipeline.ccnetBucketCore(
+      df.select(col(id).cast("long").as("doc_id"), col(lang).as("lang"),
+        col(text).as("text")))
+
+  /** Poisson-bootstrap 95% CI for the mean of a numeric column (B
+    * deterministic hash-seeded replicas — reproducible at any partitioning,
+    * re-run, or engine). Returns one row (n, mean, ci_lo, ci_hi). The
+    * replica explode is map-side with B accumulators per partition — safe
+    * at any n. */
+  def bootstrapCi(df: DataFrame, id: String, value: String,
+      replicas: Int = 100): DataFrame =
+    graft.ops.Curation.bootstrapCore(
+      df.select(col(id).cast("long").as("event_id"),
+        col(value).cast("double").as("value")),
+      replicas)
+
   /** Jaccard-coefficient link prediction over an undirected (a, b) edge
     * frame: nc / (deg_a + deg_b − nc) for non-adjacent pairs, carried as
     * an exact integer rational (1e6-scaled) — no ln, no float, bit-exact

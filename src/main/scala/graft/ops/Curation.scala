@@ -345,6 +345,101 @@ object Curation {
         r4(col("evr")).as("evr"), r4(col("cum_evr")).as("cum_evr"))
   }
 
+  // ------------------------------------------------- retrieval evaluation
+  /** Label-agreement precision@5 of exact cosine search — the retrieval
+    * quality metric (here the `label` column is the relevance proxy, the
+    * standard eval when no human judgments exist): for each of the 10
+    * fixture queries, how many of its top-5 exact neighbors share its
+    * label. The exact top-k is the ANN family's recall oracle, so this
+    * row set doubles as the ceiling any sim_*_ann variant is measured
+    * against. Same plan as sim_cosine_topk (broadcast queries, bounded
+    * WindowGroupLimit) plus one O(#queries) agg. */
+  private val simEvalLabelPrecision: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = tbl(s, d, "embeddings")
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", TextDedup.cosineGen(s)(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_match"))
+      .withColumn("prec_at_k", r4(col("n_match").cast("double") / lit(5.0)))
+      .orderBy("qid")
+  }
+
+  // ------------------------------------------------------ bootstrap audit
+  /** Cumulative Poisson(1) CDF × 2^32 for k = 0..4 (k ≥ 5 folds into a
+    * capped weight of 5 — P < 4e-4). Computed once from JVM exp and
+    * inlined as INTEGER literals into both the Spark expression and the
+    * oracle SQL, so the replica weights are exact integer comparisons on
+    * both engines. */
+  private val PoisThresh: Array[Long] = {
+    val pmf = (0 to 4).map(k => math.exp(-1.0) / (1 to k).product.toDouble)
+    pmf.scanLeft(0.0)(_ + _).drop(1)
+      .map(c => math.floor(c * 4294967296.0).toLong).toArray
+  }
+
+  /** Poisson-bootstrap 95% confidence interval for the mean of
+    * events.value (B = 100 replicas) — the dataset-audit answer to "is
+    * this month's mean shift real or noise?". Per-row replica weights are
+    * Poisson(1) draws from a DETERMINISTIC hash uniform (never rand():
+    * the Canon rule — the oracle replays every draw, and a re-run over
+    * re-partitioned input resamples identically). Replica means are exact
+    * integer rationals (Σw·cents / Σw); the CI is the nearest-rank 2.5/97.5
+    * percentile of the 100 means.
+    *
+    * Scale shape: the replica explode is map-side (B rows per input row)
+    * feeding a partial-aggregated groupBy with B=100 groups — per-partition
+    * state is B accumulators regardless of n, the textbook Poisson-
+    * bootstrap plan (Chamandy et al., "Estimating Uncertainty for Massive
+    * Data Streams"). The percentile sort touches 100 rows. Same hash-
+    * periodicity caveat as sample_weighted (u repeats mod 1000003;
+    * production swaps in xxhash64 — one expression). */
+  private[graft] def bootstrapCore(ev: DataFrame, B: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = ev.select(col("event_id").cast("long").as("id"),
+      cents(col("value")).as("v"))
+    val wts = base
+      .select(col("id"), col("v"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .withColumn("u", expr(
+        "((((id * 131 + b) % 1000003 + 1000003) % 1000003) * 2654435761) % 4294967296"))
+      .withColumn("w",
+        when(col("u") < PoisThresh(0), 0L)
+          .when(col("u") < PoisThresh(1), 1L)
+          .when(col("u") < PoisThresh(2), 2L)
+          .when(col("u") < PoisThresh(3), 3L)
+          .when(col("u") < PoisThresh(4), 4L)
+          .otherwise(5L))
+    val means = wts.groupBy(col("b"))
+      .agg(sum(col("w") * col("v")).as("sw"), sum(col("w")).as("nw"))
+      .where(col("nw") > 0)
+      .withColumn("m", col("sw").cast("double") / col("nw").cast("double"))
+    val ranked = means
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"))))
+    val overall = base.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    // nearest-rank 2.5% / 97.5% (B = 100 ⇒ ranks 3 and 98, as the oracle)
+    val loRk = math.ceil(0.025 * B).toLong.max(1L)
+    val hiRk = math.ceil(0.975 * B).toLong
+    ranked.where(col("rn") === loRk || col("rn") === hiRk)
+      .agg(min(when(col("rn") === loRk, col("m"))).as("lo_raw"),
+        min(when(col("rn") === hiRk, col("m"))).as("hi_raw"))
+      .crossJoin(broadcast(overall))
+      .select(col("n"),
+        r4(col("sv").cast("double") / col("n").cast("double") / lit(100.0))
+          .as("mean"),
+        r4(col("lo_raw") / lit(100.0)).as("ci_lo"),
+        r4(col("hi_raw") / lit(100.0)).as("ci_hi"))
+  }
+  private val aggBootstrapCi: Q = (s, d) =>
+    bootstrapCore(tbl(s, d, "events"), 100)
+
   // ------------------------------------------------------- MMR re-ranking
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
     * from each query's top-`poolK` cosine candidates, greedily select `k`
@@ -429,6 +524,8 @@ object Curation {
     "embed_covariance" -> embedCovariance,
     "embed_pca_variance" -> embedPcaVariance,
     "embed_mmr_rerank" -> embedMmrRerank,
+    "sim_eval_label_precision" -> simEvalLabelPrecision,
+    "agg_bootstrap_ci" -> aggBootstrapCi,
   )
 
   val oracle: Map[String, String] = Map(
@@ -503,6 +600,60 @@ object Curation {
                  floor(CAST(ws AS DOUBLE) / CAST(wtot AS DOUBLE) / p * 10000
                    + 0.5) / 10000.0 AS boost
           FROM ws, wt ORDER BY source""",
+    "sim_eval_label_precision" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+                     FROM embeddings WHERE vec_id < 10),
+          scored AS (
+            SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                   ${TextDedup.cosineSql("e.embedding", "q.qe")} AS cos_raw
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, qlabel, label,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos_raw DESC, vec_id ASC)
+                     AS rank
+            FROM scored)
+          SELECT qid, qlabel,
+                 CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_match,
+                 floor(CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                     AS DOUBLE) / 5.0 * 10000 + 0.5) / 10000.0 AS prec_at_k
+          FROM ranked WHERE rank <= 5 GROUP BY 1, 2 ORDER BY qid""",
+    "agg_bootstrap_ci" ->
+      s"""WITH base AS (
+            SELECT event_id AS id,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS v FROM events),
+          rep AS (SELECT id, v, unnest(range(0, 100)) AS b FROM base),
+          h AS (SELECT b, v,
+                       ((((id * 131 + b) % 1000003 + 1000003) % 1000003)
+                         * 2654435761) % 4294967296 AS u
+                FROM rep),
+          wts AS (SELECT b, v,
+                         CASE WHEN u < ${PoisThresh(0)} THEN 0
+                              WHEN u < ${PoisThresh(1)} THEN 1
+                              WHEN u < ${PoisThresh(2)} THEN 2
+                              WHEN u < ${PoisThresh(3)} THEN 3
+                              WHEN u < ${PoisThresh(4)} THEN 4
+                              ELSE 5 END AS w
+                  FROM h),
+          means AS (SELECT b, CAST(sum(w * v) AS BIGINT) AS sw,
+                           CAST(sum(w) AS BIGINT) AS nw
+                    FROM wts GROUP BY 1),
+          rk AS (SELECT CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS m,
+                        row_number() OVER (
+                          ORDER BY CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE))
+                          AS rn
+                 FROM means WHERE nw > 0),
+          ovr AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(v) AS BIGINT) AS sv FROM base)
+          SELECT n,
+                 floor(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                   * 10000 + 0.5) / 10000.0 AS mean,
+                 floor((SELECT m FROM rk WHERE rn = 3) / 100.0
+                   * 10000 + 0.5) / 10000.0 AS ci_lo,
+                 floor((SELECT m FROM rk WHERE rn = 98) / 100.0
+                   * 10000 + 0.5) / 10000.0 AS ci_hi
+          FROM ovr""",
     "embed_covariance" ->
       """WITH sc AS (
             SELECT vec_id, list_transform(embedding,

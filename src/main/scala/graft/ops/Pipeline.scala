@@ -423,6 +423,47 @@ object Pipeline {
   private val pipelinePerplexityGate: Q = (s, d) =>
     perplexityGateCore(tbl(s, d, "documents"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+    * language, split documents into head / middle / tail TERCILES of
+    * unigram mean surprisal — the corpus partition CCNet ships (head =
+    * most-fluent third, the pretraining cut; tail = the discard pile).
+    * Ranking key is the exact-integer rational si/n_tokens (one double
+    * division of exact ints, identical on both engines; doc_id tiebreak),
+    * so ntile edges cannot drift. Output is the bounded per-(lang, bucket)
+    * accounting: doc/token counts and the surprisal band edges.
+    * Scale shape: the per-doc surprisal frame is the perplexity gate's own
+    * two-pass agg; the tercile window shuffles once on the language key;
+    * the final agg is O(#langs·3). */
+  private[graft] def ccnetBucketCore(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(split(normText, " ")).as("t"))
+    val dc = tok.groupBy(col("doc_id"), col("lang"), col("t"))
+      .agg(count(lit(1)).as("dc"))
+    val cnt = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("nn"))
+    val per = dc.join(cnt, "t")
+      .crossJoin(broadcast(tot))
+      .withColumn("li", floor(
+        log(col("nn").cast("double") / col("c").cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("dc")).as("n_tokens"), sum(col("dc") * col("li")).as("si"))
+      .withColumn("ms", col("si").cast("double") / col("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy(col("ms"), col("doc_id"))
+    per.withColumn("bucket", ntile(3).over(w))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        r4(min(col("ms")) / 1e6).as("ms_min"),
+        r4(max(col("ms")) / 1e6).as("ms_max"))
+      .withColumn("tier", when(col("bucket") === 1, "head")
+        .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .select(col("lang"), col("bucket"), col("tier"), col("n_docs"),
+        col("n_tokens"), col("ms_min"), col("ms_max"))
+      .orderBy("lang", "bucket")
+  }
+  private val pipelineCcnetBucket: Q = (s, d) =>
+    ccnetBucketCore(tbl(s, d, "documents"))
+
   /** Quality-cascade ablation report — the tuning readout every filter
     * cascade needs before shipping a threshold change: each gate's
     * MARGINAL rejections (docs only IT would remove), the overlap both
@@ -560,6 +601,7 @@ object Pipeline {
     "pipeline_gopher_rules" -> pipelineGopherRules,
     "pipeline_quality_ablation" -> pipelineQualityAblation,
     "pipeline_perplexity_gate" -> pipelinePerplexityGate,
+    "pipeline_ccnet_bucket" -> pipelineCcnetBucket,
     "pipeline_pii_scrub" -> pipelinePiiScrub,
     "pipeline_domain_classifier" -> pipelineDomainClassifier,
   )
@@ -652,6 +694,35 @@ object Pipeline {
                  (si >= 3395000 * n_tokens AND si <= 3410000 * n_tokens)
                    AS keep
           FROM per ORDER BY doc_id""",
+    "pipeline_ccnet_bucket" ->
+      s"""WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split($normSql, ' ')) AS t
+            FROM documents),
+          dc AS (SELECT doc_id, lang, t, count(*) AS dc
+                 FROM tok GROUP BY 1, 2, 3),
+          cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+          j AS (SELECT doc_id, lang, dc,
+                       CAST(floor(ln(CAST(nn AS DOUBLE) / CAST(c AS DOUBLE))
+                                  * 1e6 + 0.5) AS BIGINT) AS li
+                FROM dc JOIN cnt USING (t), tot),
+          per AS (SELECT doc_id, lang, CAST(sum(dc) AS BIGINT) AS n_tokens,
+                         CAST(sum(dc * li) AS BIGINT) AS si
+                  FROM j GROUP BY 1, 2),
+          nt AS (SELECT lang, n_tokens,
+                        CAST(si AS DOUBLE) / n_tokens AS ms,
+                        ntile(3) OVER (PARTITION BY lang
+                                       ORDER BY CAST(si AS DOUBLE) / n_tokens,
+                                                doc_id) AS bucket
+                 FROM per)
+          SELECT lang, bucket,
+                 CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS tier,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                 floor(min(ms) / 1e6 * 10000 + 0.5) / 10000.0 AS ms_min,
+                 floor(max(ms) / 1e6 * 10000 + 0.5) / 10000.0 AS ms_max
+          FROM nt GROUP BY 1, 2 ORDER BY lang, bucket""",
     "pipeline_quality_ablation" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest(string_split($normSql, ' ')) AS t

@@ -173,6 +173,81 @@ class CurationSpec extends AnyFunSuite {
       s"jacobi λmax ${ev.head} vs power iteration $lambda")
   }
 
+  test("agg_bootstrap_ci: exact match vs plain-Scala Poisson bootstrap") {
+    val rows = graft.util.Canon.events(spark, sf)
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    // same CDF thresholds as the op (JVM exp, floored at 2^32)
+    val pmf = (0 to 4).map(k => math.exp(-1.0) / (1 to k).product.toDouble)
+    val thr = pmf.scanLeft(0.0)(_ + _).drop(1)
+      .map(c => math.floor(c * 4294967296.0).toLong)
+    def weight(id: Long, b: Long): Long = {
+      val u = (((id * 131 + b) % 1000003 + 1000003) % 1000003 *
+        2654435761L) % 4294967296L
+      thr.indexWhere(u < _) match { case -1 => 5L; case k => k.toLong }
+    }
+    val means = (0L until 100L).flatMap { b =>
+      val (sw, nw) = rows.foldLeft((0L, 0L)) { case ((s0, n0), (id, v)) =>
+        val w = weight(id, b); (s0 + w * v, n0 + w)
+      }
+      if (nw > 0) Some(sw.toDouble / nw.toDouble) else None
+    }.sorted
+    def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    val got = q("agg_bootstrap_ci").head()
+    assert(got.getLong(0) == rows.length.toLong)
+    val mean = rows.map(_._2).sum.toDouble / rows.length.toDouble / 100.0
+    assert(got.getDouble(1) == r4d(mean))
+    assert(got.getDouble(2) == r4d(means(2) / 100.0), "ci_lo")
+    assert(got.getDouble(3) == r4d(means(97) / 100.0), "ci_hi")
+    assert(got.getDouble(2) < got.getDouble(1) &&
+      got.getDouble(1) < got.getDouble(3), "CI must straddle the mean")
+  }
+
+  test("pipeline_ccnet_bucket: balanced terciles with monotone bands") {
+    val rows = q("pipeline_ccnet_bucket").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == (1 to bs.length),
+        s"$lang buckets ${bs.map(_._2).toSeq}")
+      // ntile balance: sizes differ by at most 1
+      assert(bs.map(_._4).max - bs.map(_._4).min <= 1, s"$lang unbalanced")
+      // bands are ordered and internally consistent
+      bs.sortBy(_._2).sliding(2).foreach {
+        case Array(lo, hi) => assert(lo._6 <= hi._5 + 1e-4,
+          s"$lang band overlap: ${lo._6} > ${hi._5}")
+        case _ =>
+      }
+      bs.foreach(b => assert(b._5 <= b._6))
+    }
+    assert(rows.filter(_._2 == 1).forall(_._3 == "head"))
+    assert(rows.filter(_._2 == 3).forall(_._3 == "tail"))
+  }
+
+  test("sim_eval_label_precision: matches plain-Scala top-5 label agreement") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s0, i) => s0 + a(i).toDouble * b(i).toDouble)
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val got = q("sim_eval_label_precision").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 10)
+    got.foreach { case (qid, qlabel, nMatch, prec) =>
+      val (_, qe, ql) = vecs.find(_._1 == qid).get
+      assert(ql == qlabel)
+      val top5 = vecs.filter(_._1 != qid)
+        .map { case (id, v, l) => (id, l, cos(qe, v)) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(5)
+      val ref = top5.count(_._2 == qlabel).toLong
+      assert(nMatch == ref, s"qid $qid: $nMatch vs $ref")
+      assert(prec == math.floor(ref.toDouble / 5.0 * 10000 + 0.5) / 10000.0)
+    }
+  }
+
   test("embed_mmr_rerank: matches an independent greedy MMR recompute") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").collect()

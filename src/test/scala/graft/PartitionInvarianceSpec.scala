@@ -40,7 +40,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // exact-integer covariance moments, scaled-ln link-prediction weights
     "text_bm25_search", "pipeline_dsir_weights", "pipeline_mix_temperature",
     "embed_covariance", "embed_pca_variance", "graph_adamic_adar",
-    "graph_jaccard_linkpred", "embed_mmr_rerank")
+    "graph_jaccard_linkpred", "embed_mmr_rerank",
+    "pipeline_ccnet_bucket", "agg_bootstrap_ci", "sim_eval_label_precision")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
