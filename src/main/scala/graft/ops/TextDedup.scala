@@ -997,6 +997,49 @@ object TextDedup {
       .select(col("va"), col("vb"), r4(col("cos")).as("cos"))
       .orderBy("va", "vb")
 
+  /** Cross-modal dedup agreement — the audit a pipeline runs before
+    * trusting ONE near-dup signal at 100 TB: on a common id slice, how
+    * well do token-level near-dups (Jaccard ≥ 0.5) and embedding-space
+    * near-dups (cosine ≥ 0.2) agree? Reports both pair counts, the
+    * overlap, and the pair-set Jaccard — high agreement justifies running
+    * only the cheaper signal; low agreement means the two catch different
+    * duplicate classes and both passes stay. The text threshold is the
+    * exact INTEGER comparison 3·inter ≥ |A|+|B| (⇔ J ≥ 1/2 — no float
+    * reaches the filter); the cosine side uses the bit-equal codegen
+    * cosine. At scale both pair generators are the LSH-bucketed paths;
+    * this exact-slice form is the oracle shape, and the final agreement
+    * fold is one full-outer join on the pair key + a 1-row agg. */
+  private val dedupCrossmodalAgreement: Q = (s, d) => {
+    val t = tbl(s, d, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), array_distinct(toks(normText)).as("st"))
+    val tok = t.select(col("doc_id"), explode(col("st")).as("tok"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("pa"), col("b.doc_id").as("pb"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = t.select(col("doc_id"), size(col("st")).cast("long").as("n"))
+    val tp = inter
+      .join(sizes.select(col("doc_id").as("pa"), col("n").as("na")), "pa")
+      .join(sizes.select(col("doc_id").as("pb"), col("n").as("nb")), "pb")
+      .where(col("inter") * 3 >= col("na") + col("nb"))
+      .select(col("pa"), col("pb"), lit(1L).as("t"))
+    val e = tbl(s, d, "embeddings").where(col("vec_id") < 60)
+    val ep = e.select(col("vec_id").as("pa"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("pb"), col("embedding").as("eb")),
+        col("pa") < col("pb"))
+      .where(cosineGen(s)(col("ea"), col("eb")) >= 0.2)
+      .select(col("pa"), col("pb"), lit(1L).as("e"))
+    tp.join(ep, Seq("pa", "pb"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_text_pairs"),
+        sum(coalesce(col("e"), lit(0L))).as("n_embed_pairs"),
+        sum(when(col("t").isNotNull && col("e").isNotNull, 1L).otherwise(0L))
+          .as("n_both"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_text_pairs"), col("n_embed_pairs"), col("n_both"),
+        r4(col("n_both").cast("double") / col("n_union").cast("double"))
+          .as("agreement"))
+  }
+
   /** Semantic dedup: embedding-cosine ≥ 0.4 pairs (bounded oracle slice)
     * fed through the same min-label propagation — the embedding-space
     * counterpart of token-level near-dedup: cluster label per vector. At
@@ -2345,6 +2388,7 @@ object TextDedup {
     "pipeline_decontaminate_ngram" -> pipelineDecontaminateNgram,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_crossmodal_agreement" -> dedupCrossmodalAgreement,
     "sim_cosine_topk" -> simCosineTopk,
     "sim_filtered_topk" -> simFilteredTopk,
     "sim_ann_filtered" -> simAnnFiltered,
@@ -2771,6 +2815,41 @@ object TextDedup {
           SELECT node, CAST(min(r) AS BIGINT) AS label,
                  (node = min(r)) AS is_keeper
           FROM reach GROUP BY node ORDER BY node""",
+    "dedup_crossmodal_agreement" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split($normSql, ' ')) AS st
+            FROM documents WHERE doc_id < 60),
+          tok AS (SELECT doc_id, unnest(st) AS tok FROM t),
+          inter AS (SELECT a.doc_id AS pa, b.doc_id AS pb,
+                           count(*) AS inter
+                    FROM tok a JOIN tok b
+                      ON a.tok = b.tok AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          sz AS (SELECT doc_id, CAST(len(st) AS BIGINT) AS n FROM t),
+          tp AS (SELECT pa, pb FROM inter
+                 JOIN sz sa ON inter.pa = sa.doc_id
+                 JOIN sz sb ON inter.pb = sb.doc_id
+                 WHERE inter * 3 >= sa.n + sb.n),
+          ep AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                 WHERE a.vec_id < 60 AND b.vec_id < 60
+                   AND ${cosineSql("a.embedding", "b.embedding")} >= 0.2),
+          u AS (SELECT coalesce(tp.pa, ep.pa) AS pa,
+                       coalesce(tp.pb, ep.pb) AS pb,
+                       (tp.pa IS NOT NULL) AS t0, (ep.pa IS NOT NULL) AS e0
+                FROM tp FULL OUTER JOIN ep
+                  ON tp.pa = ep.pa AND tp.pb = ep.pb)
+          SELECT CAST(sum(CASE WHEN t0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_text_pairs,
+                 CAST(sum(CASE WHEN e0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_embed_pairs,
+                 CAST(sum(CASE WHEN t0 AND e0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both,
+                 floor(CAST(sum(CASE WHEN t0 AND e0 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+                   / 10000.0 AS agreement
+          FROM u""",
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS va, b.vec_id AS vb,
                  floor((${cosineSql("a.embedding", "b.embedding")})*10000 + 0.5)/10000.0 AS cos

@@ -52,7 +52,9 @@ class SmokeSpec extends AnyFunSuite {
     "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
     "sim_ann_filtered", // AnnFilteredSpec: label purity + filtered recall
     "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late",
-    "ts_dtw_distance") // TsToolkitSpec: plain-Scala DP recompute equality
+    "ts_dtw_distance", // TsToolkitSpec: plain-Scala DP recompute equality
+    "embed_pca_variance", // CurationSpec: trace/PSD/power-iteration props
+    "embed_mmr_rerank") // CurationSpec: independent greedy-MMR recompute
 
   test("every query is oracle-checked unless explicitly self-verified") {
     val orphans =
@@ -73,7 +75,8 @@ class SmokeSpec extends AnyFunSuite {
     // sf0.001's (event_type, minute) co-occurrence graph has zero edges
     "graph_common_neighbors", "graph_degree_distribution",
     "graph_shortest_paths", "graph_label_propagation",
-    "graph_resource_allocation", "graph_kcore")
+    "graph_resource_allocation", "graph_kcore",
+    "graph_adamic_adar", "graph_jaccard_linkpred")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"smoke: $name") {
