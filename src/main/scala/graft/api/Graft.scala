@@ -334,6 +334,39 @@ object Graft {
         col(text).as("text")),
       targetLang)
 
+  /** Kong's effective sample size of the DSIR importance weights over the
+    * WHOLE corpus: one row (n_docs, ess, ess_frac). ESS ≪ n means the
+    * importance resample concentrates on a sliver of the corpus —
+    * upweight variance will explode; ESS ≈ n means the target adds little
+    * signal. */
+  def dsirEss(df: DataFrame, id: String, text: String, lang: String,
+      targetLang: String): DataFrame = {
+    val w = graft.ops.Curation.dsirAll(
+      df.select(col(id).cast("long").as("doc_id"), col(lang).as("lang"),
+        col(text).as("text")),
+      targetLang)
+      .withColumn("wi",
+        floor(exp(col("logw_scaled").cast("double") / 1e6) * 1e6 + 0.5)
+          .cast("long"))
+    w.agg(count(lit(1)).as("n_docs"), sum(col("wi")).as("sw"),
+        sum(col("wi") * col("wi")).as("sw2"))
+      .withColumn("ess",
+        (col("sw").cast("double") * col("sw").cast("double"))
+          / col("sw2").cast("double"))
+      .select(col("n_docs"), graft.util.Canon.r4(col("ess")).as("ess"),
+        graft.util.Canon.r4(col("ess") / col("n_docs").cast("double"))
+          .as("ess_frac"))
+  }
+
+  /** Token-budgeted epoch plan: per source, the tokens the loader draws
+    * under the α-temperature mixture and the implied epochs (> 1 ⇒ the
+    * source repeats). Budget here is half the corpus; at call sites with
+    * an absolute budget, scale the mixture weights instead. */
+  def epochPlan(df: DataFrame, source: String, text: String,
+      alpha: Double = 0.3): DataFrame =
+    graft.ops.Curation.epochPlanCore(
+      df.select(col(source).as("source"), col(text).as("text")), alpha)
+
   /** Temperature-scaled source mixing (α < 1 upsamples tail sources —
     * the Conneau & Lample 2019 multilingual sampling rule): per source,
     * token share p, normalized mixing weight ∝ p^α, and the boost q/p a

@@ -144,7 +144,10 @@ object Curation {
     * 100 TB this is a narrow two-pass plan whose only wide state is 256
     * rows. Determinism: both ln terms ride as 1e6-scaled integers (li);
     * everything after is exact integer arithmetic. */
-  private[graft] def dsirCore(docs: DataFrame, targetLang: String): DataFrame = {
+  /** Full per-document DSIR weight frame (doc_id, lang, n_toks,
+    * logw_scaled) — dsirCore's top-25 display and pipeline_dsir_ess both
+    * read this. */
+  private[graft] def dsirAll(docs: DataFrame, targetLang: String): DataFrame = {
     val B = 256
     val dtoks = docs
       .select(col("doc_id"), col("lang"), explode(toks(normText)).as("t"))
@@ -170,9 +173,38 @@ object Curation {
       .join(db, "doc_id")
       .crossJoin(broadcast(norms))
       .withColumn("logw_scaled", col("wsum") + col("n_toks") * col("kadj"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("logw_scaled"))
+  }
+  private[graft] def dsirCore(docs: DataFrame, targetLang: String): DataFrame =
+    dsirAll(docs, targetLang)
       .orderBy(desc("logw_scaled"), asc("doc_id")).limit(25)
       .select(col("doc_id"), col("lang"), col("n_toks"),
         r4(col("logw_scaled").cast("double") / 1e6).as("logw"))
+
+  /** Effective sample size of the DSIR importance weights — Kong's ESS =
+    * (Σw)²/Σw², the one-row diagnostic that says how much of the corpus
+    * the importance resample REALLY draws from (ESS ≈ n ⇒ weights are
+    * flat, the target adds little signal; ESS ≪ n ⇒ the resample
+    * concentrates on a sliver and variance explodes). w = exp(logw) rides
+    * as a 1e6-scaled BIGINT (one libm exp per doc, the accepted last-ulp
+    * posture) so both sums are exact integers; the final (Σw)² is squared
+    * in double — exact-int inputs, one multiply, identical cross-engine.
+    * BIGINT headroom: w ≤ ~e·1e6, Σw² < 2^63 until ~1e6 docs per... per
+    * ~7.5e5×e²-scaled docs ≈ 1e6 × 1e12 — fine to ~1e6 docs at this
+    * fixture's weight range; past that production widens the two sums to
+    * DECIMAL(38,0) (same plan). */
+  private val pipelineDsirEss: Q = (s, d) => {
+    val w = dsirAll(tbl(s, d, "documents"), "en")
+      .withColumn("wi",
+        floor(exp(col("logw_scaled").cast("double") / 1e6) * 1e6 + 0.5)
+          .cast("long"))
+    w.agg(count(lit(1)).as("n_docs"), sum(col("wi")).as("sw"),
+        sum(col("wi") * col("wi")).as("sw2"))
+      .withColumn("ess",
+        (col("sw").cast("double") * col("sw").cast("double"))
+          / col("sw2").cast("double"))
+      .select(col("n_docs"), r4(col("ess")).as("ess"),
+        r4(col("ess") / col("n_docs").cast("double")).as("ess_frac"))
   }
   private val pipelineDsirWeights: Q = (s, d) =>
     dsirCore(tbl(s, d, "documents"), "en")
@@ -208,6 +240,38 @@ object Curation {
   }
   private val pipelineMixTemperature: Q = (s, d) =>
     mixTemperatureCore(tbl(s, d, "documents"), 0.3)
+
+  /** Data-loader epoch plan under a token budget: with budget = half the
+    * corpus tokens and the α=0.3 temperature mixture, how many tokens each
+    * source contributes and how many EPOCHS of it the loader will see
+    * (epochs > 1 ⇒ the source repeats — the repetition accounting the
+    * data-constrained-scaling literature tracks). planned_tokens =
+    * floor(budget · q_s + 0.5) with q_s the exact-integer mix share; the
+    * one double product keeps every operand exact (budget < 2^53 tokens),
+    * so the plan is engine- and partitioning-invariant at any corpus
+    * size — no BIGINT product of budget × scaled-weight ever forms. */
+  private[graft] def epochPlanCore(docs: DataFrame, alpha: Double): DataFrame = {
+    val perSrc = docs.groupBy(col("source"))
+      .agg(sum(size(toks(normText)).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
+    val ws = perSrc.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens").cast("double") / col("tot").cast("double"))
+      .withColumn("ws", floor(pow(col("p"), lit(alpha)) * 1e9 + 0.5).cast("long"))
+    val wtot = ws.agg(sum(col("ws")).as("wtot"))
+    ws.crossJoin(broadcast(wtot))
+      .withColumn("budget", expr("tot div 2"))
+      .withColumn("planned_tokens",
+        floor(col("budget").cast("double")
+          * (col("ws").cast("double") / col("wtot").cast("double")) + 0.5)
+          .cast("long"))
+      .withColumn("epochs",
+        r4(col("planned_tokens").cast("double") / col("n_tokens").cast("double")))
+      .select(col("source"), col("n_tokens"), col("planned_tokens"),
+        col("epochs"))
+      .orderBy("source")
+  }
+  private val pipelineEpochPlan: Q = (s, d) =>
+    epochPlanCore(tbl(s, d, "documents"), 0.3)
 
   // ------------------------------------------------------- embedding PCA
   /** Exact-integer covariance sufficient statistics over the embedding
@@ -526,7 +590,29 @@ object Curation {
     "embed_mmr_rerank" -> embedMmrRerank,
     "sim_eval_label_precision" -> simEvalLabelPrecision,
     "agg_bootstrap_ci" -> aggBootstrapCi,
+    "pipeline_dsir_ess" -> pipelineDsirEss,
+    "pipeline_epoch_plan" -> pipelineEpochPlan,
   )
+
+  /** Shared DSIR CTE block (hashed-unigram LMs + per-doc weight sums) —
+    * read by both the weights oracle and the ESS oracle. */
+  private def dsirCtes: String =
+    s"""dt AS (
+            SELECT doc_id, lang, ${tbucketSql("term")} AS b
+            FROM (SELECT doc_id, lang, unnest(string_split($normSql, ' '))
+                    AS term FROM documents)),
+          db AS (SELECT doc_id, lang, count(*) AS n_toks FROM dt GROUP BY 1, 2),
+          per AS (SELECT doc_id, b, count(*) AS n_db FROM dt GROUP BY 1, 2),
+          raw AS (SELECT b, count(*) AS cr FROM dt GROUP BY 1),
+          tgt AS (SELECT b, count(*) AS ct FROM dt WHERE lang = 'en' GROUP BY 1),
+          model AS (SELECT raw.b,
+                           ${liSql("coalesce(ct, 0) + 1")} - ${liSql("cr + 1")} AS wt
+                    FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+          norms AS (SELECT ${liSql("nr + 256")} - ${liSql("nt + 256")} AS kadj
+                    FROM (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
+                         (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt)),
+          w AS (SELECT per.doc_id, CAST(sum(n_db * wt) AS BIGINT) AS wsum
+                FROM per JOIN model ON per.b = model.b GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(
     "text_bm25_search" ->
@@ -558,27 +644,52 @@ object Curation {
                    / 10000.0 AS bm25
           FROM agg ORDER BY score_scaled DESC, doc_id LIMIT 15""",
     "pipeline_dsir_weights" ->
-      s"""WITH dt AS (
-            SELECT doc_id, lang, ${tbucketSql("term")} AS b
-            FROM (SELECT doc_id, lang, unnest(string_split($normSql, ' '))
-                    AS term FROM documents)),
-          db AS (SELECT doc_id, lang, count(*) AS n_toks FROM dt GROUP BY 1, 2),
-          per AS (SELECT doc_id, b, count(*) AS n_db FROM dt GROUP BY 1, 2),
-          raw AS (SELECT b, count(*) AS cr FROM dt GROUP BY 1),
-          tgt AS (SELECT b, count(*) AS ct FROM dt WHERE lang = 'en' GROUP BY 1),
-          model AS (SELECT raw.b,
-                           ${liSql("coalesce(ct, 0) + 1")} - ${liSql("cr + 1")} AS wt
-                    FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
-          norms AS (SELECT ${liSql("nr + 256")} - ${liSql("nt + 256")} AS kadj
-                    FROM (SELECT CAST(sum(cr) AS BIGINT) AS nr FROM raw),
-                         (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM tgt)),
-          w AS (SELECT per.doc_id, CAST(sum(n_db * wt) AS BIGINT) AS wsum
-                FROM per JOIN model ON per.b = model.b GROUP BY 1)
+      s"""WITH $dsirCtes
           SELECT w.doc_id, lang, n_toks,
                  floor(CAST(wsum + n_toks * kadj AS DOUBLE) / 1000000.0
                    * 10000 + 0.5) / 10000.0 AS logw
           FROM w JOIN db ON w.doc_id = db.doc_id, norms
           ORDER BY wsum + n_toks * kadj DESC, w.doc_id LIMIT 25""",
+    "pipeline_dsir_ess" ->
+      s"""WITH $dsirCtes,
+          wi AS (SELECT CAST(floor(exp(
+                     CAST(wsum + n_toks * kadj AS DOUBLE) / 1000000.0)
+                     * 1000000 + 0.5) AS BIGINT) AS wi
+                 FROM w JOIN db ON w.doc_id = db.doc_id, norms),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(wi) AS BIGINT) AS sw,
+                        CAST(sum(wi * wi) AS BIGINT) AS sw2
+                 FROM wi)
+          SELECT n_docs,
+                 floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                   / CAST(sw2 AS DOUBLE) * 10000 + 0.5) / 10000.0 AS ess,
+                 floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                     / CAST(sw2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   * 10000 + 0.5) / 10000.0 AS ess_frac
+          FROM ag""",
+    "pipeline_epoch_plan" ->
+      s"""WITH src AS (
+            SELECT source,
+                   CAST(sum(len(string_split($normSql, ' '))) AS BIGINT)
+                     AS n_tokens
+            FROM documents GROUP BY 1),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM src),
+          ws AS (SELECT source, n_tokens, tot,
+                        CAST(floor(pow(CAST(n_tokens AS DOUBLE)
+                            / CAST(tot AS DOUBLE), 0.3) * 1000000000 + 0.5)
+                          AS BIGINT) AS ws
+                 FROM src, tot),
+          wt AS (SELECT CAST(sum(ws) AS BIGINT) AS wtot FROM ws),
+          pl AS (SELECT source, n_tokens,
+                        CAST(floor(CAST(tot // 2 AS DOUBLE)
+                            * (CAST(ws AS DOUBLE) / CAST(wtot AS DOUBLE))
+                            + 0.5) AS BIGINT) AS planned_tokens
+                 FROM ws, wt)
+          SELECT source, n_tokens, planned_tokens,
+                 floor(CAST(planned_tokens AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE) * 10000 + 0.5) / 10000.0
+                   AS epochs
+          FROM pl ORDER BY source""",
     "pipeline_mix_temperature" ->
       s"""WITH src AS (
             SELECT source,

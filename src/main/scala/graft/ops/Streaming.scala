@@ -102,6 +102,42 @@ object Streaming {
         col("v_sum"))
       .orderBy("w_start", "event_type")
 
+  /** Streaming source-mix drift monitor — the curation tier's entropy
+    * balance (agg_entropy_balance arithmetic) computed LIVE per event-hour
+    * over the replayed stream: the event-type mix entropy + Pielou
+    * evenness a pipeline pages on when an upstream source dies or floods
+    * (mix entropy collapsing toward 0 = one type dominating). The
+    * STREAMING stage is the tumbling windowed count (incremental state ∝
+    * windows×types, the same state shape as stream_tumbling_count); the
+    * entropy fold runs batch-side on the bounded sink table — exactly how
+    * production splits it (the monitor reads the aggregate store, not the
+    * stream). Scaled-integer ln arithmetic, identical to the batch twin. */
+  private val streamMixMonitor: Q = (s, d) => {
+    val sink = runToTable(s,
+      eventsStream(s, d)
+        .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("c")),
+      "complete")
+      .select(col("window.start").as("w_start"), col("c"))
+    val tot = sink.groupBy(col("w_start"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    sink.join(tot, "w_start")
+      .withColumn("li", floor(
+        log(col("n").cast("double") / col("c").cast("double")) * 1e6 + 0.5)
+        .cast("long"))
+      .groupBy(col("w_start"))
+      .agg(max(col("n")).as("n_events"), max(col("k")).as("k_types"),
+        sum(col("c") * col("li")).as("si"))
+      .select(col("w_start"), col("n_events"), col("k_types"),
+        r4(col("si").cast("double") / col("n_events").cast("double") / 1e6)
+          .as("entropy"),
+        when(col("k_types") > 1,
+          r4(col("si").cast("double") / col("n_events").cast("double") /
+            floor(log(col("k_types").cast("double")) * 1e6 + 0.5)))
+          .as("evenness"))
+      .orderBy("w_start")
+  }
+
   /** Streaming OHLC: the exact batch ts_ohlc candle (min_by/max_by with
     * the ms+event_id tie-break) computed as a streaming windowed aggregate
     * over the bounded replay — stream/batch parity for a stateful
@@ -486,6 +522,7 @@ object Streaming {
     "source_stream_replay" -> sourceStreamReplay,
     "stream_neardup" -> streamNeardup,
     "stream_tumbling_count" -> streamTumblingCount,
+    "stream_mix_monitor" -> streamMixMonitor,
     "stream_ohlc" -> streamOhlc,
     "stream_sliding_avg" -> streamSlidingAvg,
     "stream_session_window" -> streamSessionWindow,
@@ -529,6 +566,27 @@ object Streaming {
                 count(*) AS n,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
          FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
+    "stream_mix_monitor" ->
+      """WITH c AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                   event_type, count(*) AS c
+            FROM events GROUP BY 1, 2),
+          t AS (SELECT w_start, CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k
+                FROM c GROUP BY 1),
+          j AS (SELECT c.w_start, c.c, t.n, t.k,
+                       CAST(floor(ln(CAST(n AS DOUBLE) / CAST(c.c AS DOUBLE))
+                                  * 1000000 + 0.5) AS BIGINT) AS li
+                FROM c JOIN t ON c.w_start = t.w_start)
+          SELECT w_start, max(n) AS n_events, max(k) AS k_types,
+                 floor(CAST(sum(c * li) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                   / 1000000.0 * 10000 + 0.5) / 10000.0 AS entropy,
+                 CASE WHEN max(k) > 1 THEN
+                   floor(CAST(sum(c * li) AS DOUBLE) / CAST(max(n) AS DOUBLE)
+                     / CAST(floor(ln(CAST(max(k) AS DOUBLE)) * 1000000 + 0.5)
+                            AS BIGINT) * 10000 + 0.5) / 10000.0 END
+                   AS evenness
+          FROM j GROUP BY 1 ORDER BY 1""",
     "stream_ohlc" ->
       """SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                 arg_min(value, CAST(epoch_ms(ts) AS HUGEINT) * 18446744073709551616 + event_id) AS open,

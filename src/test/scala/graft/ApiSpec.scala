@@ -437,6 +437,14 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(_.toString)
     assert(mx sameElements SparkEntry.queries("pipeline_mix_temperature")(
       spark, sf).collect().map(_.toString))
+    val es = graft.api.Graft.dsirEss(docs, "doc_id", "text", "lang", "en")
+      .collect().map(_.toString)
+    assert(es sameElements SparkEntry.queries("pipeline_dsir_ess")(spark, sf)
+      .collect().map(_.toString))
+    val ep = graft.api.Graft.epochPlan(docs, "source", "text")
+      .collect().map(_.toString)
+    assert(ep sameElements SparkEntry.queries("pipeline_epoch_plan")(spark, sf)
+      .collect().map(_.toString))
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val cv = graft.api.Graft.embeddingCovariance(emb, "vec_id", "embedding")
       .collect().map(_.toString)

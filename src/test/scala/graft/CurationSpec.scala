@@ -88,6 +88,60 @@ class CurationSpec extends AnyFunSuite {
       s"en docs in top-25: ${got.count(_._2 == "en")}")
   }
 
+  test("pipeline_dsir_ess: exact ESS from the reference weight frame") {
+    // reuse the dsir reference machinery: recompute every doc's scaled
+    // log-weight, then ESS over exp-weights exactly as the op defines it
+    val B = 256
+    val p31 = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+      887503681L, 27512614111L)
+    def bucket(t: String): Int = {
+      val p = t.padTo(8, ' ')
+      ((0 until 8).map(i => p(i).toLong * p31(i)).sum % B).toInt
+    }
+    val all = docs.flatMap { case (id, lang, tk) =>
+      tk.map(t => (id, lang, bucket(t))) }
+    val cr = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ct = all.filter(_._2 == "en").groupBy(_._3).view
+      .mapValues(_.length.toLong).toMap
+    val kadj = li(all.length.toDouble + B) -
+      li(all.count(_._2 == "en").toDouble + B)
+    val wis = docs.map { case (_, _, tk) =>
+      val ls = tk.map(bucket).groupBy(identity).map { case (b, g) =>
+        g.length.toLong *
+          (li(ct.getOrElse(b, 0L).toDouble + 1) - li(cr(b).toDouble + 1))
+      }.sum + tk.length.toLong * kadj
+      math.floor(math.exp(ls.toDouble / 1e6) * 1e6 + 0.5).toLong
+    }
+    val (sw, sw2) = (wis.sum, wis.map(w => w * w).sum)
+    val ess = sw.toDouble * sw.toDouble / sw2.toDouble
+    val got = q("pipeline_dsir_ess").head()
+    assert(got.getLong(0) == docs.length.toLong)
+    assert(got.getDouble(1) == r4(ess), s"${got.getDouble(1)} vs ${r4(ess)}")
+    assert(got.getDouble(2) == r4(ess / docs.length.toDouble))
+    // weights near exp(0): ESS should stay a large fraction of n
+    assert(got.getDouble(2) > 0.5 && got.getDouble(2) <= 1.0)
+  }
+
+  test("pipeline_epoch_plan: budget conserved, tail sources upsampled") {
+    val rows = q("pipeline_epoch_plan").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val totTokens = rows.map(_._2).sum
+    val planned = rows.map(_._3).sum
+    // Σ planned ≈ budget (= tot/2) up to one rounding unit per source
+    assert(math.abs(planned - totTokens / 2) <= rows.length,
+      s"planned $planned vs budget ${totTokens / 2}")
+    // α < 1: epochs (relative draw rate) decrease as source size grows
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(small, big) => assert(small._4 >= big._4 - 1e-9,
+        s"${small._1} epochs ${small._4} < ${big._1} ${big._4}")
+      case _ =>
+    }
+    // budget is half the corpus ⇒ nothing can exceed 1 epoch unless its
+    // boost is > 2; assert everything stays in a sane band
+    rows.foreach { case (_, _, _, ep) => assert(ep > 0.0 && ep < 2.0) }
+  }
+
   test("pipeline_mix_temperature: normalized weights, tail upsampled") {
     val rows = q("pipeline_mix_temperature").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),

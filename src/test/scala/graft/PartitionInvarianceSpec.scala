@@ -41,7 +41,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "text_bm25_search", "pipeline_dsir_weights", "pipeline_mix_temperature",
     "embed_covariance", "embed_pca_variance", "graph_adamic_adar",
     "graph_jaccard_linkpred", "embed_mmr_rerank",
-    "pipeline_ccnet_bucket", "agg_bootstrap_ci", "sim_eval_label_precision")
+    "pipeline_ccnet_bucket", "agg_bootstrap_ci", "sim_eval_label_precision",
+    "pipeline_dsir_ess", "pipeline_epoch_plan", "dedup_crossmodal_agreement")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
