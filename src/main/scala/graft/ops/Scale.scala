@@ -247,6 +247,38 @@ object Scale {
       .orderBy("file_seq")
   }
 
+  /** Schema evolution across file generations — the concern a long-lived
+    * 100 TB table cannot avoid: generation 1 of the staged layout wrote
+    * (doc_id, lang); generation 2 added n_chars. `mergeSchema` unions the
+    * parquet footers so one scan spans both generations, with gen-1 rows
+    * surfacing NULL for the added column; the query reports the per-lang
+    * legacy-row accounting a backfill job consumes. At scale footer
+    * merging is a driver-side metadata union (file listing cost, not data
+    * cost), and the scan itself stays pruned/pushed-down per generation —
+    * this is exactly how parquet lakes roll schema forward without
+    * rewriting history. The oracle replays the SEMANTICS (even ids lack
+    * n_chars) from the source table; NewOpsSpec pins the mechanics
+    * (3-field merged schema, NULL backfill only in gen 1). */
+  private val scanSchemaEvolution: Q = (s, d) => {
+    val base =
+      s"/tmp/graft_io/docs_evo_${d.hashCode.toHexString}_${srcStamp(d, "documents")}"
+    if (stagedDirs.add(base)) {
+      val docs = tbl(s, d, "documents")
+      docs.where(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/gen=1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/gen=2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen=1", s"$base/gen=2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("chars_known"))
+      .orderBy("lang")
+  }
+
   /** Dynamic partition pruning — THE partitioned-warehouse join pattern at
     * 100 TB: the fact side is the lang-partitioned layout, the dim side a
     * tiny staged lang dimension with a selective filter (the most common
@@ -273,6 +305,7 @@ object Scale {
 
   val queries: Map[String, Q] = Map(
     "sink_compact" -> sinkCompact,
+    "scan_schema_evolution" -> scanSchemaEvolution,
     "join_dpp" -> joinDpp,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
@@ -292,6 +325,17 @@ object Scale {
          FROM documents d JOIN dim ON d.lang = dim.lang, top
          WHERE dim.n_docs = top.m
          GROUP BY d.lang ORDER BY d.lang""",
+    "scan_schema_evolution" ->
+      """WITH u AS (
+           SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_legacy,
+                CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS chars_known
+         FROM u GROUP BY 1 ORDER BY 1""",
     "sink_compact" ->
       """WITH r AS (
            SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn

@@ -361,4 +361,21 @@ class NewOpsSpec extends AnyFunSuite {
     assert(sampled.sum / sampled.length > corpus,
       s"sampled mean ${sampled.sum / sampled.length} vs corpus mean $corpus")
   }
+
+  test("scan_schema_evolution: merged schema spans generations, " +
+    "NULL backfill only on legacy rows") {
+    val out = q("scan_schema_evolution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    out.foreach { case (lang, nDocs, nLegacy, charsKnown) =>
+      val ofLang = docs.filter(_._2 == lang)
+      assert(nDocs == ofLang.length.toLong)
+      // gen 1 = even ids (written without n_chars) ⇒ NULL after merge
+      assert(nLegacy == ofLang.count(_._1 % 2 == 0).toLong)
+      assert(charsKnown == ofLang.filter(_._1 % 2 == 1).map(_._3).sum)
+    }
+  }
 }
