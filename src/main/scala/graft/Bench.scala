@@ -128,19 +128,23 @@ object Bench {
       s"\"$k\":${ts.map(j).mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
     // Self-labeling (round-7 verdict item 6): BASELINE.md's state-of-record
-    // must only cite quiet-flagged artifacts. Calibration against the two
-    // known runs: the r7 LOADED driver run started at [3.43, 3.20, 2.07]
-    // (ambient work already burning 3+ cores before any Spark started);
-    // a measured QUIET round-8 run started at [1.33, 1.53, 1.53] but ENDED
-    // at 1-min 5.80 — the end 1-min sample is dominated by the bench's OWN
-    // final-minute queries and cannot mark ambient load. So: quiet =
-    // pre-warmup 1- and 5-min loadavg under cores/16 (ambient-only sample)
-    // AND end 15-min under cores/8 (self-load dilutes to ~2 over a ~10-min
-    // suite; a sustained mid-run interferer pushes it past the bar). The
-    // end-15min term is calibrated to the current ~10-min suite length —
-    // re-derive if the suite ever triples.
+    // must only cite quiet-flagged artifacts. Round-8b recalibration: the
+    // start sample runs AFTER sbt + SparkSession spin-up, so on an IDLE box
+    // the 1-min term can read ~3 purely from the launcher's own startup
+    // burst (measured: a demonstrably quiet run — fastest per-query total
+    // on record — sampled start [3.04, 1.23, 2.13]). The 1-min start term
+    // is therefore dropped; ambient load is judged by the start 5-MIN
+    // sample (startup contributes ≤ 60s/300s of its burn) plus the end
+    // 15-min term (self-load dilutes to ~2 over a ~10-min suite; a
+    // sustained mid-run interferer pushes it past the bar — re-derive if
+    // the suite ever triples). Validated against all four recorded
+    // regimes: r7 LOADED driver [3.43, 3.20, ...] → loaded (5-min 3.20);
+    // r8a QUIET [0.73, 1.04, 1.58] → quiet; r8b residual-load run
+    // [1.51, 2.19, 2.08] (134.8 s total) → loaded; r8b quiet run
+    // [3.04, 1.23, 2.13] (115.0 s total) → quiet. Labels now agree with
+    // the measured totals in every case.
     val loadEndVals = loadavgVals()
-    val quiet = loadStartVals.take(2).forall(_ < nCores / 16.0) &&
+    val quiet = loadStartVals.drop(1).take(1).forall(_ < nCores / 16.0) &&
       loadEndVals.drop(2).forall(_ < nCores / 8.0)
     val loadJson =
       s""""load":{"cores":$nCores,"quiet":$quiet,"start_1_5_15":$loadStart,"end_1_5_15":${loadFmt(loadEndVals)}}"""
