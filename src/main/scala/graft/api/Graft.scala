@@ -320,7 +320,9 @@ object Graft {
       terms: Seq[String]): DataFrame =
     graft.ops.Curation.bm25Core(
       df.select(col(id).cast("long").as("doc_id"), col(text).as("text")),
-      terms)
+      // corpus tokens are lowercase/trim-normalized; normalize the query
+      // the same way or an uppercase term silently scores zero (review r8b)
+      terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct)
 
   /** DSIR importance weights (Xie et al. 2023): rank documents by
     * log p_target − log p_raw under add-1-smoothed hashed-unigram LMs
@@ -340,23 +342,11 @@ object Graft {
     * upweight variance will explode; ESS ≈ n means the target adds little
     * signal. */
   def dsirEss(df: DataFrame, id: String, text: String, lang: String,
-      targetLang: String): DataFrame = {
-    val w = graft.ops.Curation.dsirAll(
+      targetLang: String): DataFrame =
+    graft.ops.Curation.essCore(graft.ops.Curation.dsirAll(
       df.select(col(id).cast("long").as("doc_id"), col(lang).as("lang"),
         col(text).as("text")),
-      targetLang)
-      .withColumn("wi",
-        floor(exp(col("logw_scaled").cast("double") / 1e6) * 1e6 + 0.5)
-          .cast("long"))
-    w.agg(count(lit(1)).as("n_docs"), sum(col("wi")).as("sw"),
-        sum(col("wi") * col("wi")).as("sw2"))
-      .withColumn("ess",
-        (col("sw").cast("double") * col("sw").cast("double"))
-          / col("sw2").cast("double"))
-      .select(col("n_docs"), graft.util.Canon.r4(col("ess")).as("ess"),
-        graft.util.Canon.r4(col("ess") / col("n_docs").cast("double"))
-          .as("ess_frac"))
-  }
+      targetLang))
 
   /** Token-budgeted epoch plan: per source, the tokens the loader draws
     * under the α-temperature mixture and the implied epochs (> 1 ⇒ the

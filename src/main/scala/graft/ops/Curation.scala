@@ -149,9 +149,13 @@ object Curation {
     * read this. */
   private[graft] def dsirAll(docs: DataFrame, targetLang: String): DataFrame = {
     val B = 256
+    // dtoks feeds FOUR aggregates with different grouping keys (db, per,
+    // raw, tgt) — without a checkpoint the scan+explode+hash subtree would
+    // re-execute once per aggregate (review finding r8b)
     val dtoks = docs
       .select(col("doc_id"), col("lang"), explode(toks(normText)).as("t"))
       .withColumn("b", tbucket(col("t")))
+      .localCheckpoint(true)
     val db = dtoks.groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_toks"))
     val per = dtoks.groupBy(col("doc_id"), col("b"))
@@ -185,27 +189,35 @@ object Curation {
     * (Σw)²/Σw², the one-row diagnostic that says how much of the corpus
     * the importance resample REALLY draws from (ESS ≈ n ⇒ weights are
     * flat, the target adds little signal; ESS ≪ n ⇒ the resample
-    * concentrates on a sliver and variance explodes). w = exp(logw) rides
-    * as a 1e6-scaled BIGINT (one libm exp per doc, the accepted last-ulp
-    * posture) so both sums are exact integers; the final (Σw)² is squared
-    * in double — exact-int inputs, one multiply, identical cross-engine.
-    * BIGINT headroom: w ≤ ~e·1e6, Σw² < 2^63 until ~1e6 docs per... per
-    * ~7.5e5×e²-scaled docs ≈ 1e6 × 1e12 — fine to ~1e6 docs at this
-    * fixture's weight range; past that production widens the two sums to
-    * DECIMAL(38,0) (same plan). */
-  private val pipelineDsirEss: Q = (s, d) => {
-    val w = dsirAll(tbl(s, d, "documents"), "en")
+    * concentrates on a sliver and variance explodes).
+    *
+    * ESS is invariant under scaling all weights by a constant, so the MAX
+    * log-weight is subtracted before exponentiating (the standard
+    * log-sum-exp shift): without it, a corpus whose best doc has
+    * logw > ~41 would overflow the scaled-BIGINT carrier and wrap
+    * silently (review finding r8b). After the shift w = exp(logw−max) ≤ 1
+    * rides as a 1e6-scaled BIGINT (one libm exp per doc, the accepted
+    * last-ulp posture), and both sums accumulate as DECIMAL(38,0) — exact
+    * at ANY corpus size (the agg_corr_matrix posture); DuckDB's
+    * sum(BIGINT) is already 128-bit. The final (Σw)²/Σw² is evaluated in
+    * doubles from the exact sums — identical cross-engine. */
+  private[graft] def essCore(weights: DataFrame): DataFrame = {
+    val mx = weights.agg(max(col("logw_scaled")).as("mx"))
+    val w = weights.crossJoin(broadcast(mx))
       .withColumn("wi",
-        floor(exp(col("logw_scaled").cast("double") / 1e6) * 1e6 + 0.5)
-          .cast("long"))
-    w.agg(count(lit(1)).as("n_docs"), sum(col("wi")).as("sw"),
-        sum(col("wi") * col("wi")).as("sw2"))
+        floor(exp((col("logw_scaled") - col("mx")).cast("double") / 1e6)
+          * 1e6 + 0.5).cast("long"))
+    w.agg(count(lit(1)).as("n_docs"),
+        sum(col("wi").cast("decimal(38,0)")).as("sw"),
+        sum((col("wi") * col("wi")).cast("decimal(38,0)")).as("sw2"))
       .withColumn("ess",
         (col("sw").cast("double") * col("sw").cast("double"))
           / col("sw2").cast("double"))
       .select(col("n_docs"), r4(col("ess")).as("ess"),
         r4(col("ess") / col("n_docs").cast("double")).as("ess_frac"))
   }
+  private val pipelineDsirEss: Q = (s, d) =>
+    essCore(dsirAll(tbl(s, d, "documents"), "en"))
   private val pipelineDsirWeights: Q = (s, d) =>
     dsirCore(tbl(s, d, "documents"), "en")
 
@@ -222,7 +234,11 @@ object Curation {
     * PLANS.md pow/exp paragraph) floored to a 1e9-scaled BIGINT so the
     * normalizing SUM is exact-integer — the Σ q_t denominator can never
     * drift with aggregation order. */
-  private[graft] def mixTemperatureCore(docs: DataFrame, alpha: Double): DataFrame = {
+  /** Shared temperature-weight frame: per source (n_tokens, tot, p, ws)
+    * plus the broadcast Σws — the single definition both the mix-weight
+    * display and the epoch plan fold from, so the two ops can never
+    * disagree about the mixture they describe. */
+  private def tempWeights(docs: DataFrame, alpha: Double): DataFrame = {
     val perSrc = docs.groupBy(col("source"))
       .agg(sum(size(toks(normText)).cast("long")).as("n_tokens"))
     val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
@@ -232,12 +248,15 @@ object Curation {
         floor(pow(col("p"), lit(alpha)) * 1e9 + 0.5).cast("long"))
     val wtot = ws.agg(sum(col("ws")).as("wtot"))
     ws.crossJoin(broadcast(wtot))
+  }
+
+  private[graft] def mixTemperatureCore(docs: DataFrame, alpha: Double): DataFrame =
+    tempWeights(docs, alpha)
       .withColumn("mix_weight", col("ws").cast("double") / col("wtot").cast("double"))
       .select(col("source"), col("n_tokens"), r4(col("p")).as("p"),
         r4(col("mix_weight")).as("mix_weight"),
         r4(col("mix_weight") / col("p")).as("boost"))
       .orderBy("source")
-  }
   private val pipelineMixTemperature: Q = (s, d) =>
     mixTemperatureCore(tbl(s, d, "documents"), 0.3)
 
@@ -250,15 +269,8 @@ object Curation {
     * one double product keeps every operand exact (budget < 2^53 tokens),
     * so the plan is engine- and partitioning-invariant at any corpus
     * size — no BIGINT product of budget × scaled-weight ever forms. */
-  private[graft] def epochPlanCore(docs: DataFrame, alpha: Double): DataFrame = {
-    val perSrc = docs.groupBy(col("source"))
-      .agg(sum(size(toks(normText)).cast("long")).as("n_tokens"))
-    val tot = perSrc.agg(sum(col("n_tokens")).as("tot"))
-    val ws = perSrc.crossJoin(broadcast(tot))
-      .withColumn("p", col("n_tokens").cast("double") / col("tot").cast("double"))
-      .withColumn("ws", floor(pow(col("p"), lit(alpha)) * 1e9 + 0.5).cast("long"))
-    val wtot = ws.agg(sum(col("ws")).as("wtot"))
-    ws.crossJoin(broadcast(wtot))
+  private[graft] def epochPlanCore(docs: DataFrame, alpha: Double): DataFrame =
+    tempWeights(docs, alpha)
       .withColumn("budget", expr("tot div 2"))
       .withColumn("planned_tokens",
         floor(col("budget").cast("double")
@@ -269,7 +281,6 @@ object Curation {
       .select(col("source"), col("n_tokens"), col("planned_tokens"),
         col("epochs"))
       .orderBy("source")
-  }
   private val pipelineEpochPlan: Q = (s, d) =>
     epochPlanCore(tbl(s, d, "documents"), 0.3)
 
@@ -388,6 +399,12 @@ object Curation {
     pcaCore(s, tbl(s, d, "embeddings"), 10)
   private[graft] def pcaCore(s: SparkSession, e: DataFrame, topK: Int): DataFrame = {
     val rows = covCore(e).collect()
+    if (rows.isEmpty) {
+      // empty input ⇒ empty spectrum, not an empty.max crash (review r8b)
+      import s.implicits._
+      return Seq.empty[(Int, Double, Double, Double)]
+        .toDF("component", "eigenvalue_x100", "evr", "cum_evr")
+    }
     val dim = rows.map(_.getLong(1)).max.toInt + 1
     val cov = Array.ofDim[Double](dim, dim)
     var n = 1L
@@ -652,13 +669,15 @@ object Curation {
           ORDER BY wsum + n_toks * kadj DESC, w.doc_id LIMIT 25""",
     "pipeline_dsir_ess" ->
       s"""WITH $dsirCtes,
-          wi AS (SELECT CAST(floor(exp(
-                     CAST(wsum + n_toks * kadj AS DOUBLE) / 1000000.0)
-                     * 1000000 + 0.5) AS BIGINT) AS wi
+          lw AS (SELECT wsum + n_toks * kadj AS ls
                  FROM w JOIN db ON w.doc_id = db.doc_id, norms),
+          mx AS (SELECT max(ls) AS mx FROM lw),
+          wi AS (SELECT CAST(floor(exp(
+                     CAST(ls - mx AS DOUBLE) / 1000000.0)
+                     * 1000000 + 0.5) AS BIGINT) AS wi
+                 FROM lw, mx),
           ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                        CAST(sum(wi) AS BIGINT) AS sw,
-                        CAST(sum(wi * wi) AS BIGINT) AS sw2
+                        sum(wi) AS sw, sum(wi * wi) AS sw2
                  FROM wi)
           SELECT n_docs,
                  floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)

@@ -221,14 +221,26 @@ object Graph {
     * equi-join), the wedge join shuffles on the shared-neighbor key, the
     * anti-join removes existing edges, and top-20 is a TakeOrdered — no
     * global sort, nothing driver-sized. */
-  private[graft] def raCore(edges: DataFrame): DataFrame = {
-    // canonicalize to a < b: the wedge pairs are emitted x < y, so the
-    // existing-edge anti-join silently misses any edge stored reversed
+  /** Shared link-prediction preamble: canonicalize an undirected edge
+    * frame to DISTINCT a < b rows (the wedge pairs are emitted x < y, so
+    * the existing-edge anti-join silently misses any edge stored
+    * reversed; and a caller passing the symmetric both-directions
+    * representation must not double every degree and quadruple every
+    * wedge count — distinct() collapses it), checkpoint it, and derive
+    * the symmetric neighbor list + degree table all three predictors
+    * share. */
+  private def lpPrep(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val e = edges.select(least(col("a"), col("b")).cast("long").as("a"),
-      greatest(col("a"), col("b")).cast("long").as("b")).localCheckpoint(true)
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .distinct().localCheckpoint(true)
     val nbr = e.select(col("a").as("n"), col("b").as("m"))
       .unionAll(e.select(col("b").as("n"), col("a").as("m")))
     val deg = nbr.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    (e, nbr, deg)
+  }
+
+  private[graft] def raCore(edges: DataFrame): DataFrame = {
+    val (e, nbr, deg) = lpPrep(edges)
     // attach each wedge-center's weight before the wedge join so the pair
     // aggregate is a single pass (center key c = the shared neighbor)
     val byC = nbr.select(col("m").as("c"), col("n").as("x"))
@@ -262,12 +274,7 @@ object Graph {
     * wedge equi-join on the shared-neighbor key, one anti-join, TakeOrdered
     * top-20 — no global sort, nothing driver-sized. */
   private[graft] def aaCore(edges: DataFrame): DataFrame = {
-    // canonical a < b, as raCore (anti-join correctness for any caller)
-    val e = edges.select(least(col("a"), col("b")).cast("long").as("a"),
-      greatest(col("a"), col("b")).cast("long").as("b")).localCheckpoint(true)
-    val nbr = e.select(col("a").as("n"), col("b").as("m"))
-      .unionAll(e.select(col("b").as("n"), col("a").as("m")))
-    val deg = nbr.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val (e, nbr, deg) = lpPrep(edges)
     val wdeg = deg.where(col("deg") >= 2)
       .withColumn("li",
         floor(log(col("deg").cast("double")) * 1e6 + 0.5).cast("long"))
@@ -296,11 +303,7 @@ object Graph {
     * Same plan as commonNeighbors plus two broadcast-sized degree joins;
     * top-20 TakeOrdered. */
   private[graft] def jaccardLpCore(edges: DataFrame): DataFrame = {
-    val e = edges.select(least(col("a"), col("b")).cast("long").as("a"),
-      greatest(col("a"), col("b")).cast("long").as("b")).localCheckpoint(true)
-    val nbr = e.select(col("a").as("n"), col("b").as("m"))
-      .unionAll(e.select(col("b").as("n"), col("a").as("m")))
-    val deg = nbr.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val (e, nbr, deg) = lpPrep(edges)
     val byC = nbr.select(col("m").as("c"), col("n").as("x"))
     val wedges = byC
       .join(byC.select(col("c"), col("x").as("y")), "c")

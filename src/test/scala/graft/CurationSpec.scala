@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -105,13 +106,16 @@ class CurationSpec extends AnyFunSuite {
       .mapValues(_.length.toLong).toMap
     val kadj = li(all.length.toDouble + B) -
       li(all.count(_._2 == "en").toDouble + B)
-    val wis = docs.map { case (_, _, tk) =>
-      val ls = tk.map(bucket).groupBy(identity).map { case (b, g) =>
+    val lss = docs.map { case (_, _, tk) =>
+      tk.map(bucket).groupBy(identity).map { case (b, g) =>
         g.length.toLong *
           (li(ct.getOrElse(b, 0L).toDouble + 1) - li(cr(b).toDouble + 1))
       }.sum + tk.length.toLong * kadj
-      math.floor(math.exp(ls.toDouble / 1e6) * 1e6 + 0.5).toLong
     }
+    // the op max-shifts before exp (log-sum-exp; ESS is scale-invariant)
+    val mx = lss.max
+    val wis = lss.map(ls =>
+      math.floor(math.exp((ls - mx).toDouble / 1e6) * 1e6 + 0.5).toLong)
     val (sw, sw2) = (wis.sum, wis.map(w => w * w).sum)
     val ess = sw.toDouble * sw.toDouble / sw2.toDouble
     val got = q("pipeline_dsir_ess").head()
@@ -120,6 +124,36 @@ class CurationSpec extends AnyFunSuite {
     assert(got.getDouble(2) == r4(ess / docs.length.toDouble))
     // weights near exp(0): ESS should stay a large fraction of n
     assert(got.getDouble(2) > 0.5 && got.getDouble(2) <= 1.0)
+  }
+
+  test("link-prediction facades: symmetric both-directions edge input " +
+    "gives the same answer as canonical input (review r8b regression)") {
+    import spark.implicits._
+    val canon = Seq((5L, 1L), (5L, 2L), (5L, 3L), (1L, 2L))
+    val sym = canon ++ canon.map { case (a, b) => (b, a) }
+    def run(f: DataFrame => DataFrame, edges: Seq[(Long, Long)]) =
+      f(edges.toDF("a", "b")).collect().map(_.toString).sorted.toSeq
+    for (f <- Seq[DataFrame => DataFrame](
+        df => graft.api.Graft.adamicAdar(df, "a", "b"),
+        df => graft.api.Graft.jaccardLinkpred(df, "a", "b"),
+        df => graft.api.Graft.resourceAllocation(df, "a", "b"))) {
+      assert(run(f, canon) == run(f, sym),
+        "symmetric edge representation changed the prediction")
+    }
+  }
+
+  test("facade hardening: empty pcaSpectrum, unnormalized bm25 terms " +
+    "(review r8b regressions)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val empty = graft.api.Graft.pcaSpectrum(emb.where(col("vec_id") < 0),
+      "vec_id", "embedding")
+    assert(empty.collect().isEmpty)
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val messy = graft.api.Graft.bm25Search(docsDf, "doc_id", "text",
+      Seq(" Hash ", "JOIN", "stream", "stream")).collect().map(_.toString)
+    val clean = graft.api.Graft.bm25Search(docsDf, "doc_id", "text",
+      Seq("hash", "join", "stream")).collect().map(_.toString)
+    assert(messy sameElements clean)
   }
 
   test("pipeline_epoch_plan: budget conserved, tail sources upsampled") {
