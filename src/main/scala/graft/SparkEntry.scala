@@ -11,7 +11,7 @@ object SparkEntry {
       ops.Functions.queries ++ ops.TimeSeries.queries ++ ops.Forecast.queries ++
       ops.TextDedup.queries ++ ops.Streaming.queries ++ ops.Extensions.queries ++
       ops.Scale.queries ++ ops.Pipeline.queries ++ ops.Bpe.queries ++
-      ops.Graph.queries ++ ops.Curation.queries
+      ops.Graph.queries ++ ops.Curation.queries ++ ops.Lifecycle.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +19,5 @@ object SparkEntry {
       ops.Functions.oracle ++ ops.TimeSeries.oracle ++ ops.Forecast.oracle ++
       ops.TextDedup.oracle ++ ops.Streaming.oracle ++ ops.Extensions.oracle ++
       ops.Scale.oracle ++ ops.Pipeline.oracle ++ ops.Bpe.oracle ++
-      ops.Graph.oracle ++ ops.Curation.oracle
+      ops.Graph.oracle ++ ops.Curation.oracle ++ ops.Lifecycle.oracle
 }

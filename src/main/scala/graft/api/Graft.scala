@@ -466,6 +466,59 @@ object Graft {
         budget)
       .withColumnRenamed("lang", lang).withColumnRenamed("doc_id", id)
 
+  /** Generation-over-generation corpus diff: classify every id across two
+    * snapshot frames as added / removed / changed / unchanged (payload
+    * inequality = changed; at 100 TB pass a digest column as `payload`)
+    * and roll up (source, status, n_docs, summed weight). One full-outer
+    * hash join on the id, then an O(#sources × 4) agg. */
+  def snapshotDiff(old: DataFrame, nw: DataFrame, id: String,
+      source: String, payload: String, weight: String): DataFrame = {
+    def norm(df: DataFrame) = df.select(col(id).cast("long").as("id"),
+      col(source).as("source"), col(payload).as("payload"),
+      col(weight).cast("long").as("weight"))
+    graft.ops.Lifecycle.snapshotDiffCore(norm(old), norm(nw))
+      .withColumnRenamed("source", source)
+  }
+
+  /** Exact join-size pre-flight for `left(keyL)` ⋈ `right(keyR)`: per-side
+    * distinct keys, matching keys, exact output cardinality Σ|L_k|·|R_k|,
+    * and worst single-key fan-out — one row. Shuffles key counts only. */
+  def joinSizeAudit(left: DataFrame, keyL: String,
+      right: DataFrame, keyR: String): DataFrame =
+    graft.ops.Lifecycle.joinSizeAuditCore(
+      left.select(col(keyL).as("k")), right.select(col(keyR).as("k")))
+
+  /** Cohen's κ between two boolean label columns — the label-noise /
+    * weak-supervision agreement audit. One row
+    * (n, n11, n10, n01, n00, kappa). */
+  def raterAgreement(df: DataFrame, a: Column, b: Column): DataFrame =
+    graft.ops.Lifecycle.raterAgreementCore(
+      df.select(a.cast("boolean").as("ra"), b.cast("boolean").as("rb")))
+
+  /** Winsorized per-group stats of an integral measure: exact discrete
+    * p05/p95 cutpoints, clamped mean, clip counts. Cutpoint frame is
+    * O(#groups) and broadcast back — no full-data window. */
+  def winsorize(df: DataFrame, group: String, value: String): DataFrame =
+    graft.ops.Lifecycle.winsorizeCore(
+        df.select(col(group).as("source"), col(value).cast("long").as("n_chars")))
+      .withColumnRenamed("source", group)
+
+  /** MinHash banding design audit over a similarity sample: for each
+    * (bands, rows) split of a 16-hash budget, expected caught true/false
+    * near-dup mass under P(s) = 1 − (1 − s^r)^b at threshold 0.8. `sim`
+    * is any one-double-column frame of candidate-pair similarities (use
+    * the blocked dedup family to produce it — never all-pairs). */
+  def lshTuning(sim: DataFrame, simCol: String): DataFrame =
+    graft.ops.Lifecycle.lshTuningCore(
+      sim.select(col(simCol).cast("double").as("s")))
+
+  /** Degree assortativity (Newman r) of an undirected edge frame — the
+    * hub-mixing fingerprint read before choosing graph-join skew
+    * mitigations. One row (n_nodes, n_edges, assortativity). */
+  def assortativity(edges: DataFrame, a: String, b: String): DataFrame =
+    graft.ops.Graph.assortativityCore(
+      edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")))
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

@@ -439,6 +439,50 @@ object Graph {
       .select(col("n").as("user_id"), col("deg"))
       .orderBy("user_id")
 
+  /** Degree assortativity (Newman 2002): Pearson correlation of the degree
+    * pairs at the two ends of every edge, over the symmetric edge closure
+    * (so each undirected edge contributes both orientations and the
+    * coefficient is exactly symmetric). Positive = hubs link to hubs;
+    * social graphs are assortative, web/biological graphs disassortative —
+    * the one-number structural fingerprint read before choosing skew
+    * mitigations for graph joins.
+    *
+    * Determinism: the five moment sums are exact BIGINTs (degree ≤ n, so
+    * m·Σx² fits 2^63 far beyond the fixture; at true 100 TB scale the
+    * production variant centers by the mean first or carries DECIMAL(38)
+    * — same plan); the final r is one fixed-shape IEEE expression over
+    * them, with the variance product multiplied AS DOUBLES (the BIGINT
+    * product would overflow long before the sums do). Scale shape: degree
+    * table from one edge-end rollup, two broadcast-sized joins back onto
+    * the edge frame, one global agg — shuffle ∝ edges, no window. */
+  private[graft] def assortativityCore(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
+    val xy = sym
+      .join(deg.select(col("n").as("a"), col("deg").as("x")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("y")), Seq("b"))
+    val mom = xy.agg(count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val vx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vy = col("m") * col("syy") - col("sy") * col("sy")
+    mom.crossJoin(broadcast(nn)).crossJoin(broadcast(ne))
+      .select(col("n_nodes"), col("n_edges"),
+        r4(when(vx > 0 && vy > 0,
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double"))))
+          .as("assortativity"))
+  }
+
+  private val graphAssortativity: Q = (s, d) =>
+    assortativityCore(coocEdges(s, d))
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_label_propagation" -> graphLabelPropagation,
@@ -450,6 +494,7 @@ object Graph {
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_jaccard_linkpred" -> graphJaccardLinkpred,
     "graph_kcore" -> graphKcore,
+    "graph_assortativity" -> graphAssortativity,
   )
 
   /** One k=2 peel round: survivors of the degree filter over edge set %s. */
@@ -484,6 +529,36 @@ object Graph {
        WHERE rn = 1"""
 
   val oracle: Map[String, String] = Map(
+    "graph_assortativity" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+          deg AS (SELECT a AS n, count(*) AS deg FROM sym GROUP BY 1),
+          xy AS (SELECT da.deg AS x, db.deg AS y
+                 FROM sym JOIN deg da ON sym.a = da.n
+                          JOIN deg db ON sym.b = db.n),
+          mom AS (SELECT count(*) AS m,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(y * y) AS BIGINT) AS syy
+                  FROM xy),
+          nn AS (SELECT count(*) AS n_nodes FROM deg),
+          ne AS (SELECT count(*) AS n_edges FROM e)
+          SELECT n_nodes, n_edges,
+                 floor((CASE WHEN (m * sxx - sx * sx) > 0
+                               AND (m * syy - sy * sy) > 0
+                        THEN CAST(m * sxy - sx * sy AS DOUBLE)
+                             / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+                                    * CAST(m * syy - sy * sy AS DOUBLE))
+                        END) * 10000 + 0.5) / 10000.0 AS assortativity
+          FROM mom CROSS JOIN nn CROSS JOIN ne""",
     "graph_kcore" ->
       // every CTE is MATERIALIZED: each peel round references its
       // predecessor three times (twice in the degree union, once in the

@@ -1,0 +1,447 @@
+package graft.ops
+
+import graft.util.Canon._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset-lifecycle operators — the audits a training-data platform runs
+  * BETWEEN pipeline runs, when the corpus is a living artifact rather than
+  * a one-shot batch (SURVEY §2.9's scale mandate, BASELINE.json:6):
+  *
+  *  - `pipeline_snapshot_diff`: generation-over-generation diff
+  *    (added / removed / changed / unchanged per source) — the release
+  *    audit run before promoting a new corpus snapshot.
+  *  - `pipeline_incremental_agg`: partial-aggregate maintenance — merge a
+  *    base rollup with a delta rollup and prove the merge equals a full
+  *    recompute. At 100 TB this IS the ingestion path: you aggregate the
+  *    new files and merge, you never rescan the corpus.
+  *  - `agg_join_size_audit`: exact join-cardinality audit (Σ |L_k|·|R_k|
+  *    over matching keys, max fan-out) — the pre-flight check before a
+  *    petabyte join, and the ground truth a CBO's estimate is graded on.
+  *  - `agg_rater_agreement`: Cohen's κ between two label sources — the
+  *    label-noise audit for any weakly-supervised quality signal.
+  *  - `agg_winsorize`: winsorized per-source moments with exact discrete
+  *    p05/p95 cutpoints — robust stats that survive the heavy-tailed
+  *    length distributions real corpora have.
+  *  - `dedup_lsh_tuning`: MinHash banding design audit — for each
+  *    (bands, rows) split of a fixed hash budget, the expected caught
+  *    true/false near-dup mass under the S-curve P(s) = 1 − (1 − s^r)^b,
+  *    evaluated on the EXACT pairwise-Jaccard distribution of a blocked
+  *    candidate set. This is how b and r are chosen before a 100 TB
+  *    dedup run, where a wrong split costs a full re-shuffle.
+  *
+  * Determinism contract (Canon rules): every cross-engine number is an
+  * exact integer aggregate or a fixed-shape IEEE expression over exact
+  * integers. The S-curve powers are explicit correctly-rounded multiply
+  * chains (no `pow`, no `ln` — stronger than the accepted last-ulp
+  * posture: bit-exact by IEEE 754 semantics alone).
+  */
+object Lifecycle {
+  type Q = (SparkSession, String) => DataFrame
+  import TextDedup.{normText, normSql, toks}
+
+  // ------------------------------------------------------- snapshot diff
+  /** Corpus release diff. The two generations are deterministic views of
+    * the fixture (old = 80 % of ids with a ` [v1]` suffix on every 7th
+    * doc; new = 90 % of ids, current text) so the oracle can replay them;
+    * in production they are two parquet snapshot roots and the plan is
+    * unchanged: one full-outer hash join on the document key, then an
+    * O(#sources × 4) rollup. Change detection compares the text payload
+    * directly (at 100 TB: compare xxhash64 digests instead — same join,
+    * 8-byte shuffle payload; the fixture compares text so DuckDB can
+    * replay without sharing a hash function). */
+  /** Generic core: `old`/`nw` are (id, source, payload, weight) frames from
+    * any two snapshot roots. */
+  private[graft] def snapshotDiffCore(old: DataFrame, nw: DataFrame): DataFrame = {
+    val o = old.select(col("id").as("o_id"), col("source").as("o_source"),
+      col("payload").as("o_text"), col("weight").as("o_chars"))
+    val n = nw.select(col("id").as("n_id"), col("source").as("n_source"),
+      col("payload").as("n_text"), col("weight").as("nw_chars"))
+    o.join(n, col("o_id") === col("n_id"), "full_outer")
+      .select(coalesce(col("n_source"), col("o_source")).as("source"),
+        when(col("o_id").isNull, lit("added"))
+          .when(col("n_id").isNull, lit("removed"))
+          .when(col("o_text") =!= col("n_text"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("nw_chars"), col("o_chars")).as("chars"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("n_chars"))
+      .orderBy("source", "status")
+  }
+
+  private val snapshotDiff: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val old = docs.where(col("doc_id") % 10 < 8)
+      .select(col("doc_id").as("id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v1]")))
+          .otherwise(col("text")).as("payload"),
+        col("n_chars").as("weight"))
+    val nw = docs.where(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id").as("id"), col("source"),
+        col("text").as("payload"), col("n_chars").as("weight"))
+    snapshotDiffCore(old, nw)
+  }
+
+  // -------------------------------------------------- incremental rollup
+  /** Merge-of-partials ≡ full-recompute, proven in-query: the per-(source,
+    * lang) token rollup over a 70 % base plus a 30 % delta, re-aggregated,
+    * full-outer-joined against the from-scratch rollup with a per-group
+    * `matches_full` verdict. Counts and token sums are algebraic
+    * aggregates, so the merge is exact — the property that makes
+    * incremental ingestion safe. Scale shape: the corpus is scanned for
+    * the partials only; the merge and the audit join run on #group-sized
+    * frames. (The full recompute here exists to EMIT the proof; a
+    * production run drops it and keeps the merge.) */
+  private val incrementalAgg: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+      .withColumn("wc", size(toks(normText)).cast("long"))
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_tokens"))
+    val base = rollup(docs.where(col("doc_id") % 10 < 7))
+    val delta = rollup(docs.where(col("doc_id") % 10 >= 7))
+    val merged = base.unionByName(delta)
+      .groupBy("source", "lang")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val full = rollup(docs)
+      .select(col("source"), col("lang"),
+        col("n_docs").as("f_docs"), col("n_tokens").as("f_tokens"))
+    merged.join(full, Seq("source", "lang"), "full_outer")
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") === col("f_docs") &&
+          col("n_tokens") === col("f_tokens")).as("matches_full"))
+      .orderBy("source", "lang")
+  }
+
+  // ---------------------------------------------------- join-size audit
+  /** Exact join-cardinality pre-flight for lineitem ⋈ orders on the order
+    * key: per-side distinct-key counts, matching keys, the exact output
+    * cardinality Σ cnt_l·cnt_o, and the worst single-key fan-out. Plan:
+    * two partial-aggregated key-count rollups (shuffle ∝ distinct keys,
+    * not rows) meeting in one equi-join, then a one-row agg — the same
+    * audit at 100 TB touches each input once and shuffles only key
+    * counts. This is the ground truth a cost model's estimate (and a
+    * skew-salting decision) is checked against. The FULL OUTER join of
+    * the two key-count frames yields every statistic in one pass — no
+    * per-side recount scans. */
+  /** Generic core: exact join-size audit of `left(k)` ⋈ `right(k)`. */
+  private[graft] def joinSizeAuditCore(left: DataFrame,
+      right: DataFrame): DataFrame = {
+    val l = left.groupBy(col("k")).agg(count(lit(1)).as("cl"))
+    val o = right.groupBy(col("k")).agg(count(lit(1)).as("co"))
+    l.join(o, Seq("k"), "full_outer")
+      .agg(
+        sum(when(col("cl").isNotNull, 1L).otherwise(0L)).as("n_left_keys"),
+        sum(when(col("co").isNotNull, 1L).otherwise(0L)).as("n_right_keys"),
+        sum(when(col("cl").isNotNull && col("co").isNotNull, 1L)
+          .otherwise(0L)).as("n_match_keys"),
+        coalesce(sum(col("cl") * col("co")), lit(0L)).as("join_rows"),
+        max(col("cl") * col("co")).as("max_fanout"))
+  }
+
+  private val joinSizeAudit: Q = (s, d) =>
+    joinSizeAuditCore(
+      tbl(s, d, "lineitem").select(col("l_orderkey").as("k")),
+      tbl(s, d, "orders").select(col("o_orderkey").as("k")))
+
+  // -------------------------------------------------- rater agreement κ
+  /** Cohen's κ between two deterministic binary quality raters (char-count
+    * gate vs token-count gate). One corpus scan; the four confusion cells
+    * are exact integer sums; κ is a fixed-shape IEEE expression over them
+    * (observed agreement vs chance agreement), rounded once via r4. The
+    * audit a labeling pipeline runs before trusting any weak supervision
+    * source. */
+  /** Generic core: κ between two boolean label columns (`ra`, `rb`). */
+  private[graft] def raterAgreementCore(t: DataFrame): DataFrame =
+    t.select(col("ra").cast("long").as("ra"), col("rb").cast("long").as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("n11"),
+        sum(col("ra") * (lit(1) - col("rb"))).as("n10"),
+        sum((lit(1) - col("ra")) * col("rb")).as("n01"),
+        sum((lit(1) - col("ra")) * (lit(1) - col("rb"))).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        r4({
+          val n = col("n").cast("double")
+          val po = (col("n11") + col("n00")).cast("double") / n
+          val pa = (col("n11") + col("n10")).cast("double") / n
+          val pb = (col("n11") + col("n01")).cast("double") / n
+          val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+          when(pe < 1.0, (po - pe) / (lit(1.0) - pe))
+        }).as("kappa"))
+
+  private val raterAgreement: Q = (s, d) =>
+    raterAgreementCore(tbl(s, d, "documents").select(
+      (col("n_chars") >= 240).as("ra"),
+      (size(toks(normText)) >= 40).as("rb")))
+
+  // ------------------------------------------------------- winsorization
+  /** Winsorized per-source length stats. Cutpoints are EXACT discrete
+    * order statistics (percentile_disc = the ceil(p·n)-th value — the
+    * oracle replays that definition via row_number, not DuckDB's
+    * quantile_disc, whose index rule differs on unlucky group sizes).
+    * Plan: one grouped percentile pass producing an O(#sources) cutpoint
+    * frame, broadcast back over the corpus scan for the clamped rollup —
+    * two scans, no window over the full data. */
+  /** Generic core over a (source, n_chars) frame. */
+  private[graft] def winsorizeCore(docs: DataFrame): DataFrame = {
+    // percentile_disc returns DOUBLE; the value is an exact order statistic
+    // of a BIGINT column, so the cast back is lossless
+    val cuts = docs.groupBy("source").agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").as("hi"))
+    docs.join(broadcast(cuts), Seq("source"))
+      .select(col("source"), col("n_chars"), col("lo"), col("hi"),
+        least(greatest(col("n_chars"), col("lo")), col("hi")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        min(col("lo")).as("p05"), min(col("hi")).as("p95"),
+        sum(col("w")).as("wsum"),
+        sum((col("n_chars") < col("lo")).cast("long")).as("n_clip_lo"),
+        sum((col("n_chars") > col("hi")).cast("long")).as("n_clip_hi"))
+      .select(col("source"), col("n"), col("p05"), col("p95"),
+        r4(col("wsum").cast("double") / col("n").cast("double"))
+          .as("winsor_mean"),
+        col("n_clip_lo"), col("n_clip_hi"))
+      .orderBy("source")
+  }
+
+  private val winsorize: Q = (s, d) =>
+    winsorizeCore(tbl(s, d, "documents").select("source", "n_chars"))
+
+  // ------------------------------------------------------ LSH tuning
+  /** Banding-parameter design audit for MinHash LSH: for each (b, r)
+    * split of a 16-hash budget, the expected near-dup mass caught above
+    * and below the 0.8 Jaccard threshold under P(s) = 1 − (1 − s^r)^b,
+    * evaluated on the exact pairwise-similarity distribution of the
+    * blocked candidate set (token equi-join — pairs with zero overlap
+    * have P(0) = 0 and drop out of the sum by construction).
+    *
+    * Determinism: the S-curve is computed as explicit multiply chains
+    * (s², s⁴, s⁸; v², …, v¹⁶) — every step is a correctly-rounded IEEE
+    * multiply on identical operands, so Spark and DuckDB agree bit-for-
+    * bit; each pair's probability is floored to a 1e9-scaled BIGINT
+    * before summing, so aggregation order never matters. Scale shape:
+    * candidates come from the same blocked join the dedup family uses
+    * (never all-pairs); the 4-row config grid is a broadcast cross. */
+  /** Generic core over a one-column similarity frame `sim(s: double)`. */
+  private[graft] def lshTuningCore(sim: DataFrame): DataFrame = {
+    val sess = sim.sparkSession
+    import sess.implicits._
+    val grid = Seq((2, 8), (4, 4), (8, 2), (16, 1)).toDF("b", "r")
+    val sC = col("s")
+    val vC = col("v")
+    sim.crossJoin(broadcast(grid))
+      .withColumn("sr",
+        when(col("r") === 1, sC)
+          .when(col("r") === 2, sC * sC)
+          .when(col("r") === 4, (sC * sC) * (sC * sC))
+          .otherwise(((sC * sC) * (sC * sC)) * ((sC * sC) * (sC * sC))))
+      .withColumn("v", lit(1.0) - col("sr"))
+      .withColumn("vb",
+        when(col("b") === 2, vC * vC)
+          .when(col("b") === 4, (vC * vC) * (vC * vC))
+          .when(col("b") === 8, ((vC * vC) * (vC * vC)) * ((vC * vC) * (vC * vC)))
+          .otherwise((((vC * vC) * (vC * vC)) * ((vC * vC) * (vC * vC))) *
+            (((vC * vC) * (vC * vC)) * ((vC * vC) * (vC * vC)))))
+      .withColumn("pe",
+        floor((lit(1.0) - col("vb")) * 1000000000L + 0.5).cast("long"))
+      .groupBy("b", "r")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("s") >= 0.8, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("s") >= 0.8, col("pe")).otherwise(0L))
+          .as("exp_true_scaled"),
+        sum(when(col("s") < 0.8, col("pe")).otherwise(0L))
+          .as("exp_false_scaled"))
+      .orderBy("b", "r")
+  }
+
+  private val lshTuning: Q = (s, d) => {
+    val t = tbl(s, d, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"), array_distinct(toks(normText)).as("st"))
+    val tok = t.select(col("doc_id"), explode(col("st")).as("tok"))
+    val pairs = tok.as("a")
+      .join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = t.select(col("doc_id"), size(col("st")).cast("long").as("n"))
+    lshTuningCore(pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .select((col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double")).as("s")))
+  }
+
+  // ---------------------------------------------------------- registry
+  val queries: Map[String, Q] = Map(
+    "pipeline_snapshot_diff" -> snapshotDiff,
+    "pipeline_incremental_agg" -> incrementalAgg,
+    "agg_join_size_audit" -> joinSizeAudit,
+    "agg_rater_agreement" -> raterAgreement,
+    "agg_winsorize" -> winsorize,
+    "dedup_lsh_tuning" -> lshTuning,
+  )
+
+  private val r4Sql = (x: String) => s"floor(($x)*10000 + 0.5)/10000.0"
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_snapshot_diff" ->
+      """WITH old AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' [v1]' ELSE text END
+                     AS text,
+                   n_chars
+            FROM documents WHERE doc_id % 10 < 8),
+          nw AS (SELECT doc_id, source, text, n_chars
+                 FROM documents WHERE doc_id % 10 <> 1)
+          SELECT coalesce(nw.source, old.source) AS source,
+                 CASE WHEN old.doc_id IS NULL THEN 'added'
+                      WHEN nw.doc_id IS NULL THEN 'removed'
+                      WHEN old.text <> nw.text THEN 'changed'
+                      ELSE 'unchanged' END AS status,
+                 count(*) AS n_docs,
+                 CAST(sum(coalesce(nw.n_chars, old.n_chars)) AS BIGINT)
+                   AS n_chars
+          FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+          GROUP BY 1, 2 ORDER BY source, status""",
+    "pipeline_incremental_agg" ->
+      s"""WITH w AS (SELECT doc_id, source, lang,
+                   CAST(len(string_split($normSql, ' ')) AS BIGINT) AS wc
+              FROM documents),
+          base AS (SELECT source, lang, count(*) AS n_docs,
+                          CAST(sum(wc) AS BIGINT) AS n_tokens
+                   FROM w WHERE doc_id % 10 < 7 GROUP BY 1, 2),
+          delta AS (SELECT source, lang, count(*) AS n_docs,
+                           CAST(sum(wc) AS BIGINT) AS n_tokens
+                    FROM w WHERE doc_id % 10 >= 7 GROUP BY 1, 2),
+          merged AS (SELECT source, lang,
+                            CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+                     FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+                     GROUP BY 1, 2),
+          fl AS (SELECT source, lang, count(*) AS f_docs,
+                        CAST(sum(wc) AS BIGINT) AS f_tokens
+                 FROM w GROUP BY 1, 2)
+          SELECT merged.source, merged.lang, n_docs, n_tokens,
+                 (n_docs = f_docs AND n_tokens = f_tokens) AS matches_full
+          FROM merged FULL OUTER JOIN fl
+            ON merged.source = fl.source AND merged.lang = fl.lang
+          ORDER BY merged.source, merged.lang""",
+    "agg_join_size_audit" ->
+      """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl
+                    FROM lineitem GROUP BY 1),
+          o AS (SELECT o_orderkey AS k, count(*) AS co
+                FROM orders GROUP BY 1)
+          SELECT CAST(sum(CASE WHEN cl IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_left_keys,
+                 CAST(sum(CASE WHEN co IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_right_keys,
+                 CAST(sum(CASE WHEN cl IS NOT NULL AND co IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_match_keys,
+                 CAST(coalesce(sum(cl * co), 0) AS BIGINT) AS join_rows,
+                 CAST(max(cl * co) AS BIGINT) AS max_fanout
+          FROM l FULL OUTER JOIN o USING (k)""",
+    "agg_rater_agreement" ->
+      s"""WITH t AS (
+            SELECT CASE WHEN n_chars >= 240 THEN 1 ELSE 0 END AS ra,
+                   CASE WHEN len(string_split($normSql, ' ')) >= 40
+                        THEN 1 ELSE 0 END AS rb
+            FROM documents),
+          c AS (SELECT count(*) AS n,
+                       CAST(sum(ra * rb) AS BIGINT) AS n11,
+                       CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+                       CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+                       CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+                FROM t)
+          SELECT n, n11, n10, n01, n00,
+                 ${r4Sql("""CASE WHEN
+                     (CAST(n11 + n10 AS DOUBLE)/CAST(n AS DOUBLE))
+                       * (CAST(n11 + n01 AS DOUBLE)/CAST(n AS DOUBLE))
+                     + (1.0 - CAST(n11 + n10 AS DOUBLE)/CAST(n AS DOUBLE))
+                       * (1.0 - CAST(n11 + n01 AS DOUBLE)/CAST(n AS DOUBLE))
+                     < 1.0
+                   THEN (CAST(n11 + n00 AS DOUBLE)/CAST(n AS DOUBLE)
+                         - ((CAST(n11 + n10 AS DOUBLE)/CAST(n AS DOUBLE))
+                            * (CAST(n11 + n01 AS DOUBLE)/CAST(n AS DOUBLE))
+                            + (1.0 - CAST(n11 + n10 AS DOUBLE)/CAST(n AS DOUBLE))
+                              * (1.0 - CAST(n11 + n01 AS DOUBLE)/CAST(n AS DOUBLE))))
+                        / (1.0
+                           - ((CAST(n11 + n10 AS DOUBLE)/CAST(n AS DOUBLE))
+                              * (CAST(n11 + n01 AS DOUBLE)/CAST(n AS DOUBLE))
+                              + (1.0 - CAST(n11 + n10 AS DOUBLE)/CAST(n AS DOUBLE))
+                                * (1.0 - CAST(n11 + n01 AS DOUBLE)/CAST(n AS DOUBLE))))
+                   END""")} AS kappa
+          FROM c""",
+    "agg_winsorize" ->
+      s"""WITH sel AS (
+            SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source ORDER BY n_chars)
+                     AS rn,
+                   count(*) OVER (PARTITION BY source) AS n
+            FROM documents),
+          cuts AS (
+            SELECT source,
+                   max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+                            THEN n_chars END) AS lo,
+                   max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                            THEN n_chars END) AS hi
+            FROM sel GROUP BY source)
+          SELECT d.source, count(*) AS n,
+                 min(lo) AS p05, min(hi) AS p95,
+                 ${r4Sql("CAST(sum(least(greatest(d.n_chars, lo), hi)) AS DOUBLE)" +
+                   " / CAST(count(*) AS DOUBLE)")} AS winsor_mean,
+                 CAST(sum(CASE WHEN d.n_chars < lo THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clip_lo,
+                 CAST(sum(CASE WHEN d.n_chars > hi THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_clip_hi
+          FROM documents d JOIN cuts ON d.source = cuts.source
+          GROUP BY d.source ORDER BY d.source""",
+    "dedup_lsh_tuning" ->
+      s"""WITH cfg(b, r) AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2),
+                                                   (16, 1))),
+          t AS (SELECT doc_id, list_distinct(string_split($normSql, ' '))
+                         AS st
+                FROM documents WHERE doc_id < 60),
+          tok AS (SELECT doc_id, unnest(st) AS tok FROM t),
+          pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+                    FROM tok a JOIN tok b
+                      ON a.tok = b.tok AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          sizes AS (SELECT doc_id, CAST(len(st) AS BIGINT) AS n FROM t),
+          sim AS (SELECT CAST(inter AS DOUBLE)
+                           / CAST(sa.n + sb.n - inter AS DOUBLE) AS s
+                  FROM pairs JOIN sizes sa ON da = sa.doc_id
+                             JOIN sizes sb ON db = sb.doc_id),
+          st1 AS (SELECT b, r, s,
+                         CASE r WHEN 1 THEN s WHEN 2 THEN s * s
+                                WHEN 4 THEN (s * s) * (s * s)
+                                ELSE ((s * s) * (s * s)) * ((s * s) * (s * s))
+                         END AS sr
+                  FROM sim CROSS JOIN cfg),
+          st2 AS (SELECT b, r, s, 1.0 - sr AS v FROM st1),
+          st3 AS (SELECT b, r, s,
+                         CASE b WHEN 2 THEN v * v
+                                WHEN 4 THEN (v * v) * (v * v)
+                                WHEN 8 THEN ((v * v) * (v * v))
+                                              * ((v * v) * (v * v))
+                                ELSE (((v * v) * (v * v)) * ((v * v) * (v * v)))
+                                       * (((v * v) * (v * v))
+                                            * ((v * v) * (v * v)))
+                         END AS vb
+                  FROM st2),
+          pe AS (SELECT b, r, s,
+                        CAST(floor((1.0 - vb) * 1000000000 + 0.5) AS BIGINT)
+                          AS pe
+                 FROM st3)
+          SELECT b, r, count(*) AS n_cand,
+                 CAST(sum(CASE WHEN s >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+                 CAST(sum(CASE WHEN s >= 0.8 THEN pe ELSE 0 END) AS BIGINT)
+                   AS exp_true_scaled,
+                 CAST(sum(CASE WHEN s < 0.8 THEN pe ELSE 0 END) AS BIGINT)
+                   AS exp_false_scaled
+          FROM pe GROUP BY b, r ORDER BY b, r""",
+  )
+}

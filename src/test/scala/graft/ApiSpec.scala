@@ -473,6 +473,69 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(_.toString))
   }
 
+  test("lifecycle facade methods ≡ their registry queries") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val normText = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+    val js = graft.api.Graft.joinSizeAudit(li, "l_orderkey", ord, "o_orderkey")
+      .collect().map(_.toString)
+    assert(js sameElements SparkEntry.queries("agg_join_size_audit")(spark, sf)
+      .collect().map(_.toString))
+
+    val wz = graft.api.Graft.winsorize(docs, "source", "n_chars")
+      .collect().map(_.toString)
+    assert(wz sameElements SparkEntry.queries("agg_winsorize")(spark, sf)
+      .collect().map(_.toString))
+
+    val ra = graft.api.Graft.raterAgreement(docs,
+      col("n_chars") >= 240, size(split(normText, " ")) >= 40)
+      .collect().map(_.toString)
+    assert(ra sameElements SparkEntry.queries("agg_rater_agreement")(spark, sf)
+      .collect().map(_.toString))
+
+    val old = docs.where(col("doc_id") % 10 < 8)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [v1]")))
+          .otherwise(col("text")).as("payload"), col("n_chars"))
+    val nw = docs.where(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), col("source"), col("text").as("payload"),
+        col("n_chars"))
+    val sd = graft.api.Graft.snapshotDiff(old, nw, "doc_id", "source",
+      "payload", "n_chars").collect().map(_.toString)
+    assert(sd sameElements SparkEntry.queries("pipeline_snapshot_diff")(
+      spark, sf).collect().map(_.toString))
+  }
+
+  test("Graft.lshTuning and Graft.assortativity on synthetic inputs") {
+    import spark.implicits._
+    val sims = Seq(0.95, 0.85, 0.5, 0.1).toDF("jaccard")
+    val rows = graft.api.Graft.lshTuning(sims, "jaccard").collect()
+    assert(rows.length == 4)
+    def chain(x: Double, k: Int): Double = k match {
+      case 1 => x; case 2 => x * x; case 4 => (x * x) * (x * x)
+      case 8 => ((x * x) * (x * x)) * ((x * x) * (x * x))
+      case 16 => (((x * x) * (x * x)) * ((x * x) * (x * x))) *
+        (((x * x) * (x * x)) * ((x * x) * (x * x)))
+    }
+    for (r <- rows) {
+      val (b, rr) = (r.getInt(0), r.getInt(1))
+      def pe(s: Double) = math.floor(
+        (1.0 - chain(1.0 - chain(s, rr), b)) * 1000000000L + 0.5).toLong
+      assert(r.getLong(2) == 4L && r.getLong(3) == 2L)
+      assert(r.getLong(4) == pe(0.95) + pe(0.85))
+      assert(r.getLong(5) == pe(0.5) + pe(0.1))
+    }
+
+    val edges = Seq((10L, 20L), (10L, 30L), (20L, 30L), (30L, 40L))
+      .toDF("src", "dst")
+    val as1 = graft.api.Graft.assortativity(edges, "src", "dst")
+      .collect().head
+    assert(as1.getLong(0) == 4L && as1.getLong(1) == 4L)
+    assert(!as1.isNullAt(2))
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")

@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic verification of the dataset-lifecycle tier (ops/Lifecycle.scala
+  * and graph_assortativity) beyond the DuckDB hash-match: independent
+  * plain-Scala recomputation of the snapshot diff, exact join cardinality,
+  * Cohen's κ, the winsorized mean, the LSH S-curve sums, and the Newman
+  * assortativity coefficient, each from the raw parquet rows. */
+class LifecycleSpec extends AnyFunSuite {
+  import TestSession._
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def norm(t: String): Array[String] =
+    t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+  private def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+
+  private lazy val docs: Array[(Long, String, String, String, Long)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
+  test("pipeline_snapshot_diff: classes recomputed from raw rows") {
+    val old = docs.filter(_._1 % 10 < 8)
+      .map(t => t._1 -> (if (t._1 % 7 == 0) t._2 + " [v1]" else t._2)).toMap
+    val nw = docs.filter(_._1 % 10 != 1).map(t => t._1 -> t._2).toMap
+    val src = docs.map(t => t._1 -> t._4).toMap
+    val ref = (old.keySet ++ nw.keySet).toSeq.map { id =>
+      val st =
+        if (!old.contains(id)) "added"
+        else if (!nw.contains(id)) "removed"
+        else if (old(id) != nw(id)) "changed"
+        else "unchanged"
+      (src(id), st)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("pipeline_snapshot_diff").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === ref)
+    // every class the derivation can produce is present somewhere
+    assert(got.keys.map(_._2).toSet === Set("added", "removed", "changed",
+      "unchanged"))
+  }
+
+  test("pipeline_incremental_agg: merge equals full recompute everywhere") {
+    val rows = q("pipeline_incremental_agg").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(4)),
+      "a merged partial-aggregate group diverged from the full recompute")
+  }
+
+  test("agg_join_size_audit: exact cardinality from raw key counts") {
+    val lk = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ok = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val matchKeys = lk.keySet.intersect(ok.keySet)
+    val joinRows = matchKeys.toSeq.map(k => lk(k) * ok(k)).sum
+    val r = q("agg_join_size_audit").collect().head
+    assert(r.getLong(0) === lk.size.toLong)
+    assert(r.getLong(1) === ok.size.toLong)
+    assert(r.getLong(2) === matchKeys.size.toLong)
+    assert(r.getLong(3) === joinRows)
+    assert(r.getLong(4) === matchKeys.toSeq.map(k => lk(k) * ok(k)).max)
+  }
+
+  test("agg_rater_agreement: Cohen's kappa recomputed") {
+    val cells = docs.map { t =>
+      (if (t._5 >= 240) 1 else 0, if (norm(t._2).length >= 40) 1 else 0)
+    }
+    val n = cells.length.toDouble
+    val n11 = cells.count(_ == (1, 1)).toDouble
+    val n10 = cells.count(_ == (1, 0)).toDouble
+    val n01 = cells.count(_ == (0, 1)).toDouble
+    val n00 = cells.count(_ == (0, 0)).toDouble
+    val po = (n11 + n00) / n
+    val pa = (n11 + n10) / n
+    val pb = (n11 + n01) / n
+    val pe = pa * pb + (1.0 - pa) * (1.0 - pb)
+    val r = q("agg_rater_agreement").collect().head
+    assert(r.getLong(0) === cells.length.toLong)
+    assert(r.getLong(1) === n11.toLong && r.getLong(4) === n00.toLong)
+    if (pe < 1.0) assert(r.getDouble(5) === r4((po - pe) / (1.0 - pe)))
+    // kappa never exceeds 1 and the confusion cells tile the corpus
+    assert(r.getDouble(5) <= 1.0)
+  }
+
+  test("agg_winsorize: clamped mean recomputed per source") {
+    val bySrc = docs.groupBy(_._4)
+    val got = q("agg_winsorize").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === bySrc.keySet)
+    for ((srcName, rows) <- bySrc) {
+      val xs = rows.map(_._5).sorted
+      val nD = xs.length
+      def disc(p: Double): Long = xs(math.ceil(p * nD).toInt - 1)
+      val lo = disc(0.05)
+      val hi = disc(0.95)
+      val w = rows.map(t => math.min(math.max(t._5, lo), hi))
+      val r = got(srcName)
+      assert(r.getLong(2) === lo, s"$srcName p05")
+      assert(r.getLong(3) === hi, s"$srcName p95")
+      assert(r.getDouble(4) === r4(w.sum.toDouble / nD.toDouble))
+      assert(r.getLong(5) === rows.count(_._5 < lo).toLong)
+      assert(r.getLong(6) === rows.count(_._5 > hi).toLong)
+    }
+  }
+
+  test("dedup_lsh_tuning: S-curve sums recomputed with identical IEEE shapes") {
+    val sub = docs.filter(_._1 < 60)
+      .map(t => t._1 -> norm(t._2).distinct.toSet)
+    val sims = for {
+      (ida, sa) <- sub; (idb, sb) <- sub
+      if ida < idb
+      inter = sa.intersect(sb).size.toLong
+      if inter > 0
+    } yield inter.toDouble / (sa.size + sb.size - inter).toDouble
+    def chain(x: Double, k: Int): Double = k match {
+      case 1 => x
+      case 2 => x * x
+      case 4 => (x * x) * (x * x)
+      case 8 => ((x * x) * (x * x)) * ((x * x) * (x * x))
+      case 16 =>
+        (((x * x) * (x * x)) * ((x * x) * (x * x))) *
+          (((x * x) * (x * x)) * ((x * x) * (x * x)))
+    }
+    val got = q("dedup_lsh_tuning").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet === Set((2, 8), (4, 4), (8, 2), (16, 1)))
+    for (((b, r), (nCand, nTrue, expT, expF)) <- got) {
+      def pe(s: Double): Long = {
+        val v = 1.0 - chain(s, r)
+        math.floor((1.0 - chain(v, b)) * 1000000000L + 0.5).toLong
+      }
+      assert(nCand === sims.size.toLong)
+      assert(nTrue === sims.count(_ >= 0.8).toLong)
+      assert(expT === sims.filter(_ >= 0.8).map(pe).sum)
+      assert(expF === sims.filter(_ < 0.8).map(pe).sum)
+    }
+    // more rows per band = sharper curve = less false-positive mass
+    val byR = got.toSeq.sortBy(_._1._2).map(_._2._4)
+    assert(byR === byR.sorted.reverse || byR.distinct.size <= 1)
+  }
+
+  test("graph_assortativity: Newman r recomputed on a synthetic graph") {
+    import spark.implicits._
+    // star(0;1..4) + path 5-6-7 + triangle 8-9-10: mixed degree profile
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L),
+      (6L, 7L), (8L, 9L), (9L, 10L), (8L, 10L)).toDF("a", "b")
+    val r = graft.ops.Graph.assortativityCore(edges).collect().head
+    assert(r.getLong(0) === 11L && r.getLong(1) === 9L)
+    // independent recompute over the symmetric closure
+    val sym = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L),
+      (6L, 7L), (8L, 9L), (9L, 10L), (8L, 10L)).flatMap {
+      case (a, b) => Seq((a, b), (b, a))
+    }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xs = sym.map { case (a, _) => deg(a) }
+    val ys = sym.map { case (_, b) => deg(b) }
+    val m = sym.size.toLong
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+    val num = (m * sxy - sx * sy).toDouble
+    val den = math.sqrt((m * sxx - sx * sx).toDouble * (m * syy - sy * sy).toDouble)
+    assert(r.getDouble(2) === r4(num / den))
+    // a star is maximally disassortative; the mix must land strictly inside
+    assert(r.getDouble(2) > -1.0 && r.getDouble(2) < 1.0)
+  }
+
+  test("graph_assortativity: empty graph yields a single null-coefficient row") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val rows = graft.ops.Graph.assortativityCore(empty).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 0L && rows.head.getLong(1) === 0L)
+    assert(rows.head.isNullAt(2))
+  }
+}

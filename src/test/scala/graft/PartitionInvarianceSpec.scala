@@ -42,7 +42,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "embed_covariance", "embed_pca_variance", "graph_adamic_adar",
     "graph_jaccard_linkpred", "embed_mmr_rerank",
     "pipeline_ccnet_bucket", "agg_bootstrap_ci", "sim_eval_label_precision",
-    "pipeline_dsir_ess", "pipeline_epoch_plan", "dedup_crossmodal_agreement")
+    "pipeline_dsir_ess", "pipeline_epoch_plan", "dedup_crossmodal_agreement",
+    // round 8c: lifecycle tier — IEEE multiply-chain S-curve sums, κ from
+    // conditional counts, discrete-percentile clamping, moment-sum Newman r
+    "dedup_lsh_tuning", "agg_rater_agreement", "agg_winsorize",
+    "agg_join_size_audit", "pipeline_snapshot_diff",
+    "pipeline_incremental_agg", "graph_assortativity")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
