@@ -519,6 +519,22 @@ object Graft {
     graft.ops.Graph.assortativityCore(
       edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")))
 
+  /** Largest-remainder (Hamilton) apportionment of `budget` sample slots
+    * across the values of `group`, proportional to row counts — Σ alloc ==
+    * budget exactly. Returns (group, n_docs, alloc). */
+  def quotaSample(df: DataFrame, group: String, budget: Long): DataFrame =
+    graft.ops.Lifecycle.quotaSampleCore(
+        df.select(col(group).as("source")), budget)
+      .withColumnRenamed("source", group)
+
+  /** k-anonymity audit over a 3-column quasi-identifier tuple: groups
+    * below k, rows they expose, minimum class size, exposed-row share.
+    * One row out. */
+  def kAnonymity(df: DataFrame, q1: Column, q2: Column, q3: Column,
+      k: Int = 5): DataFrame =
+    graft.ops.Lifecycle.kAnonymityCore(
+      df.select(q1.as("q1"), q2.as("q2"), q3.as("q3")), k)
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.util.Canon._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-lifecycle operators — the audits a training-data platform runs
@@ -274,6 +275,58 @@ object Lifecycle {
         (col("na") + col("nb") - col("inter")).cast("double")).as("s")))
   }
 
+  // ------------------------------------------------- quota apportionment
+  /** Largest-remainder (Hamilton) apportionment of a fixed sample budget
+    * across sources proportional to their row counts — how an eval/sample
+    * set is drawn from a multi-source corpus so that Σ alloc == budget
+    * EXACTLY (naive rounding drifts by ±#sources). All arithmetic is
+    * exact integers: base = ⌊B·n/T⌋ and the remainder rank uses the
+    * un-divided B·n − base·T, so no float ever appears. The windows run
+    * over the O(#sources) count frame (single-partition by construction —
+    * the corpus-sized stage is only the per-source count rollup). */
+  private[graft] def quotaSampleCore(docs: DataFrame, budget: Long): DataFrame = {
+    val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("t"))
+    val wRk = Window.orderBy(desc("rem"), asc("source"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * n) div t"))
+      .withColumn("rem", expr(s"$budget * n - (($budget * n) div t) * t"))
+      .withColumn("rk", row_number().over(wRk))
+      .withColumn("sb", sum(col("base")).over(wAll))
+      .select(col("source"), col("n").as("n_docs"),
+        (col("base") + when(col("rk") <= lit(budget) - col("sb"), 1L)
+          .otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
+  private val quotaSample: Q = (s, d) =>
+    quotaSampleCore(tbl(s, d, "documents").select("source"), 1000L)
+
+  // ------------------------------------------------------- k-anonymity
+  /** k-anonymity audit over a quasi-identifier tuple: how many QI
+    * equivalence classes are below k, and what share of rows they expose.
+    * THE privacy gate run before releasing a training corpus with joined
+    * metadata. One hash-agg over the QI key (shuffle ∝ distinct QI
+    * tuples), then an O(#groups) rollup to a single row. */
+  private[graft] def kAnonymityCore(qi: DataFrame, k: Int): DataFrame =
+    qi.groupBy("q1", "q2", "q3").agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("cnt")).as("min_group"))
+      .select(col("n_groups"), col("n_rows"), col("n_violating_groups"),
+        col("n_rows_at_risk"), col("min_group"),
+        r4(col("n_rows_at_risk").cast("double") /
+          col("n_rows").cast("double")).as("risk_share"))
+
+  private val kAnonymity: Q = (s, d) =>
+    kAnonymityCore(tbl(s, d, "documents").select(col("lang").as("q1"),
+      col("source").as("q2"), expr("n_chars div 100").as("q3")), 5)
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "pipeline_snapshot_diff" -> snapshotDiff,
@@ -282,11 +335,45 @@ object Lifecycle {
     "agg_rater_agreement" -> raterAgreement,
     "agg_winsorize" -> winsorize,
     "dedup_lsh_tuning" -> lshTuning,
+    "pipeline_quota_sample" -> quotaSample,
+    "agg_k_anonymity" -> kAnonymity,
   )
 
   private val r4Sql = (x: String) => s"floor(($x)*10000 + 0.5)/10000.0"
 
   val oracle: Map[String, String] = Map(
+    "pipeline_quota_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+          b AS (SELECT source, n, (1000 * n) // t AS base,
+                       1000 * n - ((1000 * n) // t) * t AS rem
+                FROM c CROSS JOIN t),
+          r AS (SELECT *,
+                       row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                       CAST(sum(base) OVER () AS BIGINT) AS sb
+                FROM b)
+          SELECT source, CAST(n AS BIGINT) AS n_docs,
+                 CAST(base + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END
+                   AS BIGINT) AS alloc
+          FROM r ORDER BY source""",
+    "agg_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS bucket,
+                           count(*) AS cnt
+                    FROM documents GROUP BY 1, 2, 3),
+          a AS (SELECT count(*) AS n_groups,
+                       CAST(sum(cnt) AS BIGINT) AS n_rows,
+                       CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_violating_groups,
+                       CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END)
+                         AS BIGINT) AS n_rows_at_risk,
+                       CAST(min(cnt) AS BIGINT) AS min_group
+                FROM g)
+          SELECT n_groups, n_rows, n_violating_groups, n_rows_at_risk,
+                 min_group,
+                 floor((CAST(n_rows_at_risk AS DOUBLE)
+                        / CAST(n_rows AS DOUBLE)) * 10000 + 0.5) / 10000.0
+                   AS risk_share
+          FROM a""",
     "pipeline_snapshot_diff" ->
       """WITH old AS (
             SELECT doc_id, source,

@@ -169,8 +169,60 @@ object Windows {
       .orderBy("user_id", "event_type")
   }
 
+  /** CDC changelog apply WITH tombstones — the half of MERGE that
+    * cdc_upsert_latest doesn't cover: rows are versioned per user key
+    * (op = D for 'error' events, else U), the newest version wins, and a
+    * key whose final operation is a delete VANISHES from the snapshot
+    * (the Debezium/lakehouse tombstone contract). Same single-shuffle
+    * window-dedup shape as the upsert op; surviving keys also report how
+    * many versions and how many interleaved deletes they compacted. */
+  private val cdcApplyDeletes: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(desc("tsm"), desc("event_id"))
+    val wAll = Window.partitionBy("user_id")
+    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .withColumn("op",
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      .select(col("user_id"), col("event_id"), col("value"), col("tsm"),
+        col("op"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(wAll).as("n_versions"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).over(wAll)
+          .as("n_deletes"))
+      .where(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        cents(col("value")).as("last_cents"),
+        unix_millis(col("tsm")).as("last_ms"),
+        col("n_versions"), col("n_deletes"))
+      .orderBy("user_id")
+  }
+
+  /** Gaps-and-islands: per user, runs of CONSECUTIVE active days (the
+    * row_number-difference trick — a day-number minus its per-user rank is
+    * constant within each unbroken run). Two keyed windows/aggs on the
+    * distinct (user, day) frame, which is tiny relative to the event log;
+    * the classic engagement-streak / coverage-gap audit. */
+  private val winGapsIslands: Q = (s, d) => {
+    val days = tbl(s, d, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dayn")
+    val isl = days.withColumn("grp", col("dayn") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("dayn")).as("start_day"))
+    isl.groupBy("user_id")
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_island"),
+        min(col("start_day")).as("first_day"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "cdc_upsert_latest" -> cdcUpsertLatest,
+    "cdc_apply_deletes" -> cdcApplyDeletes,
+    "win_gaps_islands" -> winGapsIslands,
     "win_distinct_rolling" -> winDistinctRolling,
     "win_nth_value" -> winNthValue,
     "win_row_number" -> winRowNumber,
@@ -188,6 +240,39 @@ object Windows {
   private val evOrder = "date_trunc('millisecond', ts), event_id"
 
   val oracle: Map[String, String] = Map(
+    "cdc_apply_deletes" ->
+      """WITH v AS (
+           SELECT user_id, event_id, value,
+                  epoch_ms(date_trunc('millisecond', ts)) AS ems,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY date_trunc('millisecond', ts) DESC,
+                                              event_id DESC) AS rn,
+                  count(*) OVER (PARTITION BY user_id) AS n_versions,
+                  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id) AS n_deletes
+           FROM events)
+         SELECT user_id, event_id AS last_event_id,
+                CAST(floor(value*100 + 0.5) AS BIGINT) AS last_cents,
+                ems AS last_ms, CAST(n_versions AS BIGINT) AS n_versions,
+                CAST(n_deletes AS BIGINT) AS n_deletes
+         FROM v WHERE rn = 1 AND op = 'U' ORDER BY user_id""",
+    "win_gaps_islands" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dayn
+           FROM events),
+         isl AS (SELECT user_id, dayn,
+                        dayn - row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY dayn) AS grp
+                 FROM days),
+         g AS (SELECT user_id, grp, count(*) AS len, min(dayn) AS start_day
+               FROM isl GROUP BY 1, 2)
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                count(*) AS n_islands,
+                CAST(max(len) AS BIGINT) AS longest_island,
+                CAST(min(start_day) AS BIGINT) AS first_day
+         FROM g GROUP BY user_id ORDER BY user_id""",
     "cdc_upsert_latest" ->
       """WITH v AS (
            SELECT user_id, event_type, event_id, value,

@@ -145,6 +145,82 @@ class LifecycleSpec extends AnyFunSuite {
     assert(byR === byR.sorted.reverse || byR.distinct.size <= 1)
   }
 
+  test("pipeline_quota_sample: Hamilton apportionment sums exactly to budget") {
+    val bySrc = docs.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val rows = q("pipeline_quota_sample").collect()
+    assert(rows.map(_.getString(0)).toSet === bySrc.keySet)
+    assert(rows.map(_.getLong(2)).sum === 1000L,
+      "allocations must sum exactly to the budget")
+    val t = bySrc.values.sum
+    for (r <- rows) {
+      val n = bySrc(r.getString(0))
+      val base = 1000L * n / t
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === base || r.getLong(2) === base + 1L,
+        s"${r.getString(0)}: alloc must be base or base+1")
+    }
+    // facade ≡ registry
+    val viaApi = graft.api.Graft.quotaSample(
+      spark.read.parquet(s"$sf/documents.parquet"), "source", 1000L)
+      .collect().map(_.toString)
+    assert(viaApi sameElements rows.map(_.toString))
+  }
+
+  test("agg_k_anonymity: recomputed from raw rows") {
+    val groups = docs.groupBy(t => (t._3, t._4, t._5 / 100))
+      .view.mapValues(_.size.toLong).toMap
+    val r = q("agg_k_anonymity").collect().head
+    assert(r.getLong(0) === groups.size.toLong)
+    assert(r.getLong(1) === docs.length.toLong)
+    assert(r.getLong(2) === groups.values.count(_ < 5).toLong)
+    val atRisk = groups.values.filter(_ < 5).sum
+    assert(r.getLong(3) === atRisk)
+    assert(r.getLong(4) === groups.values.min)
+    assert(r.getDouble(5) === r4(atRisk.toDouble / docs.length.toDouble))
+  }
+
+  test("cdc_apply_deletes: tombstoned keys vanish, survivors recomputed") {
+    val ev = graft.util.Canon.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getTimestamp(4).getTime))
+    val byUser = ev.groupBy(_._1)
+    val ref = byUser.flatMap { case (u, rows) =>
+      val last = rows.maxBy(t => (t._5, t._2))
+      if (last._3 == "error") None
+      else Some(u -> (last._2, math.floor(last._4 * 100 + 0.5).toLong,
+        rows.length.toLong, rows.count(_._3 == "error").toLong))
+    }
+    val got = q("cdc_apply_deletes").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(got === ref)
+    // at least one key must actually be tombstoned on the fixture
+    assert(got.keySet.size < byUser.size)
+  }
+
+  test("win_gaps_islands: consecutive-day runs recomputed") {
+    val days = graft.util.Canon.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 86400000L))
+      .distinct
+    val ref = days.groupBy(_._1).map { case (u, ds) =>
+      val sortedD = ds.map(_._2).sorted
+      val islands = sortedD.foldLeft(List.empty[List[Long]]) {
+        case (acc, dayN) => acc match {
+          case (h :: t) :: rest if dayN == h + 1 => (dayN :: h :: t) :: rest
+          case _ => List(dayN) :: acc
+        }
+      }
+      u -> (sortedD.length.toLong, islands.length.toLong,
+        islands.map(_.length).max.toLong, sortedD.head)
+    }
+    val got = q("win_gaps_islands").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got === ref)
+  }
+
   test("graph_assortativity: Newman r recomputed on a synthetic graph") {
     import spark.implicits._
     // star(0;1..4) + path 5-6-7 + triangle 8-9-10: mixed degree profile

@@ -47,7 +47,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // conditional counts, discrete-percentile clamping, moment-sum Newman r
     "dedup_lsh_tuning", "agg_rater_agreement", "agg_winsorize",
     "agg_join_size_audit", "pipeline_snapshot_diff",
-    "pipeline_incremental_agg", "graph_assortativity")
+    "pipeline_incremental_agg", "graph_assortativity",
+    "pipeline_quota_sample", "agg_k_anonymity", "cdc_apply_deletes",
+    "win_gaps_islands")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
