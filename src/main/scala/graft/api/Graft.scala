@@ -512,6 +512,17 @@ object Graft {
     graft.ops.Lifecycle.lshTuningCore(
       sim.select(col(simCol).cast("double").as("s")))
 
+  /** Newman–Girvan modularity of a node labeling over an undirected edge
+    * frame — the community-quality audit after [[labelPropagation]].
+    * Exact integer rational (4m·Σe_c − Σd_c²)/4m²; one row
+    * (n_communities, n_edges, intra_edges, modularity). */
+  def modularity(edges: DataFrame, a: String, b: String,
+      labels: DataFrame, node: String, label: String): DataFrame =
+    graft.ops.Graph.modularityCore(
+      edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")),
+      labels.select(col(node).cast("long").as("node"),
+        col(label).as("lbl")))
+
   /** Degree assortativity (Newman r) of an undirected edge frame — the
     * hub-mixing fingerprint read before choosing graph-join skew
     * mitigations. One row (n_nodes, n_edges, assortativity). */

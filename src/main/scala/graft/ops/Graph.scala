@@ -483,6 +483,48 @@ object Graph {
   private val graphAssortativity: Q = (s, d) =>
     assortativityCore(coocEdges(s, d))
 
+  /** Newman–Girvan modularity of a node labeling over an undirected edge
+    * frame — the community-QUALITY audit run after LPA: how much more
+    * intra-community mass the partition captures than a degree-preserving
+    * random graph would. Computed as the exact integer rational
+    * Q = (4m·Σe_c − Σd_c²) / 4m² (numerator/denominator both BIGINT —
+    * no per-community float sums), divided once at the end. Scale shape:
+    * two label joins onto the edge frame (shuffle ∝ edges), a degree
+    * rollup, and O(#communities) aggregation; the three one-row stat
+    * frames meet in broadcast crosses. */
+  private[graft] def modularityCore(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val lab = labels.select(col("node").cast("long").as("node"), col("lbl"))
+    val mF = e.agg(count(lit(1)).as("m"))
+    val ein = e
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+      .agg(coalesce(sum(when(col("la") === col("lb"), 1L).otherwise(0L)),
+        lit(0L)).as("intra_edges"))
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val s2 = deg.join(lab, Seq("node"))
+      .groupBy("lbl").agg(sum(col("deg")).as("d_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        coalesce(sum(col("d_c") * col("d_c")), lit(0L)).as("sd2"))
+    ein.crossJoin(broadcast(mF)).crossJoin(broadcast(s2))
+      .select(col("n_communities"), col("m").as("n_edges"),
+        col("intra_edges"),
+        r4(when(col("m") > 0,
+          (lit(4L) * col("m") * col("intra_edges") - col("sd2"))
+            .cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double")))
+          .as("modularity"))
+  }
+
+  private val graphModularity: Q = (s, d) => {
+    val e = coocEdges(s, d).localCheckpoint(true)
+    modularityCore(e, lpaCore(e, rounds = 3))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_label_propagation" -> graphLabelPropagation,
@@ -495,6 +537,7 @@ object Graph {
     "graph_jaccard_linkpred" -> graphJaccardLinkpred,
     "graph_kcore" -> graphKcore,
     "graph_assortativity" -> graphAssortativity,
+    "graph_modularity" -> graphModularity,
   )
 
   /** One k=2 peel round: survivors of the degree filter over edge set %s. */
@@ -529,6 +572,38 @@ object Graph {
        WHERE rn = 1"""
 
   val oracle: Map[String, String] = Map(
+    "graph_modularity" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          nbr AS (SELECT a AS node, b AS m FROM e
+                  UNION ALL SELECT b, a FROM e),
+          l0 AS (SELECT DISTINCT node, node AS lbl FROM nbr),
+          l1 AS (${lpaIter.format("l0")}),
+          l2 AS (${lpaIter.format("l1")}),
+          l3 AS (${lpaIter.format("l2")}),
+          deg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY 1),
+          mm AS (SELECT count(*) AS m FROM e),
+          ein AS (SELECT CAST(coalesce(sum(CASE WHEN la.lbl = lb.lbl
+                                             THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS intra_edges
+                  FROM e JOIN l3 la ON e.a = la.node
+                         JOIN l3 lb ON e.b = lb.node),
+          dc AS (SELECT la.lbl, CAST(sum(deg) AS BIGINT) AS d_c
+                 FROM deg JOIN l3 la ON deg.node = la.node GROUP BY 1),
+          s2 AS (SELECT count(*) AS n_communities,
+                        CAST(coalesce(sum(d_c * d_c), 0) AS BIGINT) AS sd2
+                 FROM dc)
+          SELECT n_communities, CAST(m AS BIGINT) AS n_edges, intra_edges,
+                 floor((CASE WHEN m > 0 THEN
+                     CAST(4 * m * intra_edges - sd2 AS DOUBLE)
+                     / CAST(4 * m * m AS DOUBLE) END) * 10000 + 0.5)
+                   / 10000.0 AS modularity
+          FROM ein CROSS JOIN mm CROSS JOIN s2""",
     "graph_assortativity" ->
       s"""WITH b AS (
             SELECT DISTINCT user_id AS u, event_type,

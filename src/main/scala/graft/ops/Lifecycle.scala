@@ -327,6 +327,56 @@ object Lifecycle {
     kAnonymityCore(tbl(s, d, "documents").select(col("lang").as("q1"),
       col("source").as("q2"), expr("n_chars div 100").as("q3")), 5)
 
+  // ----------------------------------------------------- Benford audit
+  /** First-significant-digit (Benford) distribution of order totals — the
+    * classic fabricated-vs-organic numeric-data forensic. The digit is
+    * extracted STRING-wise from the exact cent total (substring of a
+    * BIGINT's decimal representation — no log10, no float), so both
+    * engines bucket identically; shares divide two exact integers once.
+    * One scan, one 9-ary hash agg, a broadcast one-row total. */
+  private val benfordAudit: Q = (s, d) => {
+    val c = tbl(s, d, "orders")
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .as("digit"))
+    val tot = c.agg(count(lit(1)).as("total"))
+    c.groupBy("digit").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        r4(col("n").cast("double") / col("total").cast("double"))
+          .as("share"))
+      .orderBy("digit")
+  }
+
+  // --------------------------------------------------- column profiler
+  /** Relational data-profiling report — per audited column: distinct
+    * count, null count, and the modal value with its frequency (ties to
+    * the smallest value, stringified so one schema fits every column).
+    * The table-side dataset card next to pipeline_dataset_card's corpus
+    * one. Exact profile = one hash-agg per column over a shared pruned
+    * scan; the 100 TB variant swaps in approx_count_distinct / sketched
+    * heavy-hitters in ONE pass (agg_approx_distinct / agg_heavy_hitters
+    * are those operators) — this op is the exact ground truth they are
+    * graded against. */
+  private val profileColumns: Q = (s, d) => {
+    val o = tbl(s, d, "orders")
+    val cols = Seq("o_orderstatus", "o_orderpriority", "o_orderkey",
+      "o_custkey")
+    val parts = cols.map { c =>
+      val vals = o.select(col(c).cast("string").as("v"))
+      val stats = vals.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("v")).as("n_distinct"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+      val top = vals.where(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("v")).limit(1)
+        .select(col("v").as("top_value"), col("cnt").as("top_n"))
+      stats.crossJoin(broadcast(top)).select(lit(c).as("col_name"),
+        col("n_rows"), col("n_distinct"), col("n_null"), col("top_value"),
+        col("top_n"))
+    }
+    parts.reduce(_ unionByName _).orderBy("col_name")
+  }
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "pipeline_snapshot_diff" -> snapshotDiff,
@@ -337,6 +387,8 @@ object Lifecycle {
     "dedup_lsh_tuning" -> lshTuning,
     "pipeline_quota_sample" -> quotaSample,
     "agg_k_anonymity" -> kAnonymity,
+    "agg_benford_audit" -> benfordAudit,
+    "pipeline_profile_columns" -> profileColumns,
   )
 
   private val r4Sql = (x: String) => s"floor(($x)*10000 + 0.5)/10000.0"
@@ -356,6 +408,31 @@ object Lifecycle {
                  CAST(base + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END
                    AS BIGINT) AS alloc
           FROM r ORDER BY source""",
+    "agg_benford_audit" ->
+      """WITH c AS (SELECT substr(CAST(CAST(floor(o_totalprice*100 + 0.5)
+                                        AS BIGINT) AS VARCHAR), 1, 1)
+                           AS digit
+                    FROM orders),
+          t AS (SELECT count(*) AS total FROM c)
+          SELECT digit, count(*) AS n,
+                 floor((CAST(count(*) AS DOUBLE) / CAST(total AS DOUBLE))
+                       * 10000 + 0.5) / 10000.0 AS share
+          FROM c CROSS JOIN t GROUP BY digit, total ORDER BY digit""",
+    "pipeline_profile_columns" ->
+      Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey")
+        .map { c =>
+          s"""SELECT '$c' AS col_name, s.n_rows, s.n_distinct, s.n_null,
+                     t.top_value, t.top_n
+              FROM (SELECT count(*) AS n_rows,
+                           count(DISTINCT v) AS n_distinct,
+                           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_null
+                    FROM (SELECT CAST($c AS VARCHAR) AS v FROM orders)) s
+              CROSS JOIN (SELECT v AS top_value, count(*) AS top_n
+                          FROM (SELECT CAST($c AS VARCHAR) AS v FROM orders)
+                          WHERE v IS NOT NULL GROUP BY v
+                          ORDER BY count(*) DESC, v LIMIT 1) t"""
+        }.mkString("", " UNION ALL ", " ORDER BY col_name"),
     "agg_k_anonymity" ->
       """WITH g AS (SELECT lang, source, n_chars // 100 AS bucket,
                            count(*) AS cnt

@@ -314,6 +314,35 @@ object Pipeline {
       .orderBy("user_id", "event_type", "version")
   }
 
+  /** SCD2 point-in-time snapshot — the read side of scd2_intervals: the
+    * version of every (user, type) dimension key valid AT a cut instant
+    * (the midpoint of the observed time range, computed in-query from
+    * exact epoch-ms integers so the oracle replays it at any SF). This is
+    * the "how the table looked on date X" query every slowly-changing
+    * dimension exists to answer; the interval window is the same single
+    * keyed shuffle as scd2_intervals, the cut rides a one-row broadcast,
+    * and the validity filter is map-side. */
+  private val scd2PointInTime: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("tsm", "event_id")
+    val iv = events(s, d).withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_millis(col("tsm")).as("valid_from_ms"),
+        unix_millis(lead(col("tsm"), 1).over(w)).as("valid_to_ms"),
+        cents(col("value")).as("v_cents"),
+        row_number().over(w).as("version"))
+    val cut = events(s, d)
+      .agg(min(unix_millis(tsMs(col("ts")))).as("mn"),
+        max(unix_millis(tsMs(col("ts")))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("as_of_ms"))
+    iv.crossJoin(broadcast(cut))
+      .where(col("valid_from_ms") <= col("as_of_ms") &&
+        (col("valid_to_ms").isNull || col("valid_to_ms") > col("as_of_ms")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("version"), col("v_cents"), col("as_of_ms"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Curriculum staging for training-data ordering: documents bucketed into
     * five difficulty stages by type-token ratio (distinct / total tokens —
     * repetitive docs are "easier"; deterministic, content-derived), with
@@ -595,6 +624,7 @@ object Pipeline {
     "mix_domains_temperature" -> mixDomainsTemperature,
     "sample_reservoir_weighted" -> sampleReservoirWeighted,
     "scd2_intervals" -> scd2Intervals,
+    "scd2_point_in_time" -> scd2PointInTime,
     "fn_hbucket_domain" -> fnHbucketDomain,
     "pipeline_curriculum" -> pipelineCurriculum,
     "pipeline_shard_assign" -> pipelineShardAssign,
@@ -961,5 +991,26 @@ object Pipeline {
                 CAST(version AS BIGINT) AS version,
                 (valid_to_ms IS NULL) AS is_current
          FROM v ORDER BY user_id, event_type, version""",
+    "scd2_point_in_time" ->
+      """WITH v AS (
+           SELECT user_id, event_type, event_id,
+                  epoch_ms(date_trunc('millisecond', ts)) AS valid_from_ms,
+                  lead(epoch_ms(date_trunc('millisecond', ts)), 1)
+                    OVER w AS valid_to_ms,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS v_cents,
+                  row_number() OVER w AS version
+           FROM events
+           WINDOW w AS (PARTITION BY user_id, event_type
+                        ORDER BY date_trunc('millisecond', ts), event_id)),
+         c AS (SELECT (min(epoch_ms(date_trunc('millisecond', ts)))
+                       + max(epoch_ms(date_trunc('millisecond', ts)))) // 2
+                        AS as_of_ms
+               FROM events)
+         SELECT user_id, event_type, event_id,
+                CAST(version AS BIGINT) AS version, v_cents, as_of_ms
+         FROM v CROSS JOIN c
+         WHERE valid_from_ms <= as_of_ms
+           AND (valid_to_ms IS NULL OR valid_to_ms > as_of_ms)
+         ORDER BY user_id, event_type""",
   )
 }

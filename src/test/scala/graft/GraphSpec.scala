@@ -194,4 +194,31 @@ class GraphSpec extends AnyFunSuite {
     assert(preds.forall(p => !edges.contains((p._1, p._2))),
       "predicted a pair that is already an edge")
   }
+
+  test("graph_modularity: exact rational on two bridged triangles") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 2L)).toDF("node", "lbl")
+    val r = graft.ops.Graph.modularityCore(edges, labels).collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 7L && r.getLong(2) === 6L)
+    // Q = (4m·e_in − Σd_c²) / 4m² = (168 − 98) / 196 = 0.357142…
+    assert(r.getDouble(3) === math.floor(70.0 / 196.0 * 10000 + 0.5) / 10000.0)
+    // perfect split of two disconnected triangles maximizes at Q = 0.5
+    val e2 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("a", "b")
+    val r2 = graft.ops.Graph.modularityCore(e2, labels).collect().head
+    assert(r2.getDouble(3) === 0.5)
+  }
+
+  test("graph_modularity: registry query bounded and consistent with LPA") {
+    val r = q("graph_modularity").collect().head
+    if (r.getLong(1) > 0L) {
+      val mod = r.getDouble(3)
+      assert(mod >= -0.5 && mod <= 1.0, s"modularity $mod out of range")
+      assert(r.getLong(2) <= r.getLong(1), "intra edges exceed total edges")
+    } else assert(r.isNullAt(3))
+  }
 }

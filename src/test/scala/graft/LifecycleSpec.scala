@@ -221,6 +221,58 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("agg_benford_audit: first digits recomputed from exact cents") {
+    val totals = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val digits = totals.map(v =>
+      math.floor(v * 100 + 0.5).toLong.toString.substring(0, 1))
+    val ref = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("agg_benford_audit").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    val shares = q("agg_benford_audit").collect().map(_.getDouble(2))
+    assert(math.abs(shares.sum - 1.0) < 0.001)
+  }
+
+  test("pipeline_profile_columns: o_orderstatus profile recomputed") {
+    val st = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderstatus").collect().map(_.getString(0))
+    val byV = st.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = q("pipeline_profile_columns").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("o_orderstatus", "o_orderpriority",
+      "o_orderkey", "o_custkey"))
+    val r = got("o_orderstatus")
+    assert(r.getLong(1) === st.length.toLong)
+    assert(r.getLong(2) === byV.size.toLong)
+    assert(r.getLong(3) === 0L)
+    val top = byV.toSeq.sortBy(t => (-t._2, t._1)).head
+    assert(r.getString(4) === top._1 && r.getLong(5) === top._2)
+    // the key column profiles as all-distinct
+    assert(got("o_orderkey").getLong(2) === st.length.toLong)
+  }
+
+  test("scd2_point_in_time: exactly one live version per key at the cut") {
+    val rows = q("scd2_point_in_time").collect()
+    assert(rows.nonEmpty)
+    val cut = rows.head.getLong(5)
+    assert(rows.forall(_.getLong(5) == cut))
+    // one row per (user, type) key — the defining snapshot property
+    val keys = rows.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    // consistency with the full interval table: the snapshot picks the
+    // interval covering the cut
+    val iv = q("scd2_intervals").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(3),
+        if (r.isNullAt(4)) Long.MaxValue else r.getLong(4),
+        r.getInt(6).toLong))
+    val expect = iv.filter(t => t._2 <= cut && t._3 > cut)
+      .map(t => t._1 -> t._4).toMap
+    val got = rows.map(r => (r.getLong(0), r.getString(1)) ->
+      r.getInt(3).toLong).toMap
+    assert(got === expect)
+  }
+
   test("graph_assortativity: Newman r recomputed on a synthetic graph") {
     import spark.implicits._
     // star(0;1..4) + path 5-6-7 + triangle 8-9-10: mixed degree profile

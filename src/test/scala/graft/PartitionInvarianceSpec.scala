@@ -49,7 +49,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "agg_join_size_audit", "pipeline_snapshot_diff",
     "pipeline_incremental_agg", "graph_assortativity",
     "pipeline_quota_sample", "agg_k_anonymity", "cdc_apply_deletes",
-    "win_gaps_islands")
+    "win_gaps_islands", "graph_modularity", "agg_benford_audit",
+    "pipeline_profile_columns", "scd2_point_in_time")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
