@@ -298,25 +298,77 @@ object Curation {
     * products ≲ 1.6e9; BIGINT sums overflow only past ~5e9 rows — at that
     * scale production switches the two sum aggregates to DECIMAL(38,0)
     * (same plan, wider accumulator). */
+  /** Typed vector-accumulator aggregate for the covariance sufficient
+    * statistics: ONE buffer of [n, d, Sx(d), Sxy(d(d+1)/2)] per partition,
+    * filled by a tight JIT'd loop — replaces the original
+    * n·d(d+1)/2-row Generate + hash-agg (measured 2.4 s → map-side only;
+    * the shuffle now carries 32 flat ~17 KB buffers instead of
+    * partitions·d² agg rows). Integer sums are identical to the explode
+    * plan, so the DuckDB oracle and partition-invariance are untouched —
+    * this is the "custom aggregate as the scale path" pattern: built-ins
+    * CAN express the moments, but only at d² generated rows per input
+    * row. */
+  private object CovMomentsAgg extends org.apache.spark.sql.expressions
+      .Aggregator[Seq[Long], Array[Long], Array[Long]] {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    def zero: Array[Long] = Array.emptyLongArray
+    def reduce(b: Array[Long], xs: Seq[Long]): Array[Long] = {
+      val x = xs.toArray
+      val d = x.length
+      val buf =
+        if (b.length == 0) {
+          val nb = new Array[Long](2 + d + d * (d + 1) / 2); nb(1) = d; nb
+        } else b
+      buf(0) += 1L
+      var i = 0
+      while (i < d) { buf(2 + i) += x(i); i += 1 }
+      var idx = 2 + d
+      i = 0
+      while (i < d) {
+        val xi = x(i); var j = i
+        while (j < d) { buf(idx) += xi * x(j); idx += 1; j += 1 }
+        i += 1
+      }
+      buf
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.length == 0) b
+      else if (b.length == 0) a
+      else {
+        var i = 0
+        while (i < a.length) { if (i != 1) a(i) += b(i); i += 1 }
+        a
+      }
+    def finish(r: Array[Long]): Array[Long] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
   private[graft] def covCore(e: DataFrame): DataFrame = {
-    val sc = e.select(col("vec_id"), expr(
+    val sc = e.select(expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))")
       .as("xs"))
-    val n = sc.agg(count(lit(1)).as("n"))
-    val sums = sc.select(posexplode(col("xs")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x")).as("sx"))
-    val pairs = sc.select(explode(expr(
-      """flatten(transform(xs, (x, i) ->
-           transform(slice(xs, i + 1, size(xs) - i), (y, k) ->
-             named_struct('i', i, 'j', i + k, 'p', x * y))))""")).as("t"))
-      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-      .groupBy("i", "j").agg(sum(col("p")).as("sxy"))
-    pairs
-      .join(sums.select(col("i"), col("sx").as("sxi")), "i")
-      .join(sums.select(col("i").as("j"), col("sx").as("sxj")), "j")
-      .crossJoin(broadcast(n))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        (col("n") * col("sxy") - col("sxi") * col("sxj")).as("num"), col("n"))
+    val covU = udaf(CovMomentsAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    // decode the flat moment buffer [n, d, Sx…, Sxy…] into (i, j, num, n)
+    // rows with num = n·Sxy(i,j) − Sx(i)·Sx(j); a one-row projection, d²
+    // structs total
+    val dE = "CAST(m[1] AS INT)"
+    sc.agg(covU(col("xs")).as("m"))
+      .where(size(col("m")) > 0)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, $dE - 1), i ->
+              transform(sequence(i, $dE - 1), j ->
+                named_struct(
+                  'i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+                  'num', m[0] * m[2 + $dE + i * $dE - (i * (i - 1)) div 2
+                                  + (j - i)]
+                         - m[2 + i] * m[2 + j],
+                  'n', m[0]))))""")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.num").as("num"),
+        col("t.n").as("n"))
   }
   /** Display projection over covCore's exact-integer moments. */
   private[graft] def covDisplay(m: DataFrame): DataFrame =
