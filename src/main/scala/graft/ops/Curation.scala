@@ -313,8 +313,12 @@ object Curation {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     def zero: Array[Long] = Array.emptyLongArray
     def reduce(b: Array[Long], xs: Seq[Long]): Array[Long] = {
+      if (xs == null || xs.isEmpty) return b // covCore pre-filters; belt+braces
       val x = xs.toArray
       val d = x.length
+      if (b.length != 0 && b(1) != d)
+        throw new IllegalArgumentException(
+          s"covariance requires a fixed embedding dimension: saw $d after ${b(1)}")
       val buf =
         if (b.length == 0) {
           val nb = new Array[Long](2 + d + d * (d + 1) / 2); nb(1) = d; nb
@@ -335,6 +339,9 @@ object Curation {
       if (a.length == 0) b
       else if (b.length == 0) a
       else {
+        if (a(1) != b(1))
+          throw new IllegalArgumentException(
+            s"covariance requires a fixed embedding dimension: ${a(1)} vs ${b(1)}")
         var i = 0
         while (i < a.length) { if (i != 1) a(i) += b(i); i += 1 }
         a
@@ -347,9 +354,15 @@ object Curation {
   }
 
   private[graft] def covCore(e: DataFrame): DataFrame = {
+    // rows with a NULL vector, an empty vector, or any NULL/NaN coordinate
+    // (floor(NaN) casts to a NULL element) are excluded up front — n then
+    // counts exactly the rows that contributed moments. Ragged dimensions
+    // across the surviving rows fail fast inside the Aggregator.
     val sc = e.select(expr(
       "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))")
       .as("xs"))
+      .where(col("xs").isNotNull && size(col("xs")) > 0 &&
+        expr("NOT exists(xs, x -> x IS NULL)"))
     val covU = udaf(CovMomentsAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     // decode the flat moment buffer [n, d, Sx…, Sxy…] into (i, j, num, n)

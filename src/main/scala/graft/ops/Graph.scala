@@ -456,8 +456,12 @@ object Graph {
     * table from one edge-end rollup, two broadcast-sized joins back onto
     * the edge frame, one global agg — shuffle ∝ edges, no window. */
   private[graft] def assortativityCore(edges: DataFrame): DataFrame = {
+    // checkpoint: the edge frame is referenced by sym (twice via the
+    // union), deg, the xy double-join, and ne — without this an expensive
+    // upstream derivation (the co-occurrence self-join) would re-expand
+    // per reference, like the sibling lpaCore/kcoreCore guards
     val e = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b"))
+      col("b").cast("long").as("b")).localCheckpoint(true)
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("deg"))
     val xy = sym
@@ -494,9 +498,18 @@ object Graph {
     * frames meet in broadcast crosses. */
   private[graft] def modularityCore(edges: DataFrame,
       labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("node").cast("long").as("node"), col("lbl"))
+      .localCheckpoint(true)
+    // restrict to the LABELED subgraph up front so m, degrees and the
+    // moment sums all describe the same graph — with partial labels the
+    // naive shape drops unlabeled mass from e_c and d_c but not from m,
+    // biasing Q upward (the registry's LPA labels every node, so this
+    // only matters for facade callers)
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
-    val lab = labels.select(col("node").cast("long").as("node"), col("lbl"))
+      .join(lab.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(lab.select(col("node").as("b")), Seq("b"), "left_semi")
+      .select(col("a"), col("b")).localCheckpoint(true)
     val mF = e.agg(count(lit(1)).as("m"))
     val ein = e
       .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))

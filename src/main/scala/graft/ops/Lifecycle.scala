@@ -62,7 +62,10 @@ object Lifecycle {
       .select(coalesce(col("n_source"), col("o_source")).as("source"),
         when(col("o_id").isNull, lit("added"))
           .when(col("n_id").isNull, lit("removed"))
-          .when(col("o_text") =!= col("n_text"), lit("changed"))
+          // null-SAFE inequality: a payload changing to/from NULL is a real
+          // change; plain =!= yields NULL there and would fall through to
+          // "unchanged"
+          .when(!(col("o_text") <=> col("n_text")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"),
         coalesce(col("nw_chars"), col("o_chars")).as("chars"))
       .groupBy("source", "status")
@@ -125,11 +128,16 @@ object Lifecycle {
     * skew-salting decision) is checked against. The FULL OUTER join of
     * the two key-count frames yields every statistic in one pass — no
     * per-side recount scans. */
-  /** Generic core: exact join-size audit of `left(k)` ⋈ `right(k)`. */
+  /** Generic core: exact join-size audit of `left(k)` ⋈ `right(k)`.
+    * NULL keys are excluded on both sides — they can never match in the
+    * equi-join being audited, so counting them as distinct keys would
+    * overstate the cardinalities the CBO comparison is graded on. */
   private[graft] def joinSizeAuditCore(left: DataFrame,
       right: DataFrame): DataFrame = {
-    val l = left.groupBy(col("k")).agg(count(lit(1)).as("cl"))
-    val o = right.groupBy(col("k")).agg(count(lit(1)).as("co"))
+    val l = left.where(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("cl"))
+    val o = right.where(col("k").isNotNull)
+      .groupBy(col("k")).agg(count(lit(1)).as("co"))
     l.join(o, Seq("k"), "full_outer")
       .agg(
         sum(when(col("cl").isNotNull, 1L).otherwise(0L)).as("n_left_keys"),
@@ -152,9 +160,13 @@ object Lifecycle {
     * (observed agreement vs chance agreement), rounded once via r4. The
     * audit a labeling pipeline runs before trusting any weak supervision
     * source. */
-  /** Generic core: κ between two boolean label columns (`ra`, `rb`). */
+  /** Generic core: κ between two boolean label columns (`ra`, `rb`).
+    * Rows where EITHER label is NULL are excluded up front — otherwise n
+    * would count them while the four confusion cells drop them, silently
+    * deflating every probability in the κ formula. */
   private[graft] def raterAgreementCore(t: DataFrame): DataFrame =
     t.select(col("ra").cast("long").as("ra"), col("rb").cast("long").as("rb"))
+      .where(col("ra").isNotNull && col("rb").isNotNull)
       .agg(count(lit(1)).as("n"),
         sum(col("ra") * col("rb")).as("n11"),
         sum(col("ra") * (lit(1) - col("rb"))).as("n10"),
@@ -357,10 +369,7 @@ object Lifecycle {
     * heavy-hitters in ONE pass (agg_approx_distinct / agg_heavy_hitters
     * are those operators) — this op is the exact ground truth they are
     * graded against. */
-  private val profileColumns: Q = (s, d) => {
-    val o = tbl(s, d, "orders")
-    val cols = Seq("o_orderstatus", "o_orderpriority", "o_orderkey",
-      "o_custkey")
+  private[graft] def profileCore(o: DataFrame, cols: Seq[String]): DataFrame = {
     val parts = cols.map { c =>
       val vals = o.select(col(c).cast("string").as("v"))
       val stats = vals.agg(count(lit(1)).as("n_rows"),
@@ -370,12 +379,20 @@ object Lifecycle {
         .groupBy("v").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), asc("v")).limit(1)
         .select(col("v").as("top_value"), col("cnt").as("top_n"))
-      stats.crossJoin(broadcast(top)).select(lit(c).as("col_name"),
-        col("n_rows"), col("n_distinct"), col("n_null"), col("top_value"),
-        col("top_n"))
+      // LEFT join, not cross: an all-NULL column has an EMPTY top frame,
+      // and a cross join would annihilate the stats row — dropping exactly
+      // the column (broken ingestion) a profiler most needs to surface
+      stats.join(broadcast(top), lit(true), "left")
+        .select(lit(c).as("col_name"),
+          col("n_rows"), col("n_distinct"), col("n_null"), col("top_value"),
+          col("top_n"))
     }
     parts.reduce(_ unionByName _).orderBy("col_name")
   }
+
+  private val profileColumns: Q = (s, d) =>
+    profileCore(tbl(s, d, "orders"),
+      Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey"))
 
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
@@ -428,10 +445,10 @@ object Lifecycle {
                            CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
                              AS BIGINT) AS n_null
                     FROM (SELECT CAST($c AS VARCHAR) AS v FROM orders)) s
-              CROSS JOIN (SELECT v AS top_value, count(*) AS top_n
-                          FROM (SELECT CAST($c AS VARCHAR) AS v FROM orders)
-                          WHERE v IS NOT NULL GROUP BY v
-                          ORDER BY count(*) DESC, v LIMIT 1) t"""
+              LEFT JOIN (SELECT v AS top_value, count(*) AS top_n
+                         FROM (SELECT CAST($c AS VARCHAR) AS v FROM orders)
+                         WHERE v IS NOT NULL GROUP BY v
+                         ORDER BY count(*) DESC, v LIMIT 1) t ON TRUE"""
         }.mkString("", " UNION ALL ", " ORDER BY col_name"),
     "agg_k_anonymity" ->
       """WITH g AS (SELECT lang, source, n_chars // 100 AS bucket,
@@ -463,7 +480,7 @@ object Lifecycle {
           SELECT coalesce(nw.source, old.source) AS source,
                  CASE WHEN old.doc_id IS NULL THEN 'added'
                       WHEN nw.doc_id IS NULL THEN 'removed'
-                      WHEN old.text <> nw.text THEN 'changed'
+                      WHEN old.text IS DISTINCT FROM nw.text THEN 'changed'
                       ELSE 'unchanged' END AS status,
                  count(*) AS n_docs,
                  CAST(sum(coalesce(nw.n_chars, old.n_chars)) AS BIGINT)
@@ -495,9 +512,9 @@ object Lifecycle {
           ORDER BY merged.source, merged.lang""",
     "agg_join_size_audit" ->
       """WITH l AS (SELECT l_orderkey AS k, count(*) AS cl
-                    FROM lineitem GROUP BY 1),
+                    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
           o AS (SELECT o_orderkey AS k, count(*) AS co
-                FROM orders GROUP BY 1)
+                FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1)
           SELECT CAST(sum(CASE WHEN cl IS NOT NULL THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_left_keys,
                  CAST(sum(CASE WHEN co IS NOT NULL THEN 1 ELSE 0 END)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantic verification of the dataset-lifecycle tier (ops/Lifecycle.scala
@@ -271,6 +272,65 @@ class LifecycleSpec extends AnyFunSuite {
     val got = rows.map(r => (r.getLong(0), r.getString(1)) ->
       r.getInt(3).toLong).toMap
     assert(got === expect)
+  }
+
+  test("review-finding regressions: nulls, ragged vectors, partial labels") {
+    import spark.implicits._
+    // snapshotDiff: payload changing to NULL is a CHANGE, not "unchanged"
+    val oldG = Seq((1L, "s", Option("a"), 1L), (2L, "s", Option("b"), 1L))
+      .toDF("id", "source", "payload", "weight")
+    val newG = Seq((1L, "s", Option.empty[String], 1L),
+      (2L, "s", Option("b"), 1L)).toDF("id", "source", "payload", "weight")
+    val sd = graft.api.Graft.snapshotDiff(oldG, newG, "id", "source",
+      "payload", "weight").collect().map(r => r.getString(1) -> r.getLong(2))
+      .toMap
+    assert(sd === Map("changed" -> 1L, "unchanged" -> 1L))
+
+    // joinSizeAudit: NULL keys never match — excluded from key counts
+    val lNull = Seq(Option(1L), None, Option(1L)).toDF("k")
+    val rNull = Seq(Option(1L), Option(3L)).toDF("k")
+    val js = graft.api.Graft.joinSizeAudit(lNull, "k", rNull, "k")
+      .collect().head
+    assert(js.getLong(0) === 1L && js.getLong(1) === 2L)
+    assert(js.getLong(2) === 1L && js.getLong(3) === 2L)
+
+    // raterAgreement: rows with a NULL label are excluded from n too
+    val rdf = Seq((Option(true), Option(true)), (None, Option(false)),
+      (Option(false), Option(false))).toDF("a", "b")
+    val ra = graft.api.Graft.raterAgreement(rdf, col("a"), col("b"))
+      .collect().head
+    assert(ra.getLong(0) === 2L)
+    assert(ra.getDouble(5) === 1.0) // perfect agreement on surviving rows
+
+    // profiler: an all-NULL column still appears, with a NULL top value
+    val pdf = Seq((Option("x"), Option.empty[String]),
+      (Option("x"), Option.empty[String])).toDF("c1", "c2")
+    val prof = graft.ops.Lifecycle.profileCore(pdf, Seq("c1", "c2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet === Set("c1", "c2"))
+    assert(prof("c2").getLong(3) === 2L && prof("c2").isNullAt(4))
+    assert(prof("c1").getString(4) === "x")
+
+    // modularity: partial labels audit the labeled subgraph consistently
+    val pe = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val pl = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "lbl")
+    val pm = graft.api.Graft.modularity(pe, "a", "b", pl, "node", "lbl")
+      .collect().head
+    assert(pm.getLong(1) === 3L, "only both-endpoints-labeled edges count")
+    assert(pm.getLong(2) === 3L)
+    assert(pm.getDouble(3) === 0.0) // one community covering the whole subgraph
+
+    // covariance: null vectors are skipped; ragged dimensions fail fast
+    val cdf = Seq(Option(Seq(1.0f, 2.0f)), None, Option(Seq(3.0f, 4.0f)))
+      .toDF("embedding")
+    val cm = graft.ops.Curation.covCore(cdf).collect()
+    assert(cm.nonEmpty && cm.forall(_.getLong(3) == 2L),
+      "null vector must be excluded from n")
+    val ragged = Seq(Seq(1.0f, 2.0f), Seq(1.0f)).toDF("embedding")
+    val ex = intercept[Exception] {
+      graft.ops.Curation.covCore(ragged).collect()
+    }
+    assert(ex.getMessage != null)
   }
 
   test("graph_assortativity: Newman r recomputed on a synthetic graph") {
