@@ -512,6 +512,15 @@ object Graft {
     graft.ops.Lifecycle.lshTuningCore(
       sim.select(col(simCol).cast("double").as("s")))
 
+  /** BPE token count of a text column under the library's checked-in merge
+    * table — trainer-token accounting as a COLUMN (the codegen'd
+    * replace-cascade, no UDF), usable inside any select/agg. Applies the
+    * engine's text normalization (trim, lower, whitespace collapse)
+    * first, matching text_token_count_bpe / pack_sequences_bpe. */
+  def bpeTokenCount(text: Column): Column =
+    graft.ops.Bpe.bpeTokens(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
+
   /** Newman–Girvan modularity of a node labeling over an undirected edge
     * frame — the community-quality audit after [[labelPropagation]].
     * Exact integer rational (4m·Σe_c − Σd_c²)/4m²; one row

@@ -112,6 +112,35 @@ object Bpe {
         length(normText).cast("long").as("n_norm_chars"))
       .orderBy("doc_id")
 
+  /** Tokenizer-quality audit: per-language FERTILITY (non-space characters
+    * per BPE token — the compression the merge table actually buys, the
+    * number tokenizer papers report per language) plus an IN-QUERY
+    * lossless-roundtrip proof: stripping the sentinel markers from the
+    * merged representation must reproduce the normalized text exactly
+    * (merges only regroup characters, never drop them). n_roundtrip_fail
+    * is structurally 0 — emitting it makes the integrity claim
+    * hash-checked on BOTH engines rather than asserted in a test. Same
+    * map-side codegen cascade as the other BPE ops; one #langs-ary agg. */
+  private val textBpeFertility: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("lang"), normText.as("norm"))
+      .select(col("lang"),
+        length(replace(col("norm"), lit(" "))).cast("long").as("nc"),
+        bpeTokens(col("norm")).as("tok"),
+        (replace(replace(bpeMerged(col("norm")), lit(SymL)), lit(SymR))
+          === col("norm")).as("ok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("total_chars"),
+        sum(col("tok")).as("total_tokens"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_roundtrip_fail"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("n_roundtrip_fail"),
+        r4(when(col("total_tokens") > 0,
+          col("total_chars").cast("double") /
+            col("total_tokens").cast("double"))).as("chars_per_token"))
+      .orderBy("lang")
+
   /** pack_sequences with a REAL trainer-token budget (1024 BPE tokens):
     * same contiguous one-window packing, budget measured in subword tokens
     * instead of whitespace words. */
@@ -231,11 +260,29 @@ object Bpe {
 
   val queries: Map[String, Q] = Map(
     "text_token_count_bpe" -> textTokenCountBpe,
+    "text_bpe_fertility" -> textBpeFertility,
     "pack_sequences_bpe" -> packSequencesBpe,
     "pipeline_tokenizer_fit" -> pipelineTokenizerFit,
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_fertility" ->
+      s"""WITH t AS (
+            SELECT lang,
+                   CAST(length(replace($normSql, ' ', '')) AS BIGINT) AS nc,
+                   CAST(${bpeTokensSql(normSql)} AS BIGINT) AS tok,
+                   (replace(replace(${bpeMergedSql(normSql)}, chr(2), ''),
+                            chr(3), '') = $normSql) AS ok
+            FROM documents)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(nc) AS BIGINT) AS total_chars,
+                 CAST(sum(tok) AS BIGINT) AS total_tokens,
+                 CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_roundtrip_fail,
+                 floor((CASE WHEN sum(tok) > 0 THEN
+                     CAST(sum(nc) AS DOUBLE) / CAST(sum(tok) AS DOUBLE)
+                   END) * 10000 + 0.5) / 10000.0 AS chars_per_token
+          FROM t GROUP BY lang ORDER BY lang""",
     "text_token_count_bpe" ->
       s"""SELECT doc_id,
                  CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_words,

@@ -536,6 +536,17 @@ class ApiSpec extends AnyFunSuite {
     assert(!as1.isNullAt(2))
   }
 
+  test("Graft.bpeTokenCount ≡ the registry's per-doc BPE counts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaApi = docs.select(col("doc_id"),
+      graft.api.Graft.bpeTokenCount(col("text")).as("n_bpe"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaQuery = SparkEntry.queries("text_token_count_bpe")(spark, sf)
+      .select("doc_id", "n_bpe").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaApi === viaQuery)
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")

@@ -856,6 +856,21 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("text_bpe_fertility: roundtrip lossless, fertility consistent with counts") {
+    val rows = SparkEntry.queries("text_bpe_fertility")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(4) == 0L),
+      "BPE marker roundtrip lost characters")
+    val counts = SparkEntry.queries("text_token_count_bpe")(spark, sf)
+      .agg(sum("n_bpe")).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum === counts,
+      "fertility token total diverges from per-doc counts")
+    rows.foreach { r =>
+      val f = r.getDouble(5)
+      assert(f > 1.0, s"${r.getString(0)}: fertility $f implies no compression")
+    }
+  }
+
   test("BPE compresses: words <= bpe tokens <= chars, packs conserve tokens") {
     val counts = SparkEntry.queries("text_token_count_bpe")(spark, sf).collect()
     counts.foreach { r =>
