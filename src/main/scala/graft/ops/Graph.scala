@@ -538,6 +538,40 @@ object Graph {
     modularityCore(e, lpaCore(e, rounds = 3))
   }
 
+  /** Per-node LOCAL clustering coefficient (Watts–Strogatz) for the 20
+    * highest-degree nodes: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), where
+    * T(v) counts closed wedges at v. The node-level cohesion metric next
+    * to the census's global coefficient — spam-ring hubs score ≈1, organic
+    * hubs score low. Plan: neighbor-pair wedge join at v (u < w dedups
+    * each wedge), one left-semi probe into the (a < b) edge set to close
+    * it, a per-v count, then top-20 by (deg desc, node asc) TakeOrdered.
+    * Wedge volume is Σ deg², the same budget every triangle/CN op here
+    * pays; the exact rational makes lcc bit-stable on both engines. */
+  private[graft] def localClusteringCore(edges: DataFrame,
+      topK: Int = 20): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    val nbr = e.select(col("a").as("v"), col("b").as("u"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("u")))
+    val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val wedges = nbr
+      .join(nbr.select(col("v"), col("u").as("w")), "v")
+      .where(col("u") < col("w"))
+    val closed = wedges
+      .join(e, wedges("u") === e("a") && wedges("w") === e("b"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("tri"))
+    deg.join(closed, Seq("v"), "left")
+      .select(col("v").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"),
+        r4(when(col("deg") > 1,
+          (lit(2L) * coalesce(col("tri"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))).as("lcc"))
+      .orderBy(desc("deg"), asc("node")).limit(topK)
+  }
+
+  private val graphLocalClustering: Q = (s, d) =>
+    localClusteringCore(coocEdges(s, d))
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> graphPagerank,
     "graph_label_propagation" -> graphLabelPropagation,
@@ -551,6 +585,7 @@ object Graph {
     "graph_kcore" -> graphKcore,
     "graph_assortativity" -> graphAssortativity,
     "graph_modularity" -> graphModularity,
+    "graph_local_clustering" -> graphLocalClustering,
   )
 
   /** One k=2 peel round: survivors of the degree filter over edge set %s. */
@@ -585,6 +620,31 @@ object Graph {
        WHERE rn = 1"""
 
   val oracle: Map[String, String] = Map(
+    "graph_local_clustering" ->
+      s"""WITH b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                FROM b a JOIN b b2
+                  ON a.event_type = b2.event_type AND a.w = b2.w
+                WHERE a.u < b2.u),
+          nbr AS (SELECT a AS v, b AS u FROM e
+                  UNION ALL SELECT b, a FROM e),
+          deg AS (SELECT v, count(*) AS deg FROM nbr GROUP BY 1),
+          closed AS (
+            SELECT n1.v, count(*) AS tri
+            FROM nbr n1 JOIN nbr n2 ON n1.v = n2.v AND n1.u < n2.u
+            WHERE EXISTS (SELECT 1 FROM e
+                          WHERE e.a = n1.u AND e.b = n2.u)
+            GROUP BY 1)
+          SELECT deg.v AS node, CAST(deg AS BIGINT) AS deg,
+                 CAST(coalesce(tri, 0) AS BIGINT) AS n_triangles,
+                 floor((CASE WHEN deg > 1 THEN
+                     CAST(2 * coalesce(tri, 0) AS DOUBLE)
+                     / CAST(deg * (deg - 1) AS DOUBLE) END) * 10000 + 0.5)
+                   / 10000.0 AS lcc
+          FROM deg LEFT JOIN closed ON deg.v = closed.v
+          ORDER BY deg DESC, node LIMIT 20""",
     "graph_modularity" ->
       s"""WITH b AS (
             SELECT DISTINCT user_id AS u, event_type,

@@ -1978,6 +1978,33 @@ object TextDedup {
       .orderBy("dim")
   }
 
+  /** Embedding dataset-health card per label: row count, dimension
+    * consistency (min/max observed dim — a ragged table is a broken
+    * encoder), and the mean L2 norm (collapsed embeddings show up as
+    * degenerate norms before they show up as bad retrieval). Per-row norm
+    * = round(sqrt(Σ(1e4·x)²)) — the inner sum is an exact integer fold,
+    * sqrt is correctly rounded IEEE on both engines, and the rounded
+    * scaled norms SUM exactly, so the per-label mean is bit-stable at any
+    * partitioning. One map-side pass + #labels-ary agg. */
+  private val embedNormStats: Q = (s, d) =>
+    tbl(s, d, "embeddings")
+      .select(col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("""aggregate(
+                  transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)),
+                  CAST(0 AS BIGINT), (acc, v) -> acc + v * v)""").as("ss"))
+      .withColumn("norm_scaled",
+        floor(sqrt(col("ss").cast("double")) + 0.5).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+        sum(col("norm_scaled")).as("norm_sum"))
+      .select(col("label"), col("n"), col("dim_min"), col("dim_max"),
+        r4(col("norm_sum").cast("double") / col("n").cast("double") / 1e4)
+          .as("mean_l2_norm"))
+      .orderBy("label")
+
   /** Embedding-space OUTLIER detection — the geometric quality filter a
     * training pipeline runs over an embedded corpus (broken encoders, OCR
     * noise, off-distribution content all land far from the centroid). The
@@ -2417,6 +2444,7 @@ object TextDedup {
     "text_unigram_logprob" -> textUnigramLogprob,
     "text_pmi_bigrams" -> textPmiBigrams,
     "embed_quantize_stats" -> embedQuantizeStats,
+    "embed_norm_stats" -> embedNormStats,
     "embed_outliers" -> embedOutliers,
     "embed_kmeans" -> embedKmeans,
     "pipeline_dataset_card" -> pipelineDatasetCard,
@@ -2647,6 +2675,26 @@ object TextDedup {
           FROM inter i JOIN bs ON i.bench_id = bs.bench_id
           WHERE CAST(n_shared AS DOUBLE)/CAST(nb AS DOUBLE) >= 0.8
           ORDER BY i.doc_id, i.bench_id""",
+    "embed_norm_stats" ->
+      """WITH t AS (
+            SELECT label,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   CAST(list_sum(list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)
+                       * CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)))
+                     AS BIGINT) AS ss
+            FROM embeddings),
+          n AS (SELECT label, dim,
+                       CAST(floor(sqrt(CAST(ss AS DOUBLE)) + 0.5) AS BIGINT)
+                         AS norm_scaled
+                FROM t)
+          SELECT label, count(*) AS n,
+                 CAST(min(dim) AS BIGINT) AS dim_min,
+                 CAST(max(dim) AS BIGINT) AS dim_max,
+                 floor((CAST(sum(norm_scaled) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) / 10000.0) * 10000 + 0.5)
+                   / 10000.0 AS mean_l2_norm
+          FROM n GROUP BY label ORDER BY label""",
     "embed_outliers" ->
       """WITH li AS (
             SELECT vec_id, i AS pos,

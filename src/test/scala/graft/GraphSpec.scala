@@ -213,6 +213,23 @@ class GraphSpec extends AnyFunSuite {
     assert(r2.getDouble(3) === 0.5)
   }
 
+  test("graph_local_clustering: exact lcc on star-plus-triangle") {
+    import spark.implicits._
+    // star center 0 with leaves 1..4, plus edge 1-2 closing one triangle
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L))
+      .toDF("a", "b")
+    val rows = graft.ops.Graph.localClusteringCore(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    // center: deg 4, 1 triangle of 6 possible pairs → lcc = 2/12
+    assert(rows(0L)._1 == 4L && rows(0L)._2 == 1L)
+    assert(rows(0L)._3 === math.floor(2.0 / 12.0 * 10000 + 0.5) / 10000.0)
+    // nodes 1 and 2: deg 2, the one wedge is closed → lcc = 1
+    assert(rows(1L)._3 === 1.0 && rows(2L)._3 === 1.0)
+    // leaves 3, 4: deg 1 → lcc undefined (null)
+    assert(rows(3L)._3.isNaN && rows(4L)._3.isNaN)
+  }
+
   test("graph_modularity: registry query bounded and consistent with LPA") {
     val r = q("graph_modularity").collect().head
     if (r.getLong(1) > 0L) {

@@ -274,6 +274,30 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("embed_norm_stats: norms recomputed from raw embeddings") {
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val ref = raw.groupBy(_._1).map { case (lbl, rows) =>
+      val norms = rows.map { case (_, v) =>
+        val ss = v.map(x =>
+          math.floor(x.toDouble * 10000 + 0.5).toLong).map(s => s * s).sum
+        math.floor(math.sqrt(ss.toDouble) + 0.5).toLong
+      }
+      lbl -> (rows.length.toLong, rows.map(_._2.length.toLong).min,
+        norms.sum)
+    }
+    val got = q("embed_norm_stats").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet === ref.keySet)
+    for ((lbl, (n, dmin, nsum)) <- ref) {
+      val r = got(lbl)
+      assert(r.getLong(1) === n && r.getLong(2) === dmin)
+      assert(r.getDouble(4) ===
+        math.floor(nsum.toDouble / n.toDouble / 1e4 * 10000 + 0.5) / 10000.0)
+    }
+  }
+
   test("review-finding regressions: nulls, ragged vectors, partial labels") {
     import spark.implicits._
     // snapshotDiff: payload changing to NULL is a CHANGE, not "unchanged"

@@ -50,7 +50,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_incremental_agg", "graph_assortativity",
     "pipeline_quota_sample", "agg_k_anonymity", "cdc_apply_deletes",
     "win_gaps_islands", "graph_modularity", "agg_benford_audit",
-    "pipeline_profile_columns", "scd2_point_in_time", "text_bpe_fertility")
+    "pipeline_profile_columns", "scd2_point_in_time", "text_bpe_fertility",
+    "embed_norm_stats", "graph_local_clustering")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
