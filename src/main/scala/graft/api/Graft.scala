@@ -532,6 +532,27 @@ object Graft {
       labels.select(col(node).cast("long").as("node"),
         col(label).as("lbl")))
 
+  /** Per-node Watts–Strogatz local clustering coefficient for the topK
+    * highest-degree nodes of an undirected edge frame — the node-level
+    * cohesion audit next to the global census (spam-ring hubs ≈ 1).
+    * Returns (node, deg, n_triangles, lcc). */
+  def localClustering(edges: DataFrame, a: String, b: String,
+      topK: Int = 20): DataFrame =
+    graft.ops.Graph.localClusteringCore(
+      edges.select(col(a).cast("long").as("a"), col(b).cast("long").as("b")),
+      topK)
+
+  /** Embedding dataset-health card per `group`: row count, observed
+    * dimension min/max (ragged = broken encoder), mean L2 norm from exact
+    * integer folds. One map-side pass + per-group agg. */
+  def embeddingNormStats(df: DataFrame, group: String,
+      vec: String): DataFrame = {
+    val in = df.select(col(group).as("label"), col(vec).as("embedding"))
+    val sess = df.sparkSession
+    graft.ops.TextDedup.embedNormStatsCore(sess, in)
+      .withColumnRenamed("label", group)
+  }
+
   /** Degree assortativity (Newman r) of an undirected edge frame — the
     * hub-mixing fingerprint read before choosing graph-join skew
     * mitigations. One row (n_nodes, n_edges, assortativity). */

@@ -1986,9 +1986,9 @@ object TextDedup {
     * sqrt is correctly rounded IEEE on both engines, and the rounded
     * scaled norms SUM exactly, so the per-label mean is bit-stable at any
     * partitioning. One map-side pass + #labels-ary agg. */
-  private val embedNormStats: Q = (s, d) =>
-    tbl(s, d, "embeddings")
-      .select(col("label"),
+  private[graft] def embedNormStatsCore(s: SparkSession,
+      e: DataFrame): DataFrame =
+    e.select(col("label"),
         size(col("embedding")).cast("long").as("dim"),
         expr("""aggregate(
                   transform(embedding,
@@ -2004,6 +2004,9 @@ object TextDedup {
         r4(col("norm_sum").cast("double") / col("n").cast("double") / 1e4)
           .as("mean_l2_norm"))
       .orderBy("label")
+
+  private val embedNormStats: Q = (s, d) =>
+    embedNormStatsCore(s, tbl(s, d, "embeddings"))
 
   /** Embedding-space OUTLIER detection — the geometric quality filter a
     * training pipeline runs over an embedded corpus (broken encoders, OCR

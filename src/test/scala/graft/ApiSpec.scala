@@ -547,6 +547,20 @@ class ApiSpec extends AnyFunSuite {
     assert(viaApi === viaQuery)
   }
 
+  test("Graft.localClustering and Graft.embeddingNormStats ≡ registry queries") {
+    val lc = graft.api.Graft.localClustering(
+      graft.ops.Graph.coocEdges(spark, "/root/testdata/sf0.01"), "a", "b")
+      .collect().map(_.toString)
+    assert(lc sameElements
+      SparkEntry.queries("graph_local_clustering")(spark,
+        "/root/testdata/sf0.01").collect().map(_.toString))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ns = graft.api.Graft.embeddingNormStats(emb, "label", "embedding")
+      .collect().map(_.toString)
+    assert(ns sameElements SparkEntry.queries("embed_norm_stats")(spark, sf)
+      .collect().map(_.toString))
+  }
+
   test("Graft.forecast emits horizon rows per key") {
     val hourly = graft.util.Canon.events(spark, sf)
       .resample("user_id", "ts", "value", "1 hour")
