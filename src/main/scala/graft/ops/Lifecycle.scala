@@ -394,6 +394,32 @@ object Lifecycle {
     profileCore(tbl(s, d, "orders"),
       Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey"))
 
+  // ------------------------------------------------------- Theil index
+  /** Theil T inequality of the per-document length mass within each
+    * source — the third leg of the balance-audit trio (Gini concentration
+    * and Shannon evenness are the other two; Theil is the one that
+    * DECOMPOSES additively across subgroups, which is why corpus audits
+    * report it). T = (Σ x·ln x)/S − ln(S/n), computed with per-row ln as
+    * 1e6-scaled integers so the cross-row sum is exact; the two global ln
+    * terms apply once per group. ln rides the accepted last-ulp posture
+    * (PLANS.md, text_entropy precedent). One scan + #sources-ary agg. */
+  private def li6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+
+  private val theilIndex: Q = (s, d) =>
+    tbl(s, d, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .where(col("x") > 0)
+      .withColumn("xl", col("x") * li6(col("x")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("xl")).as("sxl"))
+      .select(col("source"), col("n"), col("sx").as("total_chars"),
+        r4(col("sxl").cast("double") / col("sx").cast("double") / 1e6
+          - (li6(col("sx")) - li6(col("n"))).cast("double") / 1e6)
+          .as("theil"))
+      .orderBy("source")
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "pipeline_snapshot_diff" -> snapshotDiff,
@@ -406,6 +432,7 @@ object Lifecycle {
     "agg_k_anonymity" -> kAnonymity,
     "agg_benford_audit" -> benfordAudit,
     "pipeline_profile_columns" -> profileColumns,
+    "agg_theil_inequality" -> theilIndex,
   )
 
   private val r4Sql = (x: String) => s"floor(($x)*10000 + 0.5)/10000.0"
@@ -425,6 +452,24 @@ object Lifecycle {
                  CAST(base + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END
                    AS BIGINT) AS alloc
           FROM r ORDER BY source""",
+    "agg_theil_inequality" ->
+      """WITH t AS (SELECT source, CAST(n_chars AS BIGINT) AS x
+                    FROM documents WHERE n_chars > 0),
+          g AS (SELECT source, count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(x * CAST(floor(ln(CAST(x AS DOUBLE))
+                                               * 1000000 + 0.5) AS BIGINT))
+                         AS BIGINT) AS sxl
+                FROM t GROUP BY 1)
+          SELECT source, n, sx AS total_chars,
+                 floor((CAST(sxl AS DOUBLE) / CAST(sx AS DOUBLE) / 1000000.0
+                        - CAST(CAST(floor(ln(CAST(sx AS DOUBLE))
+                                          * 1000000 + 0.5) AS BIGINT)
+                               - CAST(floor(ln(CAST(n AS DOUBLE))
+                                            * 1000000 + 0.5) AS BIGINT)
+                               AS DOUBLE) / 1000000.0)
+                       * 10000 + 0.5) / 10000.0 AS theil
+          FROM g ORDER BY source""",
     "agg_benford_audit" ->
       """WITH c AS (SELECT substr(CAST(CAST(floor(o_totalprice*100 + 0.5)
                                         AS BIGINT) AS VARCHAR), 1, 1)

@@ -298,6 +298,25 @@ class LifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_theil_inequality: recomputed with scaled-integer ln; T >= 0") {
+    def li6(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val ref = docs.groupBy(_._4).map { case (srcName, rows) =>
+      val xs = rows.map(_._5).filter(_ > 0)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val sxl = xs.map(x => x * li6(x.toDouble)).sum
+      val t = sxl.toDouble / sx.toDouble / 1e6 -
+        (li6(sx.toDouble) - li6(n.toDouble)).toDouble / 1e6
+      srcName -> (n, sx, r4(t))
+    }
+    val got = q("agg_theil_inequality").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got === ref)
+    // Jensen: Theil T is non-negative (allow scaled-rounding slack)
+    assert(got.values.forall(_._3 >= -1e-4))
+  }
+
   test("review-finding regressions: nulls, ragged vectors, partial labels") {
     import spark.implicits._
     // snapshotDiff: payload changing to NULL is a CHANGE, not "unchanged"

@@ -51,7 +51,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_quota_sample", "agg_k_anonymity", "cdc_apply_deletes",
     "win_gaps_islands", "graph_modularity", "agg_benford_audit",
     "pipeline_profile_columns", "scd2_point_in_time", "text_bpe_fertility",
-    "embed_norm_stats", "graph_local_clustering")
+    "embed_norm_stats", "graph_local_clustering", "agg_theil_inequality")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
