@@ -473,7 +473,9 @@ object Graft {
     * hash join on the id, then an O(#sources × 4) agg. */
   def snapshotDiff(old: DataFrame, nw: DataFrame, id: String,
       source: String, payload: String, weight: String): DataFrame = {
-    def norm(df: DataFrame) = df.select(col(id).cast("long").as("id"),
+    // ids join as-is (string hash/URL ids are first-class — a long cast
+    // would NULL them and misclassify every row as added+removed)
+    def norm(df: DataFrame) = df.select(col(id).as("id"),
       col(source).as("source"), col(payload).as("payload"),
       col(weight).cast("long").as("weight"))
     graft.ops.Lifecycle.snapshotDiffCore(norm(old), norm(nw))

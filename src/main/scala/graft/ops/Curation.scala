@@ -850,11 +850,17 @@ object Curation {
                    * 10000 + 0.5) / 10000.0 AS ci_hi
           FROM ovr""",
     "embed_covariance" ->
-      """WITH sc AS (
+      """WITH sc0 AS (
             SELECT vec_id, list_transform(embedding,
                      x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))
                      AS xs
             FROM embeddings),
+          -- mirror covCore's exclusion rule exactly: NULL vector, empty
+          -- vector, or any NULL/NaN coordinate (floor(NaN) -> NULL element)
+          -- never contributes to n or the moments
+          sc AS (SELECT vec_id, xs FROM sc0
+                 WHERE xs IS NOT NULL AND len(xs) > 0
+                   AND len(list_filter(xs, x -> x IS NULL)) = 0),
           e1 AS (SELECT vec_id, xs, unnest(range(0, len(xs))) AS i FROM sc),
           sums AS (SELECT i, CAST(sum(xs[i+1]) AS BIGINT) AS sx
                    FROM e1 GROUP BY 1),

@@ -549,8 +549,15 @@ object Graph {
     * pays; the exact rational makes lcc bit-stable on both engines. */
   private[graft] def localClusteringCore(edges: DataFrame,
       topK: Int = 20): DataFrame = {
-    val e = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b")).localCheckpoint(true)
+    // canonicalize to a unique a<b undirected edge set up front (least/
+    // greatest + distinct, self-loops dropped) so the triangle-closing
+    // semi-join below — which relies on that orientation — is correct for
+    // ANY input orientation, matching the tolerance of assortativityCore/
+    // modularityCore. Idempotent (and ~free) on already-canonical input.
+    val e = edges.select(
+        least(col("a").cast("long"), col("b").cast("long")).as("a"),
+        greatest(col("a").cast("long"), col("b").cast("long")).as("b"))
+      .where(col("a") < col("b")).distinct().localCheckpoint(true)
     val nbr = e.select(col("a").as("v"), col("b").as("u"))
       .unionAll(e.select(col("b").as("v"), col("a").as("u")))
     val deg = nbr.groupBy(col("v")).agg(count(lit(1)).as("deg"))

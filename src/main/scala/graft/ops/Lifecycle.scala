@@ -574,7 +574,12 @@ object Lifecycle {
             SELECT CASE WHEN n_chars >= 240 THEN 1 ELSE 0 END AS ra,
                    CASE WHEN len(string_split($normSql, ' ')) >= 40
                         THEN 1 ELSE 0 END AS rb
-            FROM documents),
+            -- mirror raterAgreementCore's NULL-exclusion: a row with a NULL
+            -- label on either side is excluded from n AND the confusion
+            -- cells (the Spark side drops NULL booleans; the CASE here
+            -- would otherwise map them to 0 and keep the row)
+            FROM documents
+            WHERE n_chars IS NOT NULL AND text IS NOT NULL),
           c AS (SELECT count(*) AS n,
                        CAST(sum(ra * rb) AS BIGINT) AS n11,
                        CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
