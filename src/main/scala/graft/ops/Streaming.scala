@@ -561,6 +561,23 @@ object Streaming {
           SELECT doc_id, count(*) AS n_matches, min(sid) AS min_sid,
                  floor(max(jacc)*10000 + 0.5)/10000.0 AS best_jacc
           FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // Deterministic replay of the watermark semantics: the staging orders
+    // files (bulk minus lo/hi) -> hi -> lo, so at the straggler's arrival
+    // the watermark is already max(ts) - 10min; the straggler (global
+    // earliest row) is dropped, and append mode has emitted exactly the
+    // windows whose end <= that final watermark. Both facts are
+    // batch-derivable scalars, making the full streaming output
+    // oracle-checkable.
+    "stream_watermark_late" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM events),
+          lo AS (SELECT event_id AS lo_id FROM events
+                 ORDER BY ts, event_id LIMIT 1)
+          SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+                 count(*) AS n
+          FROM events, wm
+          WHERE event_id != (SELECT lo_id FROM lo)
+            AND date_trunc('day', ts) + INTERVAL 1 DAY <= wm.wm
+          GROUP BY 1 ORDER BY 1""",
     "stream_tumbling_count" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start, event_type,
                 count(*) AS n,

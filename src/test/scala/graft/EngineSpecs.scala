@@ -51,7 +51,7 @@ class SmokeSpec extends AnyFunSuite {
     "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
     "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
     "sim_ann_filtered", // AnnFilteredSpec: label purity + filtered recall
-    "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann", "stream_watermark_late",
+    "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann",
     "ts_dtw_distance", // TsToolkitSpec: plain-Scala DP recompute equality
     "embed_pca_variance", // CurationSpec: trace/PSD/power-iteration props
     "embed_mmr_rerank") // CurationSpec: independent greedy-MMR recompute
