@@ -578,6 +578,76 @@ object Graft {
     graft.ops.Lifecycle.kAnonymityCore(
       df.select(q1.as("q1"), q2.as("q2"), q3.as("q3")), k)
 
+  /** Theil T inequality of `value` mass within each `group` — the
+    * balance-audit leg that decomposes additively across subgroups.
+    * Returns (group, n, total_chars, theil); rows with value <= 0 are
+    * excluded. One scan + #groups-ary agg. */
+  def theilInequality(df: DataFrame, group: String, value: String): DataFrame =
+    graft.ops.Lifecycle.theilCore(
+        df.select(col(group).as("source"), col(value).cast("long").as("x")))
+      .withColumnRenamed("source", group)
+
+  /** First-significant-digit (Benford) distribution of a positive integral
+    * measure — the fabricated-vs-organic numeric forensic. Pass exact
+    * integers (e.g. `cents` of a money column); non-positive rows are
+    * excluded. Returns (digit, n, share). */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame =
+    graft.ops.Lifecycle.benfordCore(df.select(value.cast("long").as("v")))
+
+  /** Exact relational profile of the named columns: per column the row
+    * count, distinct count, null count, and modal value with frequency
+    * (ties to the smallest value, stringified into one shared schema).
+    * One hash-agg per column over a shared pruned scan; at 100 TB swap in
+    * the sketched variants (hllDistinct / heavyHitters) for one pass. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    graft.ops.Lifecycle.profileCore(df, cols)
+
+  /** Gaps-and-islands over an activity log: per key, runs of consecutive
+    * active days via the row_number-difference trick. Returns
+    * (key, n_active_days, n_islands, longest_island, first_day) where
+    * days count from 1970-01-01. Two keyed windows over the distinct
+    * (key, day) frame — tiny relative to the log. */
+  def gapsIslands(df: DataFrame, key: String, time: String): DataFrame =
+    graft.ops.Windows.gapsIslandsCore(
+        df.select(col(key).as("user_id"),
+          datediff(to_date(col(time)), lit("1970-01-01").cast("date"))
+            .cast("long").as("dayn")))
+      .withColumnRenamed("user_id", key)
+
+  /** SCD2 point-in-time snapshot of a change log: the version of every
+    * (key, subKey) dimension row valid AT `asOfMs` (epoch millis).
+    * Versions order by (time, id); `value` is canonicalized to exact
+    * cents. One keyed window shuffle; the cut rides a one-row broadcast
+    * and the validity filter is map-side. */
+  def scd2PointInTime(df: DataFrame, key: String, subKey: String,
+      id: String, time: String, value: String, asOfMs: Long): DataFrame = {
+    val cut = df.sparkSession.range(1)
+      .select(lit(asOfMs).cast("long").as("as_of_ms"))
+    graft.ops.Pipeline.scd2PitCore(
+        df.select(col(key).as("user_id"), col(subKey).as("event_type"),
+          col(id).as("event_id"),
+          graft.util.Canon.tsMs(col(time)).as("tsm"),
+          graft.util.Canon.cents(col(value)).as("v_cents")),
+        cut)
+      .withColumnRenamed("user_id", key)
+      .withColumnRenamed("event_type", subKey)
+      .withColumnRenamed("event_id", id)
+  }
+
+  /** CDC changelog apply WITH tombstones: newest version per key wins and
+    * a key whose final operation is a delete (`isDelete`) vanishes from
+    * the snapshot — the Debezium/lakehouse tombstone contract. Returns
+    * (key, last_event_id, last_cents, last_ms, n_versions, n_deletes).
+    * Single keyed window shuffle. */
+  def cdcApplyDeletes(df: DataFrame, key: String, id: String, time: String,
+      value: String, isDelete: Column): DataFrame =
+    graft.ops.Windows.cdcApplyDeletesCore(
+        df.select(col(key).as("user_id"), col(id).as("event_id"),
+          col(value).as("value"),
+          graft.util.Canon.tsMs(col(time)).as("tsm"),
+          when(isDelete, lit("D")).otherwise(lit("U")).as("op")))
+      .withColumnRenamed("user_id", key)
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

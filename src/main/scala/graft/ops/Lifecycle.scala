@@ -346,10 +346,10 @@ object Lifecycle {
     * BIGINT's decimal representation — no log10, no float), so both
     * engines bucket identically; shares divide two exact integers once.
     * One scan, one 9-ary hash agg, a broadcast one-row total. */
-  private val benfordAudit: Q = (s, d) => {
-    val c = tbl(s, d, "orders")
-      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
-        .as("digit"))
+  /** Generic core over a one-column (v: positive BIGINT) frame. */
+  private[graft] def benfordCore(vals: DataFrame): DataFrame = {
+    val c = vals.where(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).as("digit"))
     val tot = c.agg(count(lit(1)).as("total"))
     c.groupBy("digit").agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(tot))
@@ -358,6 +358,10 @@ object Lifecycle {
           .as("share"))
       .orderBy("digit")
   }
+
+  private val benfordAudit: Q = (s, d) =>
+    benfordCore(tbl(s, d, "orders")
+      .select(cents(col("o_totalprice")).as("v")))
 
   // --------------------------------------------------- column profiler
   /** Relational data-profiling report — per audited column: distinct
@@ -406,10 +410,9 @@ object Lifecycle {
   private def li6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
 
-  private val theilIndex: Q = (s, d) =>
-    tbl(s, d, "documents")
-      .select(col("source"), col("n_chars").cast("long").as("x"))
-      .where(col("x") > 0)
+  /** Generic core over a (source, x: positive BIGINT mass) frame. */
+  private[graft] def theilCore(t: DataFrame): DataFrame =
+    t.where(col("x") > 0)
       .withColumn("xl", col("x") * li6(col("x")))
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -419,6 +422,10 @@ object Lifecycle {
           - (li6(col("sx")) - li6(col("n"))).cast("double") / 1e6)
           .as("theil"))
       .orderBy("source")
+
+  private val theilIndex: Q = (s, d) =>
+    theilCore(tbl(s, d, "documents")
+      .select(col("source"), col("n_chars").cast("long").as("x")))
 
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(

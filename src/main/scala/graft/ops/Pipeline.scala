@@ -322,25 +322,35 @@ object Pipeline {
     * dimension exists to answer; the interval window is the same single
     * keyed shuffle as scd2_intervals, the cut rides a one-row broadcast,
     * and the validity filter is map-side. */
-  private val scd2PointInTime: Q = (s, d) => {
+  /** Generic core: chg is a change-log frame (user_id, event_type,
+    * event_id, tsm: ms-truncated timestamp, v_cents); cut is a one-row
+    * (as_of_ms) frame that rides a broadcast. */
+  private[graft] def scd2PitCore(chg: DataFrame, cut: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
       .orderBy("tsm", "event_id")
-    val iv = events(s, d).withColumn("tsm", tsMs(col("ts")))
+    val iv = chg
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_millis(col("tsm")).as("valid_from_ms"),
         unix_millis(lead(col("tsm"), 1).over(w)).as("valid_to_ms"),
-        cents(col("value")).as("v_cents"),
+        col("v_cents"),
         row_number().over(w).as("version"))
-    val cut = events(s, d)
-      .agg(min(unix_millis(tsMs(col("ts")))).as("mn"),
-        max(unix_millis(tsMs(col("ts")))).as("mx"))
-      .select(expr("(mn + mx) div 2").as("as_of_ms"))
     iv.crossJoin(broadcast(cut))
       .where(col("valid_from_ms") <= col("as_of_ms") &&
         (col("valid_to_ms").isNull || col("valid_to_ms") > col("as_of_ms")))
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("version"), col("v_cents"), col("as_of_ms"))
       .orderBy("user_id", "event_type")
+  }
+
+  private val scd2PointInTime: Q = (s, d) => {
+    val cut = events(s, d)
+      .agg(min(unix_millis(tsMs(col("ts")))).as("mn"),
+        max(unix_millis(tsMs(col("ts")))).as("mx"))
+      .select(expr("(mn + mx) div 2").as("as_of_ms"))
+    scd2PitCore(
+      events(s, d).withColumn("tsm", tsMs(col("ts")))
+        .withColumn("v_cents", cents(col("value"))),
+      cut)
   }
 
   /** Curriculum staging for training-data ordering: documents bucketed into

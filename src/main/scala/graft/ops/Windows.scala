@@ -176,12 +176,12 @@ object Windows {
     * (the Debezium/lakehouse tombstone contract). Same single-shuffle
     * window-dedup shape as the upsert op; surviving keys also report how
     * many versions and how many interleaved deletes they compacted. */
-  private val cdcApplyDeletes: Q = (s, d) => {
+  /** Generic core over a change-log frame (user_id, event_id, value,
+    * tsm: ms-truncated timestamp, op: "D" | "U"). */
+  private[graft] def cdcApplyDeletesCore(chg: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(desc("tsm"), desc("event_id"))
     val wAll = Window.partitionBy("user_id")
-    tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
-      .withColumn("op",
-        when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+    chg
       .select(col("user_id"), col("event_id"), col("value"), col("tsm"),
         col("op"),
         row_number().over(w).as("rn"),
@@ -196,17 +196,21 @@ object Windows {
       .orderBy("user_id")
   }
 
+  private val cdcApplyDeletes: Q = (s, d) =>
+    cdcApplyDeletesCore(
+      tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))))
+
   /** Gaps-and-islands: per user, runs of CONSECUTIVE active days (the
     * row_number-difference trick — a day-number minus its per-user rank is
     * constant within each unbroken run). Two keyed windows/aggs on the
     * distinct (user, day) frame, which is tiny relative to the event log;
     * the classic engagement-streak / coverage-gap audit. */
-  private val winGapsIslands: Q = (s, d) => {
-    val days = tbl(s, d, "events")
-      .select(col("user_id"),
-        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
-          .cast("long").as("dayn"))
-      .distinct()
+  /** Generic core over a (user_id, dayn: epoch-day BIGINT) frame;
+    * duplicates are collapsed here so callers can feed raw event rows. */
+  private[graft] def gapsIslandsCore(raw: DataFrame): DataFrame = {
+    val days = raw.distinct()
     val w = Window.partitionBy("user_id").orderBy("dayn")
     val isl = days.withColumn("grp", col("dayn") - row_number().over(w))
       .groupBy(col("user_id"), col("grp"))
@@ -218,6 +222,12 @@ object Windows {
         min(col("start_day")).as("first_day"))
       .orderBy("user_id")
   }
+
+  private val winGapsIslands: Q = (s, d) =>
+    gapsIslandsCore(tbl(s, d, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("dayn")))
 
   val queries: Map[String, Q] = Map(
     "cdc_upsert_latest" -> cdcUpsertLatest,

@@ -508,6 +508,47 @@ class ApiSpec extends AnyFunSuite {
       spark, sf).collect().map(_.toString))
   }
 
+  test("audit/lifecycle facade round-9 methods ≡ their registry queries") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    val ev = graft.util.Canon.events(spark, sf)
+
+    val th = graft.api.Graft.theilInequality(docs, "source", "n_chars")
+      .collect().map(_.toString)
+    assert(th sameElements SparkEntry.queries("agg_theil_inequality")(spark, sf)
+      .collect().map(_.toString))
+
+    val bf = graft.api.Graft.benfordAudit(ord,
+      floor(col("o_totalprice") * 100 + 0.5)).collect().map(_.toString)
+    assert(bf sameElements SparkEntry.queries("agg_benford_audit")(spark, sf)
+      .collect().map(_.toString))
+
+    val pf = graft.api.Graft.profileColumns(ord,
+      Seq("o_orderstatus", "o_orderpriority", "o_orderkey", "o_custkey"))
+      .collect().map(_.toString)
+    assert(pf sameElements SparkEntry.queries("pipeline_profile_columns")(
+      spark, sf).collect().map(_.toString))
+
+    val gi = graft.api.Graft.gapsIslands(ev, "user_id", "ts")
+      .collect().map(_.toString)
+    assert(gi sameElements SparkEntry.queries("win_gaps_islands")(spark, sf)
+      .collect().map(_.toString))
+
+    val Array(mn, mx) = ev
+      .agg(min(unix_millis(date_trunc("millisecond", col("ts")))),
+        max(unix_millis(date_trunc("millisecond", col("ts")))))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val pit = graft.api.Graft.scd2PointInTime(ev, "user_id", "event_type",
+      "event_id", "ts", "value", (mn + mx) / 2).collect().map(_.toString)
+    assert(pit sameElements SparkEntry.queries("scd2_point_in_time")(spark, sf)
+      .collect().map(_.toString))
+
+    val cdc = graft.api.Graft.cdcApplyDeletes(ev, "user_id", "event_id",
+      "ts", "value", col("event_type") === "error").collect().map(_.toString)
+    assert(cdc sameElements SparkEntry.queries("cdc_apply_deletes")(spark, sf)
+      .collect().map(_.toString))
+  }
+
   test("Graft.lshTuning and Graft.assortativity on synthetic inputs") {
     import spark.implicits._
     val sims = Seq(0.95, 0.85, 0.5, 0.1).toDF("jaccard")
