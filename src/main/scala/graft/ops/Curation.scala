@@ -696,7 +696,74 @@ object Curation {
           w AS (SELECT per.doc_id, CAST(sum(n_db * wt) AS BIGINT) AS wsum
                 FROM per JOIN model ON per.b = model.b GROUP BY 1)"""
 
+  /** Exact-double dot product over two float lists — the same sequential
+    * accumulation order as the JVM cosine (TextDedup.cosSql precedent;
+    * DuckDB's native list_cosine_similarity accumulates in float32 and
+    * does NOT match). */
+  private def dt(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)))"
+
+  /** The greedy MMR loop unrolled as five SQL stages (k = 5 is fixed in
+    * the registered query, so no recursive CTE is needed): stage r scores
+    * every remaining pool candidate 0.7·qsim − (1−0.7)·max(cos to the
+    * r−1 picks) and takes the argmax (ties to the smallest vec_id — the
+    * UDF's explicit tie rule). Norms are hoisted (sqrt is deterministic,
+    * so hoisting is bit-identical to the JVM's per-call recompute);
+    * double multiply commutes bit-exactly, so pre-multiplied norm
+    * products match the JVM's sqrt(aa)·sqrt(bb) factor order. */
+  private val mmrOracle: String = {
+    def stage(r: Int): String = {
+      val prev = (1 until r).map(j => s"s$j")
+      val divCols = prev.zipWithIndex.map { case (s, i) =>
+        s"${dt("p.embedding", s"$s.embedding")} / (p.en * $s.en) AS d$i" }
+      val div =
+        if (prev.isEmpty) "0.0"
+        else if (prev.size == 1) "d0"
+        else s"GREATEST(${prev.indices.map(i => s"d$i").mkString(", ")})"
+      val joins = prev.map(s => s"JOIN $s ON p.qid = $s.qid").mkString(" ")
+      val notIn =
+        if (prev.isEmpty) ""
+        else s"WHERE p.vec_id NOT IN (${prev.map(s => s"$s.vec_id").mkString(", ")})"
+      val candSel =
+        if (prev.isEmpty) "SELECT p.qid, p.vec_id, p.embedding, p.en, p.qsim FROM pool p"
+        else s"""SELECT p.qid, p.vec_id, p.embedding, p.en, p.qsim,
+                        ${divCols.mkString(", ")}
+                 FROM pool p $joins $notIn"""
+      s"""s$r AS (
+            SELECT qid, vec_id, embedding, en, score FROM (
+              SELECT *, 0.7*qsim - (1.0 - 0.7)*$div AS score,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY 0.7*qsim - (1.0 - 0.7)*$div DESC, vec_id) AS rn
+              FROM ($candSel))
+            WHERE rn = 1)"""
+    }
+    val stages = (1 to 5).map(stage).mkString(",\n          ")
+    val out = (1 to 5).map(r =>
+      s"""SELECT qid, CAST($r AS INTEGER) AS "rank", vec_id,
+                 floor(score*10000 + 0.5)/10000.0 AS mmr FROM s$r""")
+      .mkString("\n          UNION ALL ")
+    s"""WITH q AS (
+          SELECT vec_id AS qid, embedding AS qe,
+                 sqrt(${dt("embedding", "embedding")}) AS qn
+          FROM embeddings WHERE vec_id < 3),
+        pl AS (
+          SELECT q.qid, e.vec_id, e.embedding,
+                 sqrt(${dt("e.embedding", "e.embedding")}) AS en,
+                 ${dt("e.embedding", "q.qe")} /
+                   (sqrt(${dt("e.embedding", "e.embedding")}) * q.qn) AS qsim
+          FROM embeddings e, q WHERE e.vec_id != q.qid),
+        pool AS (
+          SELECT qid, vec_id, embedding, en, qsim FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY qsim DESC, vec_id) AS rnk FROM pl)
+          WHERE rnk <= 20),
+          $stages
+          $out
+          ORDER BY qid, "rank""""
+  }
+
   val oracle: Map[String, String] = Map(
+    "embed_mmr_rerank" -> mmrOracle,
     "text_bm25_search" ->
       s"""WITH dcs AS (
             SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
