@@ -427,6 +427,182 @@ object Lifecycle {
     theilCore(tbl(s, d, "documents")
       .select(col("source"), col("n_chars").cast("long").as("x")))
 
+  // ------------------------------------------------- PSI drift audit
+  /** Population Stability Index between two corpus generations' length
+    * distributions — THE tabular-drift score model-risk teams track
+    * per-feature between refreshes (KS answers "did it shift?"; PSI
+    * scores BY HOW MUCH, additively per bucket, with the industry 0.1 /
+    * 0.25 action thresholds). Fixture generations are the doc_id parity
+    * halves; buckets are fixed-width (n_chars div 100, clamped to 10 —
+    * production swaps in reference-quantile cutpoints via the winsorize
+    * percentile machinery, same plan). Each bucket's (p−q)·ln(p/q) term
+    * is an EXACT integer numerator (nr·Tc − nc·Tr) times a 1e6-scaled
+    * ln of an exact-integer ratio; the cross-row sum is exact and the
+    * two divisions apply once. Buckets empty on either side (ln
+    * undefined) are excluded and REPORTED — silent drops would hide
+    * exactly the novel-mass signal PSI exists to catch. One scan, one
+    * 10-ary agg, one one-row rollup. Headroom: |term| ≤ n²·|ln ratio|·1e6
+    * ≈ 1e17 at sf1000 — past that, scale counts to thousands (the same
+    * documented swap as chi²). */
+  private[graft] def psiDriftCore(b: DataFrame): DataFrame = {
+    // b: (bucket, is_ref) one row per document
+    val c = b.groupBy("bucket").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc"))
+    val t = c.agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"),
+      sum(when(col("nr") === 0 || col("nc") === 0, 1L).otherwise(0L))
+        .as("n_dropped"))
+    c.where(col("nr") > 0 && col("nc") > 0)
+      .crossJoin(broadcast(t))
+      .select(col("tr"), col("tc"), col("n_dropped"),
+        ((col("nr") * col("tc") - col("nc") * col("tr")) *
+          li6((col("nr") * col("tc")).cast("double") /
+            (col("nc") * col("tr")).cast("double"))).as("term"))
+      .groupBy("tr", "tc", "n_dropped")
+      .agg(count(lit(1)).as("n_buckets"), sum(col("term")).as("s"))
+      .select(col("tr").as("n_ref"), col("tc").as("n_cur"),
+        col("n_buckets"), col("n_dropped"),
+        r4(col("s").cast("double") /
+          (col("tr") * col("tc")).cast("double") / 1e6).as("psi"))
+  }
+
+  private val psiDrift: Q = (s, d) =>
+    psiDriftCore(tbl(s, d, "documents").select(
+      least(expr("n_chars div 100"), lit(9L)).as("bucket"),
+      (col("doc_id") % 2 === 0).as("is_ref")))
+
+  // --------------------------------------------- Jensen–Shannon drift
+  /** Jensen–Shannon divergence between the categorical (lang) mixes of
+    * two corpus generations — the bounded, symmetric companion to PSI
+    * (JSD ∈ [0, ln 2]; defined even when a category exists on only one
+    * side, exactly where PSI's buckets drop out). JSD = H(m) − (H(p) +
+    * H(q))/2 with m the midpoint mix. All three entropies fold as exact
+    * integer sums of count·li6(exact-integer ratio): m's numerator is
+    * a·B + b·A over the common denominator 2AB, so no per-row division
+    * ever crosses engines. One scan, #langs-ary agg, one-row rollup. */
+  private[graft] def jsDivergenceCore(f: DataFrame): DataFrame = {
+    // f: (cat, is_ref) one row per document
+    val c = f.groupBy("cat").agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("a"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("b"))
+    val t = c.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    c.crossJoin(broadcast(t))
+      .select(col("ta"), col("tb"),
+        when(col("a") > 0,
+          col("a") * li6(col("a").cast("double") / col("ta").cast("double")))
+          .otherwise(0L).as("sp"),
+        when(col("b") > 0,
+          col("b") * li6(col("b").cast("double") / col("tb").cast("double")))
+          .otherwise(0L).as("sq"),
+        ((col("a") * col("tb") + col("b") * col("ta")) *
+          li6((col("a") * col("tb") + col("b") * col("ta")).cast("double") /
+            (lit(2L) * col("ta") * col("tb")).cast("double"))).as("sm"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("k"), sum(col("sp")).as("sp"),
+        sum(col("sq")).as("sq"), sum(col("sm")).as("sm"))
+      .select(col("ta").as("n_ref"), col("tb").as("n_cur"),
+        col("k").as("k_categories"),
+        r4(
+          (-col("sm").cast("double") /
+            (lit(2L) * col("ta") * col("tb")).cast("double") / 1e6) -
+          ((-col("sp").cast("double") / col("ta").cast("double") / 1e6) +
+            (-col("sq").cast("double") / col("tb").cast("double") / 1e6))
+            / 2.0).as("jsd"))
+  }
+
+  private val jsDivergence: Q = (s, d) =>
+    jsDivergenceCore(tbl(s, d, "documents").select(
+      col("lang").as("cat"), (col("doc_id") % 2 === 0).as("is_ref")))
+
+  // ------------------------------------------------------- Cramér's V
+  /** Cramér's V over the lang × source contingency — the [0,1]-normalized
+    * effect size on top of agg_chi2_independence's raw χ² (a huge corpus
+    * makes ANY dependence "significant"; V says whether it is LARGE).
+    * V = sqrt(χ² / (n·min(r−1, c−1))). Reuses the χ² core's exact
+    * 1e6-scaled integer sum; the one division and sqrt are a fixed IEEE
+    * shape over exact integers — bit-exact cross-engine, no ln. */
+  private[graft] def cramersVCore(facts: DataFrame, a: String,
+      b: String): DataFrame = {
+    val chi = Relational.chi2IndependenceCore(facts, a, b)
+    val dims = facts.agg(countDistinct(col(a)).as("ra"),
+      countDistinct(col(b)).as("cb"))
+    chi.crossJoin(broadcast(dims))
+      .select(col("n_docs"), col("dof"),
+        least(col("ra") - 1, col("cb") - 1).as("min_dim"),
+        r4(sqrt((col("chi2_scaled").cast("double") / 1e6) /
+          (col("n_docs") * least(col("ra") - 1, col("cb") - 1))
+            .cast("double"))).as("cramers_v"))
+  }
+
+  private val cramersV: Q = (s, d) =>
+    cramersVCore(tbl(s, d, "documents"), "lang", "source")
+
+  // -------------------------------------------- incremental join proof
+  /** Incremental JOIN maintenance proven in-query — the join-side
+    * companion to pipeline_incremental_agg: a materialized fact⋈dim
+    * rollup updated by joining ONLY the delta fact rows (the dim side is
+    * static) must equal the from-scratch join. Inner equi-join distributes
+    * over union (each fact row joins independently), so the merge is
+    * exact — the property that lets a 100 TB fact table's join rollup
+    * absorb a day's delta without re-shuffling the base. The delta join
+    * shuffles delta-sized data only; the audit compare is O(#statuses). */
+  private val incrementalJoin: Q = (s, d) => {
+    val li = tbl(s, d, "lineitem")
+      .select(col("l_orderkey"), cents(col("l_extendedprice")).as("c"))
+    val ord = tbl(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+    def roll(f: DataFrame): DataFrame =
+      f.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"), sum(col("c")).as("cents"))
+    val base = roll(li.where(col("l_orderkey") % 10 < 7))
+    val delta = roll(li.where(col("l_orderkey") % 10 >= 7))
+    val merged = base.unionByName(delta)
+      .groupBy("o_orderstatus")
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("cents")).as("cents"))
+    val full = roll(li)
+      .select(col("o_orderstatus"), col("n_rows").as("f_rows"),
+        col("cents").as("f_cents"))
+    merged.join(full, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"), col("n_rows"),
+        (col("cents") / 100.0).as("revenue"),
+        (col("n_rows") === col("f_rows") &&
+          col("cents") === col("f_cents")).as("matches_full"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ------------------------------------------------ weak-label voting
+  /** Majority-vote label resolution across three deterministic weak
+    * labelers (length ≥ 240 chars; ≥ 40 tokens; type-token ratio ≥ 0.5)
+    * with per-labeler agreement against the vote — the Snorkel-style
+    * label-model baseline a weak-supervision pipeline starts from, and
+    * the per-labeler accuracy proxy that decides which signal to drop.
+    * All three labels and the vote are map-side expressions over one
+    * scan; the unpivot triples the rows BEFORE a 3-ary agg (no shuffle
+    * of the corpus — the stack output feeds partial aggregation). TTR
+    * compares 2·distinct ≥ total in exact integers, no division. */
+  private val labelVote: Q = (s, d) => {
+    val f = tbl(s, d, "documents")
+      .select(col("n_chars"), toks(normText).as("tk"))
+      .select((col("n_chars") >= 240).as("la"),
+        (size(col("tk")) >= 40).as("lb"),
+        (size(array_distinct(col("tk"))).cast("long") * 2 >=
+          size(col("tk")).cast("long")).as("lc"))
+      .withColumn("vote",
+        (col("la").cast("int") + col("lb").cast("int") +
+          col("lc").cast("int")) >= 2)
+    f.select(expr(
+        "stack(3, 'len_240', la, 'tok_40', lb, 'ttr_50', lc) AS (labeler, flag)"),
+        col("vote"))
+      .groupBy("labeler")
+      .agg(count(lit(1)).as("n"),
+        sum(col("flag").cast("long")).as("n_pos"),
+        sum((col("flag") === col("vote")).cast("long")).as("n_agree"))
+      .select(col("labeler"), col("n"), col("n_pos"), col("n_agree"),
+        r4(col("n_agree").cast("double") / col("n").cast("double"))
+          .as("agree_rate"))
+      .orderBy("labeler")
+  }
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "pipeline_snapshot_diff" -> snapshotDiff,
@@ -440,11 +616,160 @@ object Lifecycle {
     "agg_benford_audit" -> benfordAudit,
     "pipeline_profile_columns" -> profileColumns,
     "agg_theil_inequality" -> theilIndex,
+    "agg_psi_drift" -> psiDrift,
+    "agg_js_divergence" -> jsDivergence,
+    "agg_cramers_v" -> cramersV,
+    "pipeline_incremental_join" -> incrementalJoin,
+    "pipeline_label_vote" -> labelVote,
   )
 
   private val r4Sql = (x: String) => s"floor(($x)*10000 + 0.5)/10000.0"
 
   val oracle: Map[String, String] = Map(
+    "agg_psi_drift" ->
+      s"""WITH b AS (
+            SELECT least(n_chars // 100, 9) AS bucket,
+                   doc_id % 2 = 0 AS is_ref
+            FROM documents),
+          c AS (SELECT bucket,
+                       CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nr,
+                       CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS nc
+                FROM b GROUP BY 1),
+          t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr,
+                       CAST(sum(nc) AS BIGINT) AS tc,
+                       CAST(sum(CASE WHEN nr = 0 OR nc = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_dropped
+                FROM c),
+          terms AS (
+            SELECT t.tr, t.tc, t.n_dropped,
+                   (c.nr * t.tc - c.nc * t.tr) *
+                   CAST(floor(ln(CAST(c.nr * t.tc AS DOUBLE)
+                                 / CAST(c.nc * t.tr AS DOUBLE)) * 1000000
+                              + 0.5) AS BIGINT) AS term
+            FROM c, t WHERE c.nr > 0 AND c.nc > 0)
+          SELECT max(tr) AS n_ref, max(tc) AS n_cur,
+                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 max(n_dropped) AS n_dropped,
+                 ${r4Sql("""CAST(sum(term) AS DOUBLE)
+                   / CAST(max(tr) * max(tc) AS DOUBLE) / 1000000.0""")} AS psi
+          FROM terms""",
+    "agg_js_divergence" ->
+      s"""WITH f AS (
+            SELECT lang AS cat, doc_id % 2 = 0 AS is_ref FROM documents),
+          c AS (SELECT cat,
+                       CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b
+                FROM f GROUP BY 1),
+          t AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                       CAST(sum(b) AS BIGINT) AS tb FROM c),
+          terms AS (
+            SELECT t.ta, t.tb,
+                   CASE WHEN c.a > 0 THEN c.a *
+                     CAST(floor(ln(CAST(c.a AS DOUBLE) / CAST(t.ta AS DOUBLE))
+                                * 1000000 + 0.5) AS BIGINT)
+                   ELSE 0 END AS sp,
+                   CASE WHEN c.b > 0 THEN c.b *
+                     CAST(floor(ln(CAST(c.b AS DOUBLE) / CAST(t.tb AS DOUBLE))
+                                * 1000000 + 0.5) AS BIGINT)
+                   ELSE 0 END AS sq,
+                   (c.a * t.tb + c.b * t.ta) *
+                     CAST(floor(ln(CAST(c.a * t.tb + c.b * t.ta AS DOUBLE)
+                                   / CAST(2 * t.ta * t.tb AS DOUBLE))
+                                * 1000000 + 0.5) AS BIGINT) AS sm
+            FROM c, t)
+          SELECT max(ta) AS n_ref, max(tb) AS n_cur,
+                 CAST(count(*) AS BIGINT) AS k_categories,
+                 ${r4Sql("""(-CAST(sum(sm) AS DOUBLE)
+                     / CAST(2 * max(ta) * max(tb) AS DOUBLE) / 1000000.0)
+                   - ((-CAST(sum(sp) AS DOUBLE) / CAST(max(ta) AS DOUBLE)
+                        / 1000000.0)
+                      + (-CAST(sum(sq) AS DOUBLE) / CAST(max(tb) AS DOUBLE)
+                          / 1000000.0)) / 2.0""")} AS jsd
+          FROM terms""",
+    "agg_cramers_v" ->
+      s"""WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                       FROM documents GROUP BY 1, 2),
+          rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt
+                 FROM documents GROUP BY 1),
+          ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
+                 FROM documents GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          cells AS (
+            SELECT rt.lang, ct.source, n.n, rt.rt, ct.ct,
+                   coalesce(obs.o, 0) AS o
+            FROM rt CROSS JOIN ct CROSS JOIN n
+            LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source),
+          t AS (SELECT lang, source, n,
+                       CAST(floor(CAST(n*o - rt*ct AS DOUBLE)
+                                  * CAST(n*o - rt*ct AS DOUBLE)
+                                  / CAST(n*rt*ct AS DOUBLE) * 1000000.0 + 0.5)
+                            AS BIGINT) AS term
+                FROM cells)
+          SELECT max(n) AS n_docs,
+                 CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                      AS BIGINT) AS dof,
+                 CAST(least(count(DISTINCT lang) - 1,
+                            count(DISTINCT source) - 1) AS BIGINT) AS min_dim,
+                 ${r4Sql("""sqrt((CAST(sum(term) AS DOUBLE) / 1000000.0)
+                   / CAST(max(n) * least(count(DISTINCT lang) - 1,
+                                         count(DISTINCT source) - 1)
+                          AS DOUBLE))""")} AS cramers_v
+          FROM t""",
+    "pipeline_incremental_join" ->
+      """WITH li AS (
+            SELECT l_orderkey,
+                   CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS c
+            FROM lineitem),
+          jb AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(c) AS BIGINT) AS cents
+                 FROM li JOIN orders ON l_orderkey = o_orderkey
+                 WHERE l_orderkey % 10 < 7 GROUP BY 1),
+          jd AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(c) AS BIGINT) AS cents
+                 FROM li JOIN orders ON l_orderkey = o_orderkey
+                 WHERE l_orderkey % 10 >= 7 GROUP BY 1),
+          merged AS (SELECT o_orderstatus, CAST(sum(n) AS BIGINT) AS n_rows,
+                            CAST(sum(cents) AS BIGINT) AS cents
+                     FROM (SELECT * FROM jb UNION ALL SELECT * FROM jd)
+                     GROUP BY 1),
+          fl AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS f_rows,
+                        CAST(sum(c) AS BIGINT) AS f_cents
+                 FROM li JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+          SELECT coalesce(merged.o_orderstatus, fl.o_orderstatus)
+                   AS o_orderstatus,
+                 n_rows, cents/100.0 AS revenue,
+                 (n_rows = f_rows AND cents = f_cents) AS matches_full
+          FROM merged FULL OUTER JOIN fl
+            ON merged.o_orderstatus = fl.o_orderstatus
+          ORDER BY o_orderstatus""",
+    "pipeline_label_vote" ->
+      s"""WITH f AS (
+            SELECT n_chars >= 240 AS la,
+                   len(string_split($normSql, ' ')) >= 40 AS lb,
+                   CAST(len(list_distinct(string_split($normSql, ' ')))
+                        AS BIGINT) * 2 >=
+                     CAST(len(string_split($normSql, ' ')) AS BIGINT) AS lc
+            FROM documents),
+          v AS (SELECT la, lb, lc,
+                       (CASE WHEN la THEN 1 ELSE 0 END
+                        + CASE WHEN lb THEN 1 ELSE 0 END
+                        + CASE WHEN lc THEN 1 ELSE 0 END) >= 2 AS vote
+                FROM f),
+          u AS (SELECT 'len_240' AS labeler, la AS flag, vote FROM v
+                UNION ALL SELECT 'tok_40', lb, vote FROM v
+                UNION ALL SELECT 'ttr_50', lc, vote FROM v)
+          SELECT labeler, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+                 CAST(sum(CASE WHEN flag = vote THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree,
+                 ${r4Sql("""CAST(sum(CASE WHEN flag = vote THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(count(*) AS DOUBLE)""")} AS agree_rate
+          FROM u GROUP BY 1 ORDER BY 1""",
     "pipeline_quota_sample" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
           t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),

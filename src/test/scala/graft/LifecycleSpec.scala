@@ -317,6 +317,86 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got.values.forall(_._3 >= -1e-4))
   }
 
+  test("drift trio: PSI / JSD / Cramér's V recomputed from raw rows") {
+    def li6(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+
+    // PSI over fixed-width length buckets of the doc_id-parity halves
+    val bucketed = docs.map(t => (math.min(t._5 / 100, 9L), t._1 % 2 == 0))
+    val byB = bucketed.groupBy(_._1).view.mapValues { rs =>
+      (rs.count(_._2).toLong, rs.count(!_._2).toLong)
+    }.toMap
+    val tr = byB.values.map(_._1).sum; val tc = byB.values.map(_._2).sum
+    val used = byB.values.filter(v => v._1 > 0 && v._2 > 0)
+    val psiRef = r4(used.map { case (nr, nc) =>
+      (nr * tc - nc * tr) * li6((nr * tc).toDouble / (nc * tr).toDouble)
+    }.sum.toDouble / (tr * tc).toDouble / 1e6)
+    val psiRow = q("agg_psi_drift").collect().head
+    assert((psiRow.getLong(0), psiRow.getLong(1)) == (tr, tc))
+    assert(psiRow.getLong(2) == used.size.toLong)
+    assert(psiRow.getDouble(4) == psiRef)
+    assert(psiRef >= -1e-4) // PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+
+    // JSD over the lang mix of the same halves; bounded by ln 2
+    val byL = docs.groupBy(_._3).view.mapValues { rs =>
+      (rs.count(_._1 % 2 == 0).toLong, rs.count(_._1 % 2 != 0).toLong)
+    }.toMap
+    val ta = byL.values.map(_._1).sum; val tb = byL.values.map(_._2).sum
+    val sp = byL.values.map { case (a, _) =>
+      if (a > 0) a * li6(a.toDouble / ta.toDouble) else 0L }.sum
+    val sq = byL.values.map { case (_, b) =>
+      if (b > 0) b * li6(b.toDouble / tb.toDouble) else 0L }.sum
+    val sm = byL.values.map { case (a, b) =>
+      (a * tb + b * ta) *
+        li6((a * tb + b * ta).toDouble / (2.0 * ta * tb)) }.sum
+    val jsdRef = r4(
+      (-sm.toDouble / (2L * ta * tb).toDouble / 1e6) -
+        ((-sp.toDouble / ta.toDouble / 1e6) +
+          (-sq.toDouble / tb.toDouble / 1e6)) / 2.0)
+    val jsdRow = q("agg_js_divergence").collect().head
+    assert(jsdRow.getDouble(3) == jsdRef)
+    assert(jsdRef >= -1e-4 && jsdRef <= math.log(2.0) + 1e-4)
+
+    // Cramér's V from the χ² row the oracle already hash-checks; in [0,1]
+    val vRow = q("agg_cramers_v").collect().head
+    val chi = q("agg_chi2_independence").collect().head
+    assert(vRow.getLong(0) == chi.getLong(0) && vRow.getLong(1) == chi.getLong(1))
+    val k = vRow.getLong(2)
+    val vRef = r4(math.sqrt(
+      (chi.getLong(2).toDouble / 1e6) / (chi.getLong(0) * k).toDouble))
+    assert(vRow.getDouble(3) == vRef)
+    assert(vRef >= 0.0 && vRef <= 1.0 + 1e-4)
+  }
+
+  test("pipeline_incremental_join merges exactly; label vote majority holds") {
+    val ij = q("pipeline_incremental_join").collect()
+    assert(ij.nonEmpty && ij.forall(_.getBoolean(3)),
+      "delta-join merge must equal the full recompute on every status")
+
+    val lv = q("pipeline_label_vote").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(lv.keySet == Set("len_240", "tok_40", "ttr_50"))
+    // recompute one labeler end-to-end from raw rows
+    val flags = docs.map { t =>
+      val tk = norm(t._2)
+      val la = t._5 >= 240
+      val lb = tk.length >= 40
+      val lc = tk.distinct.length.toLong * 2 >= tk.length.toLong
+      (la, lb, lc, Seq(la, lb, lc).count(identity) >= 2)
+    }
+    val n = flags.length.toLong
+    val ref = Map(
+      "len_240" -> flags.map(f => (f._1, f._4)),
+      "tok_40" -> flags.map(f => (f._2, f._4)),
+      "ttr_50" -> flags.map(f => (f._3, f._4)))
+    for ((name, fs) <- ref) {
+      val pos = fs.count(_._1).toLong
+      val agree = fs.count(f => f._1 == f._2).toLong
+      assert(lv(name) == (n, pos, agree, r4(agree.toDouble / n.toDouble)),
+        s"labeler $name")
+    }
+  }
+
   test("review-finding regressions: nulls, ragged vectors, partial labels") {
     import spark.implicits._
     // snapshotDiff: payload changing to NULL is a CHANGE, not "unchanged"
