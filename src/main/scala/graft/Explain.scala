@@ -13,10 +13,19 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("scan_parquet_pushdown", "join_broadcast", "agg_pricing_summary",
         "topk_global", "join_inner_equi")
+    // SPARK_GRAFT_EXPLAIN_EXEC=1: execute first and print the FINAL
+    // adaptive plan — the only view where AQE decisions (ReusedExchange,
+    // skew-join splits, runtime join demotions) are visible.
+    val exec = sys.env.get("SPARK_GRAFT_EXPLAIN_EXEC").contains("1")
     for (n <- names) {
       println(s"===== $n =====")
-      println(SparkEntry.queries(n)(s, sf).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val df = SparkEntry.queries(n)(s, sf)
+      if (exec) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
     }
     s.stop()
   }

@@ -648,6 +648,38 @@ object Graft {
           when(isDelete, lit("D")).otherwise(lit("U")).as("op")))
       .withColumnRenamed("user_id", key)
 
+  /** Population Stability Index between a reference and a current cohort
+    * (`ref` boolean) of one frame, over caller-supplied `bucket` values —
+    * the per-feature drift score with the industry 0.1 / 0.25 action
+    * thresholds. Buckets empty on either side are excluded AND counted in
+    * `n_dropped`. One scan + #buckets-ary agg. */
+  def psiDrift(df: DataFrame, bucket: Column, ref: Column): DataFrame =
+    graft.ops.Lifecycle.psiDriftCore(
+      df.select(bucket.as("bucket"), ref.cast("boolean").as("is_ref")))
+
+  /** Jensen–Shannon divergence between the `category` mixes of the `ref`
+    * and non-ref cohorts — bounded [0, ln 2], symmetric, defined even for
+    * one-sided categories. One scan + #categories-ary agg. */
+  def jsDivergence(df: DataFrame, category: Column, ref: Column): DataFrame =
+    graft.ops.Lifecycle.jsDivergenceCore(
+      df.select(category.as("cat"), ref.cast("boolean").as("is_ref")))
+
+  /** Cramér's V effect size of the association between two categorical
+    * columns — the [0,1] normalization of [[chi2 independence]] that stays
+    * meaningful when corpus size makes every dependence "significant". */
+  def cramersV(df: DataFrame, a: String, b: String): DataFrame =
+    graft.ops.Lifecycle.cramersVCore(df, a, b)
+
+  /** Strict-majority vote across k boolean weak-labeler columns with
+    * per-labeler agreement against the vote — the Snorkel-style label-
+    * model baseline and the accuracy proxy that decides which signal to
+    * drop. Returns one row per labeler (labeler, n, n_pos, n_agree,
+    * agree_rate). */
+  def labelVote(df: DataFrame, labelers: Seq[(String, Column)]): DataFrame =
+    graft.ops.Lifecycle.labelVoteCore(
+      df.select(labelers.map { case (n, c) => c.cast("boolean").as(n) }: _*),
+      labelers.map(_._1))
+
   /** Train an IVFADC ANN index (residual product quantization behind an
     * inverted-file coarse quantizer — the train-once/serve-many similarity
     * path) over an (id: integral, embedding: array&lt;float&gt;) corpus.

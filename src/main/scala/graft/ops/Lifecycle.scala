@@ -580,18 +580,17 @@ object Lifecycle {
     * scan; the unpivot triples the rows BEFORE a 3-ary agg (no shuffle
     * of the corpus — the stack output feeds partial aggregation). TTR
     * compares 2·distinct ≥ total in exact integers, no division. */
-  private val labelVote: Q = (s, d) => {
-    val f = tbl(s, d, "documents")
-      .select(col("n_chars"), toks(normText).as("tk"))
-      .select((col("n_chars") >= 240).as("la"),
-        (size(col("tk")) >= 40).as("lb"),
-        (size(array_distinct(col("tk"))).cast("long") * 2 >=
-          size(col("tk")).cast("long")).as("lc"))
-      .withColumn("vote",
-        (col("la").cast("int") + col("lb").cast("int") +
-          col("lc").cast("int")) >= 2)
-    f.select(expr(
-        "stack(3, 'len_240', la, 'tok_40', lb, 'ttr_50', lc) AS (labeler, flag)"),
+  /** Generic core: `f` carries one boolean column per labeler (named by
+    * `names`); the vote is a strict majority of the k labelers. */
+  private[graft] def labelVoteCore(f: DataFrame,
+      names: Seq[String]): DataFrame = {
+    require(names.nonEmpty, "at least one labeler")
+    val voted = f.withColumn("vote",
+      names.map(n => col(n).cast("int")).reduce(_ + _) >= names.size / 2 + 1)
+    val stackArgs = names
+      .map(n => s"'$n', `$n`").mkString(", ")
+    voted.select(
+        expr(s"stack(${names.size}, $stackArgs) AS (labeler, flag)"),
         col("vote"))
       .groupBy("labeler")
       .agg(count(lit(1)).as("n"),
@@ -602,6 +601,16 @@ object Lifecycle {
           .as("agree_rate"))
       .orderBy("labeler")
   }
+
+  private val labelVote: Q = (s, d) =>
+    labelVoteCore(
+      tbl(s, d, "documents")
+        .select(col("n_chars"), toks(normText).as("tk"))
+        .select((col("n_chars") >= 240).as("len_240"),
+          (size(col("tk")) >= 40).as("tok_40"),
+          (size(array_distinct(col("tk"))).cast("long") * 2 >=
+            size(col("tk")).cast("long")).as("ttr_50")),
+      Seq("len_240", "tok_40", "ttr_50"))
 
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(

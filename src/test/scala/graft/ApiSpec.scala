@@ -549,6 +549,36 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(_.toString))
   }
 
+  test("drift/vote facade methods ≡ their registry queries") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val normText = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+
+    val psi = graft.api.Graft.psiDrift(docs,
+      least(expr("n_chars div 100"), lit(9L)), col("doc_id") % 2 === 0)
+      .collect().map(_.toString)
+    assert(psi sameElements SparkEntry.queries("agg_psi_drift")(spark, sf)
+      .collect().map(_.toString))
+
+    val js = graft.api.Graft.jsDivergence(docs, col("lang"),
+      col("doc_id") % 2 === 0).collect().map(_.toString)
+    assert(js sameElements SparkEntry.queries("agg_js_divergence")(spark, sf)
+      .collect().map(_.toString))
+
+    val cv = graft.api.Graft.cramersV(docs, "lang", "source")
+      .collect().map(_.toString)
+    assert(cv sameElements SparkEntry.queries("agg_cramers_v")(spark, sf)
+      .collect().map(_.toString))
+
+    val tk = split(normText, " ")
+    val lv = graft.api.Graft.labelVote(docs, Seq(
+      "len_240" -> (col("n_chars") >= 240),
+      "tok_40" -> (size(tk) >= 40),
+      "ttr_50" -> (size(array_distinct(tk)).cast("long") * 2 >=
+        size(tk).cast("long")))).collect().map(_.toString)
+    assert(lv sameElements SparkEntry.queries("pipeline_label_vote")(spark, sf)
+      .collect().map(_.toString))
+  }
+
   test("Graft.lshTuning and Graft.assortativity on synthetic inputs") {
     import spark.implicits._
     val sims = Seq(0.95, 0.85, 0.5, 0.1).toDF("jaccard")
