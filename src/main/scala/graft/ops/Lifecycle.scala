@@ -471,6 +471,27 @@ object Lifecycle {
       least(expr("n_chars div 100"), lit(9L)).as("bucket"),
       (col("doc_id") % 2 === 0).as("is_ref")))
 
+  /** PSI over REFERENCE-decile buckets — the production PSI shape (the
+    * fixed-width variant above documents the decile swap; this op IS that
+    * swap): cutpoints are the exact discrete deciles of the reference
+    * cohort (percentile_disc = the ceil(p·n)-th order statistic, replayed
+    * by row_number in the oracle — the winsorize precedent), the bucket
+    * of a row is how many cutpoints it exceeds (0..9), and the cutpoint
+    * frame is ONE broadcast row — the corpus is never sorted or windowed.
+    * Same exact-integer PSI fold as psiDriftCore. */
+  private val psiDriftQuantile: Q = (s, d) => {
+    val docs = tbl(s, d, "documents").select(
+      col("n_chars").cast("long").as("x"),
+      (col("doc_id") % 2 === 0).as("is_ref"))
+    val cutExprs = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY x)")
+        .cast("long").as(s"c$i"))
+    val cuts = docs.where(col("is_ref")).agg(cutExprs.head, cutExprs.tail: _*)
+    psiDriftCore(docs.crossJoin(broadcast(cuts))
+      .select((1 to 9).map(i => (col("x") > col(s"c$i")).cast("long"))
+        .reduce(_ + _).as("bucket"), col("is_ref")))
+  }
+
   // --------------------------------------------- Jensen–Shannon drift
   /** Jensen–Shannon divergence between the categorical (lang) mixes of
     * two corpus generations — the bounded, symmetric companion to PSI
@@ -626,6 +647,7 @@ object Lifecycle {
     "pipeline_profile_columns" -> profileColumns,
     "agg_theil_inequality" -> theilIndex,
     "agg_psi_drift" -> psiDrift,
+    "agg_psi_drift_quantile" -> psiDriftQuantile,
     "agg_js_divergence" -> jsDivergence,
     "agg_cramers_v" -> cramersV,
     "pipeline_incremental_join" -> incrementalJoin,
@@ -634,12 +656,11 @@ object Lifecycle {
 
   private val r4Sql = (x: String) => s"floor(($x)*10000 + 0.5)/10000.0"
 
-  val oracle: Map[String, String] = Map(
-    "agg_psi_drift" ->
-      s"""WITH b AS (
-            SELECT least(n_chars // 100, 9) AS bucket,
-                   doc_id % 2 = 0 AS is_ref
-            FROM documents),
+  /** Shared PSI replay: `pre` contributes extra leading CTEs (the decile
+    * variant's cutpoint derivation), `bucketSel` yields (bucket, is_ref)
+    * rows; the fold mirrors psiDriftCore's exact-integer terms. */
+  private def psiOracle(pre: String, bucketSel: String): String =
+    s"""WITH $pre b AS ($bucketSel),
           c AS (SELECT bucket,
                        CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
                             AS BIGINT) AS nr,
@@ -663,7 +684,30 @@ object Lifecycle {
                  max(n_dropped) AS n_dropped,
                  ${r4Sql("""CAST(sum(term) AS DOUBLE)
                    / CAST(max(tr) * max(tc) AS DOUBLE) / 1000000.0""")} AS psi
-          FROM terms""",
+          FROM terms"""
+
+  val oracle: Map[String, String] = Map(
+    "agg_psi_drift" ->
+      psiOracle("",
+        """SELECT least(n_chars // 100, 9) AS bucket,
+                  doc_id % 2 = 0 AS is_ref
+           FROM documents"""),
+    "agg_psi_drift_quantile" ->
+      psiOracle(
+        """d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                        doc_id % 2 = 0 AS is_ref FROM documents),
+           rr AS (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                         count(*) OVER () AS n
+                  FROM d WHERE is_ref),
+           cuts AS (SELECT """ +
+          (1 to 9).map(i =>
+            s"""max(CASE WHEN rn = CAST(ceil(0.$i * n) AS BIGINT)
+                         THEN x END) AS c$i""").mkString(", ") +
+          " FROM rr),",
+        "SELECT (" +
+          (1 to 9).map(i => s"(CASE WHEN x > c$i THEN 1 ELSE 0 END)")
+            .mkString(" + ") +
+          ") AS bucket, is_ref FROM d, cuts"),
     "agg_js_divergence" ->
       s"""WITH f AS (
             SELECT lang AS cat, doc_id % 2 = 0 AS is_ref FROM documents),

@@ -433,6 +433,47 @@ object TimeSeries {
       .orderBy("lag_h")
   }
 
+  /** Rolling 24-hour Pearson correlation between the purchase and click
+    * hourly count series — the co-movement monitor a funnel dashboard
+    * tracks (a correlation collapse flags instrumentation breakage or a
+    * bot cohort long before totals move). The window runs over the
+    * JOINED hourly series (O(hours) rows — the events themselves are
+    * never windowed), so the global ROWS frame is a deliberate
+    * single-partition op on marginal-sized data at any corpus scale; at
+    * 100 TB the series is still one row per hour. All six rolling sums
+    * are exact BIGINT folds; the Pearson assembly is the same
+    * cast-difference-then-multiply shape as ts_cross_correlation, with a
+    * zero-variance guard (constant window → NULL, not NaN — an integer
+    * compare, so both engines agree exactly). */
+  private val tsRollingCorr: Q = (s, d) => {
+    val h = tbl(s, d, "events")
+      .where(col("event_type").isin("purchase", "click"))
+      .groupBy(expr("unix_timestamp(date_trunc('hour', ts)) div 3600").as("bh"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val p = h.where(col("event_type") === "purchase")
+      .select(col("bh"), col("cnt").as("x"))
+    val c = h.where(col("event_type") === "click")
+      .select(col("bh").as("ch"), col("cnt").as("y"))
+    val j = p.join(c, col("ch") === col("bh"))
+      .select(col("bh"), col("x"), col("y"))
+    val w = Window.orderBy("bh").rowsBetween(-23, 0)
+    j.select(col("bh"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"),
+        sum(col("x") * col("y")).over(w).as("sxy"))
+      .select(col("bh"), col("n").as("n_win"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          r4((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("r"))
+      .orderBy("bh")
+  }
+
   /** Robust anomaly detection: median/MAD instead of mean/stddev (immune to
     * the outliers it is hunting). Two grouped aggregations on the same
     * user_id key — Spark's exact `percentile` and DuckDB's `median` share
@@ -700,6 +741,7 @@ object TimeSeries {
     "ts_resample_composite" -> tsResampleComposite,
     "ts_autocorr" -> tsAutocorr,
     "ts_cross_correlation" -> tsCrossCorr,
+    "ts_rolling_corr" -> tsRollingCorr,
     "ts_anomaly_mad" -> tsAnomalyMad,
     "ts_calendar_features" -> tsCalendarFeatures,
     "ts_rolling_time_range" -> tsRollingTimeRange,
@@ -922,6 +964,31 @@ object TimeSeries {
                      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)))
                     *10000 + 0.5)/10000.0 AS r
        FROM sums ORDER BY lag_h""",
+    "ts_rolling_corr" ->
+      """WITH h AS (
+           SELECT epoch_ms(date_trunc('hour', ts))//3600000 AS bh, event_type,
+                  count(*) AS cnt
+           FROM events WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1, 2),
+         p AS (SELECT bh, cnt AS x FROM h WHERE event_type = 'purchase'),
+         c AS (SELECT bh AS ch, cnt AS y FROM h WHERE event_type = 'click'),
+         j AS (SELECT p.bh, x, y FROM p JOIN c ON ch = bh),
+         sums AS (
+           SELECT bh, CAST(count(*) OVER w AS BIGINT) AS n,
+                  CAST(sum(x) OVER w AS BIGINT) AS sx,
+                  CAST(sum(y) OVER w AS BIGINT) AS sy,
+                  CAST(sum(x*x) OVER w AS BIGINT) AS sxx,
+                  CAST(sum(y*y) OVER w AS BIGINT) AS syy,
+                  CAST(sum(x*y) OVER w AS BIGINT) AS sxy
+           FROM j
+           WINDOW w AS (ORDER BY bh ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       SELECT bh, n AS n_win,
+              CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+                floor((CAST(n*sxy - sx*sy AS DOUBLE) /
+                       sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                            * CAST(n*syy - sy*sy AS DOUBLE)))
+                      *10000 + 0.5)/10000.0 END AS r
+       FROM sums ORDER BY bh""",
     "ts_anomaly_mad" -> (H0 + """,
        med AS (SELECT user_id, median(v) AS med FROM hourly GROUP BY user_id),
        dev AS (SELECT h.user_id, h.bucket, h.v, med.med, abs(h.v - med.med) AS dev
