@@ -51,7 +51,13 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_quota_sample", "agg_k_anonymity", "cdc_apply_deletes",
     "win_gaps_islands", "graph_modularity", "agg_benford_audit",
     "pipeline_profile_columns", "scd2_point_in_time", "text_bpe_fertility",
-    "embed_norm_stats", "graph_local_clustering", "agg_theil_inequality")
+    "embed_norm_stats", "graph_local_clustering", "agg_theil_inequality",
+    // round 9: drift trio (scaled-ln integer folds + exact chi2 reuse),
+    // discrete-decile PSI cutpoints, rolling BIGINT Pearson folds,
+    // majority-vote counts, algebraic join-merge proof
+    "agg_psi_drift", "agg_psi_drift_quantile", "agg_js_divergence",
+    "agg_cramers_v", "ts_rolling_corr", "pipeline_label_vote",
+    "pipeline_incremental_join")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
