@@ -452,18 +452,25 @@ object Lifecycle {
     val t = c.agg(sum(col("nr")).as("tr"), sum(col("nc")).as("tc"),
       sum(when(col("nr") === 0 || col("nc") === 0, 1L).otherwise(0L))
         .as("n_dropped"))
-    c.where(col("nr") > 0 && col("nc") > 0)
-      .crossJoin(broadcast(t))
+    // one-sided buckets contribute a zero term but are NOT filtered out of
+    // the rollup: a fully-disjoint pair of cohorts must still produce the
+    // audit row (n_buckets = 0, psi = NULL, n_dropped = k) — an empty
+    // frame would hide exactly the total-drift case the score exists for
+    val used = col("nr") > 0 && col("nc") > 0
+    c.crossJoin(broadcast(t))
       .select(col("tr"), col("tc"), col("n_dropped"),
-        ((col("nr") * col("tc") - col("nc") * col("tr")) *
+        when(used, (col("nr") * col("tc") - col("nc") * col("tr")) *
           li6((col("nr") * col("tc")).cast("double") /
-            (col("nc") * col("tr")).cast("double"))).as("term"))
+            (col("nc") * col("tr")).cast("double")))
+          .otherwise(lit(0L)).as("term"),
+        when(used, 1L).otherwise(0L).as("u"))
       .groupBy("tr", "tc", "n_dropped")
-      .agg(count(lit(1)).as("n_buckets"), sum(col("term")).as("s"))
+      .agg(sum(col("u")).as("n_buckets"), sum(col("term")).as("s"))
       .select(col("tr").as("n_ref"), col("tc").as("n_cur"),
         col("n_buckets"), col("n_dropped"),
-        r4(col("s").cast("double") /
-          (col("tr") * col("tc")).cast("double") / 1e6).as("psi"))
+        when(col("n_buckets") > 0,
+          r4(col("s").cast("double") /
+            (col("tr") * col("tc")).cast("double") / 1e6)).as("psi"))
   }
 
   private val psiDrift: Q = (s, d) =>
@@ -674,16 +681,21 @@ object Lifecycle {
                 FROM c),
           terms AS (
             SELECT t.tr, t.tc, t.n_dropped,
-                   (c.nr * t.tc - c.nc * t.tr) *
-                   CAST(floor(ln(CAST(c.nr * t.tc AS DOUBLE)
-                                 / CAST(c.nc * t.tr AS DOUBLE)) * 1000000
-                              + 0.5) AS BIGINT) AS term
-            FROM c, t WHERE c.nr > 0 AND c.nc > 0)
+                   CASE WHEN c.nr > 0 AND c.nc > 0 THEN
+                     (c.nr * t.tc - c.nc * t.tr) *
+                     CAST(floor(ln(CAST(c.nr * t.tc AS DOUBLE)
+                                   / CAST(c.nc * t.tr AS DOUBLE)) * 1000000
+                                + 0.5) AS BIGINT)
+                   ELSE 0 END AS term,
+                   CASE WHEN c.nr > 0 AND c.nc > 0 THEN 1 ELSE 0 END AS u
+            FROM c, t)
           SELECT max(tr) AS n_ref, max(tc) AS n_cur,
-                 CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(u) AS BIGINT) AS n_buckets,
                  max(n_dropped) AS n_dropped,
-                 ${r4Sql("""CAST(sum(term) AS DOUBLE)
-                   / CAST(max(tr) * max(tc) AS DOUBLE) / 1000000.0""")} AS psi
+                 CASE WHEN sum(u) > 0 THEN
+                   ${r4Sql("""CAST(sum(term) AS DOUBLE)
+                     / CAST(max(tr) * max(tc) AS DOUBLE) / 1000000.0""")}
+                 END AS psi
           FROM terms"""
 
   val oracle: Map[String, String] = Map(

@@ -367,6 +367,36 @@ class LifecycleSpec extends AnyFunSuite {
     assert(vRef >= 0.0 && vRef <= 1.0 + 1e-4)
   }
 
+  test("drift scores: identity ⇒ 0, disjoint mixes ⇒ ln 2, PSI quantile sane") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // identical cohorts: every bucket has nr == nc, all terms are ln(1)=0
+    val same = (0L until 200L).flatMap(i => Seq((i % 7, true), (i % 7, false)))
+      .toDF("bucket", "is_ref")
+    val psi0 = graft.ops.Lifecycle.psiDriftCore(same).collect().head
+    assert(psi0.getDouble(4) == 0.0 && psi0.getLong(3) == 0L)
+    val js0 = graft.ops.Lifecycle.jsDivergenceCore(
+      same.withColumnRenamed("bucket", "cat")).collect().head
+    assert(js0.getDouble(3) == 0.0)
+    // fully disjoint categorical mixes: JSD attains its ln 2 upper bound
+    val disjoint = ((0L until 100L).map(i => (s"a${i % 3}", true)) ++
+      (0L until 100L).map(i => (s"b${i % 4}", false))).toDF("cat", "is_ref")
+    val jsMax = graft.ops.Lifecycle.jsDivergenceCore(disjoint).collect().head
+    assert(math.abs(jsMax.getDouble(3) - math.log(2.0)) < 2e-4,
+      s"disjoint JSD ${jsMax.getDouble(3)} != ln2")
+    // disjoint PSI: every bucket one-sided -> audit row still emitted,
+    // zero used buckets, NULL psi, all 7 buckets reported dropped
+    val psiD = graft.ops.Lifecycle.psiDriftCore(
+      disjoint.withColumnRenamed("cat", "bucket")).collect().head
+    assert(psiD.getLong(2) == 0L && psiD.getLong(3) == 7L && psiD.isNullAt(4))
+    // quantile PSI on the fixture: the reference cohort is bucketed by its
+    // OWN deciles, so its occupancy is near-uniform and psi stays finite
+    val pq = SparkEntry.queries("agg_psi_drift_quantile")(spark, sf)
+      .collect().head
+    assert(pq.getLong(2) >= 8L, s"deciles should yield >=8 two-sided buckets")
+    assert(pq.getDouble(4) >= -1e-4)
+  }
+
   test("pipeline_incremental_join merges exactly; label vote majority holds") {
     val ij = q("pipeline_incremental_join").collect()
     assert(ij.nonEmpty && ij.forall(_.getBoolean(3)),
