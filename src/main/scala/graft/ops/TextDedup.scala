@@ -2815,6 +2815,15 @@ object TextDedup {
                  docs_before - coalesce(docs_after, 0) AS docs_removed,
                  chars_before - coalesce(chars_after, 0) AS chars_removed
           FROM b LEFT JOIN a ON b.lang = a.lang ORDER BY b.lang""",
+    // Oracle cost note (round 9): this replay is all-pairs Jaccard + a
+    // FULL transitive-closure recursive CTE — exact and fine at the
+    // sf0.01 gate, but intractable at sf0.1, where the fixture contains
+    // one 3,728-doc near-clique cluster (reach × degree ≈ 5e10
+    // intermediate rows; prefix filtering doesn't help because the
+    // synthetic vocabulary is ~50 tokens, so every prefix collides).
+    // The ENGINE side runs sf0.1 in ~4 s (banded LSH + bounded solve);
+    // sf0.1 sweeps therefore exclude this id and
+    // pipeline_neardup_incremental — see BASELINE.md sweep protocol.
     "pipeline_neardup_full" ->
       s"""WITH RECURSIVE t AS (
              SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
