@@ -499,6 +499,16 @@ class SubqueryPlanSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString()
     assert(plan.contains("Reused"), s"no exchange/stage reuse in:\n$plan")
   }
+
+  test("PSI totals branch reuses the bucket-agg exchange (single corpus scan)") {
+    // the one-row totals frame derives from the same bucket aggregation the
+    // terms branch consumes; at 100 TB the difference between ReusedExchange
+    // and a re-derived branch is a second full corpus scan
+    val df = SparkEntry.queries("agg_psi_drift")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse in:\n$plan")
+  }
 }
 
 /** KLL-style quantile sketch (custom TypedImperativeAggregate, §2.11). */
