@@ -964,6 +964,54 @@ object TimeSeries {
                      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)))
                     *10000 + 0.5)/10000.0 AS r
        FROM sums ORDER BY lag_h""",
+    // DTW graduated from self-verified (round 9): the 31x31 integer DP is
+    // replayed as a recursive CTE over ANTI-DIAGONALS — each iteration
+    // carries the current and previous diagonal as 32-slot BIGINT lists
+    // (cell (i,j) needs (i-1,j), (i,j-1) from diagonal d-1 and (i-1,j-1)
+    // from d-2, so two carried lists suffice within the single-recursive-
+    // reference restriction). All-integer cents arithmetic with the same
+    // INF = Long.MaxValue/4 sentinel as the engine UDF — exact equality.
+    "ts_dtw_distance" ->
+      """WITH RECURSIVE pr0 AS (
+           SELECT user_id, date_part('day', ts) AS dd,
+                  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                    AS v
+           FROM events GROUP BY 1, 2),
+         grid AS (SELECT u.user_id, k.dd
+                  FROM (SELECT DISTINCT user_id FROM pr0) u
+                  CROSS JOIN (SELECT unnest(range(1, 32)) AS dd) k),
+         dense AS (SELECT g.user_id, g.dd, coalesce(p.v, 0) AS v
+                   FROM grid g LEFT JOIN pr0 p
+                     ON g.user_id = p.user_id AND g.dd = p.dd),
+         prof AS (SELECT user_id, list(v ORDER BY dd) AS profile
+                  FROM dense GROUP BY user_id),
+         top AS (SELECT * FROM prof ORDER BY user_id LIMIT 10),
+         pairs AS (SELECT a.user_id AS ua, a.profile AS pa,
+                          b.user_id AS ub, b.profile AS pb
+                   FROM top a JOIN top b ON a.user_id < b.user_id),
+         dp(ua, ub, pa, pb, d, cur, prev) AS (
+           SELECT ua, ub, pa, pb, 0,
+                  [CAST(0 AS BIGINT)] ||
+                    list_transform(range(1, 32),
+                      x -> CAST(2305843009213693951 AS BIGINT)),
+                  CAST(NULL AS BIGINT[])
+           FROM pairs
+           UNION ALL
+           SELECT ua, ub, pa, pb, d + 1,
+                  list_transform(range(0, 32), i ->
+                    CASE
+                      WHEN i = 0 THEN CAST(2305843009213693951 AS BIGINT)
+                      WHEN d + 1 - i < 1 OR d + 1 - i > 31
+                        THEN CAST(2305843009213693951 AS BIGINT)
+                      ELSE abs(pa[i] - pb[d + 1 - i]) +
+                           least(cur[i], cur[i + 1],
+                             coalesce(prev[i],
+                               CAST(2305843009213693951 AS BIGINT)))
+                    END),
+                  cur
+           FROM dp WHERE d < 62)
+         SELECT ua AS user_a, ub AS user_b, cur[32] AS dtw_cents
+         FROM dp WHERE d = 62 ORDER BY 1, 2""",
     "ts_rolling_corr" ->
       """WITH h AS (
            SELECT epoch_ms(date_trunc('hour', ts))//3600000 AS bh, event_type,

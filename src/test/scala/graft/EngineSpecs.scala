@@ -52,7 +52,6 @@ class SmokeSpec extends AnyFunSuite {
     "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
     "sim_ann_filtered", // AnnFilteredSpec: label purity + filtered recall
     "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann",
-    "ts_dtw_distance", // TsToolkitSpec: plain-Scala DP recompute equality
     "embed_pca_variance") // CurationSpec: trace/PSD/power-iteration props
 
   test("every query is oracle-checked unless explicitly self-verified") {
