@@ -552,8 +552,15 @@ object Lifecycle {
   private[graft] def cramersVCore(facts: DataFrame, a: String,
       b: String): DataFrame = {
     val chi = Relational.chi2IndependenceCore(facts, a, b)
-    val dims = facts.agg(countDistinct(col(a)).as("ra"),
-      countDistinct(col(b)).as("cb"))
+    // built over the IDENTICAL cell-rollup subtree as the chi2 core's obs
+    // frame, so ReuseExchange collapses the two and the corpus is scanned
+    // once for the whole statistic (a bare facts.agg(countDistinct…) would
+    // be a second full pass)
+    val dims = facts.select(col(a).as("lang"), col(b).as("source"))
+      .where(col("lang").isNotNull && col("source").isNotNull)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      .agg(countDistinct(col("lang")).as("ra"),
+        countDistinct(col("source")).as("cb"))
     chi.crossJoin(broadcast(dims))
       .select(col("n_docs"), col("dof"),
         least(col("ra") - 1, col("cb") - 1).as("min_dim"),
@@ -756,13 +763,15 @@ object Lifecycle {
                           / 1000000.0)) / 2.0""")} AS jsd
           FROM terms""",
     "agg_cramers_v" ->
-      s"""WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
-                       FROM documents GROUP BY 1, 2),
+      s"""WITH d AS (SELECT lang, source FROM documents
+                     WHERE lang IS NOT NULL AND source IS NOT NULL),
+          obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                  FROM d GROUP BY 1, 2),
           rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt
-                 FROM documents GROUP BY 1),
+                 FROM d GROUP BY 1),
           ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
-                 FROM documents GROUP BY 1),
-          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+                 FROM d GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
           cells AS (
             SELECT rt.lang, ct.source, n.n, rt.rt, ct.ct,
                    coalesce(obs.o, 0) AS o

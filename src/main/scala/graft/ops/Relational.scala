@@ -311,12 +311,24 @@ object Relational {
     chi2IndependenceCore(tbl(s, d, "documents"), "lang", "source")
   private[graft] def chi2IndependenceCore(facts: DataFrame, a: String,
       b: String): DataFrame = {
+    // NULL axis values are excluded up front: a NULL-keyed cell can never
+    // match the marginal equi-join below, so keeping such rows counted n
+    // (and the marginals) while their cells silently scored zero — the
+    // explicit filter removes that inconsistency AND makes every marginal
+    // branch share one identical filtered subtree (full exchange reuse)
     val docs = facts.select(col(a).as("lang"), col(b).as("source"))
+      .where(col("lang").isNotNull && col("source").isNotNull)
     val obs = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("o"))
-    val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
-    val ct = docs.groupBy(col("source")).agg(count(lit(1)).as("ct"))
-    val n = docs.agg(count(lit(1)).as("n"))
+    // all three marginals derive from the CELL frame, not the corpus:
+    // rt/ct/n are sums of the observed counts, so the fact table is
+    // scanned exactly once and the obs exchange is reused for every
+    // branch (round-9 fix — the previous four independent groupBys
+    // re-scanned the corpus per marginal, visible as 4 FileScans in the
+    // executed plan; at 100 TB that is 3 extra full passes)
+    val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("n"))
     val cells = rt.crossJoin(ct).crossJoin(broadcast(n))
       .join(obs, Seq("lang", "source"), "left")
       .select(col("lang"), col("source"), col("n"), col("rt"), col("ct"),
@@ -954,13 +966,15 @@ object Relational {
                 floor((CAST(num_max AS DOUBLE)/CAST(n_a * n_b AS DOUBLE))*10000 + 0.5)/10000.0 AS ks
          FROM m""",
     "agg_chi2_independence" ->
-      """WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
-                      FROM documents GROUP BY 1, 2),
+      """WITH d AS (SELECT lang, source FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL),
+         obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                 FROM d GROUP BY 1, 2),
          rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt
-                FROM documents GROUP BY 1),
+                FROM d GROUP BY 1),
          ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
-                FROM documents GROUP BY 1),
-         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+                FROM d GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
          cells AS (
            SELECT rt.lang, ct.source, n.n, rt.rt, ct.ct,
                   coalesce(obs.o, 0) AS o
