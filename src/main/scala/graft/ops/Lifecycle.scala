@@ -350,8 +350,12 @@ object Lifecycle {
   private[graft] def benfordCore(vals: DataFrame): DataFrame = {
     val c = vals.where(col("v") > 0)
       .select(substring(col("v").cast("string"), 1, 1).as("digit"))
-    val tot = c.agg(count(lit(1)).as("total"))
-    c.groupBy("digit").agg(count(lit(1)).as("n"))
+    val grouped = c.groupBy("digit").agg(count(lit(1)).as("n"))
+    // total = sum over the 9-row digit frame, NOT a second corpus count —
+    // the totals branch reuses the digit-agg exchange (one scan; the
+    // chi2 single-scan pattern, round 9)
+    val tot = grouped.agg(sum(col("n")).as("total"))
+    grouped
       .crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
         r4(col("n").cast("double") / col("total").cast("double"))

@@ -393,12 +393,19 @@ object Relational {
     * normalized I/min(H(x),H(y)) uncertainty coefficient bound via the
     * marginal entropies, same arithmetic. */
   private val aggMutualInformation: Q = (s, d) => {
+    // single corpus scan: the marginals and total derive from the observed
+    // cell frame and share its exchange (the chi2 single-scan pattern,
+    // round 9); NULL axis values are excluded up front — they can never
+    // survive the marginal equi-joins, so counting them in rt/ct/n was the
+    // same latent inconsistency chi2 had
     val docs = tbl(s, d, "documents")
+      .select(col("lang"), col("source"))
+      .where(col("lang").isNotNull && col("source").isNotNull)
     val obs = docs.groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("o"))
-    val rt = docs.groupBy(col("lang")).agg(count(lit(1)).as("rt"))
-    val ct = docs.groupBy(col("source")).agg(count(lit(1)).as("ct"))
-    val n = docs.agg(count(lit(1)).as("n"))
+    val rt = obs.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val ct = obs.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("n"))
     val cells = obs.join(rt, Seq("lang")).join(ct, Seq("source"))
       .crossJoin(broadcast(n))
     def ent(marg: DataFrame, cnt: String): DataFrame =
@@ -437,13 +444,25 @@ object Relational {
     * count per axis value, then everything downstream is O(K) — the
     * marginal frame never exceeds the label-set size. */
   private val aggEntropyBalance: Q = (s, d) => {
+    // both axis marginals derive from ONE (lang, source) cell rollup —
+    // the cells exchange is shared via ReusedExchange, so the two-axis
+    // audit costs a single corpus scan (round 9; previously one scan per
+    // axis). No join is involved, so NULL axis values stay counted
+    // exactly as the direct per-axis groupBy counted them.
+    val cells = tbl(s, d, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
     def axis(name: String) =
-      entropyAxisCore(tbl(s, d, "documents").select(col(name).as("v")), name)
+      entropyFromCounts(
+        cells.groupBy(col(name).as("v")).agg(sum(col("o")).as("c")), name)
     axis("source").unionAll(axis("lang")).orderBy("axis")
   }
   private[graft] def entropyAxisCore(vals: DataFrame,
+      label: String): DataFrame =
+    entropyFromCounts(vals.groupBy(col("v")).agg(count(lit(1)).as("c")),
+      label)
+  /** Entropy/evenness over a pre-counted (v, c) marginal frame. */
+  private[graft] def entropyFromCounts(cnt: DataFrame,
       label: String): DataFrame = {
-    val cnt = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val tot = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
     cnt.crossJoin(broadcast(tot))
       .withColumn("li", floor(
@@ -1043,13 +1062,15 @@ object Relational {
                  END AS evenness
           FROM u ORDER BY axis""",
     "agg_mutual_information" ->
-      """WITH obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
-                      FROM documents GROUP BY 1, 2),
+      """WITH d AS (SELECT lang, source FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL),
+          obs AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                  FROM d GROUP BY 1, 2),
           rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt
-                 FROM documents GROUP BY 1),
+                 FROM d GROUP BY 1),
           ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
-                 FROM documents GROUP BY 1),
-          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+                 FROM d GROUP BY 1),
+          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
           mi AS (SELECT max(n) AS n_docs,
                         CAST(sum(o * CAST(floor(
                           ln(CAST(n*o AS DOUBLE)/CAST(rt*ct AS DOUBLE))
