@@ -1667,9 +1667,30 @@ object TextDedup {
     * oracle can reproduce it; idf = ln((N+1)/(df+1)) + 1). */
   private val textTfidfTerms: Q = (s, d) => {
     val docs = tbl(s, d, "documents")
-    val tok = docs.select(col("doc_id"), col("lang"), explode(toks(normText)).as("tok"))
-    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    // ONE explode pass (round 9): the token explosion is the 10-100x
+    // row-amplification stage and used to run once for tf and once for
+    // df. GROUPING SETS computes both rollups off a single pass — slice
+    // (lang, tok) carries the term frequencies, slice (tok, doc_id) the
+    // distinct token-document pairs whose per-token count is df. The
+    // remaining docs scan is a count(*)-only footer read.
+    val gs = docs
+      .select(col("doc_id"), col("lang"), explode(toks(normText)).as("tok"))
+      .groupingSets(
+        Seq(Seq(col("lang"), col("tok")), Seq(col("tok"), col("doc_id"))),
+        col("lang"), col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("c"), grouping_id().as("gid"))
+      // lazily checkpointed: the gid filters would otherwise push below
+      // the shared exchange (gid is a grouping key), splitting the plan
+      // back into two explode passes. Materializing the ROLLED-UP frame
+      // (distinct groups, far smaller than the raw token stream) is the
+      // cheaper side of that trade at any scale.
+      .localCheckpoint(false)
+    // gid bits follow (lang, tok, doc_id): doc_id aggregated away -> 1,
+    // lang aggregated away -> 4
+    val tf = gs.where(col("gid") === 1)
+      .select(col("lang"), col("tok"), col("c").as("tf"))
+    val df = gs.where(col("gid") === 4)
+      .groupBy("tok").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("nn"))
     val w = Window.partitionBy("lang").orderBy(desc("score_raw"), asc("tok"))
     tf.join(df, "tok").crossJoin(broadcast(n))
@@ -1701,22 +1722,26 @@ object TextDedup {
     * source's bigram occurrences covered by the global top-25 bigrams — the
     * merge-table coverage statistic a BPE-style tokenizer build reports per
     * domain (low coverage → the source needs its own merges). Corpus-sized
-    * work is two generator+agg passes over the codegen graft_bigrams
+    * work is ONE generator+rollup pass over the codegen graft_bigrams
     * Generator; the top-25 table is a TakeOrdered that broadcasts into the
     * per-source LEFT join — no corpus-wide sort, same shape as
     * text_vocab_oov one n-gram order up. */
   private val textNgramCoverage: Q = (s, d) => {
     graft.ext.CatalystExt.register(s)
-    val bi = tbl(s, d, "documents")
+    // ONE generator pass (round 9) — same shared-rollup shape as
+    // text_vocab_oov: top-25 and per-source coverage both derive from the
+    // (source, ngram) counts, reusing one exchange.
+    val g = tbl(s, d, "documents")
       .withColumn("tk", toks(normText))
       .select(col("source"), expr("graft_bigrams(tk)").as(Seq("pos", "ngram")))
-    val top = bi.groupBy(col("ngram")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"), col("ngram")).agg(count(lit(1)).as("c"))
+    val top = g.groupBy(col("ngram")).agg(sum(col("c")).as("tf"))
       .orderBy(desc("tf"), asc("ngram")).limit(25)
       .select(col("ngram").as("vt"))
-    bi.join(broadcast(top), col("ngram") === col("vt"), "left")
+    g.join(broadcast(top), col("ngram") === col("vt"), "left")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(when(col("vt").isNotNull, 1L).otherwise(0L)).as("n_covered"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("vt").isNotNull, col("c")).otherwise(0L)).as("n_covered"))
       .withColumn("coverage",
         r4(col("n_covered").cast("double") / col("n_bigrams").cast("double")))
       .orderBy("source")
@@ -1932,17 +1957,24 @@ object TextDedup {
     * train/apply split needs. The vocab build is orderBy+limit — a
     * TakeOrdered(100) that never materializes a global sort — and the
     * 100-row vocab broadcasts into the per-source LEFT join: corpus-sized
-    * work is two explode+agg passes, never a corpus-sized sort. */
+    * work is ONE explode+rollup pass (vocab and scoring share the
+    * (source, token) exchange), never a corpus-sized sort. */
   private val textVocabOov: Q = (s, d) => {
-    val tok = tbl(s, d, "documents")
+    // ONE explode pass (round 9): both the vocab build and the per-source
+    // scoring derive from the shared (source, token) rollup, whose
+    // exchange is reused — the explode used to run twice. The scoring
+    // join now carries #distinct-(source,token) rows, not every token
+    // occurrence.
+    val g = tbl(s, d, "documents")
       .select(col("source"), explode(toks(normText)).as("t"))
-    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+    val vocab = g.groupBy(col("t")).agg(sum(col("c")).as("c"))
       .orderBy(desc("c"), asc("t")).limit(100)
       .select(col("t").as("vt"))
-    tok.join(broadcast(vocab), col("t") === col("vt"), "left")
+    g.join(broadcast(vocab), col("t") === col("vt"), "left")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("vt").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("vt").isNull, col("c")).otherwise(0L)).as("n_oov"))
       .withColumn("oov_rate",
         r4(col("n_oov").cast("double") / col("n_tokens").cast("double")))
       .orderBy("source")
