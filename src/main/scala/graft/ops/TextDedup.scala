@@ -1667,30 +1667,19 @@ object TextDedup {
     * oracle can reproduce it; idf = ln((N+1)/(df+1)) + 1). */
   private val textTfidfTerms: Q = (s, d) => {
     val docs = tbl(s, d, "documents")
-    // ONE explode pass (round 9): the token explosion is the 10-100x
-    // row-amplification stage and used to run once for tf and once for
-    // df. GROUPING SETS computes both rollups off a single pass — slice
-    // (lang, tok) carries the term frequencies, slice (tok, doc_id) the
-    // distinct token-document pairs whose per-token count is df. The
-    // remaining docs scan is a count(*)-only footer read.
-    val gs = docs
-      .select(col("doc_id"), col("lang"), explode(toks(normText)).as("tok"))
-      .groupingSets(
-        Seq(Seq(col("lang"), col("tok")), Seq(col("tok"), col("doc_id"))),
-        col("lang"), col("tok"), col("doc_id"))
-      .agg(count(lit(1)).as("c"), grouping_id().as("gid"))
-      // lazily checkpointed: the gid filters would otherwise push below
-      // the shared exchange (gid is a grouping key), splitting the plan
-      // back into two explode passes. Materializing the ROLLED-UP frame
-      // (distinct groups, far smaller than the raw token stream) is the
-      // cheaper side of that trade at any scale.
-      .localCheckpoint(false)
-    // gid bits follow (lang, tok, doc_id): doc_id aggregated away -> 1,
-    // lang aggregated away -> 4
-    val tf = gs.where(col("gid") === 1)
-      .select(col("lang"), col("tok"), col("c").as("tf"))
-    val df = gs.where(col("gid") === 4)
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+    // Two explode passes BY MEASUREMENT (round 9): a GROUPING SETS
+    // single-pass variant was built and benched — without materialization
+    // Catalyst pushes the grouping-id slice filters below the shared
+    // exchange and splits the plan back into two passes anyway, and WITH
+    // a lazy checkpoint the rollup materialization cost exceeded the
+    // saved explode (0.44 s -> 0.77 s at sf0.1). tf and df need different
+    // granularities ((lang,tok) occurrences vs (tok,doc) distinctness),
+    // so the second pass is the honest price; each pass is map-side
+    // explode + partial agg, no corpus-sized sort.
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(toks(normText)).as("tok"))
+    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("nn"))
     val w = Window.partitionBy("lang").orderBy(desc("score_raw"), asc("tok"))
     tf.join(df, "tok").crossJoin(broadcast(n))
