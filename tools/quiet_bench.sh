@@ -42,6 +42,12 @@ if bad:
 print("sentinels OK — box is at worst in the slow-but-quiet regime")
 EOF
 
+# settle: the sentinel JVM's own load otherwise lands inside the full
+# run's 5-min start loadavg window and can flip its quiet label
+SETTLE="${QUIET_BENCH_SETTLE:-240}"
+echo "== settling ${SETTLE}s so the sentinel JVM decays out of the 5-min loadavg =="
+sleep "$SETTLE"
+
 echo "== full suite =="
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
   java -cp "$CP" graft.Bench 2>/dev/null | tail -1
