@@ -274,9 +274,9 @@ object Relational {
     val cum = binned.select(
       sum(col("ca")).over(byBin).as("cuma"),
       sum(col("cb")).over(byBin).as("cumb"))
-    val tot = ev.agg(
-      sum(when(col("arm"), 1L).otherwise(0L)).as("na"),
-      sum(when(!col("arm"), 1L).otherwise(0L)).as("nb"))
+    // totals from the binned frame, not a second fact scan — the bin-agg
+    // exchange is reused (single-scan audit, round 9)
+    val tot = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     cum.crossJoin(broadcast(tot))
       .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na")))
           .as("num_max"),

@@ -346,8 +346,13 @@ object TimeSeries {
     val act = tbl(s, d, "events")
       .select(col("user_id"), date_trunc("day", tsMs(col("ts"))).as("day"))
       .distinct()
-    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-    act.join(cohort, "user_id")
+    // cohort day via a keyed window over the distinct (user, day) frame —
+    // the previous self-join re-scanned the event log for the cohort
+    // branch (exchange reuse was defeated by per-branch pruning); the
+    // window is one extra user-keyed pass over the SMALL distinct frame
+    // and the raw log is read once (single-scan audit, round 9)
+    act.withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy("user_id")))
       .withColumn("week_offset", expr("datediff(day, cohort_day) div 7"))
       .groupBy(col("cohort_day"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
