@@ -61,19 +61,21 @@ object TextDedup {
     * the number a production dedup run ships (docs and chars kept/removed).
     * One hash agg for groups + one semi join for survivors. */
   private val pipelineDedupStats: Q = (s, d) => {
-    val docs = tbl(s, d, "documents").withColumn("h", sha2(normText, 256))
-    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-    val kept = docs.join(keep, Seq("h", "doc_id"), "left_semi")
-    val before = docs.groupBy(col("lang"))
-      .agg(count(lit(1)).as("docs_before"), sum(col("n_chars")).as("chars_before"))
-    val after = kept.groupBy(col("lang"))
-      .agg(count(lit(1)).as("docs_after"), sum(col("n_chars")).as("chars_after"))
-    // left join + coalesce: a language whose docs were ALL deduped away has
-    // no `after` row, and an inner join would silently drop its accounting
-    before.join(after, Seq("lang"), "left")
-      .select(col("lang"), col("docs_before"), col("chars_before"),
-        coalesce(col("docs_after"), lit(0L)).as("docs_after"),
-        coalesce(col("chars_after"), lit(0L)).as("chars_after"))
+    // ONE corpus scan (single-scan audit, round 9): the keeper flag is a
+    // row_number over the hash groups — identical keeper rule to the old
+    // min(doc_id)-per-hash semi-join, which cost two extra scans (the
+    // hash rollup and the semi-join probe). Before/after then fold in one
+    // conditional per-lang agg; a language deduped away entirely keeps
+    // its row with zero after-counts by construction.
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    tbl(s, d, "documents").withColumn("h", sha2(normText, 256))
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_before"),
+        sum(col("n_chars")).as("chars_before"),
+        sum(when(col("is_keeper"), 1L).otherwise(0L)).as("docs_after"),
+        sum(when(col("is_keeper"), col("n_chars")).otherwise(0L))
+          .as("chars_after"))
       .withColumn("docs_removed", col("docs_before") - col("docs_after"))
       .withColumn("chars_removed", col("chars_before") - col("chars_after"))
       .orderBy("lang")
