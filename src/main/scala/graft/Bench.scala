@@ -150,9 +150,13 @@ object Bench {
       s""""load":{"cores":$nCores,"quiet":$quiet,"start_1_5_15":$loadStart,"end_1_5_15":${loadFmt(loadEndVals)}}"""
     val fullLine = s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.length},"n_failed":${failed.size},"failed":$failedArr,"ckpt_root":"${graft.ops.Streaming.ckptRoot}",$loadJson,"queries":$fullQs,"rep_times":$repsQs,"sf":"$sfDir"}"""
     // a filtered local-iteration run must NOT clobber the round's complete
-    // per-query artifact
-    if (only.isEmpty) java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
+    // per-query artifact — it lands in BENCH_SUBSET.json instead, which is
+    // also what quiet_bench.sh's sentinel stage reads (r9 ADVICE: the
+    // sentinel calibration used to read BENCH_FULL.json, i.e. STALE numbers
+    // from the previous full run, because the filtered run wrote nothing)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     val budget = 1400
     val sb = new StringBuilder

@@ -624,7 +624,14 @@ object Lifecycle {
   private[graft] def labelVoteCore(f: DataFrame,
       names: Seq[String]): DataFrame = {
     require(names.nonEmpty, "at least one labeler")
-    val voted = f.withColumn("vote",
+    // A NULL flag (a labeler abstaining on a NULL input) is coalesced to
+    // false BEFORE voting — otherwise NULL propagates through cast(int)
+    // into the vote and n_agree while an oracle's CASE WHEN treats the
+    // abstention as a no-vote (the r9-ADVICE divergence class fixed for
+    // agg_rater_agreement in round 8; the oracle mirrors this coalesce)
+    val g = names.foldLeft(f)((df, n) =>
+      df.withColumn(n, coalesce(col(n), lit(false))))
+    val voted = g.withColumn("vote",
       names.map(n => col(n).cast("int")).reduce(_ + _) >= names.size / 2 + 1)
     val stackArgs = names
       .map(n => s"'$n', `$n`").mkString(", ")
@@ -727,8 +734,13 @@ object Lifecycle {
             s"""max(CASE WHEN rn = CAST(ceil(0.$i * n) AS BIGINT)
                          THEN x END) AS c$i""").mkString(", ") +
           " FROM rr),",
+        // NULL x must land in a NULL bucket on both engines: Spark's
+        // (x > c).cast(long) propagates NULL through the sum, so the
+        // oracle's per-cut term propagates it too instead of CASE-WHEN
+        // mapping it to 0 (r9 ADVICE)
         "SELECT (" +
-          (1 to 9).map(i => s"(CASE WHEN x > c$i THEN 1 ELSE 0 END)")
+          (1 to 9).map(i =>
+            s"(CASE WHEN x > c$i THEN 1 WHEN x IS NULL THEN NULL ELSE 0 END)")
             .mkString(" + ") +
           ") AS bucket, is_ref FROM d, cuts"),
     "agg_js_divergence" ->
@@ -826,11 +838,14 @@ object Lifecycle {
           ORDER BY o_orderstatus""",
     "pipeline_label_vote" ->
       s"""WITH f AS (
-            SELECT n_chars >= 240 AS la,
-                   len(string_split($normSql, ' ')) >= 40 AS lb,
-                   CAST(len(list_distinct(string_split($normSql, ' ')))
-                        AS BIGINT) * 2 >=
-                     CAST(len(string_split($normSql, ' ')) AS BIGINT) AS lc
+            SELECT coalesce(n_chars >= 240, false) AS la,
+                   coalesce(len(string_split($normSql, ' ')) >= 40,
+                            false) AS lb,
+                   coalesce(CAST(len(list_distinct(string_split($normSql,
+                                                                ' ')))
+                                 AS BIGINT) * 2 >=
+                              CAST(len(string_split($normSql, ' '))
+                                   AS BIGINT), false) AS lc
             FROM documents),
           v AS (SELECT la, lb, lc,
                        (CASE WHEN la THEN 1 ELSE 0 END
@@ -884,7 +899,8 @@ object Lifecycle {
       """WITH c AS (SELECT substr(CAST(CAST(floor(o_totalprice*100 + 0.5)
                                         AS BIGINT) AS VARCHAR), 1, 1)
                            AS digit
-                    FROM orders),
+                    FROM orders
+                    WHERE floor(o_totalprice*100 + 0.5) > 0),
           t AS (SELECT count(*) AS total FROM c)
           SELECT digit, count(*) AS n,
                  floor((CAST(count(*) AS DOUBLE) / CAST(total AS DOUBLE))

@@ -691,9 +691,9 @@ class NeardupBandedSpec extends AnyFunSuite {
     assert(fixture.flatMap(_._2).distinct.size > 64)
   }
 
-  test("open-vocab banded labels equal the exact all-pairs closure") {
-    // ground truth: exact Jaccard union-find on the driver
-    val sets = fixture.map { case (id, toks) => id -> toks.toSet }.toMap
+  /** Ground truth: exact all-pairs Jaccard union-find on the driver. */
+  private def exactClosure(fx: Seq[(Long, Seq[String])]): Map[Long, Long] = {
+    val sets = fx.map { case (id, toks) => id -> toks.toSet }.toMap
     val ids = sets.keys.toArray.sorted
     val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
     def find(x: Long): Long =
@@ -706,7 +706,11 @@ class NeardupBandedSpec extends AnyFunSuite {
         if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
       }
     }
-    val want = ids.map(i => i -> find(i)).toMap
+    ids.map(i => i -> find(i)).toMap
+  }
+
+  test("open-vocab banded labels equal the exact all-pairs closure") {
+    val want = exactClosure(fixture)
     val (labels, rounds) = ops.TextDedup.neardupLabelsFromDocs(docsDf)
     assert(rounds < 20, s"label propagation hit the round cap ($rounds)")
     val got = labels.select("node", "label").collect()
@@ -714,6 +718,45 @@ class NeardupBandedSpec extends AnyFunSuite {
     assert(got == want, "banded open-vocab labels differ from exact closure")
     // structure sanity: 25 four-doc clusters + 10 singletons
     assert(got.values.toSeq.distinct.size == 35)
+  }
+
+  test("set-count cap routes a tiny-vocab/many-sets corpus to the banded path") {
+    // 48-token vocabulary — WITHIN the ≤64 bitmask bound — whose distinct
+    // set count exceeds a (test-sized) maskSetCap: the round-10 routing
+    // guard must send the pair stage down the banded-LSH path instead of
+    // broadcasting all sets into an all-pairs bitmask join (the degenerate
+    // 100 TB shape: tiny vocabulary, billions of distinct subsets). Labels
+    // must equal the exact closure AND the bitmask path's own labels on
+    // the identical fixture, so the two routes are interchangeable.
+    def tok48(i: Int) = s"w${((i % 48) + 48) % 48}"
+    val fx: Seq[(Long, Seq[String])] = {
+      val clustered = (0 until 8).flatMap { c =>
+        val base = (0 until 10).map(j => tok48(c * 6 + j))
+        Seq(
+          (c * 4 + 0).toLong -> base,
+          (c * 4 + 1).toLong -> base.drop(1),
+          (c * 4 + 2).toLong -> base.dropRight(1),
+          (c * 4 + 3).toLong -> (base :+ tok48(c * 6 + 10)))
+      }
+      val singletons = (0 until 6).map { k =>
+        (200 + k).toLong -> (0 until 4).map(j => tok48(k * 11 + j * 5 + 2))
+      }
+      clustered ++ singletons
+    }
+    assert(fx.flatMap(_._2).distinct.size <= 64, "fixture must fit the mask")
+    val df = fx.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val want = exactClosure(fx)
+    def labelsOf(cap: Long): Map[Long, Long] = {
+      val (labels, rounds) = ops.TextDedup.neardupLabelsFromDocs(df, cap)
+      assert(rounds < 20)
+      labels.select("node", "label").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    val banded = labelsOf(16L) // forces the fallback: |sets| = 38 > 16
+    val bitmask = labelsOf(1L << 16) // the default fast path
+    assert(banded == want, "guarded banded labels differ from exact closure")
+    assert(bitmask == want, "bitmask labels differ from exact closure")
   }
 
   test("banded pair stage plans no all-pairs join") {

@@ -30,7 +30,10 @@ SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 \
 python3 - "$MARGIN" <<'EOF'
 import json, sys
 margin = float(sys.argv[1])
-full = json.load(open("BENCH_FULL.json"))
+# the filtered sentinel run writes BENCH_SUBSET.json — reading
+# BENCH_FULL.json here would compare STALE full-suite numbers (and a
+# filtered run must never clobber the round's complete artifact)
+full = json.load(open("BENCH_SUBSET.json"))
 qs = full["queries"]
 ceilings = {"join_inner_equi": 0.71, "tpch_q16": 0.91, "text_bigram_freq": 0.49}
 bad = {k: (qs[k], c) for k, c in ceilings.items() if qs[k] > c * margin}
