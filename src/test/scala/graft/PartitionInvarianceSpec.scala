@@ -57,7 +57,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // majority-vote counts, algebraic join-merge proof
     "agg_psi_drift", "agg_psi_drift_quantile", "agg_js_divergence",
     "agg_cramers_v", "ts_rolling_corr", "pipeline_label_vote",
-    "pipeline_incremental_join")
+    "pipeline_incremental_join",
+    // round 10: the release composition (flag-manifest chain — every stage
+    // verdict must be a pure function of the row, never of partitioning)
+    "pipeline_release_e2e")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
