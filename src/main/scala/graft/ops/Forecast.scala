@@ -220,6 +220,76 @@ object Forecast {
         }
     }
 
+  final case class FcCap(user_id: Long, bucket: java.sql.Timestamp,
+      yhat: Double, yhat_lower: Double, yhat_upper: Double,
+      cap: Double, trend: Double)
+
+  /** LOGISTIC-GROWTH mode — Prophet's capacity-saturating trend
+    * (`growth='logistic'`), deterministic adaptation: the series is
+    * logit-transformed against a per-key capacity C = 1.1 · max(v)
+    * (Prophet asks the user for C; the 10% headroom rule is the standard
+    * automatic stand-in), the SAME additive ridge core fits piecewise
+    * trend + seasonality in logit space, and forecasts map back through
+    * C·σ(z) — so the prediction and BOTH interval bounds saturate
+    * strictly inside (0, C) by construction, which is the point of the
+    * mode: a linear trend forecasts through the ceiling, this one cannot.
+    * Values clamp to [εC, (1−ε)C] before the logit so a zero hour cannot
+    * produce ±∞. Per-key work is the identical one-shuffle flatMapGroups
+    * fit; the capacity is derived inside the group (no extra pass). */
+  def fitPredictLogistic(key: Long, pts: Array[Point], horizon: Int,
+      cfg: Config = DefaultConfig): Iterator[FcCap] = {
+    if (pts.isEmpty) return Iterator.empty
+    val vmax = pts.map(_.v).max
+    if (!(vmax > 0.0)) return Iterator.empty
+    val cap = 1.1 * vmax
+    val eps = 1e-6 * cap
+    def logit(v: Double): Double = {
+      val c = math.min(math.max(v, eps), cap - eps)
+      math.log(c / (cap - c))
+    }
+    fit(pts.map(p => p.copy(v = logit(p.v))), cfg) match {
+      case None => Iterator.empty
+      case Some(m) =>
+        def sig(x: Double): Double = cap / (1.0 + math.exp(-x))
+        (1 to horizon).iterator.map { h =>
+          val hr = m.hrN + h
+          val zh = predictAt(m, hr)
+          val (tr, _, _, _) = componentsAt(m, hr)
+          FcCap(key, new java.sql.Timestamp(hr * 3600000L),
+            round4(sig(zh)), round4(sig(zh - cfg.intervalZ * m.sigma)),
+            round4(sig(zh + cfg.intervalZ * m.sigma)),
+            round4(cap), round4(sig(tr)))
+        }
+    }
+  }
+
+  final case class FcMul(user_id: Long, bucket: java.sql.Timestamp,
+      yhat: Double, trend: Double, seasonal_factor: Double)
+
+  /** MULTIPLICATIVE-seasonality mode — Prophet's
+    * `seasonality_mode='multiplicative'`: the additive core fits ln(y), so
+    * y = exp(trend_z) · exp(seasonal_z) and the seasonal swing SCALES WITH
+    * THE LEVEL instead of keeping constant amplitude (the right model for
+    * traffic-like series whose weekend dip is a percentage, not a fixed
+    * count). yhat ≡ trend · seasonal_factor by construction — the additive
+    * identity of the log-space components, exponentiated once.
+    * Non-positive hours clamp to ε before the log. */
+  def fitPredictMultiplicative(key: Long, pts: Array[Point], horizon: Int,
+      cfg: Config = DefaultConfig): Iterator[FcMul] = {
+    if (pts.isEmpty) return Iterator.empty
+    fit(pts.map(p => p.copy(v = math.log(math.max(p.v, 1e-9)))), cfg) match {
+      case None => Iterator.empty
+      case Some(m) =>
+        (1 to horizon).iterator.map { h =>
+          val hr = m.hrN + h
+          val (tr, wk, dl, hol) = componentsAt(m, hr)
+          FcMul(key, new java.sql.Timestamp(hr * 3600000L),
+            round4(math.exp(tr + wk + dl + hol)),
+            round4(math.exp(tr)), round4(math.exp(wk + dl + hol)))
+        }
+    }
+  }
+
   final case class Bt(user_id: Long, n_train: Int, n_test: Int,
       mae: Double, rmse: Double)
 
@@ -317,11 +387,37 @@ object Forecast {
       .orderBy("user_id", "bucket")
   }
 
+  private val forecastProphetLogistic: Q = (s, d) => {
+    import s.implicits._
+    TimeSeries.hourly(s, d)
+      .select(col("user_id"), col("bucket"), col("v"))
+      .as[Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[Point]) =>
+        fitPredictLogistic(k, it.toArray, horizon = 48))
+      .toDF()
+      .orderBy("user_id", "bucket")
+  }
+
+  private val forecastProphetMultiplicative: Q = (s, d) => {
+    import s.implicits._
+    TimeSeries.hourly(s, d)
+      .select(col("user_id"), col("bucket"), col("v"))
+      .as[Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[Point]) =>
+        fitPredictMultiplicative(k, it.toArray, horizon = 48))
+      .toDF()
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "forecast_prophet_like" -> forecastProphetLike,
     "forecast_prophet_backtest" -> forecastProphetBacktest,
     "forecast_prophet_configured" -> forecastProphetConfigured,
     "forecast_prophet_holidays" -> forecastProphetHolidays,
+    "forecast_prophet_logistic" -> forecastProphetLogistic,
+    "forecast_prophet_multiplicative" -> forecastProphetMultiplicative,
   )
 
   /** Not SQL-expressible — self-verified (ForecastSpec); driver records a

@@ -45,6 +45,7 @@ class SmokeSpec extends AnyFunSuite {
     "dedup_minhash", "dedup_simhash", "fn_hash_native",
     "forecast_prophet_backtest", "forecast_prophet_configured",
     "forecast_prophet_holidays", "forecast_prophet_like",
+    "forecast_prophet_logistic", "forecast_prophet_multiplicative",
     "embed_kmeans", // KmeansSpec: exact-recompute assignment verification
     "pipeline_tokenizer_fit", // TokenizerFitSpec: reference-trainer equality
     "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",

@@ -146,6 +146,82 @@ object ForecastProps extends Properties("forecast") {
       }
     }
 
+  // ------------------------------------------- round-10 Prophet modes
+  property("logistic mode saturates strictly inside (0, cap)") =
+    Prop.forAll(seriesGen) { case (a, b, c, n, seed) =>
+      // any positive series: every forecast and both interval bounds must
+      // stay within (0, cap] — the capacity contract a linear trend breaks
+      val pts = synth(math.abs(a), b + 10.0, c, n, seed)
+      val fc = Forecast.fitPredictLogistic(7L, pts, 24).toArray
+      fc.nonEmpty && fc.forall(f =>
+        f.yhat_lower > 0 && f.yhat_lower <= f.yhat &&
+          f.yhat <= f.yhat_upper && f.yhat_upper <= f.cap &&
+          math.abs(f.cap - 1.1 * pts.map(_.v).max) <= 1e-4)
+    }
+
+  property("logistic mode recovers a saturating series near its ceiling") =
+    Prop.forAll(Gen.choose(20.0, 80.0), Gen.choose(0.008, 0.02)) { (cTrue, k) =>
+      // a logistic curve fit over its whole S (midpoint at 60% of the
+      // window, ~95% saturated by the end): the 48h-ahead forecast must
+      // track the ceiling cTrue within 15% and never pierce the fitted cap
+      val rng = new scala.util.Random(17)
+      val n = 600
+      val pts = Array.tabulate(n) { i =>
+        val hr = 500000L + i
+        val y = cTrue / (1.0 + math.exp(-k * (i - 0.6 * n))) +
+          (rng.nextDouble() - 0.5) * 0.01
+        Forecast.Point(7L, new java.sql.Timestamp(hr * 3600000L), y)
+      }
+      val fc = Forecast.fitPredictLogistic(7L, pts, 48).toArray
+      fc.nonEmpty && fc.forall { f =>
+        f.yhat <= f.cap && math.abs(f.yhat - cTrue) < 0.15 * cTrue
+      }
+    }
+
+  property("logistic mode is deterministic under input permutation") =
+    Prop.forAll(seriesGen) { case (a, b, c, n, seed) =>
+      val pts = synth(math.abs(a), b + 10.0, c, n, seed)
+      val f1 = Forecast.fitPredictLogistic(7L, pts, 12).map(_.yhat).toSeq
+      val shuffled = new scala.util.Random(seed + 1).shuffle(pts.toSeq).toArray
+      f1 == Forecast.fitPredictLogistic(7L, shuffled, 12).map(_.yhat).toSeq
+    }
+
+  property("multiplicative mode: yhat = trend x seasonal_factor") =
+    Prop.forAll(seriesGen) { case (a, b, c, n, seed) =>
+      // components are rounded to 4 decimals separately, so the recomposed
+      // product may differ from the rounded yhat by the relative rounding
+      // of each factor
+      val pts = synth(math.abs(a), b + 10.0, c, n, seed)
+      Forecast.fitPredictMultiplicative(7L, pts, 12).forall(f =>
+        math.abs(f.yhat - f.trend * f.seasonal_factor) <=
+          1e-3 * math.max(1.0, math.abs(f.yhat)))
+    }
+
+  property("multiplicative seasonal amplitude scales with the level") =
+    Prop.forAll(Gen.choose(0.001, 0.003), Gen.choose(5.0, 20.0)) { (g, b) =>
+      // y = b·exp(g·t)·(1 + 0.3·sin(2π·hw/168)): in log space the seasonal
+      // block is the fixed periodic ln(1 + 0.3 sin) — the fitted
+      // seasonal_factor must recover the RELATIVE swing (≈ ±30% of level)
+      // while the absolute swing grows with exp(g·t); the trend component
+      // must keep growing through the horizon
+      val rng = new scala.util.Random(23)
+      val pts = Array.tabulate(500) { i =>
+        val hr = 520000L + i
+        val y = b * math.exp(g * i) *
+          (1.0 + 0.3 * math.sin(2 * math.Pi * (hr % 168) / 168.0)) *
+          (1.0 + (rng.nextDouble() - 0.5) * 0.002)
+        Forecast.Point(7L, new java.sql.Timestamp(hr * 3600000L), y)
+      }
+      val fc = Forecast.fitPredictMultiplicative(7L, pts, 48).toArray
+      val errs = fc.zipWithIndex.map { case (f, idx) =>
+        val hr = 520000L + 500 + idx
+        math.abs(f.seasonal_factor -
+          (1.0 + 0.3 * math.sin(2 * math.Pi * (hr % 168) / 168.0)))
+      }
+      fc.nonEmpty && errs.sum / errs.length < 0.05 &&
+        fc.last.trend > fc.head.trend
+    }
+
   property("near-noiseless synthetic signal is recovered") = Prop.forAll(
     Gen.choose(0.5, 3.0), Gen.choose(5.0, 40.0)) { (a, b) =>
     val pts = synth(a, b, c = 1.0, n = 400, seed = 3L)
