@@ -2137,6 +2137,70 @@ object TextDedup {
       .orderBy("cluster_id")
   }
 
+  /** K-means over a BOUNDED slice with EXACT-integer Lloyd's — the oracle
+    * companion to embed_kmeans (round-9 stretch item; the ts_dtw_distance
+    * precedent: a bounded cohort makes the iterative algorithm replayable
+    * in SQL). Why embed_kmeans itself can't be oracle-checked: its float
+    * centroid means fold in partition order. This slice variant removes
+    * every order-dependent float instead of shrinking tolerance:
+    * embeddings quantize to 1e4-scaled BIGINTs, a centroid is the exact
+    * RATIONAL (per-dim BIGINT sum s, count c) — never divided during
+    * training — and the assignment distance is the order-free integer
+    * sum D = Σ_i (c·x_i − s_i)² (≤ 64·(2·256·10⁴)² ≈ 5·10¹⁴, BIGINT-safe
+    * at the 256-vector/4-cluster bound). The argmin key is the ONE double
+    * division D/c² of exact integers — a single correctly-rounded IEEE op,
+    * bit-identical on both engines — with k as the tie-break. Three Lloyd
+    * iterations unroll into the plan (the embed_mmr_rerank precedent);
+    * empty clusters carry their previous state on both engines. Output is
+    * the embed_kmeans-shaped cluster profile with the distance sum riding
+    * as 1e6-scaled integers. */
+  private val embedKmeansSlice: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val K = 4
+    val vecs = tbl(s, d, "embeddings").where(col("vec_id") < 256)
+      .select(col("vec_id"), expr(
+        "transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)*10000 + 0.5) AS BIGINT))")
+        .as("xi"))
+      .localCheckpoint(true)
+    val st0 = vecs.orderBy("vec_id").limit(K)
+      .select(row_number().over(Window.orderBy("vec_id")).cast("long").as("k"),
+        lit(1L).as("c"), col("xi").as("s"))
+    def assign(st: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(st))
+        .withColumn("dd", expr(
+          "aggregate(zip_with(xi, s, (a, b) -> (c*a - b)*(c*a - b)), 0L, (acc, v) -> acc + v)"))
+        .withColumn("rk", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(col("dd").cast("double") / (col("c") * col("c")).cast("double"),
+            col("k"))))
+        .where(col("rk") === 1)
+        .select(col("vec_id"), col("xi"), col("k"), col("dd"), col("c"))
+    def update(st: DataFrame): DataFrame = {
+      val asg = assign(st)
+      val sums = asg.select(col("k"), posexplode(col("xi")))
+        .groupBy(col("k"), col("pos")).agg(sum(col("col")).as("sv"))
+        .groupBy(col("k")).agg(expr(
+          "transform(array_sort(collect_list(struct(pos, sv))), x -> x.sv)")
+          .as("s2"))
+      val cnts = asg.groupBy(col("k")).agg(count(lit(1)).as("c2"))
+      st.select(col("k"), col("c").as("pc"), col("s").as("ps"))
+        .join(sums, Seq("k"), "left").join(cnts, Seq("k"), "left")
+        .select(col("k"), coalesce(col("c2"), col("pc")).as("c"),
+          coalesce(col("s2"), col("ps")).as("s"))
+        .localCheckpoint(true) // 4-row state; truncates the iteration lineage
+    }
+    val st3 = update(update(update(st0.localCheckpoint(true))))
+    assign(st3)
+      .withColumn("dist",
+        sqrt(col("dd").cast("double")) / col("c").cast("double") / 10000.0)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("dist") * 1000000 + 0.5).cast("long")).as("dsum"))
+      .select(col("k").as("cluster_id"), col("n_vecs"),
+        r4(col("dsum").cast("double") / 1000000.0 / col("n_vecs").cast("double"))
+          .as("avg_dist"))
+      .orderBy("cluster_id")
+  }
+
   /** Per-document unigram entropy — the information-diversity filter signal
     * (low-entropy documents are repetitive junk; complements
     * text_repetition_score's surface-form check). entropy = (1/n)·Σ c·ln(n/c)
@@ -2503,6 +2567,7 @@ object TextDedup {
     "embed_norm_stats" -> embedNormStats,
     "embed_outliers" -> embedOutliers,
     "embed_kmeans" -> embedKmeans,
+    "embed_kmeans_slice" -> embedKmeansSlice,
     "pipeline_dataset_card" -> pipelineDatasetCard,
     "multimodal_struct" -> multimodalStruct,
     "multimodal_binary" -> multimodalBinary,
@@ -2513,6 +2578,50 @@ object TextDedup {
   private[ops] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    // Exact-integer Lloyd's replay: centroid state is (BIGINT dim-sums,
+    // count), the distance is an order-free integer sum, and the argmin
+    // key is one double division of exact integers — so three unrolled
+    // assign/update stages reproduce the engine's labels bit-exactly.
+    "embed_kmeans_slice" -> {
+      def assignCte(name: String, st: String): String =
+        s"""$name AS (SELECT * FROM (
+              SELECT vec_id, xi, k, c, dd,
+                     row_number() OVER (PARTITION BY vec_id
+                       ORDER BY CAST(dd AS DOUBLE)/CAST(c*c AS DOUBLE), k) AS rk
+              FROM (SELECT v.vec_id, v.xi, t.k, t.c,
+                           CAST(list_sum(list_transform(generate_series(1, 64),
+                             i -> (t.c*v.xi[i] - t.s[i])*(t.c*v.xi[i] - t.s[i])))
+                             AS BIGINT) AS dd
+                    FROM v CROSS JOIN $st t)) WHERE rk = 1)"""
+      def updateCte(name: String, asg: String, prev: String): String =
+        s"""$name AS (
+              SELECT t.k, coalesce(cn.c2, t.c) AS c, coalesce(sm.s2, t.s) AS s
+              FROM $prev t
+              LEFT JOIN (SELECT k, CAST(count(*) AS BIGINT) AS c2
+                         FROM $asg GROUP BY k) cn USING (k)
+              LEFT JOIN (SELECT k, list(sv ORDER BY i) AS s2
+                         FROM (SELECT k, i, CAST(sum(xi[i]) AS BIGINT) AS sv
+                               FROM $asg, unnest(generate_series(1, 64)) AS u(i)
+                               GROUP BY k, i) GROUP BY k) sm USING (k))"""
+      s"""WITH v AS (
+            SELECT vec_id, list_transform(embedding, e ->
+              CAST(floor(CAST(e AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS xi
+            FROM embeddings WHERE vec_id < 256),
+          st0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS k,
+                         CAST(1 AS BIGINT) AS c, xi AS s
+                  FROM v ORDER BY vec_id LIMIT 4),
+          ${assignCte("a1", "st0")}, ${updateCte("st1", "a1", "st0")},
+          ${assignCte("a2", "st1")}, ${updateCte("st2", "a2", "st1")},
+          ${assignCte("a3", "st2")}, ${updateCte("st3", "a3", "st2")},
+          ${assignCte("a4", "st3")}
+          SELECT k AS cluster_id, CAST(count(*) AS BIGINT) AS n_vecs,
+                 floor((CAST(sum(CAST(floor(sqrt(CAST(dd AS DOUBLE))
+                                            / CAST(c AS DOUBLE) / 10000.0
+                                            * 1000000 + 0.5) AS BIGINT))
+                             AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE))
+                       * 10000 + 0.5) / 10000.0 AS avg_dist
+          FROM a4 GROUP BY k ORDER BY k"""
+    },
     "text_readability" ->
       s"""WITH t AS (
             SELECT doc_id, $normSql AS nt, string_split($normSql, ' ') AS tk
