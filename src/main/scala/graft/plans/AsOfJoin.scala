@@ -22,6 +22,20 @@ import org.apache.spark.sql.GraftDatasetFactory
   * hash exchange + sort per side, and the merge is a streaming O(n+m) pass
   * per partition with O(1) state (one buffered reference row) — no range
   * explosion, no per-key materialization; linear at any scale.
+  *
+  * Whole-stage-codegen verdict (round-10 measurement, the tf-idf
+  * measure-don't-assume bar): at 16x/64x-scaled sf0.1 events (321k/1.29M
+  * probe rows) this exec runs 0.40/0.74 s vs 0.16/0.27 s for the
+  * union+window compositional asof — a ~3x per-row marginal
+  * (~0.35 vs ~0.11 µs/row). Caching the head key projection measured
+  * NEUTRAL, so the gap is (a) the two-exchange/two-sort shape this binary
+  * node requires vs the compositional's single union exchange, and (b)
+  * JoinedRow→outProj per-field indirection. A doProduce/doConsume
+  * implementation could only remove (b) — it cannot remove the extra
+  * exchange — so even a perfect codegen merge stays behind the
+  * compositional plan at scale. Codegen therefore does NOT pay: the
+  * union+window form stays the recommended 100 TB asof plan, and this
+  * node remains the full custom-operator extension-point demonstration.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     lKey: Expression, lTime: Expression,
@@ -65,6 +79,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       new Iterator[InternalRow] {
         private var lastMatch: UnsafeRow = _
         private var lastMatchKey: Long = _
+        // The head's (key, time) are cached across probe rows so each ref
+        // row is key-projected exactly once per partition (strictly less
+        // work than re-projecting per probe-row visit; measured NEUTRAL at
+        // 64x sf0.1 — the merge cost lives in the JoinedRow->outProj
+        // indirection and the two-exchange plan shape, see the codegen
+        // verdict in the class doc).
+        private var headValid = false
+        private var headKey: Long = _
+        private var headTime: Long = _
         override def hasNext: Boolean = lIt.hasNext
         override def next(): InternalRow = {
           val lRow = lIt.next()
@@ -72,15 +95,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val curKey = lp.getLong(0)
           val curTime = lp.getLong(1)
           var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val rp = rProj(rBuf.head)
-            val k = rp.getLong(0); val t = rp.getLong(1)
-            if (k < curKey || (k == curKey && t <= curTime)) {
-              if (k == curKey) {
+          while (advancing) {
+            if (!headValid && rBuf.hasNext) {
+              val rp = rProj(rBuf.head)
+              headKey = rp.getLong(0); headTime = rp.getLong(1)
+              headValid = true
+            }
+            if (headValid && (headKey < curKey ||
+                (headKey == curKey && headTime <= curTime))) {
+              if (headKey == curKey) {
                 lastMatch = rBuf.head.asInstanceOf[UnsafeRow].copy()
-                lastMatchKey = k
+                lastMatchKey = headKey
               }
               rBuf.next()
+              headValid = false
             } else advancing = false
           }
           if (lastMatch != null && lastMatchKey == curKey)
