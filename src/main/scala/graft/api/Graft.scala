@@ -51,6 +51,74 @@ object Graft {
       .withColumnRenamed("bucket", time)
   }
 
+  /** Prophet logistic-growth mode ([[forecast]]'s capacity-saturating
+    * variant, `growth='logistic'`): per-key capacity C = 1.1·max(value),
+    * the additive core fits in logit space, and forecasts map back through
+    * C·σ(z) so the prediction and interval bounds stay inside (0, C).
+    * Output: (key, time, yhat, yhat_lower, yhat_upper, cap, trend). */
+  def forecastLogistic(df: DataFrame, key: String, time: String,
+      value: String, horizon: Int,
+      cfg: graft.ops.Forecast.Config = graft.ops.Forecast.DefaultConfig): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("long").as("user_id"), col(time).as("bucket"),
+        col(value).cast("double").as("v"))
+      .as[graft.ops.Forecast.Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[graft.ops.Forecast.Point]) =>
+        graft.ops.Forecast.fitPredictLogistic(k, it.toArray, horizon, cfg))
+      .toDF()
+      .withColumnRenamed("user_id", key)
+      .withColumnRenamed("bucket", time)
+  }
+
+  /** Prophet multiplicative-seasonality mode (`seasonality_mode=
+    * 'multiplicative'`): the additive core fits ln(value), so the seasonal
+    * swing scales with the level; yhat ≡ trend · seasonal_factor. Output:
+    * (key, time, yhat, trend, seasonal_factor). */
+  def forecastMultiplicative(df: DataFrame, key: String, time: String,
+      value: String, horizon: Int,
+      cfg: graft.ops.Forecast.Config = graft.ops.Forecast.DefaultConfig): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("long").as("user_id"), col(time).as("bucket"),
+        col(value).cast("double").as("v"))
+      .as[graft.ops.Forecast.Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[graft.ops.Forecast.Point]) =>
+        graft.ops.Forecast.fitPredictMultiplicative(k, it.toArray, horizon, cfg))
+      .toDF()
+      .withColumnRenamed("user_id", key)
+      .withColumnRenamed("bucket", time)
+  }
+
+  /** EXACT k-means cluster profile over a bounded vector slice (the
+    * oracle-able Lloyd's behind embed_kmeans_slice): embeddings quantize
+    * to 1e4-scaled integers, centroids stay exact rationals, assignments
+    * compare order-free integer distance sums — bit-reproducible on any
+    * partitioning. Returns (cluster_id, n_vecs, avg_dist). Use the
+    * IVF/kmeans trainer path for corpus-scale clustering; this one is the
+    * deterministic audit/profile variant (|slice| · |values| must keep
+    * (count·x)² · dims inside BIGINT — ≲ 10⁵ vectors at unit-norm dims). */
+  def kmeansExact(df: DataFrame, id: String, vec: String, k: Int,
+      iters: Int): DataFrame =
+    graft.ops.TextDedup.kmeansExactCore(
+      df.select(col(id).cast("long").as("vec_id"), expr(
+        s"transform($vec, e -> CAST(floor(CAST(e AS DOUBLE)*10000 + 0.5) AS BIGINT))")
+        .as("xi")),
+      k, iters)
+
+  /** Bounded-error audit of approx_percentile (the sketch-guarantee gate
+    * behind agg_approx_percentile_audit): recomputes each sketch value's
+    * exact rank interval and emits the verdict that it intersects
+    * p·n ± (ε·n + 1), ε = 1/accuracy, plus the exact discrete percentile.
+    * `accuracy` should divide 10000 so the bound arithmetic stays exact. */
+  def approxPercentileAudit(df: DataFrame, group: String, value: String,
+      pcts: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000): DataFrame =
+    graft.ops.Relational.approxPercentileAuditCore(df, group, value,
+      pcts.map(p => math.round(p * 10000)), accuracy)
+
   /** Full-corpus near-duplicate connected components (the engine's flagship
     * dedup pipeline): exact-collapse → vocabulary-guarded pair stage
     * (bitmask fast path / banded-LSH at open vocabulary — never all-pairs)

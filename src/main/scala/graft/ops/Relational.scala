@@ -564,29 +564,45 @@ object Relational {
     * exact percentile and asserts within_bound = true — a sketch that ever
     * breaks its guarantee hash-mismatches the gate instead of hiding
     * behind "no_oracle". */
-  private val aggApproxPercentileAudit: Q = (s, d) => {
-    val o = tbl(s, d, "orders").select(col("o_orderstatus"), col("o_totalprice"))
-    val sk = o.groupBy("o_orderstatus").agg(
-        count(lit(1)).as("n"),
-        expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
-          .as("ap"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("e50"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("e90"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("e99"))
-      .select(col("o_orderstatus"), col("n"), expr(
-        "stack(3, 5000L, ap[0], e50, 9000L, ap[1], e90, 9900L, ap[2], e99) AS (ps, a, e)"))
-    o.join(broadcast(sk), "o_orderstatus")
-      .groupBy(col("o_orderstatus"), col("ps"), col("n"), col("a"), col("e"))
+  /** The generic core (exposed through Graft.approxPercentileAudit):
+    * `pcts` as ×10000 integers so the bound arithmetic stays exact. */
+  private[graft] def approxPercentileAuditCore(df: DataFrame, group: String,
+      value: String, ps: Seq[Long], accuracy: Int): DataFrame = {
+    val o = df.select(col(group).as("g"), col(value).cast("double").as("v"))
+    val pctArr = ps.map(s => s / 10000.0).mkString("array(", ", ", ")")
+    val discAggs = ps.zipWithIndex.map { case (sc, i) =>
+      expr(s"percentile_disc(${sc / 10000.0}) WITHIN GROUP (ORDER BY v)")
+        .as(s"e$i")
+    }
+    val aggs = Seq(count(lit(1)).as("n"),
+      expr(s"approx_percentile(v, $pctArr, $accuracy)").as("ap")) ++ discAggs
+    val sk = o.groupBy("g").agg(aggs.head, aggs.tail: _*)
+      .select(col("g"), col("n"), expr(
+        s"stack(${ps.length}, " + ps.zipWithIndex.map { case (sc, i) =>
+          s"${sc}L, ap[$i], e$i"
+        }.mkString(", ") + ") AS (ps, a, e)"))
+    // ε·n scaled by 10⁴: εn·10⁴ = n·(10⁴/accuracy); keep it exact by
+    // requiring accuracy to divide 10⁴ (10000/accuracy is the per-row
+    // scaled epsilon weight)
+    val epsW = 10000L / accuracy.toLong max 1L
+    o.join(broadcast(sk), "g")
+      .groupBy(col("g"), col("ps"), col("n"), col("a"), col("e"))
       .agg(
-        sum(when(col("o_totalprice") < col("a"), 1L).otherwise(0L)).as("rlt"),
-        sum(when(col("o_totalprice") <= col("a"), 1L).otherwise(0L)).as("rle"))
-      .select(col("o_orderstatus"), (col("ps") / 10000.0).as("p"),
+        sum(when(col("v") < col("a"), 1L).otherwise(0L)).as("rlt"),
+        sum(when(col("v") <= col("a"), 1L).otherwise(0L)).as("rle"))
+      .select(col("g").as(group), (col("ps") / 10000.0).as("p"),
         col("n"), col("e").as("exact_disc"),
-        ((col("rlt") + 1L) * 10000L <= col("ps") * col("n") + col("n") + 10000L &&
-          col("rle") * 10000L >= col("ps") * col("n") - col("n") - 10000L)
+        ((col("rlt") + 1L) * 10000L <=
+            col("ps") * col("n") + col("n") * epsW + 10000L &&
+          col("rle") * 10000L >=
+            col("ps") * col("n") - col("n") * epsW - 10000L)
           .as("within_bound"))
-      .orderBy("o_orderstatus", "p")
+      .orderBy(group, "p")
   }
+
+  private val aggApproxPercentileAudit: Q = (s, d) =>
+    approxPercentileAuditCore(tbl(s, d, "orders"), "o_orderstatus",
+      "o_totalprice", Seq(5000L, 9000L, 9900L), 10000)
 
   private val aggCollectSorted: Q = (s, d) =>
     tbl(s, d, "lineitem")

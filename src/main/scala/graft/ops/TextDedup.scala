@@ -2154,15 +2154,18 @@ object TextDedup {
     * empty clusters carry their previous state on both engines. Output is
     * the embed_kmeans-shaped cluster profile with the distance sum riding
     * as 1e6-scaled integers. */
-  private val embedKmeansSlice: Q = (s, d) => {
+  /** The generic exact-Lloyd's core: `vecsIn` carries (vec_id: long,
+    * xi: array<bigint>) — already 1e4-scale-quantized (the reported
+    * avg_dist divides the scale back out). Seeds are the `k` smallest
+    * vec_ids; `iters` assign/update rounds unroll into the plan with the
+    * k-row centroid state localCheckpointed per round. Exposed through
+    * Graft.kmeansExact; overflow bound: |xi| · count · sqrt(dims) must
+    * stay under 2^31 so the per-dim squared terms sum inside BIGINT. */
+  private[graft] def kmeansExactCore(vecsIn: DataFrame, k: Int,
+      iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val K = 4
-    val vecs = tbl(s, d, "embeddings").where(col("vec_id") < 256)
-      .select(col("vec_id"), expr(
-        "transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)*10000 + 0.5) AS BIGINT))")
-        .as("xi"))
-      .localCheckpoint(true)
-    val st0 = vecs.orderBy("vec_id").limit(K)
+    val vecs = vecsIn.localCheckpoint(true)
+    val st0 = vecs.orderBy("vec_id").limit(k)
       .select(row_number().over(Window.orderBy("vec_id")).cast("long").as("k"),
         lit(1L).as("c"), col("xi").as("s"))
     def assign(st: DataFrame): DataFrame =
@@ -2186,10 +2189,11 @@ object TextDedup {
         .join(sums, Seq("k"), "left").join(cnts, Seq("k"), "left")
         .select(col("k"), coalesce(col("c2"), col("pc")).as("c"),
           coalesce(col("s2"), col("ps")).as("s"))
-        .localCheckpoint(true) // 4-row state; truncates the iteration lineage
+        .localCheckpoint(true) // k-row state; truncates the iteration lineage
     }
-    val st3 = update(update(update(st0.localCheckpoint(true))))
-    assign(st3)
+    val stN = (1 to iters).foldLeft(st0.localCheckpoint(true))((st, _) =>
+      update(st))
+    assign(stN)
       .withColumn("dist",
         sqrt(col("dd").cast("double")) / col("c").cast("double") / 10000.0)
       .groupBy(col("k"))
@@ -2200,6 +2204,14 @@ object TextDedup {
           .as("avg_dist"))
       .orderBy("cluster_id")
   }
+
+  private val embedKmeansSlice: Q = (s, d) =>
+    kmeansExactCore(
+      tbl(s, d, "embeddings").where(col("vec_id") < 256)
+        .select(col("vec_id"), expr(
+          "transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE)*10000 + 0.5) AS BIGINT))")
+          .as("xi")),
+      k = 4, iters = 3)
 
   /** Per-document unigram entropy — the information-diversity filter signal
     * (low-entropy documents are repetitive junk; complements

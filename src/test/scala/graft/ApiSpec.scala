@@ -642,4 +642,33 @@ class ApiSpec extends AnyFunSuite {
     assert(perKey.length == 1 && perKey.head.getLong(0) == 12L)
     assert(fc.count() > 0 && fc.count() <= keys * 12)
   }
+
+  test("round-10 facade methods ≡ their registry queries") {
+    import graft.api.Graft
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // kmeansExact ≡ embed_kmeans_slice (same slice, k, iters)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") < 256)
+    assert(rows(Graft.kmeansExact(emb, "vec_id", "embedding", 4, 3)) ==
+      rows(SparkEntry.queries("embed_kmeans_slice")(spark, sf)))
+    // approxPercentileAudit ≡ agg_approx_percentile_audit
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(rows(Graft.approxPercentileAudit(orders, "o_orderstatus",
+        "o_totalprice")) ==
+      rows(SparkEntry.queries("agg_approx_percentile_audit")(spark, sf)))
+    // the two Prophet modes through the facade: capacity containment /
+    // multiplicative identity on the real hourly series, caller-named keys
+    val hourly = graft.util.Canon.events(spark, sf)
+      .resample("user_id", "ts", "value", "1 hour")
+    val lg = Graft.forecastLogistic(hourly, "user_id", "bucket", "value", 6)
+    assert(lg.count() > 0 &&
+      lg.where(col("yhat") > col("cap") ||
+        col("yhat_upper") > col("cap") || col("yhat_lower") <= 0).count() == 0)
+    val ml = Graft.forecastMultiplicative(hourly, "user_id", "bucket",
+      "value", 6)
+    assert(ml.count() > 0 && ml.where(
+      abs(col("yhat") - col("trend") * col("seasonal_factor")) >
+        lit(1e-3) * greatest(lit(1.0), abs(col("yhat")))).count() == 0)
+  }
 }
