@@ -100,6 +100,23 @@ object Extensions {
       .orderBy("l_returnflag")
   }
 
+  /** The custom HLL's guarantee audit (agg_approx_percentile_audit
+    * pattern): emits the exact count and the |Δ| ≤ 2%·exact verdict the
+    * suite asserts, in exact scaled integers, so the from-scratch sketch
+    * is gated by the DuckDB oracle (within_bound must replay true), not
+    * only by the in-suite assertion. */
+  private val aggHllCustomAudit: Q = (s, d) => {
+    CatalystExt.register(s)
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("graft_hll(l_orderkey)").as("a"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("a") - col("exact_orders")) * 100L <=
+          col("exact_orders") * 2L).as("within_bound"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact bitset distinct (custom TypedImperativeAggregate, GraftBitmap):
     * active users per event type counted through a fixed 2^21-bit bitmap
     * with bitwise-OR merge — the exact mergeable counterpart of the HLL for
@@ -184,6 +201,7 @@ object Extensions {
     "udtf_ngrams" -> udtfNgrams,
     "expr_custom_cosine" -> exprCustomCosine,
     "agg_hll_custom" -> aggHllCustom,
+    "agg_hll_custom_audit" -> aggHllCustomAudit,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
   )
@@ -195,6 +213,11 @@ object Extensions {
          sin(radians(lon2 - lon1)/2)*sin(radians(lon2 - lon1)/2)))"""
 
   val oracle: Map[String, String] = Map(
+    "agg_hll_custom_audit" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS exact_orders,
+                true AS within_bound
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "udf_scalar" ->
       s"""WITH t AS (
             SELECT event_id,

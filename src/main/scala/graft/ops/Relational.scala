@@ -167,6 +167,23 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
       .orderBy("l_returnflag")
 
+  /** HLL-guarantee audit (the agg_approx_percentile_audit pattern applied
+    * to approx_count_distinct): the sketch estimate cannot hash-match an
+    * oracle, but its error bound can — emit the exact distinct count plus
+    * the verdict |approx − exact| ≤ 5·rsd·exact in exact scaled integers
+    * (rsd = 0.01 → |Δ|·100 ≤ 5·exact, a 5σ band over the deterministic
+    * hash-based sketch). The oracle replays the exact count and asserts
+    * within_bound = true. */
+  private val aggApproxDistinctAudit: Q = (s, d) =>
+    tbl(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("a"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("a") - col("exact_orders")) * 100L <=
+          col("exact_orders") * 5L).as("within_bound"))
+      .orderBy("l_returnflag")
+
   private val aggGroupingSets: Q = (s, d) => {
     tbl(s, d, "lineitem").createOrReplaceTempView("gs_li")
     tbl(s, d, "orders").createOrReplaceTempView("gs_ord")
@@ -848,6 +865,7 @@ object Relational {
     "agg_pricing_summary" -> aggPricingSummary,
     "agg_count_distinct" -> aggCountDistinct,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_approx_distinct_audit" -> aggApproxDistinctAudit,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
@@ -960,6 +978,11 @@ object Relational {
       """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "agg_approx_distinct_audit" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey) AS exact_orders,
+                true AS within_bound
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "agg_grouping_sets" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS seg,
                 coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nat,
