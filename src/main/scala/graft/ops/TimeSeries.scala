@@ -195,6 +195,50 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Split-conformal prediction intervals on the linear-trend forecaster
+    * (Vovk et al.'s distribution-free calibration — the interval wrapper a
+    * modern forecasting service puts around ANY point model): fit on the
+    * first 60% of each series, take q̂ = the ⌈(n_cal+1)·0.8⌉-th smallest
+    * absolute residual over the next 20% (the calibration window — a
+    * discrete order statistic, row_number with bucket tie-break, never a
+    * continuous quantile), and audit the empirical coverage of ±q̂ on the
+    * final 20%. Split-conformal guarantees ≥ 80% expected coverage under
+    * exchangeable residuals; the per-key coverage row is the production
+    * drift alarm (a series whose coverage collapses has drifted).
+    * Cross-engine exactness: residual doubles derive from the exact-integer
+    * OLS betas through a fixed op sequence, the conformal rank is computed
+    * in pure integer arithmetic (⌈a·8/10⌉ = (a·8+9) div 10), and raw
+    * (unrounded) q̂ decides coverage on both engines — r4 only at emit.
+    * One shuffle; every window is keyed by the series. */
+  private val forecastConformalInterval: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+    val marked = hourly(s, d).withColumn("pr", percent_rank().over(w))
+    val fit = olsFit(marked.where(col("pr") < 0.6).drop("pr"))
+      .select(col("user_id").as("fu"), col("slope"), col("intercept"),
+        col("mnb"))
+    val scored = marked.where(col("pr") >= 0.6)
+      .join(fit, col("user_id") === col("fu"))
+      .withColumn("t", expr("(unix_millis(bucket) - mnb) div 3600000"))
+      .withColumn("ae", abs(col("v") -
+        (col("intercept") + col("slope") * col("t").cast("double"))))
+    val wq = Window.partitionBy("user_id").orderBy(col("ae"), col("bucket"))
+    val qhat = scored.where(col("pr") < 0.8)
+      .withColumn("rk", row_number().over(wq))
+      .withColumn("ncal", count(lit(1)).over(Window.partitionBy("user_id")))
+      .where(col("rk") === least(expr("((ncal + 1) * 8 + 9) div 10"),
+        col("ncal")))
+      .select(col("user_id").as("qu"), col("ae").as("qhat"), col("ncal"))
+    scored.where(col("pr") >= 0.8)
+      .join(qhat, col("user_id") === col("qu"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ncal")).as("n_cal"), count(lit(1)).as("n_test"),
+        r4(max(col("qhat"))).as("q_hat"),
+        sum((col("ae") <= col("qhat")).cast("long")).as("n_covered"))
+      .withColumn("coverage",
+        r4(col("n_covered").cast("double") / col("n_test").cast("double")))
+      .orderBy("user_id")
+  }
+
   /** EWMA per series (α = 0.3): inherently recursive, so computed as a
     * sequential in-task fold per key (one shuffle) — deterministic because
     * each series folds in bucket order inside a single task. Self-verified
@@ -768,6 +812,7 @@ object TimeSeries {
     "ts_train_test_split" -> tsTrainTestSplit,
     "forecast_linear_trend" -> forecastLinearTrend,
     "forecast_backtest_metrics" -> forecastBacktestMetrics,
+    "forecast_conformal_interval" -> forecastConformalInterval,
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -1301,5 +1346,38 @@ object TimeSeries {
               floor((sum(ri)/1000000.0/count(ri))*10000 + 0.5)/10000.0 AS mape,
               count(*) AS n_test
        FROM scaled GROUP BY user_id ORDER BY user_id"""),
+    "forecast_conformal_interval" -> (H0 + """,
+       marked AS (
+         SELECT user_id, bucket, v,
+                percent_rank() OVER (PARTITION BY user_id ORDER BY bucket) AS pr
+         FROM hourly),
+       train AS (SELECT user_id, bucket, v FROM marked WHERE pr < 0.6)"""
+      + olsSql("train") + """,
+       scored AS (
+         SELECT t.user_id, t.bucket, t.pr,
+                abs(t.v - (b.intercept + b.slope *
+                  CAST((epoch_ms(t.bucket) - b.mnb) // 3600000 AS DOUBLE)))
+                  AS ae
+         FROM (SELECT * FROM marked WHERE pr >= 0.6) t
+         JOIN betas b ON t.user_id = b.user_id),
+       cal AS (
+         SELECT user_id, ae,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ae, bucket) AS rk,
+                count(*) OVER (PARTITION BY user_id) AS ncal
+         FROM scored WHERE pr < 0.8),
+       q AS (SELECT user_id, ae AS qhat, CAST(ncal AS BIGINT) AS n_cal
+             FROM cal WHERE rk = least(((ncal + 1) * 8 + 9) // 10, ncal)),
+       test AS (
+         SELECT s.user_id, s.ae, q.qhat, q.n_cal
+         FROM (SELECT * FROM scored WHERE pr >= 0.8) s
+         JOIN q ON s.user_id = q.user_id)
+       SELECT user_id, max(n_cal) AS n_cal, count(*) AS n_test,
+              floor(max(qhat)*10000 + 0.5)/10000.0 AS q_hat,
+              CAST(sum(CASE WHEN ae <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_covered,
+              floor((CAST(sum(CASE WHEN ae <= qhat THEN 1 ELSE 0 END)
+                          AS DOUBLE)/count(*))*10000 + 0.5)/10000.0 AS coverage
+       FROM test GROUP BY user_id ORDER BY user_id"""),
   )
 }

@@ -113,10 +113,13 @@ class ApiSpec extends AnyFunSuite {
     val hourly = events.resample("user_id", "ts", "value", "1 hour")
     val fc = graft.api.Graft.forecast(hourly, "user_id", "bucket", "value",
       horizon = 24)
+    val capped = graft.api.Graft.forecastLogistic(hourly, "user_id", "bucket",
+      "value", horizon = 24)
     val joined = trades.asofJoin(quotes, "sym", "ts")
     val stats = events.agg(hllDistinct(col("user_id")),
       kllQuantile(col("value"), 0.99, 128))
     assert(fc.columns.contains("user_id"))
+    assert(capped.columns.contains("cap"))
     assert(joined.count() > 0)
     assert(stats.head() != null)
     // ANN: train once, persist, serve from the loaded index
@@ -129,6 +132,13 @@ class ApiSpec extends AnyFunSuite {
       .topk(embeddings, queryBatch, k = 5)
     assert(nbrs.columns.toSeq == Seq("qid", "rank", "vec_id", "cos"))
     assert(nbrs.count() > 0)
+    // Exact k-means profile + the sketch-guarantee audit pattern
+    val prof = graft.api.Graft.kmeansExact(embeddings, "vec_id", "embedding",
+      k = 4, iters = 3)
+    val ok = graft.api.Graft.approxPercentileAudit(events, "user_id", "value")
+    assert(prof.columns.toSeq == Seq("cluster_id", "n_vecs", "avg_dist"))
+    assert(ok.columns.contains("within_bound") &&
+      ok.where(!col("within_bound")).count() == 0)
     // Incremental near-dedup: bootstrap, then label-and-fold an increment
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id").as("id"), col("text").as("body"))
