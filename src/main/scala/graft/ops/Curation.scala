@@ -462,6 +462,47 @@ object Curation {
     * oracle-checked embed_covariance. */
   private val embedPcaVariance: Q = (s, d) =>
     pcaCore(s, tbl(s, d, "embeddings"), 10)
+
+  /** Closed-form 2-D PCA — the oracle-able companion to embed_pca_variance
+    * (the embed_kmeans_slice precedent: remove the iterative float solve
+    * instead of shrinking tolerance). Over dims (1, 2) the covariance
+    * eigendecomposition is the quadratic formula, so the whole spectrum is
+    * ONE fixed op sequence over exact integers: moments (n, Σx, Σy, Σxx,
+    * Σyy, Σxy) fold as BIGINTs of 1e4-scaled components; the covariance
+    * numerators A = n·Σxx − Σx², C, B are exact BIGINTs (≤ ~7·10¹² at this
+    * fixture — BIGINT-safe); λ± = ((A+C) ± sqrt((A−C)² + 4B²)) / 2 is
+    * computed in doubles where every multiply/add/sqrt/divide is a single
+    * correctly-rounded IEEE op over exactly-representable inputs — bit-
+    * identical cross-engine, no rotation sweep, no fold-order float sums.
+    * Emits per-component eigenvalue (de-scaled), explained-variance ratio,
+    * and the trace check. One corpus scan, one 6-ary agg. */
+  private val embedPca2d: Q = (s, d) => {
+    val m = tbl(s, d, "embeddings")
+      .select(
+        floor(expr("CAST(element_at(embedding, 1) AS DOUBLE)") * 10000 + 0.5)
+          .cast("long").as("x"),
+        floor(expr("CAST(element_at(embedding, 2) AS DOUBLE)") * 10000 + 0.5)
+          .cast("long").as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+    val den = (col("n") * (col("n") - 1L)).cast("double") * 1.0e8
+    val a = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val c = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val b = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val disc = sqrt((a - c) * (a - c) + lit(4.0) * b * b)
+    val l1 = (a + c + disc) / 2.0
+    val l2 = (a + c - disc) / 2.0
+    m.select(col("n"),
+        explode(array(
+          struct(lit(1L).as("component"), (l1 / den).as("ev"),
+            (l1 / (a + c)).as("evr")),
+          struct(lit(2L).as("component"), (l2 / den).as("ev"),
+            (l2 / (a + c)).as("evr")))).as("p"))
+      .select(col("p.component").as("component"), col("n").as("n_vecs"),
+        r4(col("p.ev")).as("eigenvalue"), r4(col("p.evr")).as("evr"))
+      .orderBy("component")
+  }
   private[graft] def pcaCore(s: SparkSession, e: DataFrame, topK: Int): DataFrame = {
     val rows = covCore(e).collect()
     if (rows.isEmpty) {
@@ -669,6 +710,7 @@ object Curation {
     "pipeline_mix_temperature" -> pipelineMixTemperature,
     "embed_covariance" -> embedCovariance,
     "embed_pca_variance" -> embedPcaVariance,
+    "embed_pca_2d" -> embedPca2d,
     "embed_mmr_rerank" -> embedMmrRerank,
     "sim_eval_label_precision" -> simEvalLabelPrecision,
     "agg_bootstrap_ci" -> aggBootstrapCi,
@@ -764,6 +806,42 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "embed_mmr_rerank" -> mmrOracle,
+    // Closed-form 2x2 eigendecomposition: exact BIGINT covariance
+    // numerators, then the quadratic formula as the identical fixed
+    // double op sequence on both engines.
+    "embed_pca_2d" ->
+      """WITH m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x*x) AS BIGINT) AS sxx,
+                  CAST(sum(y*y) AS BIGINT) AS syy,
+                  CAST(sum(x*y) AS BIGINT) AS sxy
+           FROM (SELECT CAST(floor(CAST(embedding[1] AS DOUBLE)*10000 + 0.5)
+                              AS BIGINT) AS x,
+                        CAST(floor(CAST(embedding[2] AS DOUBLE)*10000 + 0.5)
+                              AS BIGINT) AS y
+                 FROM embeddings)),
+         e AS (SELECT n,
+                      CAST(n*sxx - sx*sx AS DOUBLE) AS a,
+                      CAST(n*syy - sy*sy AS DOUBLE) AS c,
+                      CAST(n*sxy - sx*sy AS DOUBLE) AS b,
+                      CAST(n*(n-1) AS DOUBLE) * 1e8 AS den
+               FROM m),
+         l AS (SELECT n, den, a, c,
+                      sqrt((a - c)*(a - c) + 4.0*b*b) AS disc FROM e)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS component, n AS n_vecs,
+                  floor(((a + c + disc)/2.0/den)*10000 + 0.5)/10000.0
+                    AS eigenvalue,
+                  floor(((a + c + disc)/2.0/(a + c))*10000 + 0.5)/10000.0
+                    AS evr
+           FROM l
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), n,
+                  floor(((a + c - disc)/2.0/den)*10000 + 0.5)/10000.0,
+                  floor(((a + c - disc)/2.0/(a + c))*10000 + 0.5)/10000.0
+           FROM l)
+         ORDER BY component""",
     "text_bm25_search" ->
       s"""WITH dcs AS (
             SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
