@@ -653,7 +653,14 @@ object Pipeline {
     // k1 — gopher rule cascade (stage 1)
     val k1f = gopherRulesCore(docs).select(col("doc_id"), col("keep").as("k1"))
     val f1 = docs.join(k1f, "doc_id")
-    // k2 — near-dup keepers among gopher survivors (stage 2)
+    // k2 — near-dup keepers among gopher survivors (stage 2). Cost
+    // breakdown measured at sf0.1 (r10): gopher 0.5 s + neardup 3.4-4 s +
+    // ~2.5 s for the remaining five stages and the composition's many
+    // small jobs. Extra localCheckpoints of the survivor slice and of a
+    // post-label f2 manifest were both tried and measured NEUTRAL (the
+    // chain is not re-evaluated the way the lazy plan suggests), so the
+    // single f4 checkpoint below stays the only materialization — the
+    // tf-idf keep-the-measured-winner discipline.
     val (labels, _) = TextDedup.neardupLabelsFromDocs(
       f1.where(col("k1")).select(col("doc_id"), col("text")))
     val k2f = labels.select(col("node").as("doc_id"), col("is_keeper"))
