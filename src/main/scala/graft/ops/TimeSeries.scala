@@ -195,6 +195,56 @@ object TimeSeries {
       .orderBy("user_id")
   }
 
+  /** Multi-cutoff rolling-origin cross-validation — Prophet's
+    * `cross_validation` + `performance_metrics` shape over the
+    * oracle-able linear forecaster: for cutoffs at 50/60/70% of each
+    * series, fit on the prefix and score MAE/RMSE on the next 10% window,
+    * emitting one row per (key, cutoff). One backtest is a point estimate;
+    * the CV table is what model selection actually reads. The three
+    * cutoffs ride ONE exploded column, so the fit is a single conditional
+    * grouped aggregation over the tripled frame (shuffle keyed by
+    * (key, cutoff)) and the scoring join carries O(#keys·#cutoffs) beta
+    * rows — no per-cutoff re-scan of the corpus. Same exact-integer OLS
+    * sums and 1e6-scaled error folds as forecast_backtest_metrics. */
+  private val forecastBacktestCv: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+    val marked = hourly(s, d)
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("mn", min(unix_millis(col("bucket")))
+        .over(Window.partitionBy("user_id")))
+      .withColumn("t", expr("(unix_millis(bucket) - mn) div 3600000"))
+      .withColumn("yi", floor(col("v") * 10000 + 0.5).cast("long"))
+      .withColumn("c", explode(array(lit(0.5), lit(0.6), lit(0.7))))
+    val fit = marked.where(col("pr") < col("c"))
+      .groupBy(col("user_id"), col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+        sum(col("t") * col("t")).as("stt"), sum(col("yi")).as("sy"),
+        sum(col("t") * col("yi")).as("sty"))
+      .withColumn("slope",
+        ((col("n") * col("sty") - col("st") * col("sy")).cast("double") /
+          (col("n") * col("stt") - col("st") * col("st")).cast("double"))
+          / 10000.0)
+      .withColumn("intercept",
+        col("sy").cast("double") / 10000.0 / col("n").cast("double") -
+          col("slope") * (col("st").cast("double") / col("n").cast("double")))
+      .select(col("user_id").as("fu"), col("c").as("fc"),
+        col("n").as("ntr"), col("slope"), col("intercept"))
+    marked.join(fit, col("user_id") === col("fu") && col("c") === col("fc"))
+      .where(col("pr") >= col("c") && col("pr") < col("c") + 0.1)
+      .withColumn("err", col("v") -
+        (col("intercept") + col("slope") * col("t").cast("double")))
+      .withColumn("ei", floor(abs(col("err")) * 1000000 + 0.5).cast("long"))
+      .withColumn("e2i",
+        floor(col("err") * col("err") * 1000000 + 0.5).cast("long"))
+      .groupBy(col("user_id"), col("c"))
+      .agg(max(col("ntr")).as("n_train"), count(lit(1)).as("n_test"),
+        r4(sum(col("ei")) / 1000000.0 / count(lit(1))).as("mae"),
+        r4(sqrt(sum(col("e2i")) / 1000000.0 / count(lit(1)))).as("rmse"))
+      .select(col("user_id"), col("c").as("cutoff"), col("n_train"),
+        col("n_test"), col("mae"), col("rmse"))
+      .orderBy("user_id", "cutoff")
+  }
+
   /** Split-conformal prediction intervals on the linear-trend forecaster
     * (Vovk et al.'s distribution-free calibration — the interval wrapper a
     * modern forecasting service puts around ANY point model): fit on the
@@ -813,6 +863,7 @@ object TimeSeries {
     "forecast_linear_trend" -> forecastLinearTrend,
     "forecast_backtest_metrics" -> forecastBacktestMetrics,
     "forecast_conformal_interval" -> forecastConformalInterval,
+    "forecast_backtest_cv" -> forecastBacktestCv,
   )
 
   // -------------------------------------------------------------- oracle SQL
@@ -1379,5 +1430,46 @@ object TimeSeries {
               floor((CAST(sum(CASE WHEN ae <= qhat THEN 1 ELSE 0 END)
                           AS DOUBLE)/count(*))*10000 + 0.5)/10000.0 AS coverage
        FROM test GROUP BY user_id ORDER BY user_id"""),
+    "forecast_backtest_cv" -> (H0 + """,
+       marked AS (
+         SELECT user_id, bucket, v,
+                percent_rank() OVER (PARTITION BY user_id
+                                     ORDER BY bucket) AS pr,
+                (epoch_ms(bucket) - min(epoch_ms(bucket))
+                  OVER (PARTITION BY user_id)) // 3600000 AS t,
+                CAST(floor(v*10000 + 0.5) AS BIGINT) AS yi
+         FROM hourly),
+       cuts AS (SELECT unnest([0.5, 0.6, 0.7]) AS c),
+       tr AS (SELECT user_id, c, count(*) AS n,
+                     CAST(sum(t) AS BIGINT) AS st,
+                     CAST(sum(t*t) AS BIGINT) AS stt,
+                     CAST(sum(yi) AS BIGINT) AS sy,
+                     CAST(sum(t*yi) AS BIGINT) AS sty
+              FROM marked CROSS JOIN cuts WHERE pr < c GROUP BY 1, 2),
+       betas AS (
+         SELECT user_id, c, n,
+                (CAST(n*sty - st*sy AS DOUBLE)
+                 / CAST(n*stt - st*st AS DOUBLE)) / 10000.0 AS slope,
+                CAST(sy AS DOUBLE)/10000.0/CAST(n AS DOUBLE)
+                  - ((CAST(n*sty - st*sy AS DOUBLE)
+                      / CAST(n*stt - st*st AS DOUBLE)) / 10000.0)
+                    * (CAST(st AS DOUBLE)/CAST(n AS DOUBLE)) AS intercept
+         FROM tr),
+       scored AS (
+         SELECT m.user_id, b.c, b.n AS ntr,
+                m.v - (b.intercept + b.slope * CAST(m.t AS DOUBLE)) AS err
+         FROM marked m JOIN betas b ON m.user_id = b.user_id
+         WHERE m.pr >= b.c AND m.pr < b.c + 0.1),
+       scaled AS (
+         SELECT user_id, c, ntr,
+                CAST(floor(abs(err)*1000000 + 0.5) AS BIGINT) AS ei,
+                CAST(floor(err*err*1000000 + 0.5) AS BIGINT) AS e2i
+         FROM scored)
+       SELECT user_id, c AS cutoff, CAST(max(ntr) AS BIGINT) AS n_train,
+              count(*) AS n_test,
+              floor((sum(ei)/1000000.0/count(*))*10000 + 0.5)/10000.0 AS mae,
+              floor((sqrt(sum(e2i)/1000000.0/count(*)))*10000 + 0.5)/10000.0
+                AS rmse
+       FROM scaled GROUP BY user_id, c ORDER BY user_id, cutoff"""),
   )
 }
