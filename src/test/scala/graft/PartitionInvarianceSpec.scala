@@ -60,7 +60,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_incremental_join",
     // round 10: the release composition (flag-manifest chain — every stage
     // verdict must be a pure function of the row, never of partitioning)
-    "pipeline_release_e2e")
+    "pipeline_release_e2e", "pipeline_release_incremental")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -32,6 +32,18 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(0))
   }
 
+  test("pipeline_release_incremental equals the full e2e recompute") {
+    // The oracle proves it at sf0.01; this pins the equivalence in-suite at
+    // sf0.001 too (different split point, different near-dup topology), so a
+    // contract drift between the incremental state path and the full
+    // composition fails fast without the DuckDB gate.
+    val a = SparkEntry.queries("pipeline_release_e2e")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("pipeline_release_incremental")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("split_group_hash is leakage-free: every user in exactly one split") {
     // Recompute the per-user split assignment the query is built on and
     // assert it is a function of user_id alone.
