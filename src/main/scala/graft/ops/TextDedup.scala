@@ -179,6 +179,65 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** ORACLE-GATED audit for dedup_minhash (the round-10 sketch-audit
+    * pattern: emit exact replayable values plus guarantee verdicts the
+    * oracle asserts TRUE, so the banded-LSH path is gated by the DuckDB
+    * hash even though its xxhash64 candidate generation is unreplayable
+    * there). One row:
+    *  - n_docs, n_truth_dups — EXACT, recomputed by the oracle: a doc is a
+    *    truth dup iff some SMALLER doc has string-token Jaccard ≥ 0.8 with
+    *    it. Computed over the COLLAPSED distinct-set groups (3.9k at sf0.1
+    *    vs 5k docs): non-min group members are dups by identity; group
+    *    minima scan the all-pairs distinct-set frame — a declared
+    *    exact-truth brute force like sim_cosine_topk, the reference by
+    *    design, never the scale path (dedup_minhash itself IS the scale
+    *    path being audited).
+    *  - precision_ok — every pair the LSH path verified also passes exact
+    *    STRING-set Jaccard ≥ 0.8, gating the hashed-Jaccard ≡ string-
+    *    Jaccard no-collision assumption itself.
+    *  - recall_ok — detected dups ≥ 90% of truth dups. Measured (fixed
+    *    salts — fully deterministic): 97.7% sf0.001, 98.2% sf0.01, 93.2%
+    *    sf0.1; the gap is the star+window emission finding components,
+    *    not every pair — the documented connectivity-over-pair-
+    *    completeness design. */
+  private val dedupMinhashAudit: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+      .select(col("doc_id"), sort_array(array_distinct(toks(normText))).as("st"))
+      .withColumn("skey", array_join(col("st"), "\u0001"))
+    val g = docs.groupBy(col("skey"))
+      .agg(min(col("doc_id")).as("m"), count(lit(1)).as("k"),
+        first(col("st")).as("st"))
+      .localCheckpoint(true)
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jac = inter.cast("double") /
+      (size(col("sa")) + size(col("sb")) - inter).cast("double")
+    val minDup = g.select(col("m").as("am"), col("st").as("sa"))
+      .join(g.select(col("m").as("bm"), col("st").as("sb")),
+        col("am") < col("bm") && jac >= 0.8)
+      .select(col("bm")).distinct()
+    val base = g.agg(sum(col("k")).as("n_docs"),
+      (sum(col("k")) - count(lit(1))).as("n_nonmin"))
+    val nm = minDup.agg(count(lit(1)).as("n_mindup"))
+    // found side: the production banded-LSH verified pairs, each
+    // re-verified against the exact STRING sets
+    val sets = docs.select(col("doc_id"), col("st"))
+    val fInter = size(array_intersect(col("sta"), col("stb")))
+    val fjac = fInter.cast("double") /
+      (size(col("sta")) + size(col("stb")) - fInter).cast("double")
+    val chk = minhashVerifiedPairs(s, d)
+      .join(sets.select(col("doc_id").as("da"), col("st").as("sta")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("st").as("stb")), "db")
+      .agg(coalesce(min(when(fjac >= 0.8, 1L).otherwise(0L)), lit(1L))
+          .as("prec"),
+        countDistinct(col("db")).as("n_found"))
+    base.crossJoin(broadcast(nm)).crossJoin(broadcast(chk))
+      .select(col("n_docs").cast("long").as("n_docs"),
+        (col("n_nonmin") + col("n_mindup")).cast("long").as("n_truth_dups"),
+        (col("prec") === 1L).as("precision_ok"),
+        (col("n_found") * 100L >=
+          (col("n_nonmin") + col("n_mindup")) * 90L).as("recall_ok"))
+  }
+
   /** SimHash near-dedup KEEP-LIST: 64-bit signature from weighted token-hash
     * bits, 4×16-bit banding for candidates, then STAR emission per bucket
     * (bucket-min ↔ member, k−1 pairs instead of k²/2 — the identical pattern
@@ -1166,17 +1225,28 @@ object TextDedup {
       .orderBy("qid", "rank")
   }
 
-  /** Approximate NN via random-hyperplane LSH: 4 independent 8-bit hash
-    * tables (32 planes, seed 42); a candidate shares ANY table's bucket with
-    * the query (multi-table OR-probing — the standard recall lever). Bucket
-    * equi-join instead of cross join — the 100 TB path. Self-verified
-    * (recall vs sim_cosine_topk's exact answer in AnnSpec). */
+  /** Approximate NN via random-hyperplane LSH: 8 independent 8-bit hash
+    * tables (64 planes, seed 42); a candidate shares ANY table's bucket with
+    * the query (multi-table OR-probing), and the query side additionally
+    * probes every bucket at Hamming distance ≤ 1 from its own (multi-probe
+    * LSH, Lv et al. VLDB'07) — 9 probes/table. Round 10 retune: the original
+    * 4-table single-bucket probe measured 2–8% recall@5 on this corpus
+    * (near-orthogonal synthetic embeddings — per-bit sketch disagreement for
+    * TRUE top-5 neighbors measures ≈ 0.4, so two fixed 8-bit sketches are
+    * rarely identical; LSH's adversarial case). One-bit probing × 8 tables
+    * lifts recall to 0.56/0.62/0.70 (sf0.001/0.01/0.1, deterministic seed)
+    * with candidates ≈ 72·n/256 — the classic probe/table recall dials;
+    * clustered production embeddings sit far from this worst case and the
+    * dials turn back down. Bucket equi-join instead of cross join — the
+    * 100 TB path: probe fan-out multiplies the 10-row QUERY side only,
+    * never the corpus. Oracle-gated by sim_ann_recall_audit's recall
+    * verdict + AnnSpec. */
   private val simLshAnn: Q = (s, d) => {
-    val Tables = 4; val Bits = 8
+    val Tables = 8; val Bits = 8
     val rng = new scala.util.Random(42)
     val planes = Array.fill(Tables * Bits)(Array.fill(64)(rng.nextGaussian()))
-    // One closure UDF computes all 4 bucket ids per row (tight JVM loop over
-    // the 32 planes) — replaces 32 interpreted HOF folds whose 64-literal
+    // One closure UDF computes all bucket ids per row (tight JVM loop over
+    // the 64 planes) — replaces interpreted HOF folds whose 64-literal
     // plane arrays bloated the expression tree (round-1 bench outlier fix).
     val bucketsU = udf { (emb: Seq[Float]) =>
       val out = new Array[Int](Tables)
@@ -1197,9 +1267,14 @@ object TextDedup {
     val e = tbl(s, d, "embeddings")
     val buck = e.select(col("vec_id"), col("embedding"),
       posexplode(bucketsU(col("embedding"))).as(Seq("table", "bucket")))
+    // multi-probe: the query probes its own bucket plus the 8 one-bit
+    // neighbors — the probe fan-out rides on the bounded query side
+    val probeMasks = array((lit(0) +: (0 until Bits).map(b => lit(1 << b))): _*)
     val q = buck.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("table"), col("bucket"))
+        col("table"), explode(probeMasks).as("pm"), col("bucket").as("qb"))
+      .select(col("qid"), col("qe"), col("table"),
+        col("qb").bitwiseXOR(col("pm")).as("bucket"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
     buck.join(q, Seq("table", "bucket"))
       .where(col("vec_id") =!= col("qid"))
@@ -1678,6 +1753,41 @@ object TextDedup {
       .where(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_raw")).as("cos"))
       .orderBy("qid", "rank")
+  }
+
+  /** ORACLE-GATED recall audit for the WHOLE ANN family (the round-10
+    * sketch-audit pattern): one row whose replayable columns pin the exact
+    * brute-force reference (n_exact rows, checksum of the exact top-5
+    * neighbor ids) and whose verdict booleans assert each approximate
+    * method's recall@5 floor against it — so the DuckDB hash gates five
+    * previously self-verified ids (lsh/ivf/mllib/pq/ivfpq) even though
+    * their hashes/codebooks are unreplayable there. Floors sit below the
+    * deterministic measured values (sf0.001/0.01/0.1):
+    * lsh 56/62/70 → ≥45; ivf 82/80/80 → ≥70; mllib 92/98/96 → ≥85;
+    * pq 74/62/46 → ≥30; ivfpq 76/62/36 → ≥25 (PQ's quantization error on
+    * these near-orthogonal synthetic vectors genuinely degrades with
+    * corpus size — the floor documents it instead of hiding it). */
+  private val simAnnRecallAudit: Q = (s, d) => {
+    val ex = simCosineTopk(s, d).select(col("qid"), col("vec_id"))
+      .localCheckpoint(true)
+    val exAgg = ex.agg(count(lit(1)).as("n_exact"),
+      sum(col("vec_id")).as("sum_exact_ids"))
+    def hits(name: String, q: Q): DataFrame =
+      q(s, d).select(col("qid"), col("vec_id"))
+        .join(ex, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as(s"${name}_hits"))
+    val joined = Seq("lsh" -> simLshAnn, "ivf" -> simIvfAnn,
+        "mllib" -> simMllibLsh, "pq" -> simPqAnn, "ivfpq" -> simIvfPqAnn)
+      .foldLeft(exAgg) { case (acc, (n, q)) =>
+        acc.crossJoin(broadcast(hits(n, q)))
+      }
+    def ok(name: String, pct: Int): Column =
+      (col(s"${name}_hits") * 100L >= col("n_exact") * pct.toLong)
+        .as(s"${name}_recall_ok")
+    joined.select(col("n_exact").cast("long").as("n_exact"),
+      col("sum_exact_ids").cast("long").as("sum_exact_ids"),
+      ok("lsh", 45), ok("ivf", 70), ok("mllib", 85),
+      ok("pq", 30), ok("ivfpq", 25))
   }
 
   // ------------------------------------------------------------ text analysis
@@ -2528,6 +2638,7 @@ object TextDedup {
     "dedup_exact" -> dedupExact,
     "pipeline_dedup_stats" -> pipelineDedupStats,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_audit" -> dedupMinhashAudit,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_substring" -> dedupSubstring,
@@ -2557,6 +2668,7 @@ object TextDedup {
     "sim_ivfpq_ann" -> simIvfPqAnn,
     "sim_ivfpq_served" -> simIvfPqServed,
     "sim_mllib_lsh" -> simMllibLsh,
+    "sim_ann_recall_audit" -> simAnnRecallAudit,
     "text_stats" -> textStats,
     "text_bigram_freq" -> textBigramFreq,
     "text_ngram_coverage" -> textNgramCoverage,
@@ -2590,6 +2702,46 @@ object TextDedup {
   private[ops] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   val oracle: Map[String, String] = Map(
+    // truth side of the minhash audit: exact string-token Jaccard over the
+    // collapsed distinct-set groups; the verdict booleans are asserted TRUE
+    // (the round-10 sketch-audit pattern)
+    "dedup_minhash_audit" ->
+      s"""WITH docs AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(string_split($normSql, ' '))) AS st
+            FROM documents),
+          g AS (SELECT st, min(doc_id) AS m, count(*) AS k
+                FROM docs GROUP BY st),
+          x AS (SELECT b.m AS bm FROM g a JOIN g b ON a.m < b.m
+                WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE) /
+                      (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)))
+                      >= 0.8
+                GROUP BY b.m)
+          SELECT CAST((SELECT sum(k) FROM g) AS BIGINT) AS n_docs,
+                 CAST((SELECT sum(k) - count(*) FROM g)
+                      + (SELECT count(*) FROM x) AS BIGINT) AS n_truth_dups,
+                 true AS precision_ok, true AS recall_ok""",
+    // exact side of the ANN recall audit: the brute-force top-5 reference
+    // (sim_cosine_topk's oracle) reduced to a count + id checksum; the five
+    // per-method recall verdicts are asserted TRUE
+    "sim_ann_recall_audit" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                     FROM embeddings WHERE vec_id < 10),
+          scored AS (
+            SELECT q.qid, e.vec_id,
+                   ${cosineSql("e.embedding", "q.qe")} AS cos_raw
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos_raw DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(vec_id) AS BIGINT) AS sum_exact_ids,
+                 true AS lsh_recall_ok, true AS ivf_recall_ok,
+                 true AS mllib_recall_ok, true AS pq_recall_ok,
+                 true AS ivfpq_recall_ok
+          FROM ranked WHERE rank <= 5""",
     // Exact-integer Lloyd's replay: centroid state is (BIGINT dim-sums,
     // count), the distance is an order-free integer sum, and the argmin
     // key is one double division of exact integers — so three unrolled

@@ -1201,13 +1201,17 @@ class StreamingSpec extends AnyFunSuite {
   test("ANN results are valid and overlap exact top-5") {
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    for (name <- Seq("sim_lsh_ann", "sim_ivf_ann", "sim_mllib_lsh", "sim_pq_ann",
-                     "sim_ivfpq_ann")) {
+    // Same recall floors as sim_ann_recall_audit (sf0.001 measured values:
+    // lsh 0.56, ivf 0.82, mllib 0.92, pq 0.74, ivfpq 0.76 — deterministic
+    // seeds, so these are fixed, not flaky).
+    for ((name, floor) <- Seq("sim_lsh_ann" -> 0.45, "sim_ivf_ann" -> 0.70,
+         "sim_mllib_lsh" -> 0.85, "sim_pq_ann" -> 0.30,
+         "sim_ivfpq_ann" -> 0.25)) {
       val ann = SparkEntry.queries(name)(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       assert(ann.nonEmpty, s"$name returned nothing")
       val overlap = ann.intersect(exact).size.toDouble / exact.size
-      assert(overlap > 0.0, s"$name found no exact top-5 neighbors at all")
+      assert(overlap >= floor, s"$name recall@5 $overlap below floor $floor")
     }
   }
 }
