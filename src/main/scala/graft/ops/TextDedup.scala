@@ -213,13 +213,40 @@ object TextDedup {
     val g = docs.groupBy(col("skey"))
       .agg(min(col("doc_id")).as("m"), first(col("st")).as("st"))
       .localCheckpoint(true)
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val jac = inter.cast("double") /
-      (size(col("sa")) + size(col("sb")) - inter).cast("double")
-    val minDup = g.select(col("m").as("am"), col("st").as("sa"))
-      .join(g.select(col("m").as("bm"), col("st").as("sb")),
-        col("am") < col("bm") && jac >= 0.8)
-      .select(col("bm").as("m")).distinct().withColumn("md", lit(true))
+    // The all-pairs scan is EXACT either way; what routing buys is the
+    // comparison cost. On a <=64-token corpus vocabulary (this fixture
+    // measures 31) each distinct set packs into one BIGINT and the
+    // 15.5M-pair scan is codegen'd bit_count(and) integer ops; the
+    // interpreted array_intersect variant measured 56 s at sf0.1, the
+    // bitmask one ~2 s. Open vocabulary falls back to the exact array
+    // path — the honest O(groups^2) truth reference either way, same
+    // bounded-probe routing rule as neardupLabelsFromDocs.
+    val vocab = g.select(explode(col("st")).as("t")).distinct()
+      .orderBy("t").limit(65).collect().map(_.getString(0))
+    val minDup =
+      if (vocab.length <= 64) {
+        val idx = vocab.zipWithIndex.toMap
+        val maskU = udf { (st: Seq[String]) =>
+          var mk = 0L; st.foreach(t => mk |= 1L << idx(t)); mk
+        }
+        val gm = g.select(col("m"), maskU(col("st")).as("mk"),
+          size(col("st")).as("nt"))
+        val inter = bit_count(col("ma").bitwiseAND(col("mb")))
+        gm.select(col("m").as("am"), col("mk").as("ma"), col("nt").as("na"))
+          .join(broadcast(gm.select(col("m").as("bm"), col("mk").as("mb"),
+            col("nt").as("nb"))),
+            col("am") < col("bm") && inter.cast("double") /
+              (col("na") + col("nb") - inter).cast("double") >= 0.8)
+          .select(col("bm").as("m")).distinct().withColumn("md", lit(true))
+      } else {
+        val inter = size(array_intersect(col("sa"), col("sb")))
+        val jac = inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter).cast("double")
+        g.select(col("m").as("am"), col("st").as("sa"))
+          .join(g.select(col("m").as("bm"), col("st").as("sb")),
+            col("am") < col("bm") && jac >= 0.8)
+          .select(col("bm").as("m")).distinct().withColumn("md", lit(true))
+      }
     docs.join(g.select(col("skey"), col("m")), "skey")
       .join(minDup, Seq("m"), "left")
       .where(col("doc_id") > col("m") || coalesce(col("md"), lit(false)))
