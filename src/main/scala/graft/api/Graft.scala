@@ -232,6 +232,44 @@ object Graft {
         df.select(col(id).cast("long").as("doc_id"), col(text).as("text")))
       .withColumnRenamed("doc_id", id)
 
+  /** Per-doc INTRINSIC release-manifest verdicts (the columns a standing
+    * corpus release persists between crawl increments): g (gopher cascade),
+    * cont (≥80% containment of a benchmark doc's distinct tokens), q4
+    * (length / trigram-repetition / language rules). Every verdict is a
+    * pure function of the row plus the fixed bench set, which is what
+    * makes the release composition incremental — new batches score
+    * map-side, nothing standing is re-scored. `bench` carries
+    * (bench_id, bst: array&lt;string&gt;) distinct-token sets. */
+  def releaseIntrinsics(docs: DataFrame, bench: DataFrame): DataFrame =
+    graft.ops.Pipeline.releaseIntrinsics(docs, bench)
+
+  /** The global release TAIL over a narrow per-doc flag manifest (doc_id,
+    * lang, source, tok, k1..k4): domain-mix threshold, per-stage audit
+    * rows, 512-token packing, and the 16-shard manifest — the shared end
+    * of both the full and incremental release compositions
+    * (pipeline_release_e2e / _incremental). */
+  def releaseAudit(manifest: DataFrame): DataFrame =
+    graft.ops.Pipeline.releaseAuditFromFlags(manifest)
+
+  /** Per-series climatology skill check for the [[forecast]] model: exact
+    * integer 80/20 split, holdout MAE vs the train-mean baseline on the
+    * raw series and on a known injected daily signal. Output: (key,
+    * n_train, n_test, naive_num, naive_num_signal, beats_signal,
+    * noise_ratio4_ok) — see forecast_skill_audit for the gating use. */
+  def forecastSkillCheck(df: DataFrame, key: String, time: String,
+      value: String): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(key).cast("long").as("user_id"), col(time).as("bucket"),
+        col(value).cast("double").as("v"))
+      .as[graft.ops.Forecast.Point]
+      .groupByKey(_.user_id)
+      .flatMapGroups((k: Long, it: Iterator[graft.ops.Forecast.Point]) =>
+        graft.ops.Forecast.skillCheck(k, it.toArray))
+      .toDF()
+      .withColumnRenamed("user_id", key)
+  }
+
   /** Unigram-LM mean-surprisal band filter (the perplexity-proxy gate a
     * quality cascade runs before any neural scorer): too-low = boilerplate,
     * too-high = gibberish; verdicts ride exact scaled-integer arithmetic. */

@@ -681,4 +681,38 @@ class ApiSpec extends AnyFunSuite {
       abs(col("yhat") - col("trend") * col("seasonal_factor")) >
         lit(1e-3) * greatest(lit(1.0), abs(col("yhat")))).count() == 0)
   }
+
+  test("round-10b facade: releaseIntrinsics/releaseAudit/forecastSkillCheck") {
+    import graft.api.Graft
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("bench_id"), array_distinct(split(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("bst"))
+    val man = Graft.releaseIntrinsics(docs, bench)
+    assert(man.columns.toSeq ==
+      Seq("doc_id", "lang", "source", "tok", "g", "cont", "q4"))
+    assert(man.count() == docs.count())
+    // audit tail over a no-dedup manifest: stage rows must be present,
+    // monotone non-increasing, and conserve the input count
+    val flags = man
+      .withColumn("k1", col("g")).withColumn("k2", col("k1"))
+      .withColumn("k3", col("k2") && col("doc_id") >= 5 && !col("cont"))
+      .withColumn("k4", col("k3") && col("q4"))
+      .select("doc_id", "lang", "source", "tok", "k1", "k2", "k3", "k4")
+    val audit = Graft.releaseAudit(flags).collect()
+    val byStage = audit.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byStage.keySet.count(_.startsWith("7_shard_")) > 0)
+    val chain = Seq("1_gopher", "2_neardup", "3_decontaminate", "4_quality",
+      "5_mix").map(byStage)
+    assert(chain.zip(chain.tail).forall { case (a, b) => b <= a },
+      s"stage rows_out must be non-increasing: $chain")
+    assert(audit.find(_.getString(0) == "1_gopher").get.getLong(1) ==
+      docs.count())
+    // per-series skill diagnostics through the facade, caller-named key
+    val sk = Graft.forecastSkillCheck(graft.util.Canon.events(spark, sf)
+        .resample("user_id", "ts", "value", "1 hour"),
+      "user_id", "bucket", "value")
+    assert(sk.columns.contains("user_id") && sk.count() > 0)
+    assert(sk.where(col("naive_num") <= 0L).count() == 0)
+  }
 }
