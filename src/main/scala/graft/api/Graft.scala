@@ -251,6 +251,26 @@ object Graft {
   def releaseAudit(manifest: DataFrame): DataFrame =
     graft.ops.Pipeline.releaseAuditFromFlags(manifest)
 
+  /** Bootstrap the persisted release state (intrinsic manifest + bench
+    * token sets + near-dedup state over gopher survivors) under `dir` —
+    * run once; increments fold in via [[releaseStateRefresh]]. `docs` must
+    * include the benchmark docs (ids 0–4). */
+  def releaseStateWrite(docs: DataFrame, dir: String): Unit =
+    graft.ops.Pipeline.releaseStateWrite(docs, dir)
+
+  /** Fold a crawl increment into the persisted release state: manifest
+    * rows append (intrinsic verdicts never re-score the standing corpus),
+    * near-dedup labels/sets/bands fold incrementally — work ∝ batch.
+    * Chained increments serve the identical release as a from-scratch
+    * rebuild (proven in ApiSpec). */
+  def releaseStateRefresh(batch: DataFrame, dir: String): Unit =
+    graft.ops.Pipeline.releaseStateRefresh(batch, dir)
+
+  /** Serve the release audit + shard manifest from persisted state alone —
+    * no corpus scan; output shape ≡ pipeline_release_e2e. */
+  def releaseServe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pipeline.releaseServe(s, dir)
+
   /** Per-series climatology skill check for the [[forecast]] model: exact
     * integer 80/20 split, holdout MAE vs the train-mean baseline on the
     * raw series and on a known injected daily signal. Output: (key,

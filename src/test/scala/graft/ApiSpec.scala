@@ -715,4 +715,27 @@ class ApiSpec extends AnyFunSuite {
     assert(sk.columns.contains("user_id") && sk.count() > 0)
     assert(sk.where(col("naive_num") <= 0L).count() == 0)
   }
+
+  test("release state lifecycle: two chained increments ≡ one-shot e2e") {
+    // Bootstrap on the first half, fold in two quarter-increments, serve
+    // from state alone (no corpus scan) — must equal the full one-shot
+    // composition over the whole corpus. This is the chained-increments
+    // equivalence a standing release platform depends on (the release-level
+    // twin of the neardup state-refresh proof).
+    import graft.ops.Pipeline
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mx = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val (c1, c2) = (mx / 2, mx * 3 / 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_release_state").toString
+    Pipeline.releaseStateWrite(docs.where(col("doc_id") < c1), dir)
+    Pipeline.releaseStateRefresh(
+      docs.where(col("doc_id") >= c1 && col("doc_id") < c2), dir)
+    Pipeline.releaseStateRefresh(docs.where(col("doc_id") >= c2), dir)
+    val served = Pipeline.releaseServe(spark, dir)
+      .collect().map(_.toString).toSeq
+    val e2e = SparkEntry.queries("pipeline_release_e2e")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(served == e2e)
+  }
 }
