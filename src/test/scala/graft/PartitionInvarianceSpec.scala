@@ -60,7 +60,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_incremental_join",
     // round 10: the release composition (flag-manifest chain — every stage
     // verdict must be a pure function of the row, never of partitioning)
-    "pipeline_release_e2e", "pipeline_release_incremental")
+    "pipeline_release_e2e", "pipeline_release_incremental",
+    // round 10b: audit rows whose replayable columns are exact integer
+    // folds and whose verdicts carry wide deterministic margins (the ANN
+    // recall audit is excluded: its IVF/PQ training accumulates floats
+    // whose partition order may shift low bits without moving verdicts)
+    "dedup_minhash_audit", "dedup_simhash_audit", "forecast_skill_audit")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
