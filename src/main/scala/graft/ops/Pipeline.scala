@@ -799,31 +799,44 @@ object Pipeline {
     * both. */
   private[graft] def releaseIntrinsics(docsIn: DataFrame,
       bench: DataFrame): DataFrame = {
-    val docs = docsIn.select(col("doc_id"), col("lang"), col("source"),
+    // CHECKPOINT DISCIPLINE (measured r10 at a 64×-multiplied corpus,
+    // same finding as pipelineReleaseE2e's interior checkpoints): the
+    // scan→gopher→join lineage used to sit twice in the DAG (containment
+    // broadcast build + main stream) and evaluate twice per action. One
+    // checkpoint of a manifest that is scalar except for the
+    // SURVIVOR-ONLY distinct-token arrays (dtk NULL wherever containment
+    // cannot matter) makes it evaluate once: bootstrap 30.6→18.0 s at
+    // 64×, neutral at 1×, persisted manifests identical.
+    val d0 = docsIn.select(col("doc_id"), col("lang"), col("source"),
         split(normText, " ").as("tk"))
       .withColumn("tok", size(col("tk")).cast("long"))
     val gf = gopherRulesCore(docsIn).select(col("doc_id"), col("keep").as("g"))
-    val d1 = docs.join(gf, "doc_id")
+    val tg = when(size(col("tk")) >= 3, expr(
+      "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+      .otherwise(expr("array()"))
+    val q4 = size(col("tk")) >= 30 &&
+      (size(col("tg")) - size(array_distinct(col("tg")))).cast("long") * 50 <=
+        size(col("tg")).cast("long") &&
+      col("lang").isin("en", "fr", "de")
+    val man = d0.join(gf, "doc_id")
+      .withColumn("tg", tg).withColumn("q4", q4)
+      .withColumn("dtk", when(col("g") && col("doc_id") >= 5,
+        array_distinct(col("tk"))))
+      .select(col("doc_id"), col("lang"), col("source"), col("tok"),
+        col("g"), col("q4"), col("dtk"))
+      .localCheckpoint(true)
     val btok = bench.select(col("bench_id"), explode(col("bst")).as("t"))
     val bsz = bench.select(col("bench_id"),
       size(col("bst")).cast("long").as("nb"))
-    val cont = d1.where(col("g") && col("doc_id") >= 5)
-      .select(col("doc_id"), explode(array_distinct(col("tk"))).as("t"))
+    val cont = man.where(col("dtk").isNotNull)
+      .select(col("doc_id"), explode(col("dtk")).as("t"))
       .join(broadcast(btok), "t")
       .groupBy(col("doc_id"), col("bench_id")).agg(count(lit(1)).as("ns"))
       .join(broadcast(bsz), "bench_id")
       .where(col("ns") * 10 >= col("nb") * 8)
       .select(col("doc_id")).distinct()
       .withColumn("c", lit(true))
-    val tg = when(size(col("tk")) >= 3, expr(
-      "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
-      .otherwise(expr("array()"))
-    d1.join(broadcast(cont), Seq("doc_id"), "left")
-      .withColumn("tg", tg)
-      .withColumn("q4", size(col("tk")) >= 30 &&
-        (size(col("tg")) - size(array_distinct(col("tg")))).cast("long") * 50 <=
-          size(col("tg")).cast("long") &&
-        col("lang").isin("en", "fr", "de"))
+    man.join(broadcast(cont), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("source"), col("tok"),
         col("g"), coalesce(col("c"), lit(false)).as("cont"), col("q4"))
   }

@@ -63,4 +63,31 @@ class EdgeCorpusSpec extends AnyFunSuite {
     val (labels, _) = ops.TextDedup.neardupLabelsFromDocs(empty)
     assert(labels.collect().isEmpty)
   }
+
+  test("releaseStateRefresh with an EMPTY crawl increment is a no-op: " +
+      "served audit identical before and after") {
+    // The realistic standing-platform edge: a crawl slice lands with
+    // nothing new. The refresh must neither corrupt the near-dup state
+    // nor change the served release.
+    import graft.ops.Pipeline
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_release_empty_inc").toString
+    Pipeline.releaseStateWrite(docs.where(col("doc_id") < 200), dir)
+    val before = Pipeline.releaseServe(spark, dir)
+      .collect().map(_.toString).toSeq
+    Pipeline.releaseStateRefresh(docs.where(lit(false)), dir)
+    val after = Pipeline.releaseServe(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(after == before)
+    // and a real increment on top of the empty one still folds in cleanly
+    Pipeline.releaseStateRefresh(
+      docs.where(col("doc_id") >= 200 && col("doc_id") < 260), dir)
+    val grown = Pipeline.releaseServe(spark, dir)
+      .collect().map(_.toString).toSeq
+    val oneShot = ops.Pipeline.queries("pipeline_release_e2e")(spark,
+      corpusDir("inc_260")(_.where(col("doc_id") < 260)))
+      .collect().map(_.toString).toSeq
+    assert(grown == oneShot)
+  }
 }
