@@ -602,7 +602,7 @@ object TextDedup {
     * the parquet corpus can't produce, and the bounded-slice CC queries
     * share it so the sliced and full-corpus label paths cannot drift. */
   private[graft] def neardupLabelsFromDocs(docsIn: DataFrame,
-      maskSetCap: Long = 1L << 16): (DataFrame, Int) = {
+      maskSetCap: Long = 1L << 13): (DataFrame, Int) = {
     val docs = docsIn
       .select(col("doc_id"), sort_array(array_distinct(toks(normText))).as("st"))
       // canonical set key: sorted tokens joined on a separator that cannot
@@ -624,6 +624,15 @@ object TextDedup {
     // path takes over — the same adaptive routing pattern as
     // propagateMinLabels' 2^19 local-solve cap. Only under the proven
     // bounds does the (≤64-row) vocabulary collect.
+    // Cap SIZED BY MEASUREMENT (r10c, a 16×-multiplied sf0.1 corpus whose
+    // near-clique spans 59,648 distinct sets): at 62k sets — under the
+    // original 2^16 cap — the all-pairs route ran >600 s on 32 threads,
+    // because the hazard is not only the k²/2 comparisons but the
+    // Θ(clique²) MATERIALIZED true-edge set a giant near-dup cluster
+    // feeds into label propagation (the banded route's star+window
+    // emission is O(n) and labeled the same corpus in ~21 s). 2^13 keeps
+    // the worst case at ~33M comparisons / ~33M emitted edges — trivially
+    // cheap — while the sf fixtures (≤3.9k sets) stay on the exact path.
     val guard = sets.select(col("sid"), explode_outer(col("st")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"),
         countDistinct(col("sid")).as("k")).head()

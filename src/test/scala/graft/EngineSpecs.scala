@@ -755,7 +755,7 @@ class NeardupBandedSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1))).toMap
     }
     val banded = labelsOf(16L) // forces the fallback: |sets| = 38 > 16
-    val bitmask = labelsOf(1L << 16) // the default fast path
+    val bitmask = labelsOf(1L << 13) // the default fast path
     assert(banded == want, "guarded banded labels differ from exact closure")
     assert(bitmask == want, "bitmask labels differ from exact closure")
   }
