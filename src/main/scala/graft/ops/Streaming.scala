@@ -494,6 +494,11 @@ object Streaming {
     // match the batch path exactly without a per-trigger driver action
     val vocab = TextDedup.neardupUnionVocab(
       TextDedup.hashedDocSets(s.read.parquet(srcDir)), st)
+    // routing verdict for the WHOLE increment, probed once with the vocab
+    // (micro-batch set counts are subsets, so the verdict is conservative
+    // for every trigger and no per-trigger driver action is added)
+    val maskOk = TextDedup.neardupMaskRouteOk(st, vocab,
+      s.read.parquet(srcDir).count()) // row count ≥ set count: conservative
     val q = s.readStream.schema(s.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
       .writeStream.option("checkpointLocation", ckpt)
@@ -503,7 +508,8 @@ object Streaming {
         // checkpointed mask frame) and a micro-batch re-derivation is one
         // map-only pass — a per-trigger checkpoint job costs more
         val stage = TextDedup.neardupPairStage(
-          TextDedup.hashedDocSets(batch.toDF()), st, Some(vocab))
+          TextDedup.hashedDocSets(batch.toDF()), st, Some(vocab),
+          Some(maskOk))
         val matches = stage.memberMap.join(stage.crossReps, "sa")
           .select(col("id").as("doc_id"), col("sid"), col("jacc"))
         matches.write.mode(if (id == 0) "overwrite" else "append").parquet(out)

@@ -844,15 +844,36 @@ object TextDedup {
     st.sets.select(explode(col("sh")).as("h"))
       .unionByName(hb.select(explode(col("sh")).as("h")))
       .distinct().limit(65).collect().map(_.getLong(0)).sorted
+  /** Mask-branch routing verdict for [[neardupPairStage]]: vocabulary ≤ 64
+    * AND a set-count guard on BOTH sides, mirroring neardupLabelsFromDocs'
+    * maskSetCap (r10c, measured on a 16×-clique corpus): the mask branch's
+    * theta joins emit Θ(standing×batchReps) comparisons AND — on a true
+    * near-dup clique — Θ(batch×clique) verified matches before
+    * contraction (~660M rows at x16, ~38 s/increment). Past the cap the
+    * banded branch takes over; its per-bucket standing representatives
+    * keep candidates O(batch×bands). Computed ONCE per increment (two
+    * bounded count actions); the streaming path passes the verdict for
+    * the WHOLE increment so micro-batches (whose counts are subsets) add
+    * no per-trigger driver action. */
+  private[graft] val MaskSetCap = 1L << 13
+  private[graft] def neardupMaskRouteOk(st: NeardupState,
+      vocab: Array[Long], nBatch: => Long): Boolean =
+    // short-circuit order: the open-vocab verdict costs nothing extra,
+    // and nBatch may be a cheap ROW count (an upper bound on batch sets —
+    // a conservative guard is still a guard)
+    vocab.length <= 64 && st.sets.count() <= MaskSetCap &&
+      nBatch <= MaskSetCap
   private[graft] def neardupPairStage(hb: DataFrame, st: NeardupState,
-      precomputedVocab: Option[Array[Long]] = None): NeardupPairStage = {
+      precomputedVocab: Option[Array[Long]] = None,
+      precomputedMaskOk: Option[Boolean] = None): NeardupPairStage = {
     // callers that pair MANY batches against one standing state (the
     // streaming path) compute the union vocabulary ONCE over the full
     // increment and pass it in: each micro-batch's vocabulary is a subset
     // (a batch token outside it would break mask indexing), so the ≤64
     // routing verdict and the mask bit assignment are identical
     val vocab = precomputedVocab.getOrElse(neardupUnionVocab(hb, st))
-    if (vocab.length <= 64) {
+    if (precomputedMaskOk.getOrElse(
+        neardupMaskRouteOk(st, vocab, hb.count()))) {
       val idx = vocab.zipWithIndex.toMap
       val maskU = udf { (sh: Seq[Long]) =>
         var m = 0L; sh.foreach(h => m |= 1L << idx(h)); m
@@ -879,9 +900,31 @@ object TextDedup {
       NeardupPairStage(crossReps, bbPairs.unionByName(star),
         bMasks.join(broadcast(reps), Seq("ma", "na")).select(col("id"), col("sa")))
     } else {
+      // GUARDED bipartite candidates. A naive batch-bands ⋈ standing-bands
+      // join pairs every batch set with EVERY co-bucketed standing set —
+      // measured r10c on a 16×-multiplied clique corpus (a 45k-member
+      // standing near-clique shares every bucket): ~670M candidate pairs,
+      // all exact-verified, for edges the very next step CONTRACTS to
+      // (batch, standing-component). Since only one true edge per
+      // (batch set, component) survives contraction, verifying a BOUNDED
+      // set of standing representatives per bucket suffices: the 8
+      // smallest sids (a superset of the full path's bucket-min star —
+      // corpus ids precede batch ids, so the union bucket-min IS the
+      // smallest standing sid) plus the 3 largest (the id-adjacent
+      // predecessors the full path's W=3 window would give a batch id
+      // appended after the corpus). Buckets with ≤ 8 standing members are
+      // verified in full — identical behavior; only mega-buckets are
+      // repped, turning Θ(batch×clique) into O(batch×bands×11).
+      val wB = Window.partitionBy("band", "bh")
+      val stReps = st.bands
+        .join(bandTable(hb).select(col("band"), col("bh")).distinct(),
+          Seq("band", "bh")) // only buckets the batch actually probes
+        .withColumn("rka", row_number().over(wB.orderBy(col("id").asc)))
+        .withColumn("rkd", row_number().over(wB.orderBy(col("id").desc)))
+        .where(col("rka") <= 8 || col("rkd") <= 3)
+        .select(col("id").as("sid"), col("band"), col("bh"))
       val cands = bandTable(hb).select(col("id").as("sa"), col("band"), col("bh"))
-        .join(st.bands.select(col("id").as("sid"), col("band"), col("bh")),
-          Seq("band", "bh"))
+        .join(stReps, Seq("band", "bh"))
         .select("sa", "sid").distinct()
       val crossReps = cands
         .join(hb.select(col("id").as("sa"), col("sh").as("sha")), "sa")
