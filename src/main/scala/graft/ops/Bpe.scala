@@ -145,11 +145,11 @@ object Bpe {
     * same contiguous one-window packing, budget measured in subword tokens
     * instead of whitespace words. */
   private val packSequencesBpe: Q = (s, d) => {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tbl(s, d, "documents")
-      .withColumn("tok", bpeTokens(normText))
-      .withColumn("cum", sum(col("tok")).over(w))
+    // distributed prefix sum (Canon.chunkedCumSum): bit-identical to the
+    // per-lang running window, without one-task-per-language at scale
+    graft.util.Canon.chunkedCumSum(
+      tbl(s, d, "documents").withColumn("tok", bpeTokens(normText)),
+      Seq("lang"), "doc_id", "tok", "cum")
       .withColumn("pack_id", floor((col("cum") - col("tok")) / 1024.0).cast("long"))
       .groupBy(col("lang"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))

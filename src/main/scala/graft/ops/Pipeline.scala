@@ -153,11 +153,13 @@ object Pipeline {
     * (lang)-keyed shuffle instead of the inherently sequential first-fit
     * bin-packer. Output is the per-pack manifest a trainer consumes. */
   private val packSequences: Q = (s, d) => {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tbl(s, d, "documents")
-      .withColumn("tok", size(split(normText, " ")).cast("long"))
-      .withColumn("cum", sum(col("tok")).over(w))
+    // running totals via Canon.chunkedCumSum (distributed prefix sum) —
+    // bit-identical to the single per-lang window, without its one-task-
+    // per-language ceiling at scale
+    chunkedCumSum(
+      tbl(s, d, "documents")
+        .withColumn("tok", size(split(normText, " ")).cast("long")),
+      Seq("lang"), "doc_id", "tok", "cum")
       .withColumn("pack_id", floor((col("cum") - col("tok")) / 512.0).cast("long"))
       .groupBy(col("lang"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("pack_tokens"))
@@ -189,10 +191,8 @@ object Pipeline {
     val toked = tbl(s, d, "documents")
       .withColumn("tok", size(split(normText, " ")).cast("long"))
       .select(col("lang"), col("doc_id"), col("tok"))
-    val wCum = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val contigPacks = toked
-      .withColumn("cum", sum(col("tok")).over(wCum))
+    val contigPacks = chunkedCumSum(toked,
+        Seq("lang"), "doc_id", "tok", "cum")
       .withColumn("pack_id", floor((col("cum") - col("tok")) / 512.0).cast("long"))
       .groupBy(col("lang"), col("pack_id")).agg(sum(col("tok")).as("pt"))
     val balPacks = toked
@@ -747,10 +747,10 @@ object Pipeline {
       n(col("k4")).as("n4"), t(col("k4")).as("t4"),
       n(col("k5")).as("n5"), t(col("k5")).as("t5"))
     // stage 6 — contiguous 512-token packing of the surviving corpus
-    val wp = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packs = f5.where(col("k5"))
-      .withColumn("cum", sum(col("tok")).over(wp))
+    // (distributed prefix sum: bit-identical to the per-lang running
+    // window, without its one-task-per-language ceiling)
+    val packs = chunkedCumSum(f5.where(col("k5")),
+        Seq("lang"), "doc_id", "tok", "cum")
       .withColumn("pack_id", floor((col("cum") - col("tok")) / 512.0).cast("long"))
       .groupBy(col("lang"), col("pack_id")).agg(sum(col("tok")).as("pt"))
     val pa = packs.agg(coalesce(count(lit(1)), lit(0L)).as("npk"),

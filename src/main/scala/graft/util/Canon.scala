@@ -56,6 +56,40 @@ object Canon {
   def listCol(c: Column): Column =
     array_join(transform(c, _.cast("string")), ",")
 
+  /** Distributed PREFIX SUM over `part`-keyed streams ordered by a
+    * non-negative numeric `orderCol` — the scale-safe replacement for
+    * `sum(val).over(Window.partitionBy(part).orderBy(orderCol))`, whose
+    * running-total frame forces ONE task per partition key (with ~3
+    * languages, a 100 TB pack stage would run on 3 tasks). Classic
+    * two-phase scan: chunk rows by `floor(orderCol / chunkWidth)`, cumsum
+    * inside each (part, chunk) window — parallel across chunks — then add
+    * each chunk's prefix offset (an aggregate of chunk TOTALS, a frame
+    * with one row per chunk whose own prefix window is trivially small).
+    * Integer sums are associative, so the result is BIT-IDENTICAL to the
+    * single-window form (CumSumSpec asserts it with a width that forces
+    * many chunks). A chunk holds ≤ chunkWidth rows, bounding skew; the
+    * default 2^16 keeps the sf fixtures single-chunk (same plan cost)
+    * while a corpus with billions of ids gets thousands-fold window
+    * parallelism. Emits running total INCLUDING the current row. */
+  def chunkedCumSum(df: DataFrame, part: Seq[String], orderCol: String,
+      valCol: String, out: String, chunkWidth: Long = 1L << 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = part.map(col)
+    val wIn = Window.partitionBy((pc :+ col("_ck")): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPre = Window.partitionBy(pc: _*).orderBy(col("_ck"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCk = df.withColumn("_ck",
+      floor(col(orderCol).cast("double") / chunkWidth).cast("long"))
+    val offsets = withCk.groupBy((pc :+ col("_ck")): _*)
+      .agg(sum(col(valCol)).as("_ct"))
+      .withColumn("_off", coalesce(sum(col("_ct")).over(wPre), lit(0L)))
+      .select((pc :+ col("_ck") :+ col("_off")): _*)
+    withCk.join(offsets, part :+ "_ck")
+      .withColumn(out, sum(col(valCol)).over(wIn) + col("_off"))
+      .drop("_ck", "_off")
+  }
+
   /** Content stamp of a source table's parquet path — file names, sizes and
     * mtimes hashed driver-side, no Spark job. Folded into every staged-layout
     * dir name (zorder / partitioned / metadata / stream replay), so a session

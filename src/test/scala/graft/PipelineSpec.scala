@@ -208,4 +208,28 @@ class PipelineSpec extends AnyFunSuite {
       .where(col("count") =!= 1).count()
     assert(multiCurrent == 0)
   }
+
+  test("chunkedCumSum: many-chunk prefix sum bit-equals the single window") {
+    // chunkWidth=64 forces ~8 chunks per language on the fixture — the
+    // parallel two-phase scan must reproduce the one-task-per-key running
+    // window EXACTLY (integer sums are associative), including on sparse
+    // ids (the filtered slice) and on a key with a single row
+    import org.apache.spark.sql.expressions.Window
+    val toked = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("tok", size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .select(col("lang"), col("doc_id"), col("tok"))
+    for (slice <- Seq(toked, toked.where(col("doc_id") % 3 === 0),
+        toked.where(col("doc_id") === 7))) {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = slice.withColumn("cum", sum(col("tok")).over(w))
+        .select("lang", "doc_id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val got = graft.util.Canon.chunkedCumSum(slice,
+          Seq("lang"), "doc_id", "tok", "cum", chunkWidth = 64)
+        .select("lang", "doc_id", "cum").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want)
+    }
+  }
 }
