@@ -73,12 +73,14 @@ object Pipeline {
     * by the stratum. The 10000-bucket hash order makes the pick uniform;
     * doc_id tiebreak makes it total. */
   private val sampleFixedK: Q = (s, d) => {
-    val w = Window.partitionBy("lang")
-      .orderBy(col("bucket"), col("doc_id"))
-    tbl(s, d, "documents")
-      .withColumn("bucket", hbucket(col("doc_id"), 10000))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 25)
+    // top-25 per language via the distributed two-phase rank
+    // (Canon.chunkedTopK) — identical rows and ranks to the single
+    // per-lang window, without its one-task-per-language sort
+    chunkedTopK(
+      tbl(s, d, "documents")
+        .withColumn("bucket", hbucket(col("doc_id"), 10000)),
+      Seq("lang"), Seq(col("bucket"), col("doc_id")), col("doc_id"),
+      k = 25, out = "rk")
       .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
       .orderBy("lang", "rk")
   }
@@ -111,15 +113,17 @@ object Pipeline {
     * expression, no period. The hbucket form exists so the DuckDB oracle
     * can replay the draw exactly. */
   private val sampleReservoirWeighted: Q = (s, d) => {
-    val w = Window.partitionBy("lang")
-      .orderBy(desc("key"), col("doc_id"))
-    tbl(s, d, "documents")
-      .withColumn("li", floor(
-        log((hbucket(col("doc_id"), 1000000) + 1L).cast("double") / 1000000.0)
-          * 1e6 + 0.5).cast("long"))
-      .withColumn("key", col("li").cast("double") / col("n_chars").cast("double"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 10)
+    // A-ES keeps the k best keys per stratum — drawn with the distributed
+    // two-phase rank (Canon.chunkedTopK), identical to the single window
+    chunkedTopK(
+      tbl(s, d, "documents")
+        .withColumn("li", floor(
+          log((hbucket(col("doc_id"), 1000000) + 1L).cast("double") / 1000000.0)
+            * 1e6 + 0.5).cast("long"))
+        .withColumn("key",
+          col("li").cast("double") / col("n_chars").cast("double")),
+      Seq("lang"), Seq(desc("key"), col("doc_id")), col("doc_id"),
+      k = 10, out = "rk")
       .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"),
         r4(col("key")).as("es_key"))
       .orderBy("lang", "rk")

@@ -90,6 +90,28 @@ object Canon {
       .drop("_ck", "_off")
   }
 
+  /** Distributed TOP-K per `part` key under a TOTAL `order` — the
+    * scale-safe replacement for `row_number().over(partitionBy(part)
+    * .orderBy(order)).where(rk <= k)`, which sorts each key's ENTIRE
+    * stream on one task (with ~5 languages, a 100 TB reservoir draw runs
+    * on 5 tasks). Two-phase: rank within (part, hash-chunk) and keep each
+    * chunk's local top-k — the global top-k is always a subset of the
+    * union of local top-ks, for ANY chunking — then re-rank the ≤
+    * k·chunks survivors per key. Result (including the emitted rank) is
+    * identical to the single window whenever `order` is total within a
+    * key, which every caller guarantees with a doc_id tiebreak. */
+  def chunkedTopK(df: DataFrame, part: Seq[String], order: Seq[Column],
+      chunkBy: Column, k: Int, out: String, chunks: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = part.map(col)
+    val wLoc = Window.partitionBy((pc :+ col("_c")): _*).orderBy(order: _*)
+    val wGlob = Window.partitionBy(pc: _*).orderBy(order: _*)
+    df.withColumn("_c", pmod(chunkBy, lit(chunks)))
+      .withColumn("_lr", row_number().over(wLoc)).where(col("_lr") <= k)
+      .withColumn(out, row_number().over(wGlob)).where(col(out) <= k)
+      .drop("_c", "_lr")
+  }
+
   /** Content stamp of a source table's parquet path — file names, sizes and
     * mtimes hashed driver-side, no Spark job. Folded into every staged-layout
     * dir name (zorder / partitioned / metadata / stream replay), so a session

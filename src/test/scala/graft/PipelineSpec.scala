@@ -232,4 +232,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("chunkedTopK: two-phase rank equals the single-window top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("lang").orderBy(desc("n_chars"), col("doc_id"))
+    val want = docs.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 7)
+      .select("lang", "rk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // chunks=5 on the small fixture still spreads rows across chunks
+    val got = graft.util.Canon.chunkedTopK(docs, Seq("lang"),
+        Seq(desc("n_chars"), col("doc_id")), col("doc_id"), k = 7,
+        out = "rk", chunks = 5)
+      .select("lang", "rk", "doc_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
