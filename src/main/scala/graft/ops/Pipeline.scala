@@ -492,8 +492,12 @@ object Pipeline {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("dc")).as("n_tokens"), sum(col("dc") * col("li")).as("si"))
       .withColumn("ms", col("si").cast("double") / col("n_tokens"))
-    val w = Window.partitionBy("lang").orderBy(col("ms"), col("doc_id"))
-    per.withColumn("bucket", ntile(3).over(w))
+    // ntile(3) without the one-task-per-language window
+    // (Canon.chunkedNtile: distributed rank + SQL-standard ntile
+    // arithmetic; chunk key floor(ms/1e5) is monotone along the ms order
+    // and constant on ties; the oracle row pins equality with DuckDB)
+    chunkedNtile(per, Seq("lang"), floor(col("ms") / 100000).cast("long"),
+      Seq(col("ms"), col("doc_id")), k = 3, out = "bucket")
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         r4(min(col("ms")) / 1e6).as("ms_min"),
@@ -611,15 +615,15 @@ object Pipeline {
     tokenBudgetCore(tbl(s, d, "documents"), 10000L) // fixture-sized budget
   private[graft] def tokenBudgetCore(docs: DataFrame,
       budget: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byQ = Window.partitionBy("lang")
-      .orderBy(desc("n_chars"), asc("doc_id"))
-    docs
-      .select(col("lang"), col("doc_id"), col("n_chars"),
-        size(split(normText, " ")).cast("long").as("tok"))
-      .withColumn("cum_tok",
-        sum(col("tok")).over(byQ.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+    // value-ordered distributed prefix sum: chunk key floor(-n_chars/64)
+    // is monotone along (desc n_chars) and constant on ties, so the
+    // two-phase scan bit-equals the per-lang running window without its
+    // one-task-per-language ceiling
+    chunkedCumSumBy(
+      docs.select(col("lang"), col("doc_id"), col("n_chars"),
+        size(split(normText, " ")).cast("long").as("tok")),
+      Seq("lang"), floor(-col("n_chars").cast("double") / 64).cast("long"),
+      Seq(desc("n_chars"), asc("doc_id")), "tok", "cum_tok")
       .where(col("cum_tok") <= budget)
       .select(col("lang"), col("doc_id"), col("n_chars"), col("tok"),
         col("cum_tok"))

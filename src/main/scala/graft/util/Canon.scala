@@ -72,15 +72,30 @@ object Canon {
     * while a corpus with billions of ids gets thousands-fold window
     * parallelism. Emits running total INCLUDING the current row. */
   def chunkedCumSum(df: DataFrame, part: Seq[String], orderCol: String,
-      valCol: String, out: String, chunkWidth: Long = 1L << 16): DataFrame = {
+      valCol: String, out: String, chunkWidth: Long = 1L << 16): DataFrame =
+    chunkedCumSumBy(df, part,
+      floor(col(orderCol).cast("double") / chunkWidth).cast("long"),
+      Seq(col(orderCol)), valCol, out)
+
+  /** General form of [[chunkedCumSum]] for VALUE-ordered running totals
+    * (e.g. a token-budget cut ordered by `desc(n_chars), doc_id`):
+    * `chunkKey` must be (a) monotone NON-DECREASING along `order` and
+    * (b) constant across order-equal rows — e.g. `floor(-n_chars/64)`
+    * for a descending n_chars order, so ties stay inside one chunk and
+    * the chunk sequence follows the sort. Unlike the id-chunked form a
+    * value-keyed chunk is bounded by the VALUE distribution, not by row
+    * count (a corpus where every doc has equal n_chars collapses to one
+    * chunk — the same degenerate skew the single window has always had);
+    * pick the width so typical chunks stay executor-sized. */
+  def chunkedCumSumBy(df: DataFrame, part: Seq[String], chunkKey: Column,
+      order: Seq[Column], valCol: String, out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pc = part.map(col)
-    val wIn = Window.partitionBy((pc :+ col("_ck")): _*).orderBy(col(orderCol))
+    val wIn = Window.partitionBy((pc :+ col("_ck")): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPre = Window.partitionBy(pc: _*).orderBy(col("_ck"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withCk = df.withColumn("_ck",
-      floor(col(orderCol).cast("double") / chunkWidth).cast("long"))
+    val withCk = df.withColumn("_ck", chunkKey.cast("long"))
     val offsets = withCk.groupBy((pc :+ col("_ck")): _*)
       .agg(sum(col(valCol)).as("_ct"))
       .withColumn("_off", coalesce(sum(col("_ct")).over(wPre), lit(0L)))
@@ -88,6 +103,28 @@ object Canon {
     withCk.join(offsets, part :+ "_ck")
       .withColumn(out, sum(col(valCol)).over(wIn) + col("_off"))
       .drop("_ck", "_off")
+  }
+
+  /** Distributed ntile(k) per `part` key: rank via [[chunkedCumSumBy]]
+    * (cumsum of 1s) + SQL-standard ntile arithmetic from (rank, per-key
+    * count) — the first (n % k) tiles get ceil(n/k) rows, identical to
+    * Spark's and DuckDB's `ntile` (spec-asserted across n % k residues).
+    * Replaces `ntile(k).over(partitionBy(part).orderBy(order))`, which
+    * sorts each key on one task. `chunkKey` contract as in
+    * [[chunkedCumSumBy]]. */
+  def chunkedNtile(df: DataFrame, part: Seq[String], chunkKey: Column,
+      order: Seq[Column], k: Int, out: String): DataFrame = {
+    val ranked = chunkedCumSumBy(df.withColumn("_one", lit(1L)),
+      part, chunkKey, order, "_one", "_rk").drop("_one")
+    val counts = df.groupBy(part.map(col): _*).agg(count(lit(1)).as("_n"))
+    ranked.join(counts, part)
+      .withColumn(out, expr(
+        s"""CASE WHEN _rk <= (_n % $k) * (_n div $k + 1)
+                 THEN (_rk - 1) div (_n div $k + 1) + 1
+                 ELSE (_n % $k) +
+                      (_rk - (_n % $k) * (_n div $k + 1) - 1) div (_n div $k) + 1
+            END""").cast("int"))
+      .drop("_rk", "_n")
   }
 
   /** Distributed TOP-K per `part` key under a TOTAL `order` — the

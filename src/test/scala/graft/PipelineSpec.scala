@@ -250,4 +250,33 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("chunkedCumSumBy + chunkedNtile: value-ordered forms equal the " +
+      "single windows across n % k residues") {
+    import org.apache.spark.sql.expressions.Window
+    // per-key row counts 1..7 cover every n % k residue for k in {2,3,4};
+    // duplicate v values cross chunk boundaries (width 2) to test ties
+    val rows = for (g <- 1 to 7; i <- 1 to g)
+      yield (s"g$g", i.toLong, ((i * 3) % 5).toLong)
+    val df = spark.createDataFrame(rows).toDF("key", "id", "v")
+    // value-ordered cumsum: order (desc v, id), chunk floor(-v/2)
+    val w = Window.partitionBy("key").orderBy(desc("v"), col("id"))
+    val wantCum = df.withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val gotCum = graft.util.Canon.chunkedCumSumBy(df, Seq("key"),
+        floor(-col("v").cast("double") / 2).cast("long"),
+        Seq(desc("v"), col("id")), "v", "cum")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(gotCum == wantCum)
+    for (k <- Seq(2, 3, 4)) {
+      val wantN = df.withColumn("b", ntile(k).over(w))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+      val gotN = graft.util.Canon.chunkedNtile(df, Seq("key"),
+          floor(-col("v").cast("double") / 2).cast("long"),
+          Seq(desc("v"), col("id")), k, "b")
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+      assert(gotN == wantN, s"ntile($k)")
+    }
+  }
 }
