@@ -199,12 +199,20 @@ object Pipeline {
         Seq("lang"), "doc_id", "tok", "cum")
       .withColumn("pack_id", floor((col("cum") - col("tok")) / 512.0).cast("long"))
       .groupBy(col("lang"), col("pack_id")).agg(sum(col("tok")).as("pt"))
-    val balPacks = toked
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(desc("tok"), asc("doc_id"))) - 1)
+    // balanced side: distributed rank (value-ordered prefix sum of 1s)
+    // + per-lang totals via an agg join, replacing the full per-lang
+    // sort window and the whole-partition total window
+    val langTot = toked.groupBy(col("lang"))
+      .agg(sum(col("tok")).as("_T"))
+    val balPacks = chunkedCumSumBy(toked.withColumn("_one", lit(1L)),
+        Seq("lang"), floor(-col("tok").cast("double") / 64).cast("long"),
+        Seq(desc("tok"), asc("doc_id")), "_one", "rn1")
+      .drop("_one")
+      .withColumn("rn", col("rn1") - 1).drop("rn1")
+      .join(langTot, "lang")
       .withColumn("np", greatest(
-        ceil(sum(col("tok")).over(Window.partitionBy("lang")) / 512.0).cast("long"),
-        lit(1L)))
+        ceil(col("_T") / 512.0).cast("long"), lit(1L)))
+      .drop("_T")
       .withColumn("pack_id", expr(
         "CASE WHEN (rn div np) % 2 = 0 THEN rn % np ELSE np - 1 - (rn % np) END"))
       .groupBy(col("lang"), col("pack_id")).agg(sum(col("tok")).as("pt"))

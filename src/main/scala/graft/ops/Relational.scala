@@ -372,17 +372,23 @@ object Relational {
     * (n_chars, doc_id) — ties contribute the same sum under any internal
     * order (block coefficients are fixed), so the statistic is exact,
     * integer, and partition-invariant; only the display ratio is r4.
-    * At 100 TB: one shuffle on source, per-source window + agg — the
-    * standard keyed-window shape, nothing global. */
+    * At 100 TB: ranks ride Canon.chunkedCumSumBy (distributed prefix sum
+    * of 1s), so parallelism scales with value chunks, never one task per
+    * source. */
   private val aggGiniConcentration: Q = (s, d) =>
     giniConcentrationCore(tbl(s, d, "documents"))
   private[graft] def giniConcentrationCore(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bySrc = Window.partitionBy("source")
-      .orderBy(col("n_chars"), col("doc_id"))
-    docs
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("i", row_number().over(bySrc).cast("long"))
+    // ranks via the value-ordered distributed prefix sum of 1s
+    // (Canon.chunkedCumSumBy: chunk floor(n_chars/64) is monotone along
+    // the (n_chars, doc_id) order and constant on ties) — identical
+    // ranks to the per-source window without its one-task-per-source
+    // sort of the corpus
+    graft.util.Canon.chunkedCumSumBy(
+      docs.select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("_one", lit(1L)),
+      Seq("source"), floor(col("n_chars").cast("double") / 64).cast("long"),
+      Seq(col("n_chars"), col("doc_id")), "_one", "i")
+      .drop("_one")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),

@@ -1941,12 +1941,17 @@ object TextDedup {
     val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("nn"))
-    val w = Window.partitionBy("lang").orderBy(desc("score_raw"), asc("tok"))
-    tf.join(df, "tok").crossJoin(broadcast(n))
-      .withColumn("score_raw", col("tf") *
-        (log((col("nn") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+    // top-5 per lang over the vocab-sized score frame via the
+    // distributed two-phase rank (Canon.chunkedTopK) — at 100 TB the
+    // (lang, tok) frame is vocabulary-sized, still too big for one
+    // task per language
+    graft.util.Canon.chunkedTopK(
+      tf.join(df, "tok").crossJoin(broadcast(n))
+        .withColumn("score_raw", col("tf") *
+          (log((col("nn") + 1).cast("double") / (col("df") + 1).cast("double")) + 1.0)),
+      Seq("lang"), Seq(desc("score_raw"), asc("tok")), xxhash64(col("tok")),
+      k = 5, out = "rank")
+      .withColumn("rank", col("rank").cast("int"))
       .select(col("lang"), col("rank"), col("tok"), r4(col("score_raw")).as("score"))
       .orderBy("lang", "rank")
   }
@@ -1955,14 +1960,17 @@ object TextDedup {
     * Generator (graft_bigrams) inside a real analytics aggregation. */
   private val textBigramFreq: Q = (s, d) => {
     graft.ext.CatalystExt.register(s)
-    val w = Window.partitionBy("lang").orderBy(desc("tf"), asc("ngram"))
-    tbl(s, d, "documents")
-      .withColumn("tk", toks(normText))
-      .select(col("lang"), expr("graft_bigrams(tk)").as(Seq("pos", "ngram")))
-      .groupBy(col("lang"), col("ngram"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 5)
+    // top-5 per lang over the bigram-vocab frame via Canon.chunkedTopK
+    // (the (lang, ngram) frame scales with vocabulary², never one task
+    // per language)
+    graft.util.Canon.chunkedTopK(
+      tbl(s, d, "documents")
+        .withColumn("tk", toks(normText))
+        .select(col("lang"), expr("graft_bigrams(tk)").as(Seq("pos", "ngram")))
+        .groupBy(col("lang"), col("ngram"))
+        .agg(count(lit(1)).as("tf")),
+      Seq("lang"), Seq(desc("tf"), asc("ngram")), xxhash64(col("ngram")),
+      k = 5, out = "rank")
       .select("lang", "rank", "ngram", "tf")
       .orderBy("lang", "rank")
   }
