@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.util.Canon._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic subword (BPE) tokenization over a CHECKED-IN merges table

@@ -199,17 +199,14 @@ object Pipeline {
         Seq("lang"), "doc_id", "tok", "cum")
       .withColumn("pack_id", floor((col("cum") - col("tok")) / 512.0).cast("long"))
       .groupBy(col("lang"), col("pack_id")).agg(sum(col("tok")).as("pt"))
-    // balanced side: distributed rank (value-ordered prefix sum of 1s)
-    // + per-lang totals via an agg join, replacing the full per-lang
-    // sort window and the whole-partition total window
-    val langTot = toked.groupBy(col("lang"))
-      .agg(sum(col("tok")).as("_T"))
-    val balPacks = chunkedCumSumBy(toked.withColumn("_one", lit(1L)),
+    // balanced side: distributed rank AND per-lang token total in ONE
+    // chunked window pass (Canon.chunkedRankWithTotal) — replaces the
+    // full per-lang sort window, the whole-partition total window, and
+    // any second scan of the tokenized input
+    val balPacks = chunkedRankWithTotal(toked,
         Seq("lang"), floor(-col("tok").cast("double") / 64).cast("long"),
-        Seq(desc("tok"), asc("doc_id")), "_one", "rn1")
-      .drop("_one")
+        Seq(desc("tok"), asc("doc_id")), "tok", "rn1", "_T")
       .withColumn("rn", col("rn1") - 1).drop("rn1")
-      .join(langTot, "lang")
       .withColumn("np", greatest(
         ceil(col("_T") / 512.0).cast("long"), lit(1L)))
       .drop("_T")
@@ -503,9 +500,13 @@ object Pipeline {
     // ntile(3) without the one-task-per-language window
     // (Canon.chunkedNtile: distributed rank + SQL-standard ntile
     // arithmetic; chunk key floor(ms/1e5) is monotone along the ms order
-    // and constant on ties; the oracle row pins equality with DuckDB)
+    // and constant on ties; the oracle row pins equality with DuckDB).
+    // routeProbe = the raw doc frame: |per| ≤ |docs| and counting docs
+    // is a pruned scan, while counting `per` would run the surprisal
+    // aggregation pipeline a second time just to route.
     chunkedNtile(per, Seq("lang"), floor(col("ms") / 100000).cast("long"),
-      Seq(col("ms"), col("doc_id")), k = 3, out = "bucket")
+      Seq(col("ms"), col("doc_id")), k = 3, out = "bucket",
+      routeProbe = Some(docs))
       .groupBy(col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         r4(min(col("ms")) / 1e6).as("ms_min"),

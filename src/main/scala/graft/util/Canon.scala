@@ -72,10 +72,35 @@ object Canon {
     * while a corpus with billions of ids gets thousands-fold window
     * parallelism. Emits running total INCLUDING the current row. */
   def chunkedCumSum(df: DataFrame, part: Seq[String], orderCol: String,
-      valCol: String, out: String, chunkWidth: Long = 1L << 16): DataFrame =
+      valCol: String, out: String, chunkWidth: Long = 1L << 16,
+      routeProbe: Option[DataFrame] = None,
+      smallCap: Long = SmallWindowCap): DataFrame =
     chunkedCumSumBy(df, part,
       floor(col(orderCol).cast("double") / chunkWidth).cast("long"),
-      Seq(col(orderCol)), valCol, out)
+      Seq(col(orderCol)), valCol, out, routeProbe, smallCap)
+
+  /** ADAPTIVE ROUTING for the chunked window helpers (same pattern as the
+    * dedup maskSetCap / local-solve caps): below `SmallWindowCap` input
+    * rows the plain single window IS the better plan — measured r10c at
+    * sf0.1, the chunked forms carry ~0.5-0.6 s of fixed overhead per
+    * query (the offsets branch re-derives its input because column
+    * pruning differentiates the two join subtrees, so ReusedExchange
+    * never fires — plan-verified: 7 exchanges, 0 reused), while a ≤1M-row
+    * key sorts on one task in moderate time. Above the cap the chunked
+    * form's ≤2× input evaluation is amortized by chunk parallelism the
+    * single window can never have. The probe is one bounded action
+    * (limit(cap+1).count() — column-pruned to a row count, short-circuits
+    * at cap+1 rows); callers whose input frame is itself expensive to
+    * evaluate pass `routeProbe` = any CHEAP frame with at least as many
+    * rows (e.g. the raw scan a derived frame aggregates from) — an upper
+    * bound keeps the verdict conservative. Tests pass smallCap = 0 to
+    * force the chunked path; both paths are result-identical by the
+    * equality specs. */
+  val SmallWindowCap: Long = 1L << 20
+  private def routeSmall(df: DataFrame, routeProbe: Option[DataFrame],
+      cap: Long): Boolean =
+    cap > 0 &&
+      routeProbe.getOrElse(df).limit((cap + 1).toInt).count() <= cap
 
   /** General form of [[chunkedCumSum]] for VALUE-ordered running totals
     * (e.g. a token-budget cut ordered by `desc(n_chars), doc_id`):
@@ -88,22 +113,87 @@ object Canon {
     * chunk — the same degenerate skew the single window has always had);
     * pick the width so typical chunks stay executor-sized. */
   def chunkedCumSumBy(df: DataFrame, part: Seq[String], chunkKey: Column,
-      order: Seq[Column], valCol: String, out: String): DataFrame = {
+      order: Seq[Column], valCol: String, out: String,
+      routeProbe: Option[DataFrame] = None,
+      smallCap: Long = SmallWindowCap): DataFrame =
+    if (routeSmall(df, routeProbe, smallCap)) {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn(out, sum(col(valCol)).over(
+        Window.partitionBy(part.map(col): _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    } else chunkedPrefix(df, part, chunkKey, order, valCol, out,
+      withTotal = false)
+
+  /** Shared CHUNKED core of the helpers above/below (the large-input
+    * path of the adaptive route). The local cumsum, the chunk total, and
+    * the in-chunk row number are all window functions of ONE
+    * (part, chunk) + order spec — one exchange, one sort, one WindowExec
+    * per branch — and the chunk-level offsets frame derives from that
+    * same shape filtered to _rn = 1. Honest plan note (measured r10c):
+    * the two join branches do NOT share the exchange (column pruning
+    * differentiates the subtrees, ReusedExchange never fires), so the
+    * input is evaluated ≤ 2× — the accepted price at scale, where chunk
+    * parallelism dominates; small inputs never reach this path. The
+    * first cut aggregated offsets from the raw input with a DIFFERENT
+    * plan shape, which read even worse (pack_sequences_bpe 3.6 s vs
+    * 1.7 s quiet at sf0.1 — the BPE cascade evaluated on both shapes).
+    * `withTotal`/`totalOf` emit per-part totals derived on the small
+    * chunk-level frame, never a third input scan. */
+  private def chunkedPrefix(df: DataFrame, part: Seq[String],
+      chunkKey: Column, order: Seq[Column], valCol: String, out: String,
+      withTotal: Boolean, totalOf: Option[(String, String)] = None)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pc = part.map(col)
-    val wIn = Window.partitionBy((pc :+ col("_ck")): _*).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBase = Window.partitionBy((pc :+ col("_ck")): _*).orderBy(order: _*)
+    val wAll = wBase.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     val wPre = Window.partitionBy(pc: _*).orderBy(col("_ck"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withCk = df.withColumn("_ck", chunkKey.cast("long"))
-    val offsets = withCk.groupBy((pc :+ col("_ck")): _*)
-      .agg(sum(col(valCol)).as("_ct"))
+    val wPart = Window.partitionBy(pc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cumd0 = df.withColumn("_ck", chunkKey.cast("long"))
+      .withColumn("_lc", sum(col(valCol)).over(
+        wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_ct", sum(col(valCol)).over(wAll))
+      .withColumn("_rn", row_number().over(wBase))
+    val cumd = totalOf.foldLeft(cumd0) { case (c, (src, _)) =>
+      c.withColumn("_ct2", sum(col(src)).over(wAll)) }
+    val offCols = (pc :+ col("_ck") :+ col("_off")) ++
+      (if (withTotal) Seq(col("_n")) else Nil) ++
+      totalOf.map { case (_, outT) => col(outT) }.toSeq
+    val offsets0 = cumd.where(col("_rn") === 1)
       .withColumn("_off", coalesce(sum(col("_ct")).over(wPre), lit(0L)))
-      .select((pc :+ col("_ck") :+ col("_off")): _*)
-    withCk.join(offsets, part :+ "_ck")
-      .withColumn(out, sum(col(valCol)).over(wIn) + col("_off"))
-      .drop("_ck", "_off")
+    val offsets1 = if (withTotal)
+      offsets0.withColumn("_n", sum(col("_ct")).over(wPart)) else offsets0
+    val offsets = totalOf.foldLeft(offsets1) { case (o, (_, outT)) =>
+      o.withColumn(outT, sum(col("_ct2")).over(wPart)) }.select(offCols: _*)
+    cumd.join(offsets, part :+ "_ck")
+      .withColumn(out, col("_lc") + col("_off"))
+      .drop(Seq("_ck", "_lc", "_ct", "_rn", "_off") ++
+        totalOf.map(_ => "_ct2").toSeq: _*)
   }
+
+  /** Distributed rank (1-based, under `order`) PLUS the per-part total of
+    * `totalCol`, in ONE chunked window pass — for consumers like a
+    * balanced packer that need both a global rank and the key's total
+    * without a second scan of an expensive input. */
+  def chunkedRankWithTotal(df: DataFrame, part: Seq[String],
+      chunkKey: Column, order: Seq[Column], totalCol: String,
+      outRank: String, outTotal: String,
+      routeProbe: Option[DataFrame] = None,
+      smallCap: Long = SmallWindowCap): DataFrame =
+    if (routeSmall(df, routeProbe, smallCap)) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
+      df.withColumn(outRank, row_number().over(w).cast("long"))
+        .withColumn(outTotal, sum(col(totalCol)).over(
+          Window.partitionBy(part.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    } else chunkedPrefix(df.withColumn("_one", lit(1L)), part, chunkKey,
+      order, "_one", outRank, withTotal = false,
+      totalOf = Some((totalCol, outTotal)))
+      .drop("_one")
 
   /** Distributed ntile(k) per `part` key: rank via [[chunkedCumSumBy]]
     * (cumsum of 1s) + SQL-standard ntile arithmetic from (rank, per-key
@@ -113,11 +203,16 @@ object Canon {
     * sorts each key on one task. `chunkKey` contract as in
     * [[chunkedCumSumBy]]. */
   def chunkedNtile(df: DataFrame, part: Seq[String], chunkKey: Column,
-      order: Seq[Column], k: Int, out: String): DataFrame = {
-    val ranked = chunkedCumSumBy(df.withColumn("_one", lit(1L)),
-      part, chunkKey, order, "_one", "_rk").drop("_one")
-    val counts = df.groupBy(part.map(col): _*).agg(count(lit(1)).as("_n"))
-    ranked.join(counts, part)
+      order: Seq[Column], k: Int, out: String,
+      routeProbe: Option[DataFrame] = None,
+      smallCap: Long = SmallWindowCap): DataFrame =
+    if (routeSmall(df, routeProbe, smallCap)) {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn(out, ntile(k).over(
+        Window.partitionBy(part.map(col): _*).orderBy(order: _*)))
+    } else chunkedPrefix(df.withColumn("_one", lit(1L)), part, chunkKey,
+      order, "_one", "_rk", withTotal = true)
+      .drop("_one")
       .withColumn(out, expr(
         s"""CASE WHEN _rk <= (_n % $k) * (_n div $k + 1)
                  THEN (_rk - 1) div (_n div $k + 1) + 1
@@ -125,7 +220,6 @@ object Canon {
                       (_rk - (_n % $k) * (_n div $k + 1) - 1) div (_n div $k) + 1
             END""").cast("int"))
       .drop("_rk", "_n")
-  }
 
   /** Distributed TOP-K per `part` key under a TOTAL `order` — the
     * scale-safe replacement for `row_number().over(partitionBy(part)

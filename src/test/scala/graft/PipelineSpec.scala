@@ -226,7 +226,8 @@ class PipelineSpec extends AnyFunSuite {
         .select("lang", "doc_id", "cum").collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
       val got = graft.util.Canon.chunkedCumSum(slice,
-          Seq("lang"), "doc_id", "tok", "cum", chunkWidth = 64)
+          Seq("lang"), "doc_id", "tok", "cum", chunkWidth = 64,
+          smallCap = 0) // force the chunked path on the small fixture
         .select("lang", "doc_id", "cum").collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
       assert(got == want)
@@ -266,7 +267,7 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
     val gotCum = graft.util.Canon.chunkedCumSumBy(df, Seq("key"),
         floor(-col("v").cast("double") / 2).cast("long"),
-        Seq(desc("v"), col("id")), "v", "cum")
+        Seq(desc("v"), col("id")), "v", "cum", smallCap = 0)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
     assert(gotCum == wantCum)
     for (k <- Seq(2, 3, 4)) {
@@ -274,9 +275,24 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
       val gotN = graft.util.Canon.chunkedNtile(df, Seq("key"),
           floor(-col("v").cast("double") / 2).cast("long"),
-          Seq(desc("v"), col("id")), k, "b")
+          Seq(desc("v"), col("id")), k, "b", smallCap = 0)
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
       assert(gotN == wantN, s"ntile($k)")
     }
+    // rank+total combined pass (chunked) vs its single-window equivalent
+    val wantRT = df.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("T", sum(col("v")).over(
+        Window.partitionBy("key")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val gotRT = graft.util.Canon.chunkedRankWithTotal(df, Seq("key"),
+        floor(-col("v").cast("double") / 2).cast("long"),
+        Seq(desc("v"), col("id")), "v", "rk", "T", smallCap = 0)
+      .select("key", "id", "rk", "T").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(gotRT == wantRT)
   }
 }

@@ -35,7 +35,10 @@ margin = float(sys.argv[1])
 # filtered run must never clobber the round's complete artifact)
 full = json.load(open("BENCH_SUBSET.json"))
 qs = full["queries"]
-ceilings = {"join_inner_equi": 0.71, "tpch_q16": 0.91, "text_bigram_freq": 0.49}
+# r10c: ceilings sized to the third (slowest) machine regime measured
+# 2026-08-15 (BASELINE.md "Machine regimes"); text_bigram_freq also
+# carries its +0.09 s chunkedTopK plan change
+ceilings = {"join_inner_equi": 1.00, "tpch_q16": 1.02, "text_bigram_freq": 0.64}
 bad = {k: (qs[k], c) for k, c in ceilings.items() if qs[k] > c * margin}
 for k, c in ceilings.items():
     print(f"  {k}: {qs[k]:.2f}s (slow-regime ceiling {c:.2f}s, abort above {c*margin:.2f}s)")
