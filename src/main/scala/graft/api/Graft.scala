@@ -251,6 +251,16 @@ object Graft {
   def releaseAudit(manifest: DataFrame): DataFrame =
     graft.ops.Pipeline.releaseAuditFromFlags(manifest)
 
+  /** Per-doc rejection attribution over the same k1..k4 flag manifest:
+    * classifies each document by the FIRST release stage whose gate it
+    * failed (gopher, near-dup loser, benchmark holdout / contaminated,
+    * quality, mix downsample) or `0_retained`, aggregated to (reason,
+    * lang, n_docs, tokens) — the "why was my document dropped" audit a
+    * release operator runs after every build, at the cost of one narrow
+    * grouped pass over the manifest. */
+  def releaseRejectionReasons(manifest: DataFrame): DataFrame =
+    graft.ops.Pipeline.rejectionReasonsFromFlags(manifest)
+
   /** Bootstrap the persisted release state (intrinsic manifest + bench
     * token sets + near-dedup state over gopher survivors) under `dir` —
     * run once; increments fold in via [[releaseStateRefresh]]. `docs` must

@@ -662,7 +662,16 @@ object Pipeline {
     * threshold); the decontamination and repetition verdicts compare
     * exact cross-multiplied integers (ns·10 ≥ nb·8; (n_tri−nd)·50 ≤
     * n_tri) so no float ever decides a row's fate. */
-  private val pipelineReleaseE2e: Q = (s, d) => {
+  private val pipelineReleaseE2e: Q = (s, d) =>
+    releaseAuditFromFlags(releaseFlagManifest(s, d))
+
+  /** Stages 1–4 of the release composition as the narrow per-doc flag
+    * manifest (doc_id, lang, source, tok, k1..k4) — the artifact a
+    * production pipeline persists between stages. Shared by the audit
+    * composition (pipeline_release_e2e) and the per-doc attribution query
+    * (pipeline_rejection_reasons), so the two views of one release cannot
+    * drift. */
+  private[graft] def releaseFlagManifest(s: SparkSession, d: String): DataFrame = {
     val docs = tbl(s, d, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         split(normText, " ").as("tk"))
@@ -730,7 +739,7 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("tok"),
         col("k1"), col("k2"), col("k3"), col("k4"))
       .localCheckpoint(true) // the narrow persisted release manifest
-    releaseAuditFromFlags(f4)
+    f4
   }
 
   /** Shared release TAIL over the narrow per-doc flag manifest (doc_id,
@@ -741,18 +750,24 @@ object Pipeline {
     * drift in the global stages and both hash-match the SAME oracle SQL.
     * At 100 TB this tail reads only the persisted manifest — one narrow
     * table pass for the audit plus the keyed pack/shard windows. */
-  private[graft] def releaseAuditFromFlags(f4: DataFrame): DataFrame = {
-    // k5 — domain-mix hash-threshold downsample over quality survivors
+  // k5 — domain-mix hash-threshold downsample over quality survivors
+  // (the one global release stage: weights derive from the k4 survivor
+  // source histogram, applied per-row by the deterministic hash bucket)
+  private[graft] def withMixFlag(f4: DataFrame): DataFrame = {
     val all = Window.partitionBy()
     val w5 = f4.where(col("k4")).groupBy(col("source"))
       .agg(count(lit(1)).as("nb5"))
       .withColumn("thresh", floor(least(lit(1.0),
         sum(col("nb5")).over(all).cast("double") /
           count(lit(1)).over(all) / col("nb5")) * 10000 + 0.5).cast("long"))
-    val f5 = f4.join(broadcast(w5.select(col("source"), col("thresh"))),
+    f4.join(broadcast(w5.select(col("source"), col("thresh"))),
         Seq("source"), "left")
       .withColumn("k5", col("k4") &&
         coalesce(hbucket(col("doc_id"), 10000) < col("thresh"), lit(false)))
+  }
+
+  private[graft] def releaseAuditFromFlags(f4: DataFrame): DataFrame = {
+    val f5 = withMixFlag(f4)
     // ONE-pass audit over the flag manifest
     def n(k: Column) = coalesce(sum(when(k, 1L).otherwise(0L)), lit(0L))
     def t(k: Column) = coalesce(sum(when(k, col("tok")).otherwise(0L)), lit(0L))
@@ -983,9 +998,89 @@ object Pipeline {
     releaseAuditFromFlags(f4)
   }
 
+  /** Per-doc rejection attribution over the release composition — the
+    * "why was my document dropped" debugging query a release operator
+    * runs after every build. Classifies each document by the FIRST stage
+    * whose gate it failed (gopher rules, near-dup loser, benchmark
+    * holdout vs contaminated, quality, mix downsample) or `0_retained`,
+    * then aggregates doc and token counts per (reason, lang). Reuses the
+    * exact flag manifest of pipeline_release_e2e (releaseFlagManifest +
+    * withMixFlag), so the attribution is a second, per-doc-granular
+    * oracle proof of the same seven-stage composition: at 100 TB it costs
+    * the manifest build plus one narrow grouped pass — never a re-run of
+    * the stages per reason. */
+  private val pipelineRejectionReasons: Q = (s, d) =>
+    rejectionReasonsFromFlags(releaseFlagManifest(s, d))
+
+  /** The attribution TAIL over the k1..k4 flag manifest (mirror of
+    * [[releaseAuditFromFlags]] — same mix stage, per-doc classification
+    * instead of the stage audit). */
+  private[graft] def rejectionReasonsFromFlags(f4: DataFrame): DataFrame = {
+    val f5 = withMixFlag(f4)
+    f5.select(col("lang"), col("tok"),
+        when(col("k5"), lit("0_retained"))
+          .when(col("k4"), lit("5_mix"))
+          .when(col("k3"), lit("4_quality"))
+          .when(col("k2") && col("doc_id") < 5, lit("3_benchmark_holdout"))
+          .when(col("k2"), lit("3_contaminated"))
+          .when(col("k1"), lit("2_neardup"))
+          .otherwise(lit("1_gopher")).as("reason"))
+      .groupBy(col("reason"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"))
+      .orderBy(col("reason"), col("lang"))
+  }
+
+  /** PII redaction AUDIT — complements [[pipelinePiiScrub]] (the per-row
+    * scrub demonstration, whose fixture has no true PII) with a
+    * ground-truth accuracy check of the same scrubber shape. The fixture
+    * text is synthetic word salad with no PII, so the query CONSTRUCTS a
+    * deterministic raw feed
+    * in-plan (emails on every 3rd order key, 555-line phone numbers on
+    * every 5th — pure string arithmetic over orders columns), then runs
+    * the actual scrubber over it: regex detection (`regexp_count`) and
+    * masked redaction (`regexp_replace` → `[EMAIL]`/`[PHONE]`), audited
+    * per status cohort as (docs, hits, chars before/after). The oracle
+    * replays the CONSTRUCTION arithmetic — expected hit counts and exact
+    * post-redaction lengths from the injection rule — so a regex that
+    * over- or under-matches by one character fails the hash. At 100 TB
+    * this is one narrow map-side pass: no shuffle before the grouped
+    * audit, no second scan to count what was removed. */
+  private val pipelinePiiAudit: Q = (s, d) => {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b555-[0-9]{4}\\b"
+    val raw = tbl(s, d, "orders")
+      .select(col("o_orderstatus").as("status"), col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"))
+      .withColumn("txt", concat(
+        lit("order "), col("ok").cast("string"),
+        when(col("ok") % 3 === 0,
+          concat(lit(" contact user"), col("ck").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("ok") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("ck") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        lit(" thanks")))
+    raw
+      .withColumn("n_email", regexp_count(col("txt"), lit(emailRe)))
+      .withColumn("n_phone", regexp_count(col("txt"), lit(phoneRe)))
+      .withColumn("red",
+        regexp_replace(regexp_replace(col("txt"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email").cast("long")).as("n_emails"),
+        sum(col("n_phone").cast("long")).as("n_phones"),
+        sum(length(col("txt")).cast("long")).as("chars_before"),
+        sum(length(col("red")).cast("long")).as("chars_after"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_release_e2e" -> pipelineReleaseE2e,
     "pipeline_release_incremental" -> pipelineReleaseIncremental,
+    "pipeline_rejection_reasons" -> pipelineRejectionReasons,
+    "pipeline_pii_audit" -> pipelinePiiAudit,
     "pipeline_token_budget" -> pipelineTokenBudget,
     "sample_stratified" -> sampleStratified,
     "sample_fixed_k" -> sampleFixedK,
@@ -1026,7 +1121,7 @@ object Pipeline {
     * pipeline_release_incremental: the full recompute is the oracle for
     * both, so the incremental path's hash match proves merge ≡ recompute
     * for the whole seven-stage composition. */
-  private lazy val releaseOracle: String =
+  private lazy val releaseOracleCtes: String =
       s"""WITH RECURSIVE docs AS (
             SELECT doc_id, lang, source, string_split($normSql, ' ') AS tk,
                    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS tok
@@ -1090,7 +1185,10 @@ object Pipeline {
                   CAST(sum(nb5) OVER () AS DOUBLE) / count(*) OVER () / nb5)
                   * 10000 + 0.5) AS BIGINT) AS thresh FROM m),
           s5 AS (SELECT s4.* FROM s4 JOIN w USING (source)
-                 WHERE ${hbucketSql("doc_id", 10000)} < thresh),
+                 WHERE ${hbucketSql("doc_id", 10000)} < thresh)"""
+
+  private lazy val releaseOracle: String =
+      s"""$releaseOracleCtes,
           pk AS (SELECT lang,
                         CAST(floor((cum - tok) / 512.0) AS BIGINT) AS pack_id,
                         CAST(sum(tok) AS BIGINT) AS pt
@@ -1134,9 +1232,65 @@ object Pipeline {
                   FROM s5 GROUP BY 1) sh)
           ORDER BY stage"""
 
+  /** Same CTE chain, per-doc tail: first-failing-stage attribution via
+    * membership in the chained survivor sets (a doc in s_n but not s_n+1
+    * failed exactly stage n+1 — the chained-subset structure makes
+    * "first failure" well-defined). */
+  private lazy val rejectionOracle: String =
+      s"""$releaseOracleCtes,
+          rej AS (
+            SELECT CASE WHEN s5.doc_id IS NOT NULL THEN '0_retained'
+                        WHEN s4.doc_id IS NOT NULL THEN '5_mix'
+                        WHEN s3.doc_id IS NOT NULL THEN '4_quality'
+                        WHEN s2.doc_id IS NOT NULL AND d.doc_id < 5
+                          THEN '3_benchmark_holdout'
+                        WHEN s2.doc_id IS NOT NULL THEN '3_contaminated'
+                        WHEN s1.doc_id IS NOT NULL THEN '2_neardup'
+                        ELSE '1_gopher' END AS reason,
+                   d.lang, d.tok
+            FROM docs d
+            LEFT JOIN s1 ON d.doc_id = s1.doc_id
+            LEFT JOIN s2 ON d.doc_id = s2.doc_id
+            LEFT JOIN s3 ON d.doc_id = s3.doc_id
+            LEFT JOIN s4 ON d.doc_id = s4.doc_id
+            LEFT JOIN s5 ON d.doc_id = s5.doc_id)
+          SELECT reason, lang, count(*) AS n_docs,
+                 CAST(sum(tok) AS BIGINT) AS tokens
+          FROM rej GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val oracle: Map[String, String] = Map(
     "pipeline_release_e2e" -> releaseOracle,
     "pipeline_release_incremental" -> releaseOracle,
+    "pipeline_rejection_reasons" -> rejectionOracle,
+    // Replays the INJECTION rule, not the regex: expected hits and exact
+    // post-redaction lengths derived arithmetically from the construction
+    // ('[EMAIL]' = 7 chars replacing the whole e-token; '[PHONE]' = 7
+    // replacing the 8-char '555-dddd'), so the Spark regex path is checked
+    // against ground truth instead of against another regex engine.
+    "pipeline_pii_audit" ->
+      """WITH t AS (
+           SELECT o_orderstatus AS status,
+                  'order ' || CAST(o_orderkey AS VARCHAR) ||
+                  CASE WHEN o_orderkey % 3 = 0
+                       THEN ' contact user' || CAST(o_custkey AS VARCHAR)
+                            || '@example.com' ELSE '' END ||
+                  CASE WHEN o_orderkey % 5 = 0
+                       THEN ' call 555-' ||
+                            lpad(CAST(o_custkey % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END || ' thanks' AS txt,
+                  CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS e,
+                  CASE WHEN o_orderkey % 3 = 0
+                       THEN length('user' || CAST(o_custkey AS VARCHAR)
+                            || '@example.com') ELSE 0 END AS elen,
+                  CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS p
+           FROM orders)
+         SELECT status, count(*) AS n_docs,
+                CAST(sum(e) AS BIGINT) AS n_emails,
+                CAST(sum(p) AS BIGINT) AS n_phones,
+                CAST(sum(length(txt)) AS BIGINT) AS chars_before,
+                CAST(sum(length(txt) - elen + e * 7 - p) AS BIGINT)
+                  AS chars_after
+         FROM t GROUP BY status ORDER BY status""",
     "pipeline_token_budget" ->
       s"""WITH t AS (
             SELECT lang, doc_id, n_chars,

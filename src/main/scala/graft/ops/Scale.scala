@@ -4,6 +4,7 @@ import graft.util.Canon._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Scale-technique operators — the shuffle-shaping patterns SURVEY.md §4
   * mandates for 100 TB (skew salting, bucketed co-located joins), expressed
@@ -303,8 +304,88 @@ object Scale {
       .orderBy("lang")
   }
 
+  /** Tolerant CSV ingestion — the malformed-row reality of a raw-text
+    * lake: the staged feed interleaves well-formed `key|cust|price` rows
+    * with junk lines (every orderkey ≡ 0 mod 7 — a deterministic rule, so
+    * the oracle replays it over the clean source table). PERMISSIVE
+    * parsing quarantines each junk line into the corrupt-record column
+    * instead of failing the job (FAILFAST) or silently shrinking the
+    * batch (DROPMALFORMED); one aggregate then reports the good/bad
+    * accounting plus the exact cent sum over the rows that parsed — the
+    * promotion audit a production loader emits per batch. At scale this
+    * is one schema-projected scan of the raw files; no second pass
+    * re-reads the feed to count rejects.
+    *
+    * Parser-semantics note (measured, not assumed): Spark's pruned CSV
+    * parse only attempts conversion for the REQUESTED columns, and an
+    * under-length row null-fills unrequested fields without tripping the
+    * corrupt path — so a junk line must be arity-correct but type-broken
+    * in EVERY field to be quarantined under any downstream projection.
+    * That is also the honest fixture: a feed row with the right shape and
+    * rotten values is the case a loader must catch, because no cheap
+    * token-count check screens it out. */
+  private val scanCsvMalformed: Q = (s, d) => {
+    val base =
+      s"/tmp/graft_io/csv_bad_${d.hashCode.toHexString}_${srcStamp(d, "orders")}"
+    if (stagedDirs.add(base))
+      tbl(s, d, "orders")
+        .select(when(col("o_orderkey") % 7 === 0,
+            concat(lit("junk|junk|junk_"), col("o_orderkey")))
+          .otherwise(concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"))).as("value"))
+        .write.mode("overwrite").text(base)
+    val schema = StructType(Seq(
+      StructField("ok", LongType), StructField("ck", LongType),
+      StructField("price", DoubleType), StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("sep", "|").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(base)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_bad").isNull, cents(col("price")))
+          .otherwise(0L)).as("price_cents"))
+  }
+
+  /** JSON twin of [[scanCsvMalformed]] — tolerant NDJSON ingestion. The
+    * staged feed interleaves well-formed records with syntactically broken
+    * lines (unterminated object on every orderkey ≡ 0 mod 7); PERMISSIVE
+    * parsing quarantines each into the corrupt-record column and one
+    * aggregate emits the per-batch promotion audit. Unlike CSV, the JSON
+    * parser fails a record on SYNTAX, not per-field arity — so the junk
+    * here is a truncated object, the shape a half-written upload or a
+    * mid-record split actually produces in a raw lake. */
+  private val scanJsonMalformed: Q = (s, d) => {
+    val base =
+      s"/tmp/graft_io/json_bad_${d.hashCode.toHexString}_${srcStamp(d, "orders")}"
+    if (stagedDirs.add(base))
+      tbl(s, d, "orders")
+        .select(when(col("o_orderkey") % 7 === 0,
+            concat(lit("{\"ok\":"), col("o_orderkey"), lit(",\"ck\":")))
+          .otherwise(concat(
+            lit("{\"ok\":"), col("o_orderkey"),
+            lit(",\"ck\":"), col("o_custkey"),
+            lit(",\"price\":"), col("o_totalprice"), lit("}"))).as("value"))
+        .write.mode("overwrite").text(base)
+    val schema = StructType(Seq(
+      StructField("ok", LongType), StructField("ck", LongType),
+      StructField("price", DoubleType), StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(base)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("_bad").isNull, cents(col("price")))
+          .otherwise(0L)).as("price_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sink_compact" -> sinkCompact,
+    "scan_csv_malformed" -> scanCsvMalformed,
+    "scan_json_malformed" -> scanJsonMalformed,
     "scan_schema_evolution" -> scanSchemaEvolution,
     "join_dpp" -> joinDpp,
     "agg_skew_salted" -> aggSkewSalted,
@@ -317,6 +398,26 @@ object Scale {
   )
 
   val oracle: Map[String, String] = Map(
+    "scan_json_malformed" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_good,
+                CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad,
+                CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+                     THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS price_cents
+         FROM orders""",
+    "scan_csv_malformed" ->
+      """SELECT count(*) AS n_rows,
+                CAST(sum(CASE WHEN o_orderkey % 7 <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_good,
+                CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bad,
+                CAST(sum(CASE WHEN o_orderkey % 7 <> 0
+                     THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS price_cents
+         FROM orders""",
     "join_dpp" ->
       """WITH dim AS (SELECT lang, count(*) AS n_docs
                       FROM documents GROUP BY lang),

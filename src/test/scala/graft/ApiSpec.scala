@@ -716,6 +716,16 @@ class ApiSpec extends AnyFunSuite {
     assert(sk.where(col("naive_num") <= 0L).count() == 0)
   }
 
+  test("facade: releaseRejectionReasons matches pipeline_rejection_reasons") {
+    import graft.api.Graft
+    val a = Graft.releaseRejectionReasons(
+        graft.ops.Pipeline.releaseFlagManifest(spark, sf))
+      .collect().map(_.toString).toSeq
+    val b = SparkEntry.queries("pipeline_rejection_reasons")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("release state lifecycle: two chained increments ≡ one-shot e2e") {
     // Bootstrap on the first half, fold in two quarter-increments, serve
     // from state alone (no corpus scan) — must equal the full one-shot

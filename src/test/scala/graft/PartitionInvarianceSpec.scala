@@ -61,6 +61,8 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 10: the release composition (flag-manifest chain — every stage
     // verdict must be a pure function of the row, never of partitioning)
     "pipeline_release_e2e", "pipeline_release_incremental",
+    "pipeline_rejection_reasons", "scan_csv_malformed",
+    "scan_json_malformed", "pipeline_pii_audit",
     // round 10b: audit rows whose replayable columns are exact integer
     // folds and whose verdicts carry wide deterministic margins (the ANN
     // recall audit is excluded: its IVF/PQ training accumulates floats

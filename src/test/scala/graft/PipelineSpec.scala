@@ -32,6 +32,29 @@ class PipelineSpec extends AnyFunSuite {
       r.getLong(0))
   }
 
+  test("pipeline_rejection_reasons partitions the corpus and cross-foots " +
+      "the e2e stage audit") {
+    val rej = SparkEntry.queries("pipeline_rejection_reasons")(spark, sf)
+      .collect()
+    val byReason = rej.groupBy(_.getString(0))
+      .map { case (r, rows) => r -> rows.map(_.getLong(2)).sum }
+    val audit = SparkEntry.queries("pipeline_release_e2e")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // every doc has exactly one first-failure reason (or is retained)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(byReason.values.sum == corpus)
+    // each reason's doc count equals the matching stage's rows_in - rows_out
+    def dropped(stage: String) = audit(stage)._1 - audit(stage)._2
+    assert(byReason("1_gopher") == dropped("1_gopher"))
+    assert(byReason("2_neardup") == dropped("2_neardup"))
+    assert(byReason.getOrElse("3_benchmark_holdout", 0L) +
+      byReason.getOrElse("3_contaminated", 0L) == dropped("3_decontaminate"))
+    assert(byReason("4_quality") == dropped("4_quality"))
+    assert(byReason.getOrElse("5_mix", 0L) == dropped("5_mix"))
+    assert(byReason("0_retained") == audit("5_mix")._2)
+  }
+
   test("pipeline_release_incremental equals the full e2e recompute") {
     // The oracle proves it at sf0.01; this pins the equivalence in-suite at
     // sf0.001 too (different split point, different near-dup topology), so a
