@@ -806,6 +806,25 @@ object Graft {
   def cramersV(df: DataFrame, a: String, b: String): DataFrame =
     graft.ops.Lifecycle.cramersVCore(df, a, b)
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between the `cohort`=true and
+    * =false rows of an integral metric — the nonparametric two-sample
+    * drift test for heavy-tailed metrics where the t-test's normality
+    * assumption fails. Returns one row of exact ×2-scaled rank integers
+    * (n1, n2, u1x2, u2x2, tie_sum) plus the tie-corrected normal-approx z
+    * (r4-rounded). Null metric rows must be filtered by the caller. */
+  def mannWhitneyU(df: DataFrame, cohort: Column, value: Column): DataFrame =
+    graft.ops.Lifecycle.mannWhitneyCore(
+      df.select(cohort.cast("boolean").as("a"), value.as("v")), "a", "v")
+
+  /** Spearman rank correlation between two integral per-row metrics, per
+    * group key — the monotone-association audit (Pearson misses monotone-
+    * but-nonlinear coupling). Returns (key, n, num, rho) where `num` is
+    * the exact BIGINT rank-moment numerator and rho its r4-rounded
+    * normalized value (null when either metric is constant). */
+  def spearmanCorr(df: DataFrame, key: String, x: String,
+      y: String): DataFrame =
+    graft.ops.Lifecycle.spearmanCore(df, key, x, y)
+
   /** Strict-majority vote across k boolean weak-labeler columns with
     * per-labeler agreement against the vote — the Snorkel-style label-
     * model baseline and the accuracy proxy that decides which signal to

@@ -658,8 +658,107 @@ object Lifecycle {
             size(col("tk")).cast("long")).as("ttr_50")),
       Seq("len_240", "tok_40", "ttr_50"))
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two document cohorts
+    * (lang en vs fr, metric n_chars) — the NONPARAMETRIC drift test the
+    * PSI/KS/t-test tier lacks: distribution-free, rank-based, robust to
+    * the heavy-tailed length distributions real corpora have. All rank
+    * arithmetic is exact: average ranks for ties carry a ×2 scale
+    * (tie group at positions [cum−nt+1, cum] → 2·avg = 2·cum − nt + 1),
+    * so rank sums, U×2 values and the tie-correction term Σ(t³−t) are
+    * BIGINTs the oracle replays bit-exactly; only the final normal-approx
+    * z is a float, built from those exact integers with the identical
+    * expression shape on both engines (IEEE sqrt/div are correctly
+    * rounded — the [[graft.util.Canon]] single-op rule, chained) and
+    * r4-rounded. Scale shape: one grouped pass to the VALUE-DOMAIN frame
+    * (never a corpus-wide rank window), a distributed prefix sum over it
+    * ([[graft.util.Canon.chunkedCumSum]]), one scalar fold. BIGINT bound:
+    * Σ(t³−t) stays exact while no single value ties > 2^21 rows; a
+    * 100 TB deployment with heavier ties would move tie_sum to double. */
+  private[graft] def mannWhitneyCore(t0: DataFrame, aCol: String,
+      vCol: String): DataFrame = {
+    val t = t0.select(col(aCol).as("a"), col(vCol).cast("long").as("v"))
+    val g = t.groupBy(col("v")).agg(
+      sum(when(col("a"), 1L).otherwise(0L)).as("na"),
+      count(lit(1)).as("nt"))
+    val c = chunkedCumSum(g, Seq(), "v", "nt", "cum")
+    c.agg(
+        sum(col("na")).as("n1"),
+        sum(col("nt") - col("na")).as("n2"),
+        sum(col("na") * (lit(2L) * col("cum") - col("nt") + 1)).as("r1x2"),
+        sum(col("nt") * col("nt") * col("nt") - col("nt")).as("tie_sum"))
+      .withColumn("u1x2", col("r1x2") - col("n1") * (col("n1") + 1))
+      .withColumn("u2x2", lit(2L) * col("n1") * col("n2") - col("u1x2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("z", when(col("n1") > 0 && col("n2") > 0 && col("n") > 1,
+        r4((col("u1x2") - col("n1") * col("n2")).cast("double") /
+          (lit(2.0) * sqrt(
+            col("n1").cast("double") * col("n2").cast("double") *
+              ((col("n") + 1).cast("double") -
+                col("tie_sum").cast("double") /
+                  (col("n").cast("double") * (col("n") - 1).cast("double"))) /
+              lit(12.0))))))
+      .select("n1", "n2", "u1x2", "u2x2", "tie_sum", "z")
+  }
+
+  private val mannWhitneyU: Q = (s, d) =>
+    mannWhitneyCore(
+      tbl(s, d, "documents")
+        .where(col("lang").isin("en", "fr") && col("n_chars").isNotNull)
+        .withColumn("a", col("lang") === "en"),
+      "a", "n_chars")
+
+  /** Spearman rank correlation between two per-doc metrics (n_chars vs
+    * token count) per language — the monotone-association audit
+    * (ts_rolling_corr's Pearson misses monotone-but-nonlinear coupling).
+    * Same exact-rank machinery as [[mannWhitneyU]]: per-variable average
+    * ranks ×2 from a value-domain grouped frame + distributed prefix sum,
+    * joined back on the value (value-domain-sized equi joins, never a
+    * per-lang rank window — the one-task-per-key shape round 10c
+    * retired), then one grouped fold of BIGINT rank moments. The ×2 rank
+    * scale cancels in ρ; `num` = n·Σxy − Σx·Σy is emitted as the exact
+    * replayable integer, ρ as its r4-rounded quotient (variance factors
+    * cast to double BEFORE multiplying — their product overflows BIGINT,
+    * the documented variance-product rule). */
+  private[graft] def spearmanCore(t0: DataFrame, keyCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val t = t0.select(col(keyCol).as("lang"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    def ranks(v: String, out: String) = {
+      val g = t.groupBy(col("lang"), col(v)).agg(count(lit(1)).as("nt"))
+      chunkedCumSum(g, Seq("lang"), v, "nt", "cum")
+        .select(col("lang"), col(v),
+          (lit(2L) * col("cum") - col("nt") + 1).as(out))
+    }
+    val r = t.join(ranks("x", "rx"), Seq("lang", "x"))
+      .join(ranks("y", "ry"), Seq("lang", "y"))
+    r.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("rho", when(col("d1") > 0 && col("d2") > 0,
+        r4(col("num").cast("double") /
+          sqrt(col("d1").cast("double") * col("d2").cast("double")))))
+      .select("lang", "n", "num", "rho")
+      .orderBy("lang")
+      .withColumnRenamed("lang", keyCol)
+  }
+
+  private val spearmanCorr: Q = (s, d) =>
+    spearmanCore(
+      tbl(s, d, "documents")
+        .select(col("lang"), col("n_chars"),
+          size(toks(normText)).cast("long").as("tok")),
+      "lang", "n_chars", "tok")
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "agg_mannwhitney_u" -> mannWhitneyU,
+    "agg_spearman_corr" -> spearmanCorr,
     "pipeline_snapshot_diff" -> snapshotDiff,
     "pipeline_incremental_agg" -> incrementalAgg,
     "agg_join_size_audit" -> joinSizeAudit,
@@ -717,6 +816,66 @@ object Lifecycle {
           FROM terms"""
 
   val oracle: Map[String, String] = Map(
+    // Exact-integer rank replay; only z is a float, rebuilt from the same
+    // BIGINTs with the identical expression association and r4-rounded.
+    "agg_mannwhitney_u" ->
+      """WITH t AS (SELECT lang = 'en' AS a, n_chars AS v FROM documents
+                    WHERE lang IN ('en', 'fr') AND n_chars IS NOT NULL),
+          g AS (SELECT v,
+                       CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT)
+                         AS na,
+                       CAST(count(*) AS BIGINT) AS nt
+                FROM t GROUP BY v),
+          c AS (SELECT na, nt,
+                       CAST(sum(nt) OVER (ORDER BY v) AS BIGINT) AS cum
+                FROM g),
+          s AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+                       CAST(sum(nt - na) AS BIGINT) AS n2,
+                       CAST(sum(na * (2 * cum - nt + 1)) AS BIGINT) AS r1x2,
+                       CAST(sum(nt * nt * nt - nt) AS BIGINT) AS tie_sum
+                FROM c),
+          u AS (SELECT n1, n2, r1x2 - n1 * (n1 + 1) AS u1x2,
+                       2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS u2x2,
+                       tie_sum, n1 + n2 AS n
+                FROM s)
+          SELECT n1, n2, u1x2, u2x2, tie_sum,
+                 CASE WHEN n1 > 0 AND n2 > 0 AND n > 1 THEN
+                   floor(CAST(u1x2 - n1 * n2 AS DOUBLE) /
+                     (2.0 * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) *
+                       (CAST(n + 1 AS DOUBLE) - CAST(tie_sum AS DOUBLE) /
+                         (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) /
+                       12.0)) * 10000 + 0.5) / 10000.0
+                 END AS z
+          FROM u""",
+    // Per-row average ranks replayed with min-rank + tie-count windows
+    // (the compact oracle form; the engine side uses the value-domain
+    // grouped frame + prefix sum + join-back to avoid per-lang windows).
+    "agg_spearman_corr" ->
+      s"""WITH t AS (SELECT lang, n_chars AS x,
+                            CAST(len(string_split($normSql, ' ')) AS BIGINT)
+                              AS y
+                     FROM documents),
+          r AS (SELECT lang,
+                       2 * rank() OVER (PARTITION BY lang ORDER BY x)
+                         + count(*) OVER (PARTITION BY lang, x) - 1 AS rx,
+                       2 * rank() OVER (PARTITION BY lang ORDER BY y)
+                         + count(*) OVER (PARTITION BY lang, y) - 1 AS ry
+                FROM t),
+          s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                       CAST(sum(rx) AS BIGINT) AS sx,
+                       CAST(sum(ry) AS BIGINT) AS sy,
+                       CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                       CAST(sum(ry * ry) AS BIGINT) AS syy
+                FROM r GROUP BY lang)
+          SELECT lang, n, n * sxy - sx * sy AS num,
+                 CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                 THEN floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+                        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                             CAST(n * syy - sy * sy AS DOUBLE))
+                        * 10000 + 0.5) / 10000.0
+                 END AS rho
+          FROM s ORDER BY lang""",
     "agg_psi_drift" ->
       psiOracle("",
         """SELECT least(n_chars // 100, 9) AS bucket,

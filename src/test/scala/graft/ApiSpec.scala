@@ -587,6 +587,19 @@ class ApiSpec extends AnyFunSuite {
         size(tk).cast("long")))).collect().map(_.toString)
     assert(lv sameElements SparkEntry.queries("pipeline_label_vote")(spark, sf)
       .collect().map(_.toString))
+
+    val mw = graft.api.Graft.mannWhitneyU(
+      docs.where(col("lang").isin("en", "fr") && col("n_chars").isNotNull),
+      col("lang") === "en", col("n_chars")).collect().map(_.toString)
+    assert(mw sameElements SparkEntry.queries("agg_mannwhitney_u")(spark, sf)
+      .collect().map(_.toString))
+
+    val sp = graft.api.Graft.spearmanCorr(
+      docs.select(col("lang"), col("n_chars"),
+        size(tk).cast("long").as("tok")),
+      "lang", "n_chars", "tok").collect().map(_.toString)
+    assert(sp sameElements SparkEntry.queries("agg_spearman_corr")(spark, sf)
+      .collect().map(_.toString))
   }
 
   test("Graft.lshTuning and Graft.assortativity on synthetic inputs") {

@@ -520,4 +520,66 @@ class LifecycleSpec extends AnyFunSuite {
     assert(rows.head.getLong(0) === 0L && rows.head.getLong(1) === 0L)
     assert(rows.head.isNullAt(2))
   }
+
+  /** ×2-scaled average rank per distinct value (tie group at min-rank m of
+    * size t → 2·avg = 2m + t − 1), the shared arithmetic of the two rank
+    * tests below. */
+  private def avgRank2(vals: Seq[Long]): Map[Long, Long] = {
+    val cnt = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var cum = 0L
+    cnt.keys.toSeq.sorted.map { v =>
+      val nt = cnt(v); val a = 2 * cum + nt + 1; cum += nt; v -> a
+    }.toMap
+  }
+
+  test("agg_mannwhitney_u: exact rank recomputation from raw rows") {
+    val sel = docs.filter(t => t._3 == "en" || t._3 == "fr")
+      .map(t => (t._3 == "en", t._5))
+    val ar = avgRank2(sel.toSeq.map(_._2))
+    val n1 = sel.count(_._1).toLong
+    val n2 = sel.length.toLong - n1
+    val r1x2 = sel.filter(_._1).map(t => ar(t._2)).sum
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val u2x2 = 2 * n1 * n2 - u1x2
+    val tie = sel.map(_._2).groupBy(identity).values
+      .map { g => val t = g.size.toLong; t * t * t - t }.sum
+    val r = q("agg_mannwhitney_u").head()
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getLong(2) == u1x2 && r.getLong(3) == u2x2)
+    assert(r.getLong(4) == tie)
+    val n = n1 + n2
+    val z = (u1x2 - n1 * n2).toDouble /
+      (2.0 * math.sqrt(n1.toDouble * n2.toDouble *
+        ((n + 1).toDouble - tie.toDouble / (n.toDouble * (n - 1).toDouble)) /
+        12.0))
+    assert(math.abs(r.getDouble(5) - r4(z)) < 1e-12)
+  }
+
+  test("agg_spearman_corr: exact rank moments per lang from raw rows") {
+    val out = q("agg_spearman_corr").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byLang = docs.groupBy(_._3)
+    assert(out.keySet == byLang.keySet)
+    for ((lang, ds) <- byLang) {
+      val ys = ds.map(t => norm(t._2).length.toLong)
+      val rx = avgRank2(ds.toSeq.map(_._5))
+      val ry = avgRank2(ys.toSeq)
+      val prs = ds.map(_._5).map(rx).zip(ys.map(ry))
+      val n = ds.length.toLong
+      val sxy = prs.map(p => p._1 * p._2).sum
+      val sx = prs.map(_._1).sum; val sy = prs.map(_._2).sum
+      val sxx = prs.map(p => p._1 * p._1).sum
+      val syy = prs.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val row = out(lang)
+      assert(row.getLong(1) == n && row.getLong(2) == num)
+      val d1 = n * sxx - sx * sx; val d2 = n * syy - sy * sy
+      // every row of a rank test has Σ2·rank = n(n+1) — structural identity
+      assert(sx == n * (n + 1) && sy == n * (n + 1))
+      if (d1 > 0 && d2 > 0)
+        assert(math.abs(row.getDouble(3) -
+          r4(num.toDouble / math.sqrt(d1.toDouble * d2.toDouble))) < 1e-12)
+      else assert(row.isNullAt(3))
+    }
+  }
 }

@@ -63,6 +63,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_release_e2e", "pipeline_release_incremental",
     "pipeline_rejection_reasons", "scan_csv_malformed",
     "scan_json_malformed", "pipeline_pii_audit",
+    // round 10d rank tests: exact ×2-scaled rank integers; z/rho are single
+    // mirrored float expressions over those exact BIGINTs
+    "agg_mannwhitney_u", "agg_spearman_corr",
     // round 10b: audit rows whose replayable columns are exact integer
     // folds and whose verdicts carry wide deterministic margins (the ANN
     // recall audit is excluded: its IVF/PQ training accumulates floats
