@@ -75,6 +75,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    // the release manifest is process-cached (persisted-state semantics);
+    // clear it so each partition setting genuinely re-derives the flags
+    graft.ops.Pipeline.clearReleaseManifestCache()
     try SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
