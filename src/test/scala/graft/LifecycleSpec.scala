@@ -564,18 +564,16 @@ class LifecycleSpec extends AnyFunSuite {
       val ys = ds.map(t => norm(t._2).length.toLong)
       val rx = avgRank2(ds.toSeq.map(_._5))
       val ry = avgRank2(ys.toSeq)
-      val prs = ds.map(_._5).map(rx).zip(ys.map(ry))
       val n = ds.length.toLong
-      val sxy = prs.map(p => p._1 * p._2).sum
-      val sx = prs.map(_._1).sum; val sy = prs.map(_._2).sum
-      val sxx = prs.map(p => p._1 * p._1).sum
-      val syy = prs.map(p => p._2 * p._2).sum
-      val num = n * sxy - sx * sy
+      // centered ×2-scaled deviations: the ×2 rank mean is n+1
+      val prs = ds.map(_._5).map(rx(_) - n - 1).zip(ys.map(ry(_) - n - 1))
+      val num = prs.map(p => p._1 * p._2).sum
       val row = out(lang)
       assert(row.getLong(1) == n && row.getLong(2) == num)
-      val d1 = n * sxx - sx * sx; val d2 = n * syy - sy * sy
-      // every row of a rank test has Σ2·rank = n(n+1) — structural identity
-      assert(sx == n * (n + 1) && sy == n * (n + 1))
+      val d1 = prs.map(p => p._1 * p._1).sum
+      val d2 = prs.map(p => p._2 * p._2).sum
+      // centered ranks fold to zero — structural identity of avg ranks
+      assert(prs.map(_._1).sum == 0L && prs.map(_._2).sum == 0L)
       if (d1 > 0 && d2 > 0)
         assert(math.abs(row.getDouble(3) -
           r4(num.toDouble / math.sqrt(d1.toDouble * d2.toDouble))) < 1e-12)
