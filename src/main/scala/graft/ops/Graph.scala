@@ -37,6 +37,13 @@ import org.apache.spark.sql.functions._
   * oracle's simpler id-ordered replay still matches bit-for-bit
   * (GraphSpec also proves degree-order ≡ id-order census directly). */
 object Graph {
+  /** Widen to DECIMAL(38,0) before products whose magnitude scales
+    * superlinearly with graph size (degree-moment and m-squared folds
+    * cross 2^63 on ~1e9-edge graphs under ANSI — see SCALING.md round-10d
+    * overflow audit). Exact 128-bit sums, value-identical where the
+    * BIGINT fold survived. */
+  private def decw(c: Column): Column = c.cast("decimal(38,0)")
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Undirected bipartite business edges, encoded on one BIGINT node axis:
@@ -469,17 +476,18 @@ object Graph {
       .join(deg.select(col("n").as("b"), col("deg").as("y")), Seq("b"))
     val mom = xy.agg(count(lit(1)).as("m"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
+      sum(decw(col("x")) * col("y")).as("sxy"),
+      sum(decw(col("x")) * col("x")).as("sxx"),
+      sum(decw(col("y")) * col("y")).as("syy"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = e.agg(count(lit(1)).as("n_edges"))
-    val vx = col("m") * col("sxx") - col("sx") * col("sx")
-    val vy = col("m") * col("syy") - col("sy") * col("sy")
+    val vx = decw(col("m")) * col("sxx") - decw(col("sx")) * col("sx")
+    val vy = decw(col("m")) * col("syy") - decw(col("sy")) * col("sy")
     mom.crossJoin(broadcast(nn)).crossJoin(broadcast(ne))
       .select(col("n_nodes"), col("n_edges"),
         r4(when(vx > 0 && vy > 0,
-          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (decw(col("m")) * col("sxy") - decw(col("sx")) * col("sy"))
+            .cast("double") /
             sqrt(vx.cast("double") * vy.cast("double"))))
           .as("assortativity"))
   }
@@ -522,14 +530,15 @@ object Graph {
     val s2 = deg.join(lab, Seq("node"))
       .groupBy("lbl").agg(sum(col("deg")).as("d_c"))
       .agg(count(lit(1)).as("n_communities"),
-        coalesce(sum(col("d_c") * col("d_c")), lit(0L)).as("sd2"))
+        coalesce(sum(decw(col("d_c")) * col("d_c")),
+          lit(0L).cast("decimal(38,0)")).as("sd2"))
     ein.crossJoin(broadcast(mF)).crossJoin(broadcast(s2))
       .select(col("n_communities"), col("m").as("n_edges"),
         col("intra_edges"),
         r4(when(col("m") > 0,
-          (lit(4L) * col("m") * col("intra_edges") - col("sd2"))
+          (lit(4L) * decw(col("m")) * col("intra_edges") - col("sd2"))
             .cast("double") /
-            (lit(4L) * col("m") * col("m")).cast("double")))
+            (lit(4L) * decw(col("m")) * col("m")).cast("double")))
           .as("modularity"))
   }
 

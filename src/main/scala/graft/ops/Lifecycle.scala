@@ -414,10 +414,18 @@ object Lifecycle {
   private def li6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
 
+  /** Widen to DECIMAL(38,0) before any product whose magnitude scales
+    * superlinearly with corpus size (count² × scaled-ln terms cross 2^63
+    * at only ~5·10⁵ rows — the ANSI-overflow class the ×64 corpus probe
+    * exposed in the rank tests). Exact 128-bit integer arithmetic:
+    * associative and partition-invariant like BIGINT, value-identical at
+    * any scale the old fold survived, ANSI-checked at 10^38. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
   /** Generic core over a (source, x: positive BIGINT mass) frame. */
   private[graft] def theilCore(t: DataFrame): DataFrame =
     t.where(col("x") > 0)
-      .withColumn("xl", col("x") * li6(col("x")))
+      .withColumn("xl", dec(col("x")) * li6(col("x")))
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("xl")).as("sxl"))
@@ -463,9 +471,9 @@ object Lifecycle {
     val used = col("nr") > 0 && col("nc") > 0
     c.crossJoin(broadcast(t))
       .select(col("tr"), col("tc"), col("n_dropped"),
-        when(used, (col("nr") * col("tc") - col("nc") * col("tr")) *
-          li6((col("nr") * col("tc")).cast("double") /
-            (col("nc") * col("tr")).cast("double")))
+        when(used, (dec(col("nr")) * col("tc") - dec(col("nc")) * col("tr")) *
+          li6((dec(col("nr")) * col("tc")).cast("double") /
+            (dec(col("nc")) * col("tr")).cast("double")))
           .otherwise(lit(0L)).as("term"),
         when(used, 1L).otherwise(0L).as("u"))
       .groupBy("tr", "tc", "n_dropped")
@@ -474,7 +482,7 @@ object Lifecycle {
         col("n_buckets"), col("n_dropped"),
         when(col("n_buckets") > 0,
           r4(col("s").cast("double") /
-            (col("tr") * col("tc")).cast("double") / 1e6)).as("psi"))
+            (dec(col("tr")) * col("tc")).cast("double") / 1e6)).as("psi"))
   }
 
   private val psiDrift: Q = (s, d) =>
@@ -521,14 +529,17 @@ object Lifecycle {
     c.crossJoin(broadcast(t))
       .select(col("ta"), col("tb"),
         when(col("a") > 0,
-          col("a") * li6(col("a").cast("double") / col("ta").cast("double")))
+          dec(col("a")) *
+            li6(col("a").cast("double") / col("ta").cast("double")))
           .otherwise(0L).as("sp"),
         when(col("b") > 0,
-          col("b") * li6(col("b").cast("double") / col("tb").cast("double")))
+          dec(col("b")) *
+            li6(col("b").cast("double") / col("tb").cast("double")))
           .otherwise(0L).as("sq"),
-        ((col("a") * col("tb") + col("b") * col("ta")) *
-          li6((col("a") * col("tb") + col("b") * col("ta")).cast("double") /
-            (lit(2L) * col("ta") * col("tb")).cast("double"))).as("sm"))
+        ((dec(col("a")) * col("tb") + dec(col("b")) * col("ta")) *
+          li6((dec(col("a")) * col("tb") + dec(col("b")) * col("ta"))
+              .cast("double") /
+            (lit(2L) * dec(col("ta")) * col("tb")).cast("double"))).as("sm"))
       .groupBy("ta", "tb")
       .agg(count(lit(1)).as("k"), sum(col("sp")).as("sp"),
         sum(col("sq")).as("sq"), sum(col("sm")).as("sm"))
@@ -536,7 +547,7 @@ object Lifecycle {
         col("k").as("k_categories"),
         r4(
           (-col("sm").cast("double") /
-            (lit(2L) * col("ta") * col("tb")).cast("double") / 1e6) -
+            (lit(2L) * dec(col("ta")) * col("tb")).cast("double") / 1e6) -
           ((-col("sp").cast("double") / col("ta").cast("double") / 1e6) +
             (-col("sq").cast("double") / col("tb").cast("double") / 1e6))
             / 2.0).as("jsd"))
@@ -684,7 +695,8 @@ object Lifecycle {
     c.agg(
         sum(col("na")).as("n1"),
         sum(col("nt") - col("na")).as("n2"),
-        sum(col("na") * (lit(2L) * col("cum") - col("nt") + 1)).as("r1x2"),
+        sum(dec(col("na")) * (lit(2L) * col("cum") - col("nt") + 1))
+          .cast("long").as("r1x2"),
         // tie term in DECIMAL(38,0): t³ overflows BIGINT once a single
         // value ties ≳2^21 rows (a small-domain metric at corpus scale
         // hits that); exact 128-bit sums cost nothing here and the emit

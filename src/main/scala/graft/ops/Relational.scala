@@ -14,6 +14,14 @@ import org.apache.spark.sql.types._
   * ANSI-SQL oracle in [[oracle]] with identical column names.
   */
 object Relational {
+  /** Widen to DECIMAL(38,0) before products whose magnitude scales
+    * superlinearly with corpus size (count-product x scaled-ln / squared-
+    * cents folds cross 2^63 between ~5e5 and ~1e7 rows under ANSI — the
+    * overflow class the x64 corpus probe exposed). Exact 128-bit sums:
+    * associative, partition-invariant, value-identical where the BIGINT
+    * fold survived, ANSI-checked at 10^38. */
+  private def decw(c: Column): Column = c.cast("decimal(38,0)")
+
   type Q = (SparkSession, String) => DataFrame
 
   private val ioTmp = "/tmp/graft_io"
@@ -246,10 +254,12 @@ object Relational {
     val a = ev.agg(
       sum(when(col("arm"), 1L).otherwise(0L)).as("n1"),
       sum(when(col("arm"), col("c")).otherwise(0L)).as("s1"),
-      sum(when(col("arm"), col("c") * col("c")).otherwise(0L)).as("q1"),
+      sum(when(col("arm"), decw(col("c")) * col("c")).otherwise(0L))
+        .as("q1"),
       sum(when(!col("arm"), 1L).otherwise(0L)).as("n2"),
       sum(when(!col("arm"), col("c")).otherwise(0L)).as("s2"),
-      sum(when(!col("arm"), col("c") * col("c")).otherwise(0L)).as("q2"))
+      sum(when(!col("arm"), decw(col("c")) * col("c")).otherwise(0L))
+        .as("q2"))
     val m1 = col("s1").cast("double") / col("n1")
     val m2 = col("s2").cast("double") / col("n2")
     val se1 = (col("q1").cast("double") -
@@ -352,9 +362,11 @@ object Relational {
         coalesce(col("o"), lit(0L)).as("o"))
     cells
       .select(col("lang"), col("source"), col("n"),
-        ((col("n") * col("o") - col("rt") * col("ct")).cast("double") *
-          (col("n") * col("o") - col("rt") * col("ct")).cast("double") /
-          (col("n") * col("rt") * col("ct")).cast("double") * 1e6)
+        ((decw(col("n")) * col("o") - decw(col("rt")) * col("ct"))
+            .cast("double") *
+          (decw(col("n")) * col("o") - decw(col("rt")) * col("ct"))
+            .cast("double") /
+          (decw(col("n")) * col("rt") * col("ct")).cast("double") * 1e6)
           .as("term"))
       .agg(max(col("n")).as("n_docs"),
         ((countDistinct(col("lang")) - 1) *
@@ -392,15 +404,17 @@ object Relational {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        (lit(2L) * sum(col("i") * col("n_chars"))).as("a2"))
+        (lit(2L) * sum(decw(col("i")) * col("n_chars"))).as("a2"))
       .select(col("source"), col("n_docs"), col("total_chars"),
-        (col("a2") - (col("n_docs") + 1) * col("total_chars"))
+        (col("a2") - decw(col("n_docs") + 1) * col("total_chars"))
           .as("gini_num"))
       .select(col("source"), col("n_docs"), col("total_chars"),
-        expr("(1000000 * gini_num) div (n_docs * total_chars)")
-          .as("gini_scaled"),
+        expr("""(1000000 * gini_num)
+              div (CAST(n_docs AS DECIMAL(38,0)) * total_chars)""")
+          .cast("long").as("gini_scaled"),
         r4(col("gini_num").cast("double") /
-          (col("n_docs") * col("total_chars")).cast("double")).as("gini"))
+          (decw(col("n_docs")) * col("total_chars")).cast("double"))
+          .as("gini"))
       .orderBy("source")
   }
 
@@ -433,14 +447,15 @@ object Relational {
       .crossJoin(broadcast(n))
     def ent(marg: DataFrame, cnt: String): DataFrame =
       marg.crossJoin(broadcast(n))
-        .select((col(cnt) * floor(
+        .select((decw(col(cnt)) * floor(
           log(col("n").cast("double") / col(cnt).cast("double")) * 1e6 + 0.5)
           .cast("long")).as("t"))
         .agg(sum(col("t")).as(s"h_$cnt"))
     val mi = cells
-      .select(col("n"), (col("o") * floor(
-        log((col("n") * col("o")).cast("double") /
-          (col("rt") * col("ct")).cast("double")) * 1e6 + 0.5).cast("long"))
+      .select(col("n"), (decw(col("o")) * floor(
+        log((decw(col("n")) * col("o")).cast("double") /
+          (decw(col("rt")) * col("ct")).cast("double")) * 1e6 + 0.5)
+        .cast("long"))
         .as("t"))
       .agg(max(col("n")).as("n_docs"), sum(col("t")).as("si"))
     mi.crossJoin(broadcast(ent(rt, "rt"))).crossJoin(broadcast(ent(ct, "ct")))
@@ -492,7 +507,7 @@ object Relational {
         log(col("n").cast("double") / col("c").cast("double")) * 1e6 + 0.5)
         .cast("long"))
       .agg(max(col("n")).as("n_docs"), max(col("k")).as("k"),
-        sum(col("c") * col("li")).as("si"))
+        sum(decw(col("c")) * col("li")).as("si"))
       .select(lit(label).as("axis"), col("n_docs"), col("k"),
         r4(col("si").cast("double") / col("n_docs").cast("double") / 1e6)
           .as("entropy"),
