@@ -293,6 +293,58 @@ object Forecast {
   final case class Bt(user_id: Long, n_train: Int, n_test: Int,
       mae: Double, rmse: Double)
 
+  final case class BtAudit(user_id: Long, n_train: Int, n_test: Int,
+      naive_num: Long, mae_ratio4_ok: Boolean, cov_num: Int)
+
+  /** PER-KEY backtest audit row — the Prophet-family's oracle graduation
+    * (r11 verdict item 6, same audit-row pattern as [[skillCheck]] but one
+    * row PER SERIES instead of one corpus aggregate): exact-integer
+    * identity columns (n_train/n_test from the integer 80/20 cut,
+    * climatology SAE numerator Σ|vi·cut − Σ_train vi| as BIGINT) that
+    * DuckDB replays bit-for-bit, plus two tolerance verdicts over the
+    * model's float holdout metrics, asserted TRUE as constants in the
+    * oracle:
+    *
+    *  - `mae_ratio4_ok`: holdout MAE ≤ 4× climatology — the bounded-
+    *    extrapolation guard, per key (measured max ratio 3.61 at sf0.1 on
+    *    the raw series, see skillCheck's noise analysis).
+    *  - `cov_num`: holdout points inside the nominal-80% interval
+    *    yhat ± z·sigma — NOT itself oracle-replayable (interval bounds
+    *    are model floats); the registered query folds it into ONE
+    *    corpus-level two-sided calibration verdict, mean coverage in
+    *    [60%, 95%] (measured ~78% at sf0.001/0.01/0.1 — per-KEY coverage
+    *    is too volatile for a floor: observed min 8% on a 12-point
+    *    holdout at sf0.1, so the calibration claim is corpus-level by
+    *    design).
+    *
+    * Validity rule (cut ≥ P+2 ∧ cut < n) is the skillCheck rule, mirrored
+    * in the SQL from the same config constant. */
+  def backtestAudit(key: Long, pts: Array[Point]): Iterator[BtAudit] = {
+    val sorted = pts.sortBy(_.bucket.getTime)
+    val n = sorted.length
+    val cut = n * 4 / 5
+    if (cut < P + 2 || cut >= n) return Iterator.empty
+    val vi = sorted.map(p => math.floor(p.v * 10000 + 0.5).toLong)
+    val sTrain = vi.take(cut).sum
+    var num = 0L
+    var i = cut
+    while (i < n) { num += math.abs(vi(i) * cut - sTrain); i += 1 }
+    fit(sorted.take(cut)) match {
+      case None => Iterator.empty
+      case Some(m) =>
+        var sae = 0.0; var nin = 0
+        for (p <- sorted.drop(cut)) {
+          val yh = predictAt(m, p.bucket.getTime / 3600000L)
+          sae += math.abs(p.v - yh)
+          if (p.v >= yh - m.cfg.intervalZ * m.sigma &&
+              p.v <= yh + m.cfg.intervalZ * m.sigma) nin += 1
+        }
+        val nTest = n - cut
+        Iterator.single(BtAudit(key, cut, nTest, num,
+          sae * 10000.0 * cut <= 4.0 * num.toDouble, nin))
+    }
+  }
+
   /** Rolling-origin backtest of the additive model: fit on the first 80% of
     * slots, score MAE/RMSE on the holdout — the reference pattern's standard
     * evaluation step, per key. */

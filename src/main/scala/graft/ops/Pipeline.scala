@@ -680,10 +680,27 @@ object Pipeline {
     * cache between partition settings so that proof still re-derives). */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private[graft] def clearReleaseManifestCache(): Unit = manifestCache.clear()
+  /** Clear the manifest cache AND free the checkpoint blocks it pins: a
+    * localCheckpointed DataFrame's storage survives as long as something
+    * references its backing RDD, so dropping the map entry alone would
+    * leak the blocks until ContextCleaner happens to GC them (r11 verdict
+    * hygiene item). The backing RDD is the plan's LogicalRDD leaf. */
+  private[graft] def clearReleaseManifestCache(): Unit = {
+    manifestCache.values.forEach { df =>
+      df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = true)
+        case _ => ()
+      }
+    }
+    manifestCache.clear()
+  }
   private[graft] def releaseFlagManifest(s: SparkSession, d: String): DataFrame =
+    // applicationId + startTime is collision-free across sessions in one
+    // JVM lifetime; identityHashCode (the old key component) is not.
     manifestCache.computeIfAbsent(
-      s"${System.identityHashCode(s.sparkContext)}:$d@${srcStamp(d, "documents")}",
+      s"${s.sparkContext.applicationId}@${s.sparkContext.startTime}:" +
+        s"$d@${srcStamp(d, "documents")}",
       _ => buildReleaseFlagManifest(s, d))
 
   private def buildReleaseFlagManifest(s: SparkSession, d: String): DataFrame = {
@@ -895,15 +912,20 @@ object Pipeline {
     * corpus's GOPHER SURVIVORS — everything a production release pipeline
     * persists between crawl increments. Returns (dir, split). */
   private val stagedRelease =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private[graft] def stagedReleaseState(s: SparkSession, d: String)
       : (String, Long) = {
     val docs = tbl(s, d, "documents")
     val split = (docs.agg(max(col("doc_id"))).head().getLong(0) + 1) * 3 / 4
     val dir = s"/tmp/graft_io/release_state_${d.hashCode.toHexString}_" +
       srcStamp(d, "documents")
-    if (stagedRelease.add(dir))
+    // computeIfAbsent BLOCKS concurrent same-key callers until the write
+    // completes — the old add()-gate let a second caller race ahead and
+    // read $dir while the first was mid-write (r11 verdict hygiene item).
+    stagedRelease.computeIfAbsent(dir, _ => {
       releaseStateWrite(docs.where(col("doc_id") < split), dir)
+      java.lang.Boolean.TRUE
+    })
     (dir, split)
   }
 

@@ -168,9 +168,20 @@ object Canon {
       offsets0.withColumn("_n", sum(col("_ct")).over(wPart)) else offsets0
     val offsets = totalOf.foldLeft(offsets1) { case (o, (_, outT)) =>
       o.withColumn(outT, sum(col("_ct2")).over(wPart)) }.select(offCols: _*)
-    cumd.join(offsets, part :+ "_ck")
+    // Null-safe equi-join: a using-columns join here silently DROPS rows
+    // whose partition (or chunk) key is NULL, while the single-window
+    // route ranks the NULL group like any other — a result divergence
+    // across the SmallWindowCap routing boundary. `<=>` keys keep the
+    // same shuffled equi-join plan shape and make NULL a joinable value.
+    val joinKeys = part :+ "_ck"
+    val offsetsR = joinKeys.foldLeft(offsets) { (o, k) =>
+      o.withColumnRenamed(k, s"_r_$k") }
+    val joinCond = joinKeys.map(k => col(k) <=> col(s"_r_$k"))
+      .reduce(_ && _)
+    cumd.join(offsetsR, joinCond)
       .withColumn(out, col("_lc") + col("_off"))
-      .drop(Seq("_ck", "_lc", "_ct", "_rn", "_off") ++
+      .drop(joinKeys.map(k => s"_r_$k") ++
+        Seq("_ck", "_lc", "_ct", "_rn", "_off") ++
         totalOf.map(_ => "_ct2").toSeq: _*)
   }
 

@@ -318,4 +318,116 @@ class PipelineSpec extends AnyFunSuite {
       .toMap
     assert(gotRT == wantRT)
   }
+
+  test("chunked helpers: NULL partition/order keys agree across both " +
+      "routing sides (regression: using-columns join dropped NULL keys)") {
+    // NULL partition key (a whole NULL group), NULL order key inside a
+    // non-NULL group, and the (NULL, NULL) corner — the chunked path's
+    // offsets join must be null-safe or these rows silently vanish while
+    // the single-window route ranks them like any other group.
+    import org.apache.spark.sql.expressions.Window
+    val rows: Seq[(Option[String], Option[Long], Long)] = Seq(
+      (Some("a"), Some(1L), 2L), (Some("a"), Some(2L), 3L),
+      (Some("a"), Some(5L), 1L), (Some("a"), None, 5L),
+      (None, Some(1L), 7L), (None, Some(3L), 1L), (None, None, 4L),
+      (Some("b"), Some(9L), 6L))
+    val df = spark.createDataFrame(rows).toDF("key", "id", "v")
+      .repartition(4)
+    val w = Window.partitionBy("key").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.select("key", "id", "cum").collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
+    val want = snap(df.withColumn("cum", sum(col("v")).over(w)))
+    assert(want.size == rows.size) // distinct (key,id) pairs by fixture
+    // chunked route (smallCap=0 forces it; width 2 => multiple chunks)
+    val gotChunked = snap(graft.util.Canon.chunkedCumSum(df, Seq("key"),
+      "id", "v", "cum", chunkWidth = 2, smallCap = 0))
+    // small route (default cap) on the identical input
+    val gotSmall = snap(graft.util.Canon.chunkedCumSum(df, Seq("key"),
+      "id", "v", "cum", chunkWidth = 2))
+    assert(gotChunked == want, "chunked route diverged on NULL keys")
+    assert(gotSmall == want, "single-window route diverged on NULL keys")
+    // rank+total form exercises the totalOf branch of the same join
+    val wantRk = df.withColumn("cum",
+        row_number().over(Window.partitionBy("key").orderBy("id"))
+          .cast("long"))
+      .select("key", "id", "cum")
+    val gotRk = graft.util.Canon.chunkedRankWithTotal(df, Seq("key"),
+        floor(col("id").cast("double") / 2).cast("long"), Seq(col("id")),
+        "v", "rk", "T", smallCap = 0)
+      .withColumn("cum", col("rk")).select("key", "id", "cum")
+    assert(snap(gotRk) == snap(wantRk),
+      "chunkedRankWithTotal diverged on NULL keys")
+  }
+
+  test("release manifest cache: hit on stable key, clear frees checkpoint " +
+      "blocks, rebuild is content-identical") {
+    graft.ops.Pipeline.clearReleaseManifestCache()
+    val m1 = graft.ops.Pipeline.releaseFlagManifest(spark, sf)
+    assert(m1 eq graft.ops.Pipeline.releaseFlagManifest(spark, sf),
+      "second lookup must return the cached frame")
+    val rddIds = m1.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id }
+    assert(rddIds.nonEmpty, "cached manifest should be a checkpoint leaf")
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(rddIds.forall(persisted.contains),
+      "manifest blocks persisted while cached")
+    val snap1 = m1.collect().map(_.toString).sorted.toSeq
+    graft.ops.Pipeline.clearReleaseManifestCache()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(rddIds.forall(id => !after.contains(id)),
+      "clear must unpersist the manifest's checkpoint blocks")
+    val m2 = graft.ops.Pipeline.releaseFlagManifest(spark, sf)
+    assert(!(m2 eq m1))
+    assert(m2.collect().map(_.toString).sorted.toSeq == snap1,
+      "rebuild after clear must be content-identical")
+  }
+
+  test("stagedReleaseState: concurrent callers block until the write " +
+      "completes and both read a complete state dir") {
+    // fresh corpus dir => fresh state dir (the key hashes dir + stamp), so
+    // this exercises the first-write path, where the old add()-gate let a
+    // second caller read $dir mid-write
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage_race")
+      .toString
+    spark.read.parquet(s"$sf/documents.parquet")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futs = (1 to 2).map { _ => Future {
+      val (dir, split) = graft.ops.Pipeline.stagedReleaseState(spark, tmp)
+      (dir, split, spark.read.parquet(s"$dir/manifest").count(),
+        spark.read.parquet(s"$dir/bench").count())
+    } }
+    val rs = Await.result(Future.sequence(futs), 10.minutes)
+    assert(rs.map(_._1).distinct.size == 1, "same state dir")
+    assert(rs.map(_._2).distinct.size == 1, "same split")
+    assert(rs.forall(_._3 > 0) && rs.map(_._3).distinct.size == 1,
+      "both callers read the same complete manifest")
+    assert(rs.forall(_._4 > 0) && rs.map(_._4).distinct.size == 1,
+      "both callers read the same complete bench sets")
+  }
+
+  test("forecast_skill_audit validity bound derives from Forecast config") {
+    val bound = graft.ops.Forecast.P + 2
+    assert(SparkEntry.oracleSql("forecast_skill_audit")
+        .contains(s">= $bound "),
+      "oracle SQL must interpolate the P+2 bound, not hardcode it")
+    // engine side enforces the same bound inside skillCheck: a series with
+    // cut just below the bound yields no audit row; at the bound it yields
+    // one (both engine rule and oracle SQL now read the bound from config)
+    def series(n: Int): Array[graft.ops.Forecast.Point] =
+      Array.tabulate(n) { i =>
+        graft.ops.Forecast.Point(1L,
+          new java.sql.Timestamp(i * 3600000L), (i % 7).toDouble) }
+    val nAt = bound * 5 / 4 + (if ((bound * 5 / 4) * 4 / 5 < bound) 1 else 0)
+    val atCut = (nAt * 4) / 5
+    assert(atCut >= bound, "fixture sizing: cut at/above bound")
+    assert(graft.ops.Forecast.skillCheck(1L, series(nAt)).nonEmpty,
+      "series at the bound must be audited")
+    assert(graft.ops.Forecast.skillCheck(1L, series(bound)).isEmpty,
+      "series whose cut lands below the bound must be excluded")
+  }
 }
