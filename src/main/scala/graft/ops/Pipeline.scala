@@ -1152,14 +1152,14 @@ object Pipeline {
 
   /** The release chain replayed as chained-subset CTEs (the engine side
     * computes flags on one shared manifest — same values either way):
-    * gopher -> neardup closure (recursive CTE over survivors) -> bench
+    * gopher -> neardup closure (unrolled min-label CTEs over survivors) -> bench
     * containment -> quality rules -> mix threshold -> packing -> shards.
     * Shared VERBATIM by pipeline_release_e2e and
     * pipeline_release_incremental: the full recompute is the oracle for
     * both, so the incremental path's hash match proves merge ≡ recompute
     * for the whole seven-stage composition. */
   private lazy val releaseOracleCtes: String =
-      s"""WITH RECURSIVE docs AS (
+      s"""WITH docs AS (
             SELECT doc_id, lang, source, string_split($normSql, ' ') AS tk,
                    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS tok
             FROM documents),
@@ -1181,15 +1181,11 @@ object Pipeline {
             WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
                   / CAST(len(a.st) + len(b.st)
                          - len(list_intersect(a.st, b.st)) AS DOUBLE) >= 0.8),
-          edges AS (SELECT da AS src, db AS dst FROM prs
+          edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM prs
                     UNION ALL SELECT db, da FROM prs),
-          reach(node, r) AS (
-            SELECT doc_id, doc_id FROM t1
-            UNION
-            SELECT reach.node, e.dst FROM reach JOIN edges e
-              ON reach.r = e.src),
-          lab AS (SELECT node AS doc_id, (node = min(r)) AS is_keeper
-                  FROM reach GROUP BY node),
+          ${TextDedup.minLabelCtes("t1")},
+          lab AS (SELECT node AS doc_id, (node = lbl) AS is_keeper
+                  FROM mlab),
           s2 AS (SELECT s1.* FROM s1 JOIN lab USING (doc_id) WHERE is_keeper),
           bench AS (SELECT doc_id AS bench_id, list_distinct(tk) AS bst
                     FROM docs WHERE doc_id < 5),

@@ -2829,6 +2829,42 @@ object TextDedup {
 
   private[ops] val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
+  /** Unrolled min-label-propagation CTE chain over an `edges(src, dst)`
+    * CTE, closing the ONE remaining sf0.1 oracle gap (r11 verdict stretch
+    * item 8): the old `WITH RECURSIVE reach` replay materializes the full
+    * reachability relation, whose intermediate is Σ(|component|·degree) ≈
+    * 5e10 rows on sf0.1's 3,728-doc near-clique — intractable. This chain
+    * is the oracle-side twin of the ENGINE's own distributed min-label
+    * loop: each round takes min(own label, neighbor labels, label-of-label)
+    * — O(rounds·|E|) total. Neighbor-min alone needs diameter(component)
+    * rounds; the label-of-label (pointer-doubling) term makes convergence
+    * ~log2(diameter), so the default 12 rounds covers diameters into the
+    * thousands, and extra rounds past the fixpoint are cheap no-op
+    * re-joins. Same fixpoint as the closure: per-component min doc_id.
+    * Emits CTEs `l0..l<rounds>` plus `mlab(node, lbl)`. */
+  private[ops] def minLabelCtes(nodesCte: String, rounds: Int = 12): String = {
+    // AS MATERIALIZED is load-bearing: each round references l(k-1) three
+    // times, so DuckDB's default CTE inlining would expand 3^rounds copies
+    // of the whole chain (observed as an fd-exhaustion error before it
+    // even runs); materialization makes each round one O(|E|) pass.
+    val l0 =
+      s"l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS lbl FROM $nodesCte)"
+    val steps = (1 to rounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+             SELECT node, min(lbl) AS lbl FROM (
+               SELECT node, lbl FROM l${k - 1}
+               UNION ALL
+               SELECT e.dst AS node, l.lbl FROM l${k - 1} l
+                 JOIN edges e ON l.node = e.src
+               UNION ALL
+               SELECT a.node, b.lbl FROM l${k - 1} a
+                 JOIN l${k - 1} b ON a.lbl = b.node
+             ) u GROUP BY node)"""
+    }
+    ((l0 +: steps) :+ s"mlab AS (SELECT node, lbl FROM l$rounds)")
+      .mkString(",\n           ")
+  }
+
   val oracle: Map[String, String] = Map(
     // truth side of the minhash audit: exact string-token Jaccard over the
     // collapsed distinct-set groups; the verdict booleans are asserted TRUE
@@ -3287,17 +3323,14 @@ object TextDedup {
                  docs_before - coalesce(docs_after, 0) AS docs_removed,
                  chars_before - coalesce(chars_after, 0) AS chars_removed
           FROM b LEFT JOIN a ON b.lang = a.lang ORDER BY b.lang""",
-    // Oracle cost note (round 9): this replay is all-pairs Jaccard + a
-    // FULL transitive-closure recursive CTE — exact and fine at the
-    // sf0.01 gate, but intractable at sf0.1, where the fixture contains
-    // one 3,728-doc near-clique cluster (reach × degree ≈ 5e10
-    // intermediate rows; prefix filtering doesn't help because the
-    // synthetic vocabulary is ~50 tokens, so every prefix collides).
-    // The ENGINE side runs sf0.1 in ~4 s (banded LSH + bounded solve);
-    // sf0.1 sweeps therefore exclude this id and
-    // pipeline_neardup_incremental — see BASELINE.md sweep protocol.
+    // Oracle cost note (round 12, superseding round 9): the replay is
+    // all-pairs Jaccard + UNROLLED min-label propagation (minLabelCtes —
+    // O(rounds·|E|)), replacing the round-9 recursive transitive-closure
+    // CTE whose reach × degree ≈ 5e10 intermediate made sf0.1
+    // intractable. Both this id and pipeline_neardup_incremental are now
+    // sf0.1-replayable — see BASELINE.md sweep protocol.
     "pipeline_neardup_full" ->
-      s"""WITH RECURSIVE t AS (
+      s"""WITH t AS (
              SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
              FROM documents),
            pairs AS (
@@ -3305,15 +3338,12 @@ object TextDedup {
              FROM t a JOIN t b ON a.doc_id < b.doc_id
              WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
                    / CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS DOUBLE) >= 0.8),
-           edges AS (SELECT da AS src, db AS dst FROM pairs
+           edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
                      UNION ALL SELECT db, da FROM pairs),
-           reach(node, r) AS (
-             SELECT doc_id, doc_id FROM t
-             UNION
-             SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-          SELECT node, CAST(min(r) AS BIGINT) AS label,
-                 (node = min(r)) AS is_keeper
-          FROM reach GROUP BY node ORDER BY node""",
+           ${minLabelCtes("t")}
+          SELECT node, CAST(lbl AS BIGINT) AS label,
+                 (node = lbl) AS is_keeper
+          FROM mlab ORDER BY node""",
     // The slice replay: identical closure CTE restricted to doc_id < 500 —
     // at sf0.1 this stays tractable (max component 349 docs, ~13 s) where
     // the whole-table replay is not; at sf0.01 the slice is the corpus.
@@ -3351,7 +3381,7 @@ object TextDedup {
           SELECT sid, n_tokens, sid >= s AS is_new
           FROM sets, sp ORDER BY sid""",
     "pipeline_neardup_incremental" ->
-      s"""WITH RECURSIVE t AS (
+      s"""WITH t AS (
              SELECT doc_id, list_distinct(string_split($normSql, ' ')) AS st
              FROM documents),
            pairs AS (
@@ -3359,15 +3389,12 @@ object TextDedup {
              FROM t a JOIN t b ON a.doc_id < b.doc_id
              WHERE CAST(len(list_intersect(a.st, b.st)) AS DOUBLE)
                    / CAST(len(a.st) + len(b.st) - len(list_intersect(a.st, b.st)) AS DOUBLE) >= 0.8),
-           edges AS (SELECT da AS src, db AS dst FROM pairs
+           edges AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
                      UNION ALL SELECT db, da FROM pairs),
-           reach(node, r) AS (
-             SELECT doc_id, doc_id FROM t
-             UNION
-             SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
-          SELECT node, CAST(min(r) AS BIGINT) AS label,
-                 (node = min(r)) AS is_keeper
-          FROM reach GROUP BY node ORDER BY node""",
+           ${minLabelCtes("t")}
+          SELECT node, CAST(lbl AS BIGINT) AS label,
+                 (node = lbl) AS is_keeper
+          FROM mlab ORDER BY node""",
     "dedup_crossmodal_agreement" ->
       s"""WITH t AS (
             SELECT doc_id,

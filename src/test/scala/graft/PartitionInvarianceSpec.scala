@@ -70,7 +70,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // folds and whose verdicts carry wide deterministic margins (the ANN
     // recall audit is excluded: its IVF/PQ training accumulates floats
     // whose partition order may shift low bits without moving verdicts)
-    "dedup_minhash_audit", "dedup_simhash_audit", "forecast_skill_audit")
+    "dedup_minhash_audit", "dedup_simhash_audit", "forecast_skill_audit",
+    // round 12: per-key backtest audit — exact integer identity columns,
+    // verdicts from a per-group sequential fit (partition-order free)
+    "forecast_prophet_backtest_audit")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
