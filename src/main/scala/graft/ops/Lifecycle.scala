@@ -790,8 +790,81 @@ object Lifecycle {
           size(toks(normText)).cast("long").as("tok")),
       "lang", "n_chars", "tok")
 
+  /** Declarative data-quality CONSTRAINT AUDIT (the Deequ/great-expectations
+    * pattern re-expressed Spark-first): a fixed suite of completeness,
+    * uniqueness, set-membership, range, and referential-integrity
+    * constraints evaluated over the warehouse tables, one audit row per
+    * constraint — `(constraint, n_checked, n_violations, pass)`. This is
+    * the gate a production platform runs before promoting a snapshot: the
+    * whole suite is exact integer counting, so DuckDB replays every row.
+    *
+    * Scale shape: ONE aggregate pass per table computes all of that
+    * table's row-local constraints (the `stack` projection fans the
+    * single-row aggregate into per-constraint rows — no re-scan per
+    * constraint), and each referential constraint is one left-anti
+    * equi-join counted with a partial agg — the honest shuffle shape for
+    * fact→fact key containment at 100 TB (AQE picks broadcast when a side
+    * fits). Nothing corpus-sized converges to the driver; the audit output
+    * is O(#constraints) rows. */
+  private val constraintAudit: Q = (s, d) =>
+    constraintAuditCore(tbl(s, d, "lineitem"), tbl(s, d, "orders"),
+      tbl(s, d, "customer"))
+
+  private[graft] def constraintAuditCore(li: DataFrame, ord: DataFrame,
+      cust: DataFrame): DataFrame = {
+    val viol = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    // lineitem row-local constraints: one scan, one agg, stacked out
+    val liRows = li.agg(
+        count(lit(1)).as("n"),
+        viol(!(col("l_quantity") >= 1 && col("l_quantity") <= 50))
+          .as("v_qty"),
+        viol(!(floor(col("l_discount") * 100 + 0.5) >= 0 &&
+               floor(col("l_discount") * 100 + 0.5) <= 10)).as("v_disc"),
+        viol(!(col("l_extendedprice") > 0)).as("v_price"),
+        viol(col("l_shipdate").isNull).as("v_ship"))
+      .selectExpr("""stack(4,
+        'lineitem_quantity_1_50', n, v_qty,
+        'lineitem_discount_0_10pct', n, v_disc,
+        'lineitem_extendedprice_positive', n, v_price,
+        'lineitem_shipdate_complete', n, v_ship)
+        AS (constraint, n_checked, n_violations)""")
+    // orders row-local constraints (uniqueness via n - distinct keys)
+    val ordRows = ord.agg(
+        count(lit(1)).as("n"),
+        viol(col("o_custkey").isNull).as("v_cust"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+        viol(!col("o_orderstatus").isin("O", "F", "P")).as("v_status"),
+        viol(!(col("o_totalprice") > 0)).as("v_total"))
+      .selectExpr("""stack(4,
+        'orders_custkey_complete', n, v_cust,
+        'orders_orderkey_unique', n, v_uniq,
+        'orders_status_in_OFP', n, v_status,
+        'orders_totalprice_positive', n, v_total)
+        AS (constraint, n_checked, n_violations)""")
+    // referential integrity: left-anti count / total count per edge
+    def refRow(name: String, from: DataFrame, fk: String,
+        to: DataFrame, pk: String): DataFrame = {
+      val nTot = from.agg(count(lit(1)).as("n_checked"))
+      val nBad = from.select(col(fk))
+        .join(to.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      nTot.crossJoin(broadcast(nBad))
+        .select(lit(name).as("constraint"), col("n_checked"),
+          col("n_violations"))
+    }
+    liRows.unionByName(ordRows)
+      .unionByName(refRow("lineitem_orderkey_in_orders",
+        li, "l_orderkey", ord, "o_orderkey"))
+      .unionByName(refRow("orders_custkey_in_customer",
+        ord, "o_custkey", cust, "c_custkey"))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy("constraint")
+  }
+
   // ---------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
+    "pipeline_constraint_audit" -> constraintAudit,
     "agg_mannwhitney_u" -> mannWhitneyU,
     "agg_spearman_corr" -> spearmanCorr,
     "pipeline_snapshot_diff" -> snapshotDiff,
@@ -851,6 +924,56 @@ object Lifecycle {
           FROM terms"""
 
   val oracle: Map[String, String] = Map(
+    // All-integer constraint counting; NULL semantics match Spark's
+    // when().otherwise(0) (3VL NOT over NULL -> no violation counted) and
+    // the anti-join (NULL fk counts as a violation on both engines).
+    "pipeline_constraint_audit" ->
+      """WITH liagg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+                  CAST(sum(CASE WHEN NOT (floor(l_discount*100 + 0.5) >= 0
+                                AND floor(l_discount*100 + 0.5) <= 10)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+                  CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+                  CAST(sum(CASE WHEN l_shipdate IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+           FROM lineitem),
+         oagg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN o_custkey IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_cust,
+                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                    AS v_uniq,
+                  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+                  CAST(sum(CASE WHEN NOT (o_totalprice > 0)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v_total
+           FROM orders),
+         rows_ AS (
+           SELECT 'lineitem_quantity_1_50' AS c, n, v_qty AS v FROM liagg
+           UNION ALL SELECT 'lineitem_discount_0_10pct', n, v_disc FROM liagg
+           UNION ALL SELECT 'lineitem_extendedprice_positive', n, v_price
+             FROM liagg
+           UNION ALL SELECT 'lineitem_shipdate_complete', n, v_ship FROM liagg
+           UNION ALL SELECT 'orders_custkey_complete', n, v_cust FROM oagg
+           UNION ALL SELECT 'orders_orderkey_unique', n, v_uniq FROM oagg
+           UNION ALL SELECT 'orders_status_in_OFP', n, v_status FROM oagg
+           UNION ALL SELECT 'orders_totalprice_positive', n, v_total FROM oagg
+           UNION ALL SELECT 'lineitem_orderkey_in_orders',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+           UNION ALL SELECT 'orders_custkey_in_customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer cu
+                                WHERE cu.c_custkey = o.o_custkey)))
+         SELECT c AS "constraint", n AS n_checked, v AS n_violations,
+                v = 0 AS pass
+         FROM rows_ ORDER BY c""",
     // Exact-integer rank replay; only z is a float, rebuilt from the same
     // BIGINTs with the identical expression association and r4-rounded.
     "agg_mannwhitney_u" ->

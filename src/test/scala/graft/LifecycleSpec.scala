@@ -580,4 +580,56 @@ class LifecycleSpec extends AnyFunSuite {
       else assert(row.isNullAt(3))
     }
   }
+
+  test("pipeline_constraint_audit: seeded violations are counted exactly " +
+      "and the clean fixture passes every constraint") {
+    // clean fixture: all 10 constraints pass
+    val clean = SparkEntry.queries("pipeline_constraint_audit")(spark, sf)
+      .collect()
+    assert(clean.length == 10)
+    assert(clean.forall(_.getAs[Boolean]("pass")),
+      s"clean fixture must pass: ${clean.mkString(";")}")
+    // corrupted frames: every constraint family must count its violations
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val liSch = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_quantity", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_shipdate", DateType)))
+    val d0 = java.sql.Date.valueOf("2024-01-01")
+    val li = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 10.0, 0.05, 100.0, d0),         // clean
+        Row(1L, 0.0, 0.05, 100.0, d0),          // qty out of range
+        Row(1L, 51.0, 0.20, 100.0, d0),         // qty AND discount bad
+        Row(99L, 10.0, 0.05, 0.0, null),        // price, shipdate, dangling fk
+        Row(2L, 10.0, -0.01, 100.0, d0))), liSch) // discount negative
+    val ordSch = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType)))
+    val ord = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 7L, "O", 10.0),                 // clean
+        Row(1L, 7L, "F", 10.0),                 // duplicate orderkey
+        Row(2L, null, "X", -5.0),               // null fk, bad status, bad total
+        Row(3L, 8L, "P", 10.0))), ordSch)       // custkey 8 dangling
+    val cust = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7L))),
+      StructType(Seq(StructField("c_custkey", LongType))))
+    val got = graft.ops.Lifecycle.constraintAuditCore(li, ord, cust)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("lineitem_quantity_1_50") == (5L, 2L))
+    assert(got("lineitem_discount_0_10pct") == (5L, 2L))
+    assert(got("lineitem_extendedprice_positive") == (5L, 1L))
+    assert(got("lineitem_shipdate_complete") == (5L, 1L))
+    assert(got("orders_custkey_complete") == (4L, 1L))
+    assert(got("orders_orderkey_unique") == (4L, 1L))
+    assert(got("orders_status_in_OFP") == (4L, 1L))
+    assert(got("orders_totalprice_positive") == (4L, 1L))
+    assert(got("lineitem_orderkey_in_orders") == (5L, 1L))  // key 99
+    // dangling custkey 8 + NULL custkey both fail containment
+    assert(got("orders_custkey_in_customer") == (4L, 2L))
+  }
 }
