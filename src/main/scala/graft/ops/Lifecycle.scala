@@ -812,8 +812,10 @@ object Lifecycle {
 
   private[graft] def constraintAuditCore(li: DataFrame, ord: DataFrame,
       cust: DataFrame): DataFrame = {
+    // coalesce: sum() over an EMPTY table is NULL on both engines — an
+    // empty corpus must audit as 0 violations / pass, not NULL
     val viol = (c: org.apache.spark.sql.Column) =>
-      sum(when(c, 1L).otherwise(0L))
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     // lineitem row-local constraints: one scan, one agg, stacked out
     val liRows = li.agg(
         count(lit(1)).as("n"),
@@ -930,26 +932,26 @@ object Lifecycle {
     "pipeline_constraint_audit" ->
       """WITH liagg AS (
            SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
-                  CAST(sum(CASE WHEN NOT (floor(l_discount*100 + 0.5) >= 0
+                  CAST(coalesce(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_qty,
+                  CAST(coalesce(sum(CASE WHEN NOT (floor(l_discount*100 + 0.5) >= 0
                                 AND floor(l_discount*100 + 0.5) <= 10)
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
-                  CAST(sum(CASE WHEN NOT (l_extendedprice > 0)
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
-                  CAST(sum(CASE WHEN l_shipdate IS NULL
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_disc,
+                  CAST(coalesce(sum(CASE WHEN NOT (l_extendedprice > 0)
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_price,
+                  CAST(coalesce(sum(CASE WHEN l_shipdate IS NULL
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_ship
            FROM lineitem),
          oagg AS (
            SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(CASE WHEN o_custkey IS NULL
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v_cust,
+                  CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_cust,
                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
                     AS v_uniq,
-                  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
-                  CAST(sum(CASE WHEN NOT (o_totalprice > 0)
-                           THEN 1 ELSE 0 END) AS BIGINT) AS v_total
+                  CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_status,
+                  CAST(coalesce(sum(CASE WHEN NOT (o_totalprice > 0)
+                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_total
            FROM orders),
          rows_ AS (
            SELECT 'lineitem_quantity_1_50' AS c, n, v_qty AS v FROM liagg

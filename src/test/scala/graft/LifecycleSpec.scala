@@ -631,5 +631,12 @@ class LifecycleSpec extends AnyFunSuite {
     assert(got("lineitem_orderkey_in_orders") == (5L, 1L))  // key 99
     // dangling custkey 8 + NULL custkey both fail containment
     assert(got("orders_custkey_in_customer") == (4L, 2L))
+    // empty corpus: every constraint audits as 0 checked / 0 violations /
+    // pass (sum() over empty is NULL on both engines — coalesced)
+    val empty = graft.ops.Lifecycle.constraintAuditCore(
+      li.limit(0), ord.limit(0), cust.limit(0)).collect()
+    assert(empty.length == 10)
+    assert(empty.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L &&
+      r.getAs[Boolean]("pass")), s"empty-corpus audit: ${empty.mkString(";")}")
   }
 }
