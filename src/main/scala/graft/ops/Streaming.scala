@@ -102,6 +102,42 @@ object Streaming {
         col("v_sum"))
       .orderBy("w_start", "event_type")
 
+  /** Streaming CONSTRAINT MONITOR — the pipeline_constraint_audit pattern
+    * on the INGEST stream: per event-hour, exact violation counts for the
+    * row-level constraints a platform enforces at the door (known event
+    * type, positive value, present user_id, unique event_id within the
+    * window), with a per-window pass verdict. Streaming shape: one
+    * windowed aggregate (partial+final, complete-mode bounded replay);
+    * every count is exact integer arithmetic, so DuckDB replays the whole
+    * monitor from the batch table. On an unbounded 100 TB/day stream the
+    * same plan runs with a watermark and append mode — the aggregate is
+    * per-window-local state either way. */
+  private val streamConstraintMonitor: Q = (s, d) => {
+    // streaming aggregations reject countDistinct — the uniqueness check
+    // rides the same keyed-state shape as stream_dedup: per
+    // (window, event_id) counts in the stream, the per-window rollup on
+    // the finished sink (a bounded batch frame)
+    val sink = runToTable(s,
+      eventsStream(s, d)
+        .groupBy(window(col("tsm"), "1 hour"), col("event_id"))
+        .agg(count(lit(1)).as("c"),
+          coalesce(sum(when(!col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"), 1L)
+            .otherwise(0L)), lit(0L)).as("vt"),
+          coalesce(sum(when(!(col("value") > 0), 1L).otherwise(0L)), lit(0L))
+            .as("vv"),
+          coalesce(sum(when(col("user_id").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("vu")),
+      "complete")
+    sink.groupBy(col("window.start").as("w_start"))
+      .agg(sum(col("c")).as("n_events"), sum(col("vt")).as("v_type"),
+        sum(col("vv")).as("v_value"), sum(col("vu")).as("v_user"),
+        (sum(col("c")) - count(lit(1))).as("v_dup"))
+      .withColumn("pass", col("v_type") + col("v_value") + col("v_user") +
+        col("v_dup") === 0L)
+      .orderBy("w_start")
+  }
+
   /** Streaming source-mix drift monitor — the curation tier's entropy
     * balance (agg_entropy_balance arithmetic) computed LIVE per event-hour
     * over the replayed stream: the event-type mix entropy + Pielou
@@ -529,6 +565,7 @@ object Streaming {
     "stream_neardup" -> streamNeardup,
     "stream_tumbling_count" -> streamTumblingCount,
     "stream_mix_monitor" -> streamMixMonitor,
+    "stream_constraint_monitor" -> streamConstraintMonitor,
     "stream_ohlc" -> streamOhlc,
     "stream_sliding_avg" -> streamSlidingAvg,
     "stream_session_window" -> streamSessionWindow,
@@ -589,6 +626,26 @@ object Streaming {
                 count(*) AS n,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v_sum
          FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
+    "stream_constraint_monitor" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(coalesce(sum(CASE WHEN event_type NOT IN
+                  ('click','error','purchase','signup','view')
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_type,
+                CAST(coalesce(sum(CASE WHEN NOT (value > 0)
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_value,
+                CAST(coalesce(sum(CASE WHEN user_id IS NULL
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_user,
+                CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_dup,
+                (coalesce(sum(CASE WHEN event_type NOT IN
+                    ('click','error','purchase','signup','view')
+                    THEN 1 ELSE 0 END), 0)
+                 + coalesce(sum(CASE WHEN NOT (value > 0)
+                     THEN 1 ELSE 0 END), 0)
+                 + coalesce(sum(CASE WHEN user_id IS NULL
+                     THEN 1 ELSE 0 END), 0)
+                 + count(*) - count(DISTINCT event_id)) = 0 AS pass
+         FROM events GROUP BY w_start ORDER BY w_start""",
     "stream_mix_monitor" ->
       """WITH c AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,

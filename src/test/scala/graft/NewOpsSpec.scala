@@ -378,4 +378,40 @@ class NewOpsSpec extends AnyFunSuite {
       assert(charsKnown == ofLang.filter(_._1 % 2 == 1).map(_._3).sum)
     }
   }
+
+  test("stream_constraint_monitor: seeded violations are counted per " +
+      "window and the clean fixture passes") {
+    val clean = q("stream_constraint_monitor").collect()
+    assert(clean.nonEmpty)
+    assert(clean.forall(_.getAs[Boolean]("pass")),
+      "clean fixture must pass every window")
+    // corrupted micro-corpus: one window with every violation class
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val rows = Seq(
+      Row(1L, t(1), 7L, "click", 1.0, "{}"),      // clean
+      Row(2L, t(2), 7L, "teleport", 1.0, "{}"),   // unknown type
+      Row(3L, t(3), 7L, "view", 0.0, "{}"),       // non-positive value
+      Row(4L, t(4), null, "view", 1.0, "{}"),     // null user
+      Row(5L, t(5), 7L, "view", 1.0, "{}"),       // |
+      Row(5L, t(6), 7L, "view", 1.0, "{}"))       // | duplicate event_id
+    val dir = java.nio.file.Files.createTempDirectory("graft_scm").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), sch)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("stream_constraint_monitor")(spark, dir)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Long]("v_type") == 1L, "unknown event_type")
+    assert(r.getAs[Long]("v_value") == 1L, "non-positive value")
+    assert(r.getAs[Long]("v_user") == 1L, "null user_id")
+    assert(r.getAs[Long]("v_dup") == 1L, "duplicate event_id")
+    assert(!r.getAs[Boolean]("pass"))
+  }
 }
