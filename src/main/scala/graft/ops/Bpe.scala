@@ -264,7 +264,55 @@ object Bpe {
     "pipeline_tokenizer_fit" -> pipelineTokenizerFit,
   )
 
+  /** FULL DuckDB replay of the 16-round Sennrich trainer (round-13: the
+    * r12 verdict assumed the argmax loop was non-replayable — recursive
+    * CTEs indeed cannot GROUP BY, but K is a fixed constant, so the loop
+    * UNROLLS into 16 chained non-recursive stages, the minLabelCtes move).
+    * Each round is: split the marker-wrapped dict words into symbol lists
+    * (split on the ETX-STX seam), lateral-unnest adjacent pairs, weighted
+    * count, argmax under the exact engine tie-break (count DESC, then
+    * lexicographic a, b — binary collation ≡ Java String order on the BMP
+    * fixture), then one literal column-arg replace() applies the winning
+    * merge to every dict word. AS MATERIALIZED on dict/best stages is
+    * load-bearing: each is referenced twice per round → exponential
+    * inlining without it. Assumes ≥16 merges exist (the fixture always
+    * exhausts K; exhaustion would make round k+1 empty via the cross
+    * join, mirroring nothing — documented, not handled). */
+  private def tokenizerFitOracleSql: String = {
+    val K = 16
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH d0 AS MATERIALIZED (
+            SELECT regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g') AS w, wc
+            FROM (SELECT w, CAST(count(*) AS BIGINT) AS wc
+                  FROM (SELECT unnest(string_split($normSql, ' ')) AS w
+                        FROM documents)
+                  WHERE length(w) > 0 GROUP BY w))""")
+    for (k <- 1 to K) {
+      sb.append(s""",
+         p$k AS (SELECT a, b, CAST(sum(wc) AS BIGINT) AS c
+                 FROM (SELECT sym[i] AS a, sym[i + 1] AS b, wc
+                       FROM (SELECT string_split(substr(w, 2, length(w) - 2),
+                                                 chr(3) || chr(2)) AS sym, wc
+                             FROM d${k - 1}) t,
+                            unnest(generate_series(1, len(sym) - 1)) AS u(i))
+                 GROUP BY a, b),
+         b$k AS MATERIALIZED (
+           SELECT CAST($k AS INTEGER) AS "rank", a, b, c
+           FROM p$k ORDER BY c DESC, a, b LIMIT 1),
+         d$k AS MATERIALIZED (
+           SELECT replace(d.w, chr(2) || p.a || chr(3) || chr(2) || p.b || chr(3),
+                          chr(2) || p.a || p.b || chr(3)) AS w, d.wc
+           FROM d${k - 1} d CROSS JOIN b$k p)""")
+    }
+    sb.append("\n         SELECT \"rank\", a AS \"left\", b AS \"right\", c AS pair_count FROM (")
+    sb.append((1 to K).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL "))
+    sb.append(") ORDER BY \"rank\"")
+    sb.toString
+  }
+
   val oracle: Map[String, String] = Map(
+    "pipeline_tokenizer_fit" -> tokenizerFitOracleSql,
     "text_bpe_fertility" ->
       s"""WITH t AS (
             SELECT lang,

@@ -2596,25 +2596,83 @@ object TextDedup {
     * batch iteration are real; the codec itself is a STUB (deterministic
     * hash-derived fake — image/audio libraries are not in this container).
     * Swap `decodeStub` for a real codec on a cluster with the libs. */
-  private val multimodalDecode: Q = (s, d) => {
+  private def decodeStub(id: Long, bin: Array[Byte]): MMDecoded = {
+    var h = 1125899906842597L // STUB: deterministic fake decode
+    var i = 0
+    while (i < bin.length) { h = 31 * h + bin(i); i += 1 }
+    val feat = Array.tabulate(4)(k =>
+      math.floor(((h >>> (k * 8)) & 0xFF).toDouble / 255.0 * 10000 + 0.5) / 10000.0)
+    MMDecoded(id, 64 + ((h >>> 32) & 0x3FF).toInt, 64 + ((h >>> 42) & 0x3FF).toInt,
+      if ((h & 1) == 0) "png" else "jpeg", feat(0), feat(1), feat(2), feat(3))
+  }
+
+  private[graft] def multimodalDecodeCore(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    def decodeStub(id: Long, bin: Array[Byte]): MMDecoded = {
-      var h = 1125899906842597L // STUB: deterministic fake decode
-      var i = 0
-      while (i < bin.length) { h = 31 * h + bin(i); i += 1 }
-      val feat = Array.tabulate(4)(k =>
-        math.floor(((h >>> (k * 8)) & 0xFF).toDouble / 255.0 * 10000 + 0.5) / 10000.0)
-      MMDecoded(id, 64 + ((h >>> 32) & 0x3FF).toInt, 64 + ((h >>> 42) & 0x3FF).toInt,
-        if ((h & 1) == 0) "png" else "jpeg", feat(0), feat(1), feat(2), feat(3))
-    }
-    tbl(s, d, "documents")
+    docs
       .withColumn("bin", encode(col("text"), "UTF-8"))
       .select(col("doc_id"), col("bin"))
       .repartition(8, col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bin) => decodeStub(id, bin) })
       .toDF()
-      .orderBy("doc_id")
+  }
+
+  private val multimodalDecode: Q = (s, d) =>
+    multimodalDecodeCore(tbl(s, d, "documents")).orderBy("doc_id")
+
+  /** Direct oracle gate for the stub-codec id (r12 verdict item 1): the
+    * decode features are Spark-only, but two things ARE cross-engine
+    * checkable and ride as exact columns: the corpus count and the
+    * byte-level encode→base64→decode ROUND-TRIP (sha2 of the original text
+    * vs sha2 of the decoded round-trip — Spark base64/unbase64 and DuckDB
+    * to_base64/from_base64 both implement RFC 4648, so n_roundtrip_ok is
+    * computed independently by BOTH engines, not asserted). The stub's own
+    * guarantees reduce to verdicts the oracle replays as TRUE:
+    *  - decoded_count_ok: mapPartitions emits exactly one row per doc
+    *    (the batch plumbing drops/duplicates nothing through the 8-way
+    *    repartition).
+    *  - dims_ok / feats_ok / format_ok: every decoded record stays in the
+    *    stub's declared domain (width/height ∈ [64, 1087], feats ∈ [0,1],
+    *    format ∈ {png, jpeg}).
+    *  - decode_deterministic: two independently planned decode passes
+    *    produce identical row multisets (order-free signature: exact
+    *    decimal sum of per-row xxhash64). */
+  private val multimodalDecodeAudit: Q = (s, d) => {
+    val docs = tbl(s, d, "documents")
+    val rt = docs.select(
+      when(sha2(col("text"), 256) ===
+        sha2(decode(unbase64(base64(encode(col("text"), "UTF-8"))), "UTF-8"), 256),
+        1L).otherwise(0L).as("ok"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_roundtrip_ok"))
+    // order-free multiset signature: exact decimal sum of per-row hashes
+    // (a plain LONG sum overflows under ANSI mode)
+    def sig(df: DataFrame) = df.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col("doc_id"), col("width"), col("height"), col("format"),
+        col("feat_0"), col("feat_1"), col("feat_2"), col("feat_3"))
+        .cast("decimal(20,0)")).as("s"))
+    val dec = multimodalDecodeCore(docs)
+    val dom = dec.agg(
+      count(lit(1)).as("n_dec"),
+      min(least(col("width"), col("height"))).as("dmin"),
+      max(greatest(col("width"), col("height"))).as("dmax"),
+      min(least(col("feat_0"), col("feat_1"), col("feat_2"), col("feat_3"))).as("fmin"),
+      max(greatest(col("feat_0"), col("feat_1"), col("feat_2"), col("feat_3"))).as("fmax"),
+      sum(when(col("format").isin("png", "jpeg"), 0L).otherwise(1L)).as("nbad"))
+    val s1 = sig(multimodalDecodeCore(docs))
+      .select(col("n").as("n1"), col("s").as("s1"))
+    val s2 = sig(multimodalDecodeCore(docs))
+      .select(col("n").as("n2"), col("s").as("s2"))
+    rt.crossJoin(broadcast(dom)).crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
+      .select(
+        col("n_docs"), col("n_roundtrip_ok"),
+        (col("n_dec") === col("n_docs")).as("decoded_count_ok"),
+        (col("dmin") >= 64 && col("dmax") <= 1087).as("dims_ok"),
+        (col("fmin") >= 0.0 && col("fmax") <= 1.0).as("feats_ok"),
+        (col("nbad") === 0L).as("format_ok"),
+        (col("n1") === col("n2") && col("s1") === col("s2"))
+          .as("decode_deterministic"))
   }
 
   /** Frame sampling over an opaque payload: treat the byte stream as
@@ -2824,6 +2882,7 @@ object TextDedup {
     "multimodal_struct" -> multimodalStruct,
     "multimodal_binary" -> multimodalBinary,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_decode_audit" -> multimodalDecodeAudit,
     "multimodal_frame_sample" -> multimodalFrameSample,
   )
 
@@ -3757,6 +3816,16 @@ object TextDedup {
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                 ascii(substr(text, 1, 1)) AS head_byte
          FROM documents ORDER BY doc_id""",
+    // n_roundtrip_ok is computed INDEPENDENTLY here (RFC 4648 base64 both
+    // engines); the stub-domain verdicts replay as constant TRUE
+    "multimodal_decode_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN sha256(text) =
+                  sha256(CAST(from_base64(to_base64(encode(text))) AS VARCHAR))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+                true AS decoded_count_ok, true AS dims_ok, true AS feats_ok,
+                true AS format_ok, true AS decode_deterministic
+         FROM documents""",
     "multimodal_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,

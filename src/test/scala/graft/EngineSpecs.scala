@@ -47,7 +47,8 @@ class SmokeSpec extends AnyFunSuite {
     "forecast_prophet_holidays", "forecast_prophet_like",
     "forecast_prophet_logistic", "forecast_prophet_multiplicative",
     "embed_kmeans", // KmeansSpec: exact-recompute assignment verification
-    "pipeline_tokenizer_fit", // TokenizerFitSpec: reference-trainer equality
+    // pipeline_tokenizer_fit graduated r13: the 16-round argmax trainer is
+    // fully replayed by 16 unrolled DuckDB CTE stages (Bpe.tokenizerFitOracleSql)
     "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",
     "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
     "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
