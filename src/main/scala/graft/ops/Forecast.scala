@@ -345,6 +345,74 @@ object Forecast {
     }
   }
 
+  /** Widest regressor count across the four audited variant configs —
+    * the variants audit's validity rule uses it so EVERY variant's fit()
+    * is guaranteed to succeed on the audited series (mirrored as a
+    * constant in the oracle SQL). */
+  def VariantsPMax: Int = math.max(P, WideConfig.p) // holidays adds 1 to P
+
+  final case class BtVar(user_id: Long, n_train: Int, n_test: Int,
+      naive_num: Long, sae_cfg: Double, sae_hol: Double, sae_log: Double,
+      sae_mul: Double, cov_cfg: Int)
+
+  /** Shared measurement core of the VARIANTS backtest audit (r12 verdict
+    * item 2): one integer 80/20 split + exact BIGINT climatology numerator
+    * (identical to [[backtestAudit]]), then each of the four non-default
+    * model modes — WideConfig, holidays, logistic, multiplicative — fits
+    * the same train slice and scores holdout SAE in the same ×10⁴·cut
+    * scale as `naive_num`, so per-variant ratio verdicts stay exact-vs-
+    * float one-sided. `cov_cfg` counts holdout points inside WideConfig's
+    * nominal-95% interval (corpus-level calibration, like backtestAudit's
+    * 80% one). Validity: cut ≥ VariantsPMax+2, where VariantsPMax = 16
+    * (default p 15; WideConfig 2+4+2·(2+3) = 16; holidays 15+1 = 16) —
+    * every variant's fit() then succeeds — plus max train vi > 0 (the
+    * logistic cap needs a positive level; exact, mirrored in SQL). */
+  def backtestVariants(key: Long, pts: Array[Point],
+      holCfg: Config): Iterator[BtVar] = {
+    val sorted = pts.sortBy(_.bucket.getTime)
+    val n = sorted.length
+    val cut = n * 4 / 5
+    if (cut < VariantsPMax + 2 || cut >= n) return Iterator.empty
+    val vi = sorted.map(p => math.floor(p.v * 10000 + 0.5).toLong)
+    if (vi.take(cut).max <= 0L) return Iterator.empty // logistic needs cap>0
+    val sTrain = vi.take(cut).sum
+    var num = 0L
+    var i = cut
+    while (i < n) { num += math.abs(vi(i) * cut - sTrain); i += 1 }
+    val train = sorted.take(cut)
+    val test = sorted.drop(cut)
+    def sae(predict: Long => Double): Double = {
+      var s = 0.0
+      for (p <- test) s += math.abs(p.v - predict(p.bucket.getTime / 3600000L))
+      s * 10000.0 * cut
+    }
+    val (mCfgO, mHolO) = (fit(train, WideConfig), fit(train, holCfg))
+    if (mCfgO.isEmpty || mHolO.isEmpty) return Iterator.empty // cut rule makes this unreachable
+    val mCfg = mCfgO.get
+    val mHol = mHolO.get
+    // logistic: same transform as fitPredictLogistic, cap from the TRAIN slice
+    val vmax = train.map(_.v).max
+    val capL = 1.1 * vmax
+    val epsL = 1e-6 * capL
+    val mLog = fit(train.map { p =>
+      val c = math.min(math.max(p.v, epsL), capL - epsL)
+      p.copy(v = math.log(c / (capL - c)))
+    }).get
+    val mMul = fit(train.map(p => p.copy(v = math.log(math.max(p.v, 1e-9))))).get
+    var cov = 0
+    for (p <- test) {
+      val yh = predictAt(mCfg, p.bucket.getTime / 3600000L)
+      if (p.v >= yh - WideConfig.intervalZ * mCfg.sigma &&
+          p.v <= yh + WideConfig.intervalZ * mCfg.sigma) cov += 1
+    }
+    Iterator.single(BtVar(key, cut, n - cut, num,
+      sae(predictAt(mCfg, _)),
+      sae(predictAt(mHol, _)),
+      sae(hr => capL / (1.0 + math.exp(-predictAt(mLog, hr)))),
+      sae(hr => math.exp(predictAt(mMul, hr))),
+      cov))
+  }
+
   /** Rolling-origin backtest of the additive model: fit on the first 80% of
     * slots, score MAE/RMSE on the holdout — the reference pattern's standard
     * evaluation step, per key. */
