@@ -290,6 +290,28 @@ object Forecast {
     }
   }
 
+  /** Exact climatology SAE numerator Σ_test |vi·cut − Σ_train vi| in
+    * checked Long arithmetic: Math.*Exact fails LOUDLY on overflow instead
+    * of wrapping (r12 ADVICE — the DuckDB oracle sums in HUGEINT and its
+    * BIGINT cast errors, so a silent JVM wraparound would read as an
+    * engine/oracle divergence; at supported SFs the magnitudes sit
+    * |vi| ≤ ~1e10, cut ≤ ~600, n_test ≤ ~150 → peak ~1e15, three orders
+    * under the Long edge, and this makes that bound enforced, not
+    * assumed). */
+  private def climatologyNum(vi: Array[Long], cut: Int): Long = {
+    var sTrain = 0L
+    var i = 0
+    while (i < cut) { sTrain = Math.addExact(sTrain, vi(i)); i += 1 }
+    var num = 0L
+    i = cut
+    while (i < vi.length) {
+      num = Math.addExact(num, Math.abs(
+        Math.subtractExact(Math.multiplyExact(vi(i), cut.toLong), sTrain)))
+      i += 1
+    }
+    num
+  }
+
   final case class Bt(user_id: Long, n_train: Int, n_test: Int,
       mae: Double, rmse: Double)
 
@@ -325,10 +347,7 @@ object Forecast {
     val cut = n * 4 / 5
     if (cut < P + 2 || cut >= n) return Iterator.empty
     val vi = sorted.map(p => math.floor(p.v * 10000 + 0.5).toLong)
-    val sTrain = vi.take(cut).sum
-    var num = 0L
-    var i = cut
-    while (i < n) { num += math.abs(vi(i) * cut - sTrain); i += 1 }
+    val num = climatologyNum(vi, cut)
     fit(sorted.take(cut)) match {
       case None => Iterator.empty
       case Some(m) =>
@@ -375,10 +394,7 @@ object Forecast {
     if (cut < VariantsPMax + 2 || cut >= n) return Iterator.empty
     val vi = sorted.map(p => math.floor(p.v * 10000 + 0.5).toLong)
     if (vi.take(cut).max <= 0L) return Iterator.empty // logistic needs cap>0
-    val sTrain = vi.take(cut).sum
-    var num = 0L
-    var i = cut
-    while (i < n) { num += math.abs(vi(i) * cut - sTrain); i += 1 }
+    val num = climatologyNum(vi, cut)
     val train = sorted.take(cut)
     val test = sorted.drop(cut)
     def sae(predict: Long => Double): Double = {
@@ -473,10 +489,7 @@ object Forecast {
     // (exact climatology numerator, model SAE in the same ×10⁴·n_train scale)
     def eval(series: Array[Point]): Option[(Long, Double)] = {
       val vi = series.map(p => math.floor(p.v * 10000 + 0.5).toLong)
-      val sTrain = vi.take(cut).sum
-      var num = 0L
-      var i = cut
-      while (i < n) { num += math.abs(vi(i) * cut - sTrain); i += 1 }
+      val num = climatologyNum(vi, cut)
       fit(series.take(cut)).map { m =>
         var sae = 0.0
         for (p <- series.drop(cut))

@@ -129,12 +129,20 @@ object Streaming {
           coalesce(sum(when(col("user_id").isNull, 1L).otherwise(0L)),
             lit(0L)).as("vu")),
       "complete")
+    // NULL-robust uniqueness accounting (r12 ADVICE): Spark's groupBy puts
+    // all NULL event_ids in ONE group (k rows would read as k-1 dups)
+    // while DuckDB's count(DISTINCT) drops NULLs (k dups) — so missing
+    // ids get their OWN violation column on both sides and the dup count
+    // is defined over non-null ids only. The fixture never emits NULL
+    // event_id, but the monitor no longer depends on that invariant.
     sink.groupBy(col("window.start").as("w_start"))
       .agg(sum(col("c")).as("n_events"), sum(col("vt")).as("v_type"),
         sum(col("vv")).as("v_value"), sum(col("vu")).as("v_user"),
-        (sum(col("c")) - count(lit(1))).as("v_dup"))
+        sum(when(col("event_id").isNull, col("c")).otherwise(0L)).as("v_id_null"),
+        (sum(when(col("event_id").isNotNull, col("c")).otherwise(0L)) -
+          count(col("event_id"))).as("v_dup"))
       .withColumn("pass", col("v_type") + col("v_value") + col("v_user") +
-        col("v_dup") === 0L)
+        col("v_id_null") + col("v_dup") === 0L)
       .orderBy("w_start")
   }
 
@@ -636,7 +644,8 @@ object Streaming {
                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_value,
                 CAST(coalesce(sum(CASE WHEN user_id IS NULL
                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_user,
-                CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS v_dup,
+                CAST(count(*) - count(event_id) AS BIGINT) AS v_id_null,
+                CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT) AS v_dup,
                 (coalesce(sum(CASE WHEN event_type NOT IN
                     ('click','error','purchase','signup','view')
                     THEN 1 ELSE 0 END), 0)

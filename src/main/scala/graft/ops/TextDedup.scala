@@ -2920,8 +2920,21 @@ object TextDedup {
                  JOIN l${k - 1} b ON a.lbl = b.node
              ) u GROUP BY node)"""
     }
-    ((l0 +: steps) :+ s"mlab AS (SELECT node, lbl FROM l$rounds)")
-      .mkString(",\n           ")
+    // Convergence guard (r12 ADVICE): 12 rounds cover any plausible
+    // fixture, but a silent non-convergence would mislabel components and
+    // the resulting hash mismatch would be misattributed to an ENGINE bug.
+    // The guard makes the failure mode loud and correctly attributed: if
+    // the last two rounds differ anywhere, the oracle itself errors.
+    val guard =
+      s"""conv AS (SELECT count(*) AS nc FROM
+               (SELECT node, lbl FROM l$rounds
+                EXCEPT SELECT node, lbl FROM l${rounds - 1})),
+           mlab AS (SELECT node,
+                CASE WHEN (SELECT nc FROM conv) > 0
+                     THEN CAST(error('minLabelCtes: not converged after $rounds rounds') AS BIGINT)
+                     ELSE lbl END AS lbl
+                FROM l$rounds)"""
+    ((l0 +: steps) :+ guard).mkString(",\n           ")
   }
 
   val oracle: Map[String, String] = Map(

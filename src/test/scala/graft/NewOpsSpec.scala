@@ -399,7 +399,12 @@ class NewOpsSpec extends AnyFunSuite {
       Row(3L, t(3), 7L, "view", 0.0, "{}"),       // non-positive value
       Row(4L, t(4), null, "view", 1.0, "{}"),     // null user
       Row(5L, t(5), 7L, "view", 1.0, "{}"),       // |
-      Row(5L, t(6), 7L, "view", 1.0, "{}"))       // | duplicate event_id
+      Row(5L, t(6), 7L, "view", 1.0, "{}"),       // | duplicate event_id
+      // NULL ids are their OWN violation class, never dups (r12 ADVICE:
+      // Spark one-NULL-group vs DuckDB count(DISTINCT)-drops-NULL would
+      // otherwise diverge k-1 vs k)
+      Row(null, t(7), 7L, "view", 1.0, "{}"),
+      Row(null, t(8), 7L, "view", 1.0, "{}"))
     val dir = java.nio.file.Files.createTempDirectory("graft_scm").toString
     spark.createDataFrame(spark.sparkContext.parallelize(rows), sch)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -407,11 +412,12 @@ class NewOpsSpec extends AnyFunSuite {
       .collect()
     assert(got.length == 1)
     val r = got.head
-    assert(r.getAs[Long]("n_events") == 6L)
+    assert(r.getAs[Long]("n_events") == 8L)
     assert(r.getAs[Long]("v_type") == 1L, "unknown event_type")
     assert(r.getAs[Long]("v_value") == 1L, "non-positive value")
     assert(r.getAs[Long]("v_user") == 1L, "null user_id")
-    assert(r.getAs[Long]("v_dup") == 1L, "duplicate event_id")
+    assert(r.getAs[Long]("v_id_null") == 2L, "null event_ids counted apart")
+    assert(r.getAs[Long]("v_dup") == 1L, "duplicate event_id (nulls excluded)")
     assert(!r.getAs[Boolean]("pass"))
   }
 }
