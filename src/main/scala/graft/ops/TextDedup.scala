@@ -976,8 +976,15 @@ object TextDedup {
       // many raw pairs contract onto the SAME (batch, component) edge —
       // dedup before iterating: one shuffle shrinks the graph to ≤
       // |batch reps| × |touched components| and is what lets small deltas
-      // take propagateMinLabels' bounded local solve
-      .distinct()
+      // take propagateMinLabels' bounded local solve.
+      // CHECKPOINT (r13 stage attribution): the src/dst symmetrization
+      // below references this frame twice, so without materialization the
+      // whole band-join pair stage evaluates TWICE inside
+      // propagateMinLabels' edge checkpoint (measured: the monolithic call
+      // ran 3.2 s warm vs 2.3 s for the same stages checkpointed apart —
+      // the gap was exactly this re-evaluation). The frame is the bounded
+      // contracted edge set, never corpus-sized.
+      .distinct().localCheckpoint(true)
     val edges = contracted.select(col("sa").as("src"), col("sbn").as("dst"))
       .unionByName(contracted.select(col("sbn").as("src"), col("sa").as("dst")))
     // propagate over TOUCHED super-nodes only — untouched nodes keep
