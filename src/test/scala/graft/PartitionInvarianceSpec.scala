@@ -73,7 +73,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "dedup_minhash_audit", "dedup_simhash_audit", "forecast_skill_audit",
     // round 12: per-key backtest audit — exact integer identity columns,
     // verdicts from a per-group sequential fit (partition-order free)
-    "forecast_prophet_backtest_audit")
+    "forecast_prophet_backtest_audit",
+    // round 13: the variants audit shares that shape (4 per-group fits);
+    // the hash/decode audits are exact counts + decimal-sum signatures;
+    // tokenizer-fit emits the argmax merge table (exact weighted counts)
+    "forecast_variants_backtest_audit", "fn_hash_native_audit",
+    "multimodal_decode_audit", "stream_constraint_monitor")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
