@@ -1199,6 +1199,22 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-batch mismatch, e.g. ${got.diff(batch).take(2)} vs ${batch.diff(got).take(2)}")
   }
 
+  test("sim_lsh_ann multi-probe: radius-2 recall dominates radius-1") {
+    // pins the r13 probe-mask construction: the radius-2 mask set must be
+    // a strict superset of radius-1's, so its candidate set — and with
+    // the same exact re-rank, its recall — can only grow
+    val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(radius: Int): Double = {
+      val got = ops.TextDedup.simLshAnnImpl(spark, sf, Tables = 8, radius)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r2 >= r1, s"radius-2 recall $r2 below radius-1 $r1")
+    assert(r2 >= 0.85, s"radius-2 recall $r2 below the audited floor")
+  }
+
   test("ANN results are valid and overlap exact top-5") {
     val exact = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
