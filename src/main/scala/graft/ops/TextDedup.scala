@@ -1270,6 +1270,38 @@ object TextDedup {
     propagateMinLabels(edges, nodes, maxRounds = 20)._1.orderBy("node")
   }
 
+  /** SEMANTIC decontamination (round 13) — the embedding-space twin of the
+    * token-overlap `pipeline_decontaminate`: a corpus document is flagged
+    * when its embedding sits within cosine ≥ 0.3 of ANY benchmark vector
+    * (vec_id < 5, the same docs-0–4 benchmark convention) — the screen
+    * that catches paraphrased eval leakage token n-grams miss (the reason
+    * production decontamination runs BOTH passes). Shape: the bounded
+    * benchmark side broadcasts through a cross join (sim_cosine_topk's
+    * pattern — candidate work ∝ corpus × |bench|, |bench| fixed and tiny
+    * at any corpus scale; at a larger bench the ANN-bucketed path
+    * substitutes, exactly as pipeline_decontaminate's token join does).
+    * Threshold sized to the fixture by measurement: max bench-cosine is
+    * 0.39/0.40/0.42 at sf0.001/0.01/0.1, so τ=0.3 flags 20/18/66 docs —
+    * non-trivial at every SF. Cosine is the codegen'd sequential-fold
+    * expression, bit-identical to the DuckDB mirror (expr_custom_cosine
+    * precedent); tie on best_bench → lowest bench id. */
+  private val pipelineDecontaminateSemantic: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings")
+    val bench = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(desc("cos_raw"), asc("bench_id"))
+    e.where(col("vec_id") >= 5)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos_raw", cosineGen(s)(col("embedding"), col("be")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("bench_id").as("best_bench"),
+        r4(col("cos_raw")).as("best_cos"),
+        (col("cos_raw") >= 0.3).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   // --------------------------------------------------------------- similarity
   /** Brute-force cosine top-k: 10 query vectors (vec_id < 10) broadcast
     * against the full table — the exact baseline sim_lsh_ann is measured
@@ -2864,6 +2896,7 @@ object TextDedup {
     "pipeline_neardup_incremental" -> pipelineNeardupIncremental,
     "pipeline_neardup_refresh" -> pipelineNeardupRefresh,
     "pipeline_decontaminate" -> pipelineDecontaminate,
+    "pipeline_decontaminate_semantic" -> pipelineDecontaminateSemantic,
     "pipeline_decontaminate_ngram" -> pipelineDecontaminateNgram,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_semantic" -> dedupSemantic,
@@ -3281,6 +3314,22 @@ object TextDedup {
           FROM inter i JOIN bs ON i.bench_id = bs.bench_id
           WHERE CAST(n_shared AS DOUBLE)/CAST(nb AS DOUBLE) >= 0.8
           ORDER BY i.doc_id, i.bench_id""",
+    // semantic twin: identical sequential-fold cosine on both engines
+    // (expr_custom_cosine precedent), bench side is the bounded cross join
+    "pipeline_decontaminate_semantic" ->
+      s"""WITH b AS (SELECT vec_id AS bench_id, embedding AS be
+                     FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT e.vec_id, b.bench_id,
+                       ${cosineSql("e.embedding", "b.be")} AS cos_raw
+                FROM embeddings e CROSS JOIN b WHERE e.vec_id >= 5),
+          r AS (SELECT vec_id, bench_id, cos_raw,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos_raw DESC, bench_id) AS rk
+                FROM c)
+          SELECT vec_id, bench_id AS best_bench,
+                 floor(cos_raw*10000 + 0.5)/10000.0 AS best_cos,
+                 cos_raw >= 0.3 AS contaminated
+          FROM r WHERE rk = 1 ORDER BY vec_id""",
     "embed_norm_stats" ->
       """WITH t AS (
             SELECT label,

@@ -78,7 +78,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // the hash/decode audits are exact counts + decimal-sum signatures;
     // tokenizer-fit emits the argmax merge table (exact weighted counts)
     "forecast_variants_backtest_audit", "fn_hash_native_audit",
-    "multimodal_decode_audit", "stream_constraint_monitor")
+    "multimodal_decode_audit", "stream_constraint_monitor",
+    // sequential-fold cosine per row + deterministic tie-break rank
+    "pipeline_decontaminate_semantic")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
