@@ -173,7 +173,9 @@ object Functions {
     tbl(s, d, "documents").select(
       col("doc_id"),
       xxhash64(norm).as("h_xx"),
-      xxhash64(norm, lit(42)).as("h_xx_seeded"),
+      // Spark's xxhash64 takes no per-call seed: the 42L is an extra
+      // hashed column (a salt), not a seed — named accordingly (ADVICE r13)
+      xxhash64(norm, lit(42L)).as("h_xx_salted"),
       crc32(norm).as("h_crc"))
       .orderBy("doc_id")
   }
@@ -186,9 +188,15 @@ object Functions {
     * integers and asserted TRUE by the oracle:
     *  - injective_ok: 64-bit xxhash64 over the distinct norms collides
     *    nowhere (deterministic for a given fixture; p ≈ n²/2⁶⁵ ≈ 10⁻¹⁰).
-    *  - deterministic_ok: two independently planned evaluations agree row
-    *    by row (pins the seed/init constants, not just referential purity).
-    *  - seed_differs_ok: seed 42 changes every row's hash.
+    *  - algo_pinned_ok: xxhash64 of a fixed probe string equals a literal
+    *    captured from Spark 4.1.2 — a changed seed/init/finalizer constant
+    *    or algorithm swap flips this to false. (The r13 form compared two
+    *    textually identical expressions, which common-subexpression
+    *    elimination made vacuous — ADVICE r13.)
+    *  - salt_col_differs_ok: appending a constant 42L column to the hash
+    *    input changes every row's hash (multi-column avalanche — Spark's
+    *    xxhash64 takes no per-call seed; the extra column IS the salt,
+    *    renamed from seed_differs_ok per ADVICE r13).
     *  - crc_range_ok: crc32 stays in [0, 2³²) (it is a LONG column — a
     *    sign-extension bug would surface here).
     *  - balance_ok: 16 pmod buckets over the DISTINCT hashes each hold
@@ -201,14 +209,12 @@ object Functions {
     val t = tbl(s, d, "documents").select(
       norm.as("nt"),
       xxhash64(norm).as("h"),
-      xxhash64(norm, lit(42)).as("hs"),
-      crc32(norm).as("hc"),
-      xxhash64(lower(trim(col("text")))).as("h2"))
+      xxhash64(norm, lit(42L)).as("hs"),
+      crc32(norm).as("hc"))
     val flat = t.agg(
       count(lit(1)).as("n_docs"),
       countDistinct(col("nt")).as("n_distinct_norm"),
       countDistinct(col("h")).as("nh"),
-      sum(when(col("h") === col("h2"), 0L).otherwise(1L)).as("ndet"),
       sum(when(col("h") === col("hs"), 1L).otherwise(0L)).as("nseed"),
       min(col("hc")).as("cmin"), max(col("hc")).as("cmax"))
     val buckets = t.select(col("h")).distinct()
@@ -216,11 +222,16 @@ object Functions {
       .agg(count(lit(1)).as("bc"))
       .agg(count(lit(1)).as("nb"), min(col("bc")).as("bmin"),
         max(col("bc")).as("bmax"))
+    // Pinned-literal algorithm check: Catalyst constant-folds the probe
+    // hash at plan time with the SAME implementation the per-row hashes
+    // use, so any constant/algorithm change flips the folded value.
+    val algoPinned =
+      xxhash64(lit("graft:xxhash64:pin:v1")) === lit(-1798767873627594373L)
     flat.crossJoin(broadcast(buckets)).select(
       col("n_docs"), col("n_distinct_norm"),
       (col("nh") === col("n_distinct_norm")).as("injective_ok"),
-      (col("ndet") === 0L).as("deterministic_ok"),
-      (col("nseed") === 0L).as("seed_differs_ok"),
+      algoPinned.as("algo_pinned_ok"),
+      (col("nseed") === 0L).as("salt_col_differs_ok"),
       (col("cmin") >= 0L && col("cmax") <= 4294967295L).as("crc_range_ok"),
       (col("nb") === 16L && col("bmax") * 8L <= col("n_distinct_norm") &&
         col("bmin") * 64L >= col("n_distinct_norm")).as("balance_ok"))
@@ -248,8 +259,8 @@ object Functions {
     "fn_hash_native_audit" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(count(DISTINCT lower(trim(text))) AS BIGINT) AS n_distinct_norm,
-                true AS injective_ok, true AS deterministic_ok,
-                true AS seed_differs_ok, true AS crc_range_ok,
+                true AS injective_ok, true AS algo_pinned_ok,
+                true AS salt_col_differs_ok, true AS crc_range_ok,
                 true AS balance_ok
          FROM documents""",
     "fn_string" ->

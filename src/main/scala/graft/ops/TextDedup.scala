@@ -2661,13 +2661,13 @@ object TextDedup {
       if ((h & 1) == 0) "png" else "jpeg", feat(0), feat(1), feat(2), feat(3))
   }
 
-  private[graft] def multimodalDecodeCore(docs: DataFrame): DataFrame = {
+  private[graft] def multimodalDecodeCore(docs: DataFrame, parts: Int = 8): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs
       .withColumn("bin", encode(col("text"), "UTF-8"))
       .select(col("doc_id"), col("bin"))
-      .repartition(8, col("doc_id"))
+      .repartition(parts, col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bin) => decodeStub(id, bin) })
       .toDF()
@@ -2690,11 +2690,21 @@ object TextDedup {
     *  - dims_ok / feats_ok / format_ok: every decoded record stays in the
     *    stub's declared domain (width/height ∈ [64, 1087], feats ∈ [0,1],
     *    format ∈ {png, jpeg}).
-    *  - decode_deterministic: two independently planned decode passes
-    *    produce identical row multisets (order-free signature: exact
-    *    decimal sum of per-row xxhash64). */
+    *  - decode_deterministic: two decode passes planned with DIFFERENT
+    *    partition counts (8 vs 7 — so subplan/exchange reuse cannot
+    *    collapse them into one evaluation; ADVICE r13) produce identical
+    *    row multisets (order-free signature: exact decimal sum of per-row
+    *    xxhash64).
+    * Two non-ASCII literal rows (é/β/世, ï/✓) are unioned into the corpus
+    * on BOTH engines so the round-trip check actually exercises multi-byte
+    * UTF-8 — the driver fixture is pure printable ASCII, which previously
+    * masked the DuckDB CAST-vs-decode() divergence (ADVICE r13). */
   private val multimodalDecodeAudit: Q = (s, d) => {
-    val docs = tbl(s, d, "documents")
+    val extra = s.createDataFrame(Seq(
+      (-1L, "héllo-β世"),
+      (-2L, "naïve résumé ✓"))).toDF("doc_id", "text")
+    val docs = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+      .unionAll(extra)
     val rt = docs.select(
       when(sha2(col("text"), 256) ===
         sha2(decode(unbase64(base64(encode(col("text"), "UTF-8"))), "UTF-8"), 256),
@@ -2715,9 +2725,9 @@ object TextDedup {
       min(least(col("feat_0"), col("feat_1"), col("feat_2"), col("feat_3"))).as("fmin"),
       max(greatest(col("feat_0"), col("feat_1"), col("feat_2"), col("feat_3"))).as("fmax"),
       sum(when(col("format").isin("png", "jpeg"), 0L).otherwise(1L)).as("nbad"))
-    val s1 = sig(multimodalDecodeCore(docs))
+    val s1 = sig(multimodalDecodeCore(docs, parts = 8))
       .select(col("n").as("n1"), col("s").as("s1"))
-    val s2 = sig(multimodalDecodeCore(docs))
+    val s2 = sig(multimodalDecodeCore(docs, parts = 7))
       .select(col("n").as("n2"), col("s").as("s2"))
     rt.crossJoin(broadcast(dom)).crossJoin(broadcast(s1)).crossJoin(broadcast(s2))
       .select(
@@ -3902,15 +3912,22 @@ object TextDedup {
                 ascii(substr(text, 1, 1)) AS head_byte
          FROM documents ORDER BY doc_id""",
     // n_roundtrip_ok is computed INDEPENDENTLY here (RFC 4648 base64 both
-    // engines); the stub-domain verdicts replay as constant TRUE
+    // engines); decode() is DuckDB's strict UTF-8 BLOB->VARCHAR conversion
+    // — CAST(blob AS VARCHAR) emits the escaped literal form and breaks on
+    // non-ASCII (ADVICE r13). The two chr()-built literal rows mirror the
+    // Spark-side non-ASCII union; stub-domain verdicts replay as TRUE.
     "multimodal_decode_audit" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT -1, 'h' || chr(233) || 'llo-' || chr(946) || chr(19990)
+           UNION ALL SELECT -2, 'na' || chr(239) || 've r' || chr(233) || 'sum' || chr(233) || ' ' || chr(10003))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                 CAST(sum(CASE WHEN sha256(text) =
-                  sha256(CAST(from_base64(to_base64(encode(text))) AS VARCHAR))
+                  sha256(decode(from_base64(to_base64(encode(text)))))
                   THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
                 true AS decoded_count_ok, true AS dims_ok, true AS feats_ok,
                 true AS format_ok, true AS decode_deterministic
-         FROM documents""",
+         FROM docs""",
     "multimodal_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,
