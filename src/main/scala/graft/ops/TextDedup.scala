@@ -1459,19 +1459,22 @@ object TextDedup {
       .orderBy("qid", "rank")
   }
 
-  /** top-2 nearest centroids by inner product (1-based list ids),
+  /** top-p nearest centroids by inner product (1-based list ids),
     * sequential-fold element order (bit-identical to the HOF formulation);
     * ties keep the lower id. Shared by sim_ivf_ann and sim_ivfpq_ann.
-    * Delegates to [[ivfTop2Local]] so the executor-side assignment and the
+    * Delegates to [[ivfTopPLocal]] so the executor-side assignment and the
     * driver-side LUT construction share ONE copy of the arithmetic — a
     * divergence (summation order, tie-break) would otherwise surface as a
     * missing-LUT runtime error instead of a recall regression. */
-  private[graft] def ivfTop2(cs: Array[Array[Double]], Dim: Int) = udf { (emb: Seq[Float]) =>
-    val raw = new Array[Double](Dim)
-    var i = 0
-    while (i < Dim) { raw(i) = emb(i).toDouble; i += 1 }
-    ivfTop2Local(raw, cs)
-  }
+  private[graft] def ivfTopP(cs: Array[Array[Double]], Dim: Int, p: Int) =
+    udf { (emb: Seq[Float]) =>
+      val raw = new Array[Double](Dim)
+      var i = 0
+      while (i < Dim) { raw(i) = emb(i).toDouble; i += 1 }
+      ivfTopPLocal(raw, cs, p)
+    }
+  private[graft] def ivfTop2(cs: Array[Array[Double]], Dim: Int) =
+    ivfTopP(cs, Dim, 2)
 
   /** Seeded-Lloyd coarse quantizer shared by sim_ivf_ann and sim_ivfpq_ann.
     * Deterministic init (the K lowest vec_ids); each iteration recomputes
@@ -1506,23 +1509,28 @@ object TextDedup {
 
   /** IVF-style ANN: a deterministic coarse quantizer (centroids = seeded
     * Lloyd iterations computed as DataFrame aggregations), every vector
-    * assigned to its nearest centroid, queries probe the top-2 centroids —
-    * the inverted-file pattern: candidate count scales with list occupancy,
-    * not n². Self-verified (recall overlap vs sim_cosine_topk). */
-  private val simIvfAnn: Q = (s, d) => {
+    * assigned to its nearest centroid, queries probe the top-4 centroids
+    * (nprobe 2→4, r14: recall@5 80→88% at sf0.1, flat wall) — the
+    * inverted-file pattern: candidate count scales with list occupancy,
+    * not n². Oracle-gated by sim_ann_recall_audit (floor ≥80). */
+  private val simIvfAnn: Q = (s, d) => simIvfAnnImpl(s, d)
+  private[graft] def simIvfAnnImpl(s: SparkSession, d: String,
+      probes: Int = 4): DataFrame = {
     val K = 8; val Iters = 3; val Dim = 64
     // localCheckpoint (not cache): materialized once for the Lloyd loop +
     // final pass, and the blocks are released when the RDD is GC'd — an
     // unpaired .cache() would pin storage memory for the whole session
     val e = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       .localCheckpoint(true)
-    val top2U = ivfTop2(ivfTrain(e, K, Iters, Dim), Dim)
+    val cents = ivfTrain(e, K, Iters, Dim)
+    val top2U = ivfTop2(cents, Dim)
+    val probeU = ivfTopP(cents, Dim, probes)
     val lists = e
       .withColumn("cid", element_at(top2U(col("embedding")), 1))
       .select("vec_id", "embedding", "cid")
     val q = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        explode(top2U(col("embedding"))).as("cid"))
+        explode(probeU(col("embedding"))).as("cid"))
     val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
     lists.join(q, Seq("cid"))
       .where(col("vec_id") =!= col("qid"))
@@ -1534,14 +1542,19 @@ object TextDedup {
   }
 
   /** Product-quantization ANN (IVF-PQ's quantization half): 64 dims → 8
-    * subspaces × 8 dims, 16 codewords each, trained by seeded Lloyd on a
-    * bounded deterministic sample (vec_id < 256) collected to the driver —
-    * the standard PQ train-on-sample pattern (O(sample) at the driver, never
-    * O(n)). Vectors are L2-normalized before encoding so ADC's L2 ranking
+    * subspaces × 8 dims, 256 codewords each (the standard PQ byte code —
+    * r14: the old 16-codeword/256-row-sample config starved the candidate
+    * stage, recall@5 74/62/46% by SF; 256 codewords from a 2048-row sample
+    * plus Cand 40→200 measures 100% at every SF at the same ~1 s wall),
+    * trained by seeded Lloyd on a bounded deterministic sample
+    * (vec_id < 2048) collected to the driver — the standard PQ
+    * train-on-sample pattern (O(sample) at the driver, never O(n)).
+    * Vectors are L2-normalized before encoding so ADC's L2 ranking
     * tracks cosine (‖a−b‖² = 2 − 2cos on the unit sphere). Scoring is true
-    * ADC: a per-query 8×16 lookup table (built once, broadcast in the UDF
-    * closure), candidates = top-40 by table-lookup sum, re-ranked exactly
-    * with the codegen'd cosine. Self-verified (AnnSpec overlap vs exact). */
+    * ADC: a per-query 8×256 lookup table (built once, broadcast in the UDF
+    * closure), candidates = top-200 by table-lookup sum, re-ranked exactly
+    * with the codegen'd cosine — so recall@5 equals candidate recall.
+    * Oracle-gated by sim_ann_recall_audit (floor ≥85). */
   private val simPqAnn: Q = (s, d) => simPqAnnImpl(s, d)
 
   private def l2norm(v: Array[Double]): Array[Double] = {
@@ -1633,10 +1646,11 @@ object TextDedup {
       dist
     }
 
-  private def simPqAnnImpl(s: SparkSession, d: String): DataFrame = {
-    val M = 8; val Ds = 8; val Cand = 40
+  private[graft] def simPqAnnImpl(s: SparkSession, d: String,
+      kCode: Int = 256, sampleN: Int = 2048, Cand: Int = 200): DataFrame = {
+    val M = 8; val Ds = 8
     val e = tbl(s, d, "embeddings")
-    val sample = e.where(col("vec_id") < 256).orderBy("vec_id")
+    val sample = e.where(col("vec_id") < sampleN).orderBy("vec_id")
       .select("embedding").collect()
       .map(r => l2norm(r.getSeq[Float](0).map(_.toDouble).toArray))
     // degenerate/empty embeddings table: nothing to train a codebook on —
@@ -1645,9 +1659,9 @@ object TextDedup {
     if (sample.isEmpty)
       return e.limit(0).select(col("vec_id").as("qid"), lit(1).as("rank"),
         col("vec_id"), r4(lit(0.0)).as("cos"))
-    val K = math.min(16, sample.length) // tiny SFs: fewer codewords than 16
+    val K = math.min(kCode, sample.length) // tiny SFs: fewer codewords
     val codebooks = pqTrain(sample, K, M, Ds)
-    // per-query ADC lookup tables — 10 queries × 8×16 doubles at the driver
+    // per-query ADC lookup tables — 10 queries × M×K doubles at the driver
     val qRows = e.where(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> l2norm(r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -1682,37 +1696,41 @@ object TextDedup {
       .orderBy("qid", "rank")
   }
 
-  /** driver-side twin of ivfTop2 (identical arithmetic and tie-break) so
-    * query-probe cids computed at the driver for LUT construction match the
-    * executor-side assignment exactly. */
-  private[graft] def ivfTop2Local(raw: Array[Double],
-      cs: Array[Array[Double]]): Array[Int] = {
-    var b1 = 1; var d1 = Double.NegativeInfinity
-    var b2 = 1; var d2 = Double.NegativeInfinity
-    var c = 0
-    while (c < cs.length) {
+  /** driver-side twin of ivfTopP (identical arithmetic and tie-break: the
+    * old streaming top-2's strict `>` kept the earlier centroid on ties,
+    * which is exactly a stable sort by (−dot, cid)) so query-probe cids
+    * computed at the driver for LUT construction match the executor-side
+    * assignment exactly. */
+  private[graft] def ivfTopPLocal(raw: Array[Double],
+      cs: Array[Array[Double]], p: Int): Array[Int] = {
+    val dots = Array.tabulate(cs.length) { c =>
       val cv = cs(c)
       var dp = 0.0; var i = 0
       while (i < cv.length) { dp += raw(i) * cv(i); i += 1 }
-      if (dp > d1) { d2 = d1; b2 = b1; d1 = dp; b1 = c + 1 }
-      else if (dp > d2) { d2 = dp; b2 = c + 1 }
-      c += 1
+      dp
     }
-    Array(b1, b2)
+    (1 to cs.length).sortBy(cid => (-dots(cid - 1), cid))
+      .take(math.min(p, cs.length)).toArray
   }
+  private[graft] def ivfTop2Local(raw: Array[Double],
+      cs: Array[Array[Double]]): Array[Int] = ivfTopPLocal(raw, cs, 2)
 
   /** IVF×PQ composed ANN — true residual IVFADC (FAISS's 100 TB default;
     * the round-2 verdict noted the two halves existed but were never
     * combined): the coarse quantizer restricts candidates to the query's
-    * top-2 probed inverted lists (a bucket equi-join on cid — candidate
-    * count scales with list occupancy, not n), PQ is trained on RESIDUALS
-    * (normalized vector − normalized assigned centroid), so the codebook
-    * spends its 16 codewords on within-list variation instead of re-coding
-    * list positions, and ADC scores candidates via a per-(query, probed
-    * list) lookup table: ‖qn − (cn + r̂)‖² folded into M table lookups.
-    * Exact cosine re-ranks the ADC top-40. No cross join anywhere; driver
-    * traffic is the K×Dim centroids, M×16 codebooks, and 10×2 query LUTs.
-    * Self-verified (AnnSpec overlap vs exact). */
+    * top-4 probed inverted lists (a bucket equi-join on cid — candidate
+    * count scales with list occupancy, not n; r14 measured ivfpq == ivf at
+    * every probe count, so the residual-PQ stage loses nothing and the
+    * coarse stage sets recall: nprobe 2→4 lifted 80→88% at sf0.1 with flat
+    * wall — at production scale K grows with n and nprobe/K shrinks), PQ is
+    * trained on RESIDUALS (normalized vector − normalized assigned
+    * centroid), so the codebook spends its 256 codewords on within-list
+    * variation instead of re-coding list positions, and ADC scores
+    * candidates via a per-(query, probed list) lookup table:
+    * ‖qn − (cn + r̂)‖² folded into M table lookups.
+    * Exact cosine re-ranks the ADC top-200. No cross join anywhere; driver
+    * traffic is the K×Dim centroids, M×256 codebooks, and 10×4 query LUTs.
+    * Oracle-gated by sim_ann_recall_audit (floor ≥80, measured 96/94/88). */
   private val simIvfPqAnn: Q = (s, d) => simIvfPqAnnImpl(s, d)
   private def simIvfPqAnnImpl(s: SparkSession, d: String): DataFrame = {
     val e = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1735,11 +1753,14 @@ object TextDedup {
 
   /** TRAIN half of sim_ivfpq_ann: seeded-Lloyd coarse quantizer over the
     * corpus (DataFrame aggs; only K×Dim reaches the driver) + residual PQ
-    * codebooks from the bounded 256-row sample. None on an empty corpus. */
-  private[graft] def ivfPqTrain(e: DataFrame): Option[AnnIndexModel] = {
+    * codebooks from the bounded 2048-row sample (256 codewords/subspace —
+    * r14; the old 16-from-256-rows config was the measured recall
+    * bottleneck). None on an empty corpus. */
+  private[graft] def ivfPqTrain(e: DataFrame, kCode: Int = 256,
+      sampleN: Int = 2048): Option[AnnIndexModel] = {
     val K = 8; val Iters = 3; val Dim = 64   // coarse half (= sim_ivf_ann)
     val M = 8; val Ds = 8                    // PQ half (= sim_pq_ann)
-    val sampleRaw = e.where(col("vec_id") < 256).orderBy("vec_id")
+    val sampleRaw = e.where(col("vec_id") < sampleN).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     if (sampleRaw.isEmpty) return None
@@ -1750,7 +1771,7 @@ object TextDedup {
       val vn = l2norm(raw); val c = cn(cid - 1)
       Array.tabulate(Dim)(i => vn(i) - c(i))
     }
-    val Kpq = math.min(16, sampleRaw.length)
+    val Kpq = math.min(kCode, sampleRaw.length)
     Some(AnnIndexModel(Dim, M, Ds, Kpq, centroids,
       pqTrain(sampleRaw.map(residual), Kpq, M, Ds)))
   }
@@ -1798,14 +1819,16 @@ object TextDedup {
     * production read path. Defaults reproduce the fixture queries
     * (vec_id < 10, top-5). */
   private[graft] def ivfPqQuery(s: SparkSession, e: DataFrame,
-      model: AnnIndexModel, qIn: DataFrame = null, k: Int = 5): DataFrame = {
+      model: AnnIndexModel, qIn: DataFrame = null, k: Int = 5,
+      candOverride: Int = 0, probes: Int = 4): DataFrame = {
     val q = Option(qIn).getOrElse(e.where(col("vec_id") < 10))
       .select(col("vec_id"), col("embedding")).localCheckpoint(true)
     val AnnIndexModel(dim, mSub, ds, kpq, centroids, codebooks) = model
     val Dim = dim; val M = mSub; val Ds = ds; val Kpq = kpq
-    val Cand = math.max(40, 8 * k)
+    val Cand = if (candOverride > 0) candOverride else math.max(200, 40 * k)
     val cn = centroids.map(l2norm) // residual space is the unit sphere
     val top2U = ivfTop2(centroids, Dim)
+    val probeU = ivfTopP(centroids, Dim, probes)
     // residual encoder: assignment + residual + nearest codeword in one
     // tight closure over the broadcast centroid/codebook model
     val encodeResU = udf { (emb: Seq[Float], cid: Int) =>
@@ -1828,7 +1851,7 @@ object TextDedup {
     val luts: Map[(Long, Int), Array[Array[Double]]] = qRows.flatMap {
       case (qid, raw) =>
         val qn = l2norm(raw)
-        ivfTop2Local(raw, centroids).distinct.map { cid =>
+        ivfTopPLocal(raw, centroids, probes).distinct.map { cid =>
           val c = cn(cid - 1)
           (qid, cid) -> pqLutFor(Array.tabulate(Dim)(i => qn(i) - c(i)),
             codebooks, Kpq, M, Ds)
@@ -1843,14 +1866,14 @@ object TextDedup {
       dist
     }
     graft.ext.CatalystExt.register(s)
-    val probes = q
+    val probed = q
       .select(col("vec_id").as("qid"),
-        explode(top2U(col("embedding"))).as("cid"))
+        explode(probeU(col("embedding"))).as("cid"))
     // ADC top-Cand per query via the bounded graft_topk_min aggregate:
     // each probed list's rows fold into an O(Cand) heap map-side, so no
     // window partition ever holds a whole inverted list (lists are O(n/K)
     // — unbounded at 100 TB even after the probed-list restriction).
-    val cand = lists.join(probes, Seq("cid")) // probed-list restriction, no full scan
+    val cand = lists.join(probed, Seq("cid")) // probed-list restriction, no full scan
       .where(col("vec_id") =!= col("qid"))
       .withColumn("adc", adcU(col("qid"), col("cid"), col("code")))
       .groupBy(col("qid"))
@@ -1936,11 +1959,18 @@ object TextDedup {
     * previously self-verified ids (lsh/ivf/mllib/pq/ivfpq) even though
     * their hashes/codebooks are unreplayable there. Floors sit below the
     * deterministic measured values (sf0.001/0.01/0.1):
-    * lsh 96/98/96 (radius-2 multi-probe, r13) → ≥85; ivf 82/80/80 → ≥70;
-    * mllib 92/98/96 → ≥85; pq 74/62/46 → ≥30; ivfpq 76/62/36 → ≥25
-    * (PQ's quantization error on these near-orthogonal synthetic vectors
-    * genuinely degrades with corpus size — the floor documents it instead
-    * of hiding it). */
+    * lsh 96/98/96 (radius-2 multi-probe, r13) → ≥85;
+    * ivf 96/94/88 (nprobe 2→4, r14) → ≥80; mllib 92/98/96 → ≥85;
+    * pq 100/100/100 (K 16→256, sample 256→2048, Cand 40→200 with the
+    * existing exact re-rank, r14) → ≥85;
+    * ivfpq 96/94/88 (same PQ lift + nprobe 4, r14) → ≥80.
+    * The r13 PQ degradation (pq 74/62/46, ivfpq 76/62/36) was candidate
+    * starvation, not an intrinsic quantization bound: the exact re-rank was
+    * already in place, so recall@5 = P(true top-5 survives the ADC
+    * top-Cand) — lifting codebook resolution (256 codewords needs the
+    * larger training sample) and Cand recovered flat-PQ recall to 100% at
+    * every SF, and the residual IVFADC gap is the coarse stage alone
+    * (ivfpq == ivf at every probe count measured, r14 RecallProbe). */
   private val simAnnRecallAudit: Q = (s, d) => {
     val ex = simCosineTopk(s, d).select(col("qid"), col("vec_id"))
       .localCheckpoint(true)
@@ -1960,8 +1990,8 @@ object TextDedup {
         .as(s"${name}_recall_ok")
     joined.select(col("n_exact").cast("long").as("n_exact"),
       col("sum_exact_ids").cast("long").as("sum_exact_ids"),
-      ok("lsh", 85), ok("ivf", 70), ok("mllib", 85),
-      ok("pq", 30), ok("ivfpq", 25))
+      ok("lsh", 85), ok("ivf", 80), ok("mllib", 85),
+      ok("pq", 85), ok("ivfpq", 80))
   }
 
   // ------------------------------------------------------------ text analysis
