@@ -280,6 +280,76 @@ object Scale {
       .orderBy("lang")
   }
 
+  /** Date-partitioned events layout + pruned scan (r13 verdict item 2 —
+    * time is THE partitioning dimension of a 100 TB event warehouse): the
+    * staged write lays events out Hive-style by event_date (repartitioned
+    * on the partition column first, so each of the ~30 date directories
+    * holds one file, not tasks×dates small files), and the read applies a
+    * day-of-month predicate on the partition column alone. Catalyst
+    * evaluates it against directory metadata — the scan's PartitionFilters
+    * lists only qualifying dates and the files of non-qualifying days are
+    * never opened (plan capture in PLANS.md: 7 of 30 partitions read;
+    * PartitionPruneSpec pins the pruned-partition count so a regression
+    * fails the suite). At 100 TB this is the difference between reading a
+    * week and reading the lake. */
+  private[graft] def partitionedEventsDir(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_io/events_by_date_${d.hashCode.toHexString}_${srcStamp(d, "events")}"
+    if (stagedDirs.add(dir))
+      tbl(s, d, "events")
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(col("event_date"))
+        .write.partitionBy("event_date").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private val scanParquetPartitioned: Q = (s, d) =>
+    s.read.parquet(partitionedEventsDir(s, d))
+      .where(dayofmonth(col("event_date").cast("date")) <= 7)
+      .groupBy(col("event_date").cast("string").as("event_date"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("value"))) / 100.0).as("v_sum"))
+      .orderBy("event_date", "event_type")
+
+  /** DPP over a date-keyed fact (r13 verdict item 2's second half — the
+    * star-schema shape where the partition key is TIME, complementing
+    * join_dpp's categorical lang key): lineitem staged ship-month-
+    * partitioned (~83 month directories), the dim side the months with the
+    * peak 1-URGENT order count (a selective aggregate of orders — ties keep
+    * every peak month, deterministic). The join runs on the partition
+    * column, so Catalyst injects a DynamicPruningSubquery: the month list
+    * is computed from the dim at runtime and only those lineitem
+    * directories are listed/read (DppSpec pins `dynamicpruning` +
+    * pruned-partition count). The 100 TB read: one month of the fact, not
+    * 83. */
+  private[graft] def monthPartitionedLineitemDir(s: SparkSession, d: String): String = {
+    val dir = s"/tmp/graft_io/li_by_month_${d.hashCode.toHexString}_${srcStamp(d, "lineitem")}"
+    if (stagedDirs.add(dir))
+      tbl(s, d, "lineitem")
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .select("l_orderkey", "l_extendedprice", "l_discount", "ship_month")
+        .repartition(col("ship_month"))
+        .write.partitionBy("ship_month").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private val joinDppDate: Q = (s, d) => {
+    val fact = s.read.parquet(monthPartitionedLineitemDir(s, d))
+    val urgent = tbl(s, d, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_urgent"))
+    // bounded scalar action fixes the selective dim predicate (same
+    // pattern as join_dpp's top-lang); ties keep every peak month
+    val peak = urgent.agg(max(col("n_urgent"))).head().getLong(0)
+    fact.join(urgent.where(col("n_urgent") === peak), "ship_month")
+      .groupBy(col("ship_month"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))) / 100.0)
+          .as("revenue"))
+      .orderBy("ship_month")
+  }
+
   /** Dynamic partition pruning — THE partitioned-warehouse join pattern at
     * 100 TB: the fact side is the lang-partitioned layout, the dim side a
     * tiny staged lang dimension with a selective filter (the most common
@@ -388,6 +458,8 @@ object Scale {
     "scan_json_malformed" -> scanJsonMalformed,
     "scan_schema_evolution" -> scanSchemaEvolution,
     "join_dpp" -> joinDpp,
+    "join_dpp_date" -> joinDppDate,
+    "scan_parquet_partitioned" -> scanParquetPartitioned,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucketed" -> joinBucketed,
@@ -426,6 +498,27 @@ object Scale {
          FROM documents d JOIN dim ON d.lang = dim.lang, top
          WHERE dim.n_docs = top.m
          GROUP BY d.lang ORDER BY d.lang""",
+    "scan_parquet_partitioned" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+                event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                  / 100.0 AS v_sum
+         FROM events
+         WHERE day(CAST(ts AS DATE)) <= 7
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "join_dpp_date" ->
+      """WITH urgent AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS ship_month,
+                  count(*) AS n_urgent
+           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+          peak AS (SELECT max(n_urgent) AS m FROM urgent)
+         SELECT u.ship_month, count(*) AS n,
+                CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5)
+                  AS BIGINT)) AS BIGINT)/100.0 AS revenue
+         FROM lineitem l
+         JOIN urgent u ON strftime(l.l_shipdate, '%Y-%m') = u.ship_month, peak
+         WHERE u.n_urgent = peak.m
+         GROUP BY 1 ORDER BY 1""",
     "scan_schema_evolution" ->
       """WITH u AS (
            SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars

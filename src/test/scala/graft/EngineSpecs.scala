@@ -368,6 +368,31 @@ class PartitionPruneSpec extends AnyFunSuite {
       s"no partition filter in scan:\n$scan")
   }
 
+  test("scan_parquet_partitioned reads only the qualifying date directories") {
+    val q = SparkEntry.queries("scan_parquet_partitioned")(spark, sf)
+    q.collect()
+    // descend through AQE QueryStageExec wrappers — plain collectLeaves
+    // never sees materialized-stage scans
+    val scan = graft.tools.MetricsProbe.allNodes(q.queryExecution.executedPlan)
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.mkString.contains("events_by_date") => f
+      }.get
+    assert(scan.toString().contains("PartitionFilters") &&
+      scan.toString().contains("dayofmonth"),
+      s"no day-of-month partition filter in scan:\n$scan")
+    // pruned-partition count: the scan must have listed exactly the
+    // qualifying date dirs, not the whole layout (driver-side metric —
+    // "number of partitions read"; 7 of 30 at sf0.01)
+    val read = scan.metrics("numPartitions").value
+    val ev = graft.util.Canon.events(spark, sf)
+    val total = ev.select(to_date(col("ts"))).distinct().count()
+    val qual = ev.select(to_date(col("ts")).as("dt")).distinct()
+      .where(dayofmonth(col("dt")) <= 7).count()
+    assert(read == qual && read < total,
+      s"scan read $read partitions, expected $qual of $total")
+  }
+
   test("native as-of join equals union-window as-of join") {
     val a = SparkEntry.queries("join_asof")(spark, sf).collect().map(_.toSeq).toSeq
     val b = SparkEntry.queries("join_asof_native")(spark, sf).collect().map(_.toSeq).toSeq
@@ -1555,6 +1580,29 @@ class DppSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       "partitioned join lost dynamic partition pruning")
     assert(q.count() > 0)
+  }
+
+  test("join_dpp_date prunes the month-partitioned fact to the peak months") {
+    import org.apache.spark.sql.functions._
+    val q = SparkEntry.queries("join_dpp_date")(spark, sf)
+    q.collect()
+    val scan = graft.tools.MetricsProbe.allNodes(q.queryExecution.executedPlan)
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.mkString.contains("li_by_month") => f
+      }.get
+    assert(scan.toString().toLowerCase.contains("dynamicpruning"),
+      s"no DPP expression on the fact scan:\n$scan")
+    // 1 of 83 month directories at sf0.01 — the DPP subquery restricted
+    // the listing itself (numPartitions metric), not just the rows
+    val read = scan.metrics("numPartitions").value
+    val li = graft.util.Canon.tbl(spark, sf, "lineitem")
+    val total = li.select(date_format(col("l_shipdate"), "yyyy-MM"))
+      .distinct().count()
+    // qualifying months = the result's own row count (one row per month)
+    val qual = q.count()
+    assert(read == qual && read < total,
+      s"DPP read $read partitions, expected $qual of $total")
   }
 }
 
