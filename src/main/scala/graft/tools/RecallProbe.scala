@@ -44,6 +44,24 @@ object RecallProbe {
         println(f"  probes=$p : ivf=${rIvf * 100}%5.1f%% (${(t1 - t0) / 1e9}%5.2f s)  " +
           f"ivfpq(K256,s2048,c200)=${rIvfPq * 100}%5.1f%% (${(t2 - t1) / 1e9}%5.2f s)")
       }
+      // 16x perturbed-copy corpus (the r13 A/B's scale posture check):
+      // copies keep their source's neighborhoods, so the ADC/candidate
+      // stages carry 16x the rows — wall must stay near-flat per the
+      // bucket/list equi-join scale argument. Recall is NOT comparable on
+      // the blown-up corpus (copies crowd the true top-5), so report wall.
+      if (sys.env.get("RECALL_PROBE_16X").contains("1")) {
+        val big = (0 until 16).map { r =>
+          e.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+            transform(col("embedding"),
+              x => x + lit(r.toFloat * 1e-4f)).as("embedding"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+        val m16 = graft.ops.TextDedup.ivfPqTrain(big, 256, 2048).get
+        val t0 = System.nanoTime()
+        graft.ops.TextDedup.ivfPqQuery(s, big, m16,
+          qIn = big.where(col("vec_id") < 10)).count()
+        val t1 = System.nanoTime()
+        println(f"  16x corpus (n=${big.count()}): ivfpq serve wall=${(t1 - t0) / 1e9}%5.2f s")
+      }
     }
     s.stop()
   }

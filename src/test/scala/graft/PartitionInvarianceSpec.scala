@@ -80,7 +80,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "forecast_variants_backtest_audit", "fn_hash_native_audit",
     "multimodal_decode_audit", "stream_constraint_monitor",
     // sequential-fold cosine per row + deterministic tie-break rank
-    "pipeline_decontaminate_semantic")
+    "pipeline_decontaminate_semantic",
+    // round 14: partition-pruned scan + DPP join — exact cent sums over
+    // whichever task layout the pruned listing produces
+    "scan_parquet_partitioned", "join_dpp_date")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
