@@ -63,7 +63,10 @@ object Scale {
   private def bucketTag(d: String): String =
     s"${math.abs(d.hashCode).toHexString}_${srcStamp(d, "lineitem")}"
 
-  private val joinBucketed: Q = (s, d) => {
+  /** Stage the bucketed lineitem/orders tables once per (dataset, source
+    * stamp); returns their names. Shared by join_bucketed, agg_bucketed
+    * and the plan specs. */
+  private[graft] def ensureBucketedTables(s: SparkSession, d: String): (String, String) = {
     val tag = bucketTag(d)
     val liT = s"graft_li_b_$tag"; val ordT = s"graft_ord_b_$tag"
     if (!s.catalog.tableExists(liT)) {
@@ -80,6 +83,11 @@ object Scale {
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(ordT)
     }
+    (liT, ordT)
+  }
+
+  private val joinBucketed: Q = (s, d) => {
+    val (liT, ordT) = ensureBucketedTables(s, d)
     s.table(liT)
       .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
@@ -91,11 +99,34 @@ object Scale {
   /** The bucketed join's DataFrame, pre-aggregation — exposed so tests can
     * assert the no-exchange plan shape. */
   private[graft] def bucketedJoinPlan(s: SparkSession, d: String): DataFrame = {
-    joinBucketed(s, d) // ensures tables exist
-    val tag = bucketTag(d)
-    s.table(s"graft_li_b_$tag")
-      .join(s.table(s"graft_ord_b_$tag"), col("l_orderkey") === col("o_orderkey"))
+    val (liT, ordT) = ensureBucketedTables(s, d)
+    s.table(liT)
+      .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
   }
+
+  /** Bucketed SHUFFLE-FREE AGGREGATE (r14 — the second thing bucketing
+    * buys after the co-located join): grouping the bucketed lineitem by
+    * its bucket key satisfies the aggregate's required distribution from
+    * the table layout, so the per-order rollup runs partial+final with NO
+    * exchange between them — at 100 TB that elides a full fact-table
+    * shuffle for every order-grain rollup a warehouse runs daily. The
+    * per-order frame is then histogrammed (lines-per-order → order count,
+    * revenue), which shuffles only the tiny distinct-n_lines frame.
+    * BucketedJoinSpec pins the single-exchange shape; the oracle replays
+    * both aggregation levels from the plain table. */
+  private val aggBucketed: Q = (s, d) => {
+    val (liT, _) = ensureBucketedTables(s, d)
+    bucketedAggPlan(s.table(liT))
+  }
+  private[graft] def bucketedAggPlan(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_cents"))
+      .groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("rev_cents")) / 100.0).as("revenue"))
+      .orderBy("n_lines")
 
   /** Bloom-filter semi-join reduction: a distributed bloom filter is built
     * over the selective dimension's join keys (`DataFrameStatFunctions
@@ -463,6 +494,7 @@ object Scale {
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
     "join_bucketed" -> joinBucketed,
+    "agg_bucketed" -> aggBucketed,
     "sink_partitioned" -> sinkPartitioned,
     "join_bloom_filter" -> joinBloomFilter,
     "sink_zorder" -> sinkZorder,
@@ -557,6 +589,15 @@ object Scale {
                 count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_bucketed" ->
+      """WITH per_o AS (
+           SELECT l_orderkey, count(*) AS n_lines,
+                  CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS rev_cents
+           FROM lineitem GROUP BY 1)
+         SELECT n_lines, count(*) AS n_orders,
+                CAST(sum(rev_cents) AS BIGINT)/100.0 AS revenue
+         FROM per_o GROUP BY 1 ORDER BY 1""",
     "sink_partitioned" ->
       """SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
          ORDER BY doc_id""",

@@ -353,6 +353,45 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
   }
+
+  test("bucketed per-order aggregate elides the grouping shuffle") {
+    import org.apache.spark.sql.functions._
+    val (liT, _) = ops.Scale.ensureBucketedTables(spark, sf)
+    val q = ops.Scale.bucketedAggPlan(spark.table(liT))
+    q.collect()
+    val shuffles = graft.tools.MetricsProbe.allNodes(q.queryExecution.executedPlan)
+      .count(_.getClass.getSimpleName.contains("ShuffleExchange"))
+    // only the tiny n_lines histogram (+ its ordering) may shuffle — the
+    // order-grain rollup must run on the bucket layout exchange-free
+    assert(shuffles <= 2, s"expected the per-order agg shuffle elided, got $shuffles exchanges")
+    val plain = ops.Scale.bucketedAggPlan(
+      graft.util.Canon.tbl(spark, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount"))
+    plain.collect()
+    val plainShuffles = graft.tools.MetricsProbe.allNodes(plain.queryExecution.executedPlan)
+      .count(_.getClass.getSimpleName.contains("ShuffleExchange"))
+    assert(plainShuffles > shuffles,
+      s"plain-table form should shuffle more ($plainShuffles vs $shuffles)")
+  }
+
+  test("bucket pruning: a point predicate on the bucket key reads 1 of 8 buckets") {
+    import org.apache.spark.sql.functions._
+    val (liT, _) = ops.Scale.ensureBucketedTables(spark, sf)
+    val anyKey = spark.table(liT).select(min(col("l_orderkey"))).head().getLong(0)
+    // a bare filter doesn't need the bucket DISTRIBUTION, so Spark's
+    // DisableUnnecessaryBucketedScan turns the bucketed read off — and
+    // with it the bucket PRUNING this test demonstrates. Pin the scan on.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = spark.table(liT).where(col("l_orderkey") === anyKey)
+      q.collect()
+      val scan = graft.tools.MetricsProbe.allNodes(q.queryExecution.executedPlan)
+        .map(_.toString()).find(_.contains("SelectedBucketsCount")).get
+      assert(scan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning missing from scan:\n$scan")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
 }
 
 /** Partition pruning: a lang predicate over the partitioned layout must
