@@ -1515,8 +1515,8 @@ object TextDedup {
     * not n². Oracle-gated by sim_ann_recall_audit (floor ≥80). */
   private val simIvfAnn: Q = (s, d) => simIvfAnnImpl(s, d)
   private[graft] def simIvfAnnImpl(s: SparkSession, d: String,
-      probes: Int = 4): DataFrame = {
-    val K = 8; val Iters = 3; val Dim = 64
+      probes: Int = 4, kLists: Int = 8): DataFrame = {
+    val K = kLists; val Iters = 3; val Dim = 64
     // localCheckpoint (not cache): materialized once for the Lloyd loop +
     // final pass, and the blocks are released when the RDD is GC'd — an
     // unpaired .cache() would pin storage memory for the whole session

@@ -44,6 +44,17 @@ object RecallProbe {
         println(f"  probes=$p : ivf=${rIvf * 100}%5.1f%% (${(t1 - t0) / 1e9}%5.2f s)  " +
           f"ivfpq(K256,s2048,c200)=${rIvfPq * 100}%5.1f%% (${(t2 - t1) / 1e9}%5.2f s)")
       }
+      // K ~ sqrt(n) coarse-quantizer scaling rule (the production sizing
+      // the nprobe-4-of-8 comments assert): lists grow with the corpus,
+      // probed FRACTION shrinks, recall must hold.
+      for ((kL, p) <- Seq((math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt),
+                           math.max(2, math.ceil(math.sqrt(n.toDouble) / 8).toInt)))) {
+        val t0 = System.nanoTime()
+        val r = recall(graft.ops.TextDedup.simIvfAnnImpl(s, d, probes = p, kLists = kL))
+        val t1 = System.nanoTime()
+        println(f"  sqrt-rule K=$kL probes=$p (${p * 100.0 / kL}%4.1f%% of lists) : " +
+          f"ivf=${r * 100}%5.1f%% (${(t1 - t0) / 1e9}%5.2f s)")
+      }
       // 16x perturbed-copy corpus (the r13 A/B's scale posture check):
       // copies keep their source's neighborhoods, so the ADC/candidate
       // stages carry 16x the rows — wall must stay near-flat per the
