@@ -50,6 +50,7 @@ class SmokeSpec extends AnyFunSuite {
     // pipeline_tokenizer_fit graduated r13: the 16-round argmax trainer is
     // fully replayed by 16 unrolled DuckDB CTE stages (Bpe.tokenizerFitOracleSql)
     "multimodal_decode", "sim_ivf_ann", "sim_ivfpq_ann",
+    "sim_ivf_scaled", // sqrt(n)-sized IVF: audited floor >=75 in recall audit
     "sim_ivfpq_served", // AnnServeSpec: row-identical to sim_ivfpq_ann
     "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
     "sim_ann_filtered", // AnnFilteredSpec: label purity + filtered recall
@@ -1287,8 +1288,8 @@ class StreamingSpec extends AnyFunSuite {
     // mllib 0.92, pq 1.00 (K=256/sample=2048/Cand=200, r14), ivfpq 0.96
     // (same + nprobe 4, r14) — deterministic seeds, so fixed, not flaky).
     for ((name, floor) <- Seq("sim_lsh_ann" -> 0.85, "sim_ivf_ann" -> 0.80,
-         "sim_mllib_lsh" -> 0.85, "sim_pq_ann" -> 0.85,
-         "sim_ivfpq_ann" -> 0.80)) {
+         "sim_ivf_scaled" -> 0.75, "sim_mllib_lsh" -> 0.85,
+         "sim_pq_ann" -> 0.85, "sim_ivfpq_ann" -> 0.80)) {
       val ann = SparkEntry.queries(name)(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(2))).toSet
       assert(ann.nonEmpty, s"$name returned nothing")
