@@ -460,6 +460,27 @@ object Graft {
       // the same way or an uppercase term silently scores zero (review r8b)
       terms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct)
 
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) of any number of ranked
+    * retrieval lists: each input frame carries (`id`, `rank`) with rank
+    * 1-based; the fused score is Σ_lists 1e9 div (k0 + rank) as an exact
+    * BIGINT (absent list ⇒ 0 contribution), ties broken by id. Returns
+    * (id, rrf_scaled) ordered best-first, limited to `topK`. Rank-only
+    * fusion — no score calibration crosses heterogeneous retrievers,
+    * which is why this is the standard hybrid-search merge. */
+  def rrfFuse(lists: Seq[DataFrame], id: String, rank: String,
+      topK: Int = 10, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    // integer division: Spark's `/` on longs is double division, so route
+    // through the SQL `div` operator for the exact BIGINT contract
+    val contrib = lists.map(_.selectExpr(
+      s"CAST($id AS BIGINT) AS id",
+      s"1000000000 div ($k0 + CAST($rank AS BIGINT)) AS c"))
+    contrib.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("rrf_scaled"))
+      .orderBy(desc("rrf_scaled"), asc("id")).limit(topK)
+  }
+
   /** DSIR importance weights (Xie et al. 2023): rank documents by
     * log p_target − log p_raw under add-1-smoothed hashed-unigram LMs
     * (256 portable hash buckets), target = the rows whose `lang` equals

@@ -13,6 +13,9 @@ import org.apache.spark.sql.functions._
   *    Jones probabilistic relevance, the Okapi BM25 formula) — the lexical
   *    search every corpus-provenance / contamination-audit surface serves
   *    next to the embedding ANN family.
+  *  - `sim_rrf_fusion`: Reciprocal Rank Fusion of the lexical (BM25) and
+  *    dense (cosine) top-20 lists — the hybrid-search merge, rank-only so
+  *    no score calibration crosses retrievers.
   *  - `pipeline_dsir_weights`: Data Selection via Importance Resampling
   *    (Xie et al. 2023): per-document log importance weight between a
   *    target-domain hashed-unigram LM and the raw-corpus LM — the
@@ -73,7 +76,17 @@ object Curation {
     * identical doubles on both engines); each per-term score is floored
     * back to a scaled BIGINT so the per-document SUM is exact-integer —
     * float addition order never matters. */
-  private[graft] def bm25Core(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  private[graft] def bm25Core(docs: DataFrame, terms: Seq[String]): DataFrame =
+    bm25Scored(docs, terms)
+      .withColumn("bm25", r4(col("score_scaled").cast("double") / 1e6))
+      .orderBy(desc("score_scaled"), asc("doc_id")).limit(15)
+      .select(col("doc_id"), col("n_terms"), col("bm25"))
+
+  /** The BM25 scoring plan minus presentation: (doc_id, score_scaled,
+    * n_terms) for every document matching ≥1 query term — shared by
+    * `text_bm25_search` (top-15 with the unscaled score) and
+    * `sim_rrf_fusion` (rank list for fusion). */
+  private[graft] def bm25Scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val base = docs.select(col("doc_id"), toks(normText).as("tk"))
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(size(col("tk")).cast("long")).as("n_tokens"))
@@ -100,12 +113,62 @@ object Curation {
         floor(col("idf_s").cast("double") * col("frac") + 0.5).cast("long"))
       .groupBy(col("doc_id"))
       .agg(sum(col("sc")).as("score_scaled"), count(lit(1)).as("n_terms"))
-      .withColumn("bm25", r4(col("score_scaled").cast("double") / 1e6))
-      .orderBy(desc("score_scaled"), asc("doc_id")).limit(15)
-      .select(col("doc_id"), col("n_terms"), col("bm25"))
   }
   private val textBm25Search: Q = (s, d) =>
     bm25Core(tbl(s, d, "documents"), QueryTerms)
+
+  // ------------------------------------------------- hybrid retrieval (RRF)
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of the
+    * lexical and dense retrieval lists — the standard hybrid-search merge
+    * every RAG / corpus-provenance stack runs (Elasticsearch, Vespa, Milvus
+    * all ship exactly this formula): for one request (the three BM25 query
+    * terms + document 0's embedding as the dense query, doc 0 itself
+    * excluded as the query), take the lexical top-20 by BM25 and the dense
+    * top-20 by exact cosine, then score every candidate
+    * rrf(d) = Σ_lists 1/(60 + rank_list(d)), absent list ⇒ 0 contribution.
+    *
+    * Determinism: ranks are integers from already-deterministic orderings
+    * (scaled-BIGINT BM25; the bit-identical codegen cosine), and the RRF
+    * sum rides as Σ 1e9 div (60+rank) — exact integer division, no floats
+    * cross the engines. Absent ranks emit 0, not NULL (the comparer's
+    * pandas path would lift a nullable int column to float).
+    *
+    * Scale shape: each list is a TakeOrdered top-20 over its own
+    * already-scale-safe plan (BM25 = one corpus scan with postings-bounded
+    * shuffle; dense = one broadcast-query scan — at 100 TB the served ANN
+    * index, sim_ivfpq_served, substitutes for the exact scan). The fusion
+    * itself joins two ≤20-row frames — constant work regardless of corpus
+    * size, which is the operational point of RRF: no score calibration
+    * across heterogeneous retrievers, only ranks. */
+  private val simRrfFusion: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lexW = Window.orderBy(desc("score_scaled"), asc("doc_id"))
+    val lex = bm25Scored(tbl(s, d, "documents"), QueryTerms)
+      .where(col("doc_id") =!= 0L)
+      .orderBy(desc("score_scaled"), asc("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select(col("doc_id").as("id"), col("lex_rank"))
+    val e = tbl(s, d, "embeddings")
+    val q = e.where(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val denseW = Window.orderBy(desc("cos_raw"), asc("vec_id"))
+    val dense = e.where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_raw", TextDedup.cosineGen(s)(col("embedding"), col("qe")))
+      .orderBy(desc("cos_raw"), asc("vec_id")).limit(20)
+      .withColumn("dense_rank", row_number().over(denseW).cast("long"))
+      .select(col("vec_id").as("id"), col("dense_rank"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("dense_rank", coalesce(col("dense_rank"), lit(0L)))
+      .withColumn("rrf_scaled",
+        when(col("lex_rank") > 0, expr("1000000000 div (60 + lex_rank)"))
+          .otherwise(lit(0L)) +
+        when(col("dense_rank") > 0, expr("1000000000 div (60 + dense_rank)"))
+          .otherwise(lit(0L)))
+      .orderBy(desc("rrf_scaled"), asc("id")).limit(10)
+      .select(col("id").as("doc_id"), col("lex_rank"), col("dense_rank"),
+        col("rrf_scaled"))
+  }
 
   // ----------------------------------------------------------- DSIR weights
   /** Portable hashed-feature bucket for a TERM (string): degree-7
@@ -706,6 +769,7 @@ object Curation {
   // ------------------------------------------------------------- registry
   val queries: Map[String, Q] = Map(
     "text_bm25_search" -> textBm25Search,
+    "sim_rrf_fusion" -> simRrfFusion,
     "pipeline_dsir_weights" -> pipelineDsirWeights,
     "pipeline_mix_temperature" -> pipelineMixTemperature,
     "embed_covariance" -> embedCovariance,
@@ -720,6 +784,34 @@ object Curation {
 
   /** Shared DSIR CTE block (hashed-unigram LMs + per-doc weight sums) —
     * read by both the weights oracle and the ESS oracle. */
+  /** The BM25 scoring CTE chain (mirror of `bm25Scored`), ending at
+    * `agg(doc_id, score_scaled, n_terms)` — shared by the
+    * `text_bm25_search` and `sim_rrf_fusion` oracles. */
+  private def bm25Ctes: String =
+    s"""dcs AS (
+            SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
+          st AS (SELECT count(*) AS n_docs,
+                        CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM dcs),
+          tf AS (SELECT doc_id, dl, term, count(*) AS tf
+                 FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+                              unnest(tk) AS term FROM dcs)
+                 WHERE term IN ('hash', 'join', 'stream')
+                 GROUP BY 1, 2, 3),
+          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          sc AS (SELECT doc_id,
+                   CAST(floor(
+                     CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
+                     * ((CAST(tf AS DOUBLE) * 2.2) /
+                        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+                          (CAST(dl AS DOUBLE) /
+                           (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                     + 0.5) AS BIGINT) AS s
+                 FROM tf JOIN dfq USING (term), st),
+          agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_scaled,
+                         count(*) AS n_terms
+                  FROM sc GROUP BY 1)"""
+
   private def dsirCtes: String =
     s"""dt AS (
             SELECT doc_id, lang, ${tbucketSql("term")} AS b
@@ -842,30 +934,34 @@ object Curation {
                   floor(((a + c - disc)/2.0/(a + c))*10000 + 0.5)/10000.0
            FROM l)
          ORDER BY component""",
+    "sim_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+          lexr AS (SELECT doc_id AS id,
+                          row_number() OVER (ORDER BY score_scaled DESC, doc_id)
+                            AS lex_rank
+                   FROM agg WHERE doc_id <> 0),
+          lex AS (SELECT id, CAST(lex_rank AS BIGINT) AS lex_rank
+                  FROM lexr WHERE lex_rank <= 20),
+          qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          dsc AS (SELECT e.vec_id,
+                         ${TextDedup.cosineSql("e.embedding", "qv.qe")} AS cos_raw
+                  FROM embeddings e, qv WHERE e.vec_id <> 0),
+          der AS (SELECT vec_id AS id,
+                         row_number() OVER (ORDER BY cos_raw DESC, vec_id)
+                           AS dense_rank
+                  FROM dsc),
+          den AS (SELECT id, CAST(dense_rank AS BIGINT) AS dense_rank
+                  FROM der WHERE dense_rank <= 20)
+          SELECT COALESCE(lex.id, den.id) AS doc_id,
+                 COALESCE(lex.lex_rank, 0) AS lex_rank,
+                 COALESCE(den.dense_rank, 0) AS dense_rank,
+                 CAST(COALESCE(1000000000 // (60 + lex.lex_rank), 0)
+                    + COALESCE(1000000000 // (60 + den.dense_rank), 0)
+                   AS BIGINT) AS rrf_scaled
+          FROM lex FULL OUTER JOIN den ON lex.id = den.id
+          ORDER BY rrf_scaled DESC, doc_id LIMIT 10""",
     "text_bm25_search" ->
-      s"""WITH dcs AS (
-            SELECT doc_id, string_split($normSql, ' ') AS tk FROM documents),
-          st AS (SELECT count(*) AS n_docs,
-                        CAST(sum(len(tk)) AS BIGINT) AS n_tokens FROM dcs),
-          tf AS (SELECT doc_id, dl, term, count(*) AS tf
-                 FROM (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
-                              unnest(tk) AS term FROM dcs)
-                 WHERE term IN ('hash', 'join', 'stream')
-                 GROUP BY 1, 2, 3),
-          dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-          sc AS (SELECT doc_id,
-                   CAST(floor(
-                     CAST(CAST(floor(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                         / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT) AS DOUBLE)
-                     * ((CAST(tf AS DOUBLE) * 2.2) /
-                        (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-                          (CAST(dl AS DOUBLE) /
-                           (CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-                     + 0.5) AS BIGINT) AS s
-                 FROM tf JOIN dfq USING (term), st),
-          agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_scaled,
-                         count(*) AS n_terms
-                  FROM sc GROUP BY 1)
+      s"""WITH $bm25Ctes
           SELECT doc_id, n_terms,
                  floor(CAST(score_scaled AS DOUBLE) / 1000000.0 * 10000 + 0.5)
                    / 10000.0 AS bm25

@@ -602,6 +602,18 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(_.toString))
   }
 
+  test("Graft.rrfFuse: hand-traced fusion of two ranked lists") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val got = graft.api.Graft.rrfFuse(Seq(a, b), "id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // 1e9 div (60+r): r=1→16393442, r=2→16129032, r=3→15873015
+    assert(got.toSeq == Seq(
+      (2L, 16393442L + 16129032L), (1L, 16393442L),
+      (4L, 16129032L), (3L, 15873015L)), got.mkString(","))
+  }
+
   test("Graft.lshTuning and Graft.assortativity on synthetic inputs") {
     import spark.implicits._
     val sims = Seq(0.95, 0.85, 0.5, 0.1).toDF("jaccard")

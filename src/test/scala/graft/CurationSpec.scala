@@ -435,4 +435,59 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L, w5, 1L), (2L, 3L, w5, 1L)),
       out.mkString(","))
   }
+
+  test("sim_rrf_fusion: exact match vs plain-Scala RRF over both lists") {
+    // lexical top-20 (doc 0 excluded): the same scaled-int BM25 reference
+    // as the text_bm25_search test above
+    val terms = Seq("hash", "join", "stream")
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._3.length.toLong).sum.toDouble / n.toDouble
+    val dfm = terms.map(t => t -> docs.count(_._3.contains(t)).toLong).toMap
+    val lexScores = docs.flatMap { case (id, _, tk) =>
+      val scores = terms.flatMap { t =>
+        val tf = tk.count(_ == t).toLong
+        if (tf == 0) None
+        else {
+          val idfS = math.floor(math.log(
+            (n.toDouble - dfm(t).toDouble + 0.5) / (dfm(t).toDouble + 0.5) + 1.0)
+            * 1e6 + 0.5).toLong
+          val frac = (tf.toDouble * 2.2) /
+            (tf.toDouble + 1.2 * (0.25 + 0.75 * (tk.length.toDouble / avgdl)))
+          Some(math.floor(idfS.toDouble * frac + 0.5).toLong)
+        }
+      }
+      if (scores.isEmpty || id == 0L) None else Some((id, scores.sum))
+    }
+    val lexRank = lexScores.sortBy { case (id, sc) => (-sc, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // dense top-20 (vec 0 = the query): sequential-fold cosine, the same
+    // element order as the codegen expression / DuckDB list_sum
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = vecs.find(_._1 == 0L).get._2
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val denseRank = vecs.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        (id, dot(v, qv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(qv, qv)))) }
+      .sortBy { case (id, c) => (-c, id) }.take(20)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // RRF fuse: 1e9 div (60 + rank), absent list = 0
+    val ref = (lexRank.keySet ++ denseRank.keySet).toSeq
+      .map { id =>
+        val lr = lexRank.getOrElse(id, 0L)
+        val dr = denseRank.getOrElse(id, 0L)
+        val s = (if (lr > 0) 1000000000L / (60L + lr) else 0L) +
+          (if (dr > 0) 1000000000L / (60L + dr) else 0L)
+        (id, lr, dr, s)
+      }
+      .sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+    val got = q("sim_rrf_fusion").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == ref, s"got=${got.mkString(",")}\nref=${ref.mkString(",")}")
+  }
 }

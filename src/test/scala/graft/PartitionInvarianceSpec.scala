@@ -83,7 +83,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "pipeline_decontaminate_semantic",
     // round 14: partition-pruned scan + DPP join — exact cent sums over
     // whichever task layout the pruned listing produces
-    "scan_parquet_partitioned", "join_dpp_date")
+    "scan_parquet_partitioned", "join_dpp_date",
+    // round 14: RRF fusion — integer ranks from deterministic orderings
+    // (scaled-BIGINT BM25; the bit-identical sequential-fold cosine), so
+    // the fused integer scores are partition-order free
+    "sim_rrf_fusion")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
