@@ -932,6 +932,24 @@ object functions {
 
   /** Generator: (pos, "tok_i tok_i+1") bigrams from a token array. */
   def bigrams(tokens: Column): Column = call_function("graft_bigrams", tokens)
+
+  /** Count-Min point-frequency sketch over a non-negative integral key:
+    * returns the flattened d×w counter table (Array[Long], row-major;
+    * geometry in CatalystExt.CmsD/CmsW) — mergeable by vector add,
+    * estimates never undercount. Look keys up with [[cmsEstimate]]. */
+  def cmsSketch(key: Column): Column = call_function("graft_cms", key)
+
+  /** Point-frequency estimate of `key` from a [[cmsSketch]] table:
+    * least of the d row lookups. */
+  def cmsEstimate(sketch: Column, key: Column): Column = {
+    import graft.ext.CatalystExt.{CmsA, CmsB, CmsD, CmsP, CmsW}
+    val lookups = (0 until CmsD).map { i =>
+      val h = pmod(pmod(lit(CmsA(i)) * pmod(key, lit(CmsP)) + lit(CmsB(i)),
+        lit(CmsP)), lit(CmsW.toLong))
+      element_at(sketch, (lit(i * CmsW) + h + lit(1L)).cast("int"))
+    }
+    least(lookups: _*)
+  }
 }
 
 object implicits {

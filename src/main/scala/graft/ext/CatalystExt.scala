@@ -556,6 +556,86 @@ object CatalystExt {
       copy(child = c)
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over a non-negative
+    * LongType key column, as a TypedImperativeAggregate — the
+    * point-frequency member of the sketch family next to GraftHLL
+    * (distinct), MisraGries (heavy hitters) and KllQuantile (quantiles).
+    * d = 4 hash rows × w = 64 counters: O(d·w) state per partition
+    * regardless of key cardinality, merge = elementwise add (counters are
+    * linear), estimate(k) = min_i counter[i][h_i(k)] — never an
+    * UNDERcount, overcount bounded by colliding mass.
+    *
+    * The row hashes are PORTABLE affine maps h_i(k) = ((A_i·k' + B_i) mod
+    * (2^31−1)) mod 64 with k' = k mod (2^31−1) — deliberately NOT
+    * xxhash64, so a SQL engine can replay the entire counter table
+    * exactly (the tbucket/hbucket precedent): `agg_cms_freq` is a FULL
+    * DuckDB-oracle row, unlike the HLL whose estimate only an audit can
+    * gate. A_i < 2^31 and k' < 2^31 keep every product below 2^62 — no
+    * BIGINT overflow on either engine.
+    *
+    * eval returns the flattened 4×64 counter table (row-major), so
+    * lookups compose in plain column algebra (element_at) and the sketch
+    * itself can be persisted/merged as data. */
+  case class CountMin(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](CmsD * CmsW)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val k = v.asInstanceOf[Number].longValue()
+        if (k < 0) throw new IllegalArgumentException(
+          s"graft_cms: key $k must be non-negative")
+        val k1 = k % CmsP
+        var i = 0
+        while (i < CmsD) {
+          buf(i * CmsW + (((CmsA(i) * k1 + CmsB(i)) % CmsP) % CmsW).toInt) += 1L
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+    override def deserialize(storage: Array[Byte]): Array[Long] = {
+      val bb = java.nio.ByteBuffer.wrap(storage)
+      Array.fill(storage.length / 8)(bb.getLong)
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): CountMin =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CountMin =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): CountMin =
+      copy(child = c)
+  }
+
+  /** CMS geometry + hash constants — read by the aggregate, the column-
+    * algebra lookup in ops/Extensions, and mirrored literally in the
+    * DuckDB oracle. P = 2^31−1 (Mersenne prime); A_i, B_i fixed primes
+    * (A_i ≢ 0 mod P). */
+  val CmsD = 4
+  val CmsW = 64
+  val CmsP = 2147483647L
+  val CmsA: Array[Long] = Array(1103515245L, 1299709L, 15485863L, 32452843L)
+  val CmsB: Array[Long] = Array(12345L, 7919L, 104729L, 1299721L)
+
   /** Register every extension into the session (idempotent). */
   def register(s: SparkSession): Unit = {
     val reg = s.sessionState.functionRegistry
@@ -577,5 +657,7 @@ object CatalystExt {
     reg.createOrReplaceTempFunction("graft_bitmap_distinct",
       exprs => GraftBitmap(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_cms",
+      exprs => CountMin(exprs.head), "scala_udf")
   }
 }

@@ -204,7 +204,71 @@ object Extensions {
     "agg_hll_custom_audit" -> aggHllCustomAudit,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "agg_cms_freq" -> aggCmsFreq,
   )
+
+  /** Count-Min point-frequency sketch over events.user_id (d=4 rows ×
+    * w=64 counters — 150/1,500 distinct keys at sf0.01/0.1 hash into 64
+    * buckets per row, so collisions are real at every SF): ONE scan
+    * builds the 256-counter table as a TypedImperativeAggregate (O(d·w)
+    * partial state per partition regardless of key cardinality, merged
+    * by elementwise add — counters are linear, the property that makes
+    * CMS the distributed-frequency workhorse), then the 10 probe keys
+    * (user_id < 10) are estimated in plain column algebra over the
+    * flattened table — est(k) = least of the d element_at lookups —
+    * beside their exact counts. CMS can never UNDERcount (est ≥ exact
+    * deterministically; the `no_undercount` verdict replays on both
+    * engines), and `overcount` exposes the colliding mass. The portable
+    * affine row hashes (CatalystExt.CmsA/B mod 2^31−1 mod 64 — the
+    * tbucket precedent, deliberately not xxhash64) make the WHOLE sketch
+    * DuckDB-replayable: a full-oracle sketch row, unlike the HLL that
+    * only an audit can gate. */
+  private lazy val aggCmsFreq: Q = (s, d) => {
+    CatalystExt.register(s)
+    import graft.ext.CatalystExt.{CmsA, CmsB, CmsD, CmsP, CmsW}
+    val ev = tbl(s, d, "events")
+    val sk = ev.agg(expr("graft_cms(user_id)").as("sk"))
+    val probes = ev.where(col("user_id") < 10)
+      .groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    val ests = (0 until CmsD).map { i =>
+      val h = pmod(pmod(lit(CmsA(i)) * pmod(col("user_id"), lit(CmsP))
+        + lit(CmsB(i)), lit(CmsP)), lit(CmsW.toLong))
+      element_at(col("sk"), (lit(i * CmsW) + h + lit(1L)).cast("int"))
+    }
+    probes.crossJoin(broadcast(sk))
+      .withColumn("cms_est", least(ests: _*))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"),
+        (col("cms_est") >= col("exact_cnt")).as("no_undercount"))
+      .orderBy("user_id")
+  }
+
+  /** The CMS oracle: DuckDB rebuilds each of the d counter rows as a
+    * GROUP BY over the same affine hash, then takes the same least-of-d
+    * lookup per probe key — the full sketch replayed, constants mirrored
+    * from CatalystExt.CmsA/B. */
+  private def cmsOracleSql: String = {
+    import graft.ext.CatalystExt.{CmsA, CmsB, CmsD, CmsP, CmsW}
+    def hx(i: Int, k: String) =
+      s"((${CmsA(i)} * ($k % $CmsP) + ${CmsB(i)}) % $CmsP) % $CmsW"
+    val rowCtes = (0 until CmsD).map(i =>
+      s"""r$i AS (SELECT ${hx(i, "user_id")} AS b,
+             CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1)""")
+      .mkString(",\n          ")
+    val joins = (0 until CmsD).map(i =>
+      s"JOIN r$i ON r$i.b = ${hx(i, "p.user_id")}").mkString("\n            ")
+    val est = (0 until CmsD).map(i => s"r$i.c").mkString("least(", ", ", ")")
+    s"""WITH $rowCtes,
+          probe AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+                    FROM events WHERE user_id < 10 GROUP BY 1)
+        SELECT p.user_id, p.exact_cnt,
+               $est AS cms_est,
+               $est - p.exact_cnt AS overcount,
+               $est >= p.exact_cnt AS no_undercount
+        FROM probe p
+            $joins
+        ORDER BY p.user_id"""
+  }
 
   private val havSql =
     """2.0 * 6371.0 * asin(sqrt(
@@ -213,6 +277,7 @@ object Extensions {
          sin(radians(lon2 - lon1)/2)*sin(radians(lon2 - lon1)/2)))"""
 
   val oracle: Map[String, String] = Map(
+    "agg_cms_freq" -> cmsOracleSql,
     "agg_hll_custom_audit" ->
       """SELECT l_returnflag,
                 count(DISTINCT l_orderkey) AS exact_orders,

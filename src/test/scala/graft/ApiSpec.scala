@@ -602,6 +602,20 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(_.toString))
   }
 
+  test("functions.cmsSketch + cmsEstimate ≡ the registry CMS estimates") {
+    import graft.api.functions.{cmsSketch, cmsEstimate}
+    graft.api.Graft.init(spark)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val sk = ev.agg(cmsSketch(col("user_id")).as("sk"))
+    val got = ev.where(col("user_id") < 10).select("user_id").distinct()
+      .crossJoin(sk)
+      .select(col("user_id"), cmsEstimate(col("sk"), col("user_id")).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val reg = SparkEntry.queries("agg_cms_freq")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == reg, s"facade=$got registry=$reg")
+  }
+
   test("Graft.rrfFuse: hand-traced fusion of two ranked lists") {
     import spark.implicits._
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")

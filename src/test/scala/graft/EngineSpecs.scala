@@ -314,6 +314,47 @@ class HllSpec extends AnyFunSuite {
   }
 }
 
+/** Count-Min sketch aggregate: full plain-Scala replay + linearity. */
+class CmsSpec extends AnyFunSuite {
+  import TestSession._
+  import graft.ext.CatalystExt.{CmsA, CmsB, CmsD, CmsP, CmsW}
+
+  private def h(i: Int, k: Long): Int =
+    (((CmsA(i) * (k % CmsP) + CmsB(i)) % CmsP) % CmsW).toInt
+
+  test("agg_cms_freq: estimates equal a plain-Scala CMS replay, never undercount") {
+    val keys = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").collect().map(_.getLong(0))
+    val table = Array.ofDim[Long](CmsD, CmsW)
+    keys.foreach(k => (0 until CmsD).foreach(i => table(i)(h(i, k)) += 1L))
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rows = SparkEntry.queries("agg_cms_freq")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val est = (0 until CmsD).map(i => table(i)(h(i, k))).min
+      assert(r.getLong(1) == exact(k), s"exact for $k")
+      assert(r.getLong(2) == est, s"cms_est for $k: ${r.getLong(2)} vs $est")
+      assert(r.getLong(2) >= r.getLong(1) && r.getBoolean(4),
+        s"undercount at $k")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+  }
+
+  test("cms sketch is linear: sketch(A ++ B) == sketch(A) + sketch(B)") {
+    graft.ext.CatalystExt.register(spark)
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet").select("user_id", "event_id")
+    def sk(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.agg(expr("graft_cms(user_id)")).head().getSeq[Long](0).toArray
+    val whole = sk(ev)
+    val a = sk(ev.where(col("event_id") % 2 === 0))
+    val b = sk(ev.where(col("event_id") % 2 =!= 0))
+    assert(whole.toSeq == a.zip(b).map { case (x, y) => x + y }.toSeq)
+    assert(whole.sum == ev.count() * CmsD)
+  }
+}
+
 /** Custom Catalyst expression ≡ higher-order-function formulation. */
 class CosineExprSpec extends AnyFunSuite {
   import TestSession._

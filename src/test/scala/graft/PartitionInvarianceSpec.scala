@@ -87,7 +87,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 14: RRF fusion — integer ranks from deterministic orderings
     // (scaled-BIGINT BM25; the bit-identical sequential-fold cosine), so
     // the fused integer scores are partition-order free
-    "sim_rrf_fusion")
+    "sim_rrf_fusion",
+    // round 14: CMS counters are exact integers merged by addition —
+    // estimates must be identical under any partitioning
+    "agg_cms_freq")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
