@@ -102,6 +102,46 @@ object Streaming {
         col("v_sum"))
       .orderBy("w_start", "event_type")
 
+  /** Streaming Count-Min frequency monitor — the `agg_cms_freq` sketch as
+    * PER-WINDOW streaming state: one windowed ObjectHashAggregate folds
+    * every event-hour's user keys into a d=4 × w=64 counter table
+    * (`graft_cms`, CatalystExt.CountMin — mergeable by vector add, so
+    * partial aggregation works across micro-batches exactly like batch),
+    * then the finished sink is probed for the tracked keys (user_id < 3)
+    * beside their exact per-window counts. Streaming state is
+    * O(windows · d·w) — 2 KB per window REGARDLESS of how many distinct
+    * users an hour carries, which is the whole point of a sketch monitor
+    * on a 100 TB/day stream (per-key windowed counts would hold state ∝
+    * distinct keys; the r13 state-store probe measured exactly that
+    * growth for the dedup-shaped monitors). The portable affine hashes
+    * make the per-window counter tables — and therefore every estimate —
+    * DuckDB-replayable: a full-oracle streaming sketch row. Estimates can
+    * never undercount (CMS min-of-rows), asserted per row on both engines. */
+  private val streamCmsFreq: Q = (s, d) => {
+    graft.ext.CatalystExt.register(s)
+    import graft.ext.CatalystExt.{CmsA, CmsB, CmsD, CmsP, CmsW}
+    val sink = runToTable(s,
+      eventsStream(s, d)
+        .groupBy(window(col("tsm"), "1 hour"))
+        .agg(expr("graft_cms(user_id)").as("sk")),
+      "complete")
+      .select(col("window.start").as("w_start"), col("sk"))
+    val exact = tbl(s, d, "events")
+      .where(col("user_id") < 3)
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("user_id"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val ests = (0 until CmsD).map { i =>
+      val h = pmod(pmod(lit(CmsA(i)) * pmod(col("user_id"), lit(CmsP))
+        + lit(CmsB(i)), lit(CmsP)), lit(CmsW.toLong))
+      element_at(col("sk"), (lit(i * CmsW) + h + lit(1L)).cast("int"))
+    }
+    exact.join(sink, Seq("w_start"))
+      .withColumn("cms_est", least(ests: _*))
+      .select(col("w_start"), col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") >= col("exact_cnt")).as("no_undercount"))
+      .orderBy("w_start", "user_id")
+  }
+
   /** Streaming CONSTRAINT MONITOR — the pipeline_constraint_audit pattern
     * on the INGEST stream: per event-hour, exact violation counts for the
     * row-level constraints a platform enforces at the door (known event
@@ -574,6 +614,7 @@ object Streaming {
     "stream_tumbling_count" -> streamTumblingCount,
     "stream_mix_monitor" -> streamMixMonitor,
     "stream_constraint_monitor" -> streamConstraintMonitor,
+    "stream_cms_freq" -> streamCmsFreq,
     "stream_ohlc" -> streamOhlc,
     "stream_sliding_avg" -> streamSlidingAvg,
     "stream_session_window" -> streamSessionWindow,
@@ -587,7 +628,37 @@ object Streaming {
     "stream_transform_with_state" -> streamTransformWithState,
   )
 
+  /** Per-window CMS replay: DuckDB rebuilds each hour's d counter rows as
+    * GROUP BYs over the same affine hashes (constants mirrored from
+    * CatalystExt.CmsA/B — the agg_cms_freq oracle, windowed). */
+  private def streamCmsOracleSql: String = {
+    import graft.ext.CatalystExt.{CmsA, CmsB, CmsD, CmsP, CmsW}
+    def hx(i: Int, k: String) =
+      s"((${CmsA(i)} * ($k % $CmsP) + ${CmsB(i)}) % $CmsP) % $CmsW"
+    val rowCtes = (0 until CmsD).map(i =>
+      s"""r$i AS (SELECT w_start, ${hx(i, "user_id")} AS b,
+             CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2)""")
+      .mkString(",\n          ")
+    val joins = (0 until CmsD).map(i =>
+      s"JOIN r$i ON r$i.w_start = p.w_start AND r$i.b = ${hx(i, "p.user_id")}")
+      .mkString("\n            ")
+    val est = (0 until CmsD).map(i => s"r$i.c").mkString("least(", ", ", ")")
+    s"""WITH e AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+                          user_id FROM events),
+          $rowCtes,
+          probe AS (SELECT w_start, user_id,
+                           CAST(count(*) AS BIGINT) AS exact_cnt
+                    FROM e WHERE user_id < 3 GROUP BY 1, 2)
+        SELECT p.w_start, p.user_id, p.exact_cnt,
+               $est AS cms_est,
+               $est >= p.exact_cnt AS no_undercount
+        FROM probe p
+            $joins
+        ORDER BY p.w_start, p.user_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "stream_cms_freq" -> streamCmsOracleSql,
     "source_stream_replay" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "stream_neardup" ->

@@ -89,8 +89,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // the fused integer scores are partition-order free
     "sim_rrf_fusion",
     // round 14: CMS counters are exact integers merged by addition —
-    // estimates must be identical under any partitioning
-    "agg_cms_freq")
+    // estimates must be identical under any partitioning (and, for the
+    // streaming twin, any micro-batch split)
+    "agg_cms_freq", "stream_cms_freq")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
