@@ -172,6 +172,67 @@ object TimeSeries {
           (col("tmax") + col("h")).cast("double")).as("yhat"))
       .orderBy("user_id", "bucket")
 
+  /** HIERARCHICAL forecast reconciliation (top-down by forecast
+    * proportions, Gross & Sohl 1990 — the coherence step every
+    * multi-level forecasting platform runs so per-entity forecasts SUM to
+    * the published total): per-user hourly-SUM series and the corporate
+    * total series (user_id = −1, built from the same exact cents so the
+    * hierarchy is additive by construction) ride through ONE shared
+    * exact-integer OLS fit; both levels are forecast 24 h past the GLOBAL
+    * last hour on an aligned grid, and each user's base forecast is
+    * scaled by (top forecast ÷ Σ user forecasts) at its hour.
+    *
+    * Determinism: slopes/intercepts are the olsFit fixed-shape IEEE
+    * expressions over exact BIGINT sums; each per-(user, h) forecast is
+    * floored to a 1e4-scaled BIGINT BEFORE the cross-user Σ, so the
+    * reconciliation denominator is an exact integer sum (never a float
+    * sum across rows — the Canon rule), and the reconciled value is one
+    * mirrored multiply-divide over three exact integers.
+    *
+    * Scale shape: one events scan per level (the user aggregate and the
+    * 720-row total), one olsFit shuffle over user keys, a 24-row
+    * broadcast of per-hour denominators — per-user work ∝ its own rows,
+    * nothing driver-sized; at 1e9 users the same plan stands (the top fit
+    * is one more group). Output bounded to users 0–4 × 24 h. */
+  private val forecastReconcileHierarchy: Q = (s, d) => {
+    val hu = tbl(s, d, "events")
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg((sum(cents(col("value"))) / 100.0).as("v"))
+      .select(col("user_id"), col("window.start").as("bucket"), col("v"))
+    val top = tbl(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg((sum(cents(col("value"))) / 100.0).as("v"))
+      .select(lit(-1L).as("user_id"), col("window.start").as("bucket"), col("v"))
+    val fits = olsFit(hu.unionByName(top)).localCheckpoint(true)
+    val topFit = fits.where(col("user_id") === -1L)
+      .select(col("bmax").as("gbmax"), col("mnb").as("gmnb"),
+        col("slope").as("tslope"), col("intercept").as("tintercept"))
+    val base = fits.where(col("user_id") >= 0L)
+      .crossJoin(broadcast(topFit))
+      .select(col("user_id"), col("slope"), col("intercept"), col("mnb"),
+        col("gbmax"), col("gmnb"), col("tslope"), col("tintercept"),
+        explode(sequence(lit(1), lit(24))).as("h"))
+      .withColumn("bucket", expr("gbmax + make_interval(0, 0, 0, 0, h, 0, 0)"))
+      .withColumn("tu", expr("(unix_millis(bucket) - mnb) div 3600000"))
+      .withColumn("base_scaled",
+        floor((col("intercept") + col("slope") * col("tu").cast("double"))
+          * 10000 + 0.5).cast("long"))
+      .withColumn("tt", expr("(unix_millis(bucket) - gmnb) div 3600000"))
+      .withColumn("top_scaled",
+        floor((col("tintercept") + col("tslope") * col("tt").cast("double"))
+          * 10000 + 0.5).cast("long"))
+    val sums = base.groupBy(col("h").as("hs"))
+      .agg(sum(col("base_scaled")).as("sumb"))
+    base.join(broadcast(sums), col("h") === col("hs"))
+      .where(col("user_id") < 5 && col("sumb") > 0)
+      .select(col("user_id"), col("bucket"),
+        r4(col("base_scaled").cast("double") / 10000.0).as("base_yhat"),
+        r4(col("top_scaled").cast("double") / 10000.0).as("top_yhat"),
+        r4(col("base_scaled").cast("double") * col("top_scaled").cast("double")
+          / col("sumb").cast("double") / 10000.0).as("recon_yhat"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** Rolling-origin backtest: fit on first 80% of slots, score the holdout. */
   /** ORACLE-GATED skill audit for the Prophet-like forecaster (the
     * round-10 audit pattern applied to the flagship model, whose ridge fit
@@ -975,6 +1036,7 @@ object TimeSeries {
     "ts_decompose_trend" -> tsDecomposeTrend,
     "ts_train_test_split" -> tsTrainTestSplit,
     "forecast_linear_trend" -> forecastLinearTrend,
+    "forecast_reconcile_hierarchy" -> forecastReconcileHierarchy,
     "forecast_backtest_metrics" -> forecastBacktestMetrics,
     "forecast_skill_audit" -> forecastSkillAudit,
     "forecast_prophet_backtest_audit" -> forecastProphetBacktestAudit,
@@ -1483,6 +1545,44 @@ object TimeSeries {
            FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.t = r.t + 1)
          SELECT user_id, bucket, floor(e*10000 + 0.5)/10000.0 AS ewma
          FROM rec ORDER BY user_id, bucket""",
+    "forecast_reconcile_hierarchy" -> ("""WITH hu AS (
+         SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v
+         FROM events GROUP BY 1, 2),
+       tp AS (
+         SELECT CAST(-1 AS BIGINT) AS user_id,
+                CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v
+         FROM events GROUP BY 2),
+       lvls AS (SELECT * FROM hu UNION ALL SELECT * FROM tp)""" +
+      olsSql("lvls") + """,
+       topb AS (SELECT bmax AS gbmax, mnb AS gmnb, slope AS tslope,
+                       intercept AS tintercept
+                FROM betas WHERE user_id = -1),
+       basef AS (
+         SELECT b.user_id, g.h, gbmax + to_hours(g.h) AS bucket,
+                CAST(floor((b.intercept + b.slope * CAST(
+                    (epoch_ms(gbmax + to_hours(g.h)) - b.mnb) // 3600000
+                  AS DOUBLE))*10000 + 0.5) AS BIGINT) AS base_scaled,
+                CAST(floor((tintercept + tslope * CAST(
+                    (epoch_ms(gbmax + to_hours(g.h)) - gmnb) // 3600000
+                  AS DOUBLE))*10000 + 0.5) AS BIGINT) AS top_scaled
+         FROM betas b CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS h) g
+              CROSS JOIN topb
+         WHERE b.user_id >= 0),
+       sums AS (SELECT h, CAST(sum(base_scaled) AS BIGINT) AS sumb
+                FROM basef GROUP BY h)
+       SELECT user_id, bucket,
+              floor((CAST(base_scaled AS DOUBLE)/10000.0)*10000 + 0.5)/10000.0
+                AS base_yhat,
+              floor((CAST(top_scaled AS DOUBLE)/10000.0)*10000 + 0.5)/10000.0
+                AS top_yhat,
+              floor((CAST(base_scaled AS DOUBLE)*CAST(top_scaled AS DOUBLE)
+                     /CAST(sumb AS DOUBLE)/10000.0)*10000 + 0.5)/10000.0
+                AS recon_yhat
+       FROM basef JOIN sums USING (h)
+       WHERE user_id < 5 AND sumb > 0
+       ORDER BY user_id, bucket"""),
     "forecast_linear_trend" -> (H0 + olsSql("hourly") + """
        SELECT user_id, bmax + to_hours(h) AS bucket,
               floor((intercept + slope * CAST(tmax + h AS DOUBLE))*10000 + 0.5)/10000.0 AS yhat

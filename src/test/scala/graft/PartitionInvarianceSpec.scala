@@ -91,7 +91,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 14: CMS counters are exact integers merged by addition —
     // estimates must be identical under any partitioning (and, for the
     // streaming twin, any micro-batch split)
-    "agg_cms_freq", "stream_cms_freq")
+    "agg_cms_freq", "stream_cms_freq",
+    // round 14: reconciliation rides exact-BIGINT OLS moments and a
+    // scaled-integer cross-user denominator — no float accumulation
+    "forecast_reconcile_hierarchy")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
