@@ -29,7 +29,25 @@ class SqlEntrySpec extends AnyFunSuite {
 
   private val expected = Set("graft_cosine", "graft_hll", "graft_heavy_hitters",
     "graft_kll_quantile", "graft_bigrams", "graft_topk_min",
-    "graft_bitmap_distinct", "graft_haversine", "graft_geomean")
+    "graft_bitmap_distinct", "graft_haversine", "graft_geomean", "graft_cms")
+
+  test("graft_cms from SQL: counter table sums to d*N, estimates ≥ exact") {
+    init
+    val r = spark.sql("""
+      WITH sk AS (SELECT graft_cms(user_id) AS t FROM sql_events),
+           ex AS (SELECT user_id, count(*) AS c FROM sql_events
+                  WHERE user_id = 0 GROUP BY user_id),
+           n AS (SELECT count(*) AS n FROM sql_events)
+      SELECT aggregate(t, 0L, (a, x) -> a + x) AS mass, n.n,
+             ex.c AS exact0
+      FROM sk, n, ex""").head()
+    assert(r.getLong(0) == 4L * r.getLong(1), "total mass != d*N")
+    // estimate for user 0 via the facade lookup over the SQL-built sketch
+    val sk = spark.sql("SELECT graft_cms(user_id) AS t FROM sql_events")
+    val est = sk.select(graft.api.functions.cmsEstimate(col("t"), lit(0L)))
+      .head().getLong(0)
+    assert(est >= r.getLong(2), s"cms estimate $est < exact ${r.getLong(2)}")
+  }
 
   test("the registry holds exactly the functions this matrix covers") {
     init
