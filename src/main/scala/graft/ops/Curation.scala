@@ -170,6 +170,109 @@ object Curation {
         col("rrf_scaled"))
   }
 
+  // ------------------------------------------------ classifier TRAINING
+  /** Distributed BATCH-PERCEPTRON training of the hashed-unigram linear
+    * classifier (lang = en vs rest) — the missing half of
+    * `pipeline_domain_classifier`, which only SCORES with fixed weights:
+    * production curation stacks TRAIN their quality/domain classifiers on
+    * the corpus itself (fastText-style), and at 100 TB that training must
+    * be a distributed fixpoint, not a driver loop over rows. Three
+    * unrolled epochs of the batch update
+    *   w ← w + Σ_{misclassified} y·x,  bias ← bias + Σ y
+    * over B = 256 hashed-feature counts (the DSIR/tbucket feature space).
+    * Epoch cost = two passes over the (doc, bucket, cnt) frame: a
+    * map-side score against the ≤256-long broadcast model + one bucket
+    * aggregate of the error mass. ONLY the model (256 weights + bias +
+    * two scalars) ever reaches the driver — the kmeans contract.
+    *
+    * Everything is exact BIGINT arithmetic (counts × integer weights), so
+    * the whole trainer replays as unrolled DuckDB CTEs and the output —
+    * per-epoch error count, post-update L1 weight mass, bias — is
+    * hash-gated. Error counts on the synthetic corpus need not reach 0
+    * (lang is not linearly separable from hashed counts there); the
+    * CONVERGENCE mechanics are pinned on a separable corpus in
+    * CurationSpec. */
+  private lazy val pipelineTrainClassifier: Q = (s, d) => {
+    val B = 256
+    val feats = tbl(s, d, "documents")
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        explode(toks(normText)).as("term"))
+      .withColumn("b", tbucket(col("term")))
+      .groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val w = Array.fill(B)(0L)
+    var bias = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    for (epoch <- 1 to 3) {
+      val wl = typedLit(w.toSeq)
+      val errs = feats
+        .withColumn("wb", element_at(wl, (col("b") + 1).cast("int")))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * col("wb")).as("dot"))
+        .where(col("y") * (col("dot") + lit(bias)) <= 0)
+        .select(col("doc_id"), col("y"))
+        .localCheckpoint(true)
+      val m = errs.agg(count(lit(1)).as("ne"),
+        coalesce(sum(col("y")), lit(0L)).as("db")).head()
+      val upd = feats.join(errs.withColumnRenamed("y", "ey"), Seq("doc_id"))
+        .groupBy(col("b")).agg(sum(col("ey") * col("cnt")).as("dw"))
+        .collect() // ≤ B rows — model-sized, never corpus-sized
+      upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      bias += m.getLong(1)
+      out += ((epoch, m.getLong(0), w.map(math.abs).sum, bias))
+    }
+    import s.implicits._
+    out.toSeq.toDF("epoch", "n_errors", "w_l1", "bias").orderBy("epoch")
+  }
+
+  /** The trainer oracle: three epochs unrolled as chained CTEs over the
+    * same (doc, bucket, cnt) frame — w_e and the per-epoch error sets
+    * derived exactly as the engine computes them (all BIGINT). */
+  private def trainClassifierSql: String = {
+    val feats = s"""dtc AS (
+            SELECT doc_id, lang, ${tbucketSql("term")} AS b
+            FROM (SELECT doc_id, lang, unnest(string_split($normSql, ' '))
+                    AS term FROM documents)),
+          feats AS (SELECT doc_id,
+                           CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+                           b, CAST(count(*) AS BIGINT) AS cnt
+                    FROM dtc GROUP BY 1, 2, 3),
+          e1 AS (SELECT DISTINCT doc_id, y FROM feats),
+          m1 AS (SELECT CAST(count(*) AS BIGINT) AS ne,
+                        CAST(coalesce(sum(y), 0) AS BIGINT) AS db FROM e1),
+          w1 AS (SELECT b, CAST(sum(y * cnt) AS BIGINT) AS wv
+                 FROM feats GROUP BY b)"""
+    def epoch(e: Int, prevW: String, biasExpr: String): String =
+      s""",
+          s$e AS (SELECT f.doc_id, f.y,
+                         CAST(sum(f.cnt * $prevW.wv) AS BIGINT)
+                           + ($biasExpr) AS sc
+                  FROM feats f JOIN $prevW ON f.b = $prevW.b GROUP BY 1, 2),
+          e$e AS (SELECT doc_id, y FROM s$e WHERE y * sc <= 0),
+          m$e AS (SELECT CAST(count(*) AS BIGINT) AS ne,
+                         CAST(coalesce(sum(y), 0) AS BIGINT) AS db FROM e$e),
+          u$e AS (SELECT f.b, CAST(sum(f.y * f.cnt) AS BIGINT) AS dw
+                  FROM feats f JOIN e$e USING (doc_id) GROUP BY f.b),
+          w$e AS (SELECT $prevW.b, $prevW.wv + coalesce(u$e.dw, 0) AS wv
+                  FROM $prevW LEFT JOIN u$e ON $prevW.b = u$e.b)"""
+    s"""WITH $feats${epoch(2, "w1", "SELECT db FROM m1")}${epoch(3, "w2",
+        "(SELECT db FROM m1) + (SELECT db FROM m2)")}
+        SELECT 1 AS epoch, (SELECT ne FROM m1) AS n_errors,
+               (SELECT CAST(sum(abs(wv)) AS BIGINT) FROM w1) AS w_l1,
+               (SELECT db FROM m1) AS bias
+        UNION ALL
+        SELECT 2, (SELECT ne FROM m2),
+               (SELECT CAST(sum(abs(wv)) AS BIGINT) FROM w2),
+               (SELECT db FROM m1) + (SELECT db FROM m2)
+        UNION ALL
+        SELECT 3, (SELECT ne FROM m3),
+               (SELECT CAST(sum(abs(wv)) AS BIGINT) FROM w3),
+               (SELECT db FROM m1) + (SELECT db FROM m2) + (SELECT db FROM m3)
+        ORDER BY epoch"""
+  }
+
   // ----------------------------------------------------------- DSIR weights
   /** Portable hashed-feature bucket for a TERM (string): degree-7
     * polynomial over the codepoints of the first 8 chars (space-padded),
@@ -770,6 +873,7 @@ object Curation {
   val queries: Map[String, Q] = Map(
     "text_bm25_search" -> textBm25Search,
     "sim_rrf_fusion" -> simRrfFusion,
+    "pipeline_train_classifier" -> pipelineTrainClassifier,
     "pipeline_dsir_weights" -> pipelineDsirWeights,
     "pipeline_mix_temperature" -> pipelineMixTemperature,
     "embed_covariance" -> embedCovariance,
@@ -934,6 +1038,7 @@ object Curation {
                   floor(((a + c - disc)/2.0/(a + c))*10000 + 0.5)/10000.0
            FROM l)
          ORDER BY component""",
+    "pipeline_train_classifier" -> trainClassifierSql,
     "sim_rrf_fusion" ->
       s"""WITH $bm25Ctes,
           lexr AS (SELECT doc_id AS id,

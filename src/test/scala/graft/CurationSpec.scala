@@ -436,6 +436,23 @@ class CurationSpec extends AnyFunSuite {
       out.mkString(","))
   }
 
+  test("pipeline_train_classifier: converges to zero errors on a separable corpus") {
+    // one-token classes in distinct hash buckets — linearly separable, so
+    // the batch perceptron must fit it after epoch 1 and stay fixed
+    import spark.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_train_sep"
+    Seq((0L, "aa", "en", "s0", 2L), (1L, "bb", "de", "s0", 2L),
+        (2L, "aa", "en", "s0", 2L), (3L, "bb", "de", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("pipeline_train_classifier")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // epoch 1: w=0 misclassifies all 4; update w[b(aa)]=+2, w[b(bb)]=-2,
+    // bias 0. epochs 2-3: every doc correct, model frozen.
+    assert(rows.toSeq == Seq((1, 4L, 4L, 0L), (2, 0L, 4L, 0L), (3, 0L, 4L, 0L)),
+      rows.mkString(","))
+  }
+
   test("sim_rrf_fusion: exact match vs plain-Scala RRF over both lists") {
     // lexical top-20 (doc 0 excluded): the same scaled-int BM25 reference
     // as the text_bm25_search test above

@@ -94,7 +94,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "agg_cms_freq", "stream_cms_freq",
     // round 14: reconciliation rides exact-BIGINT OLS moments and a
     // scaled-integer cross-user denominator — no float accumulation
-    "forecast_reconcile_hierarchy")
+    "forecast_reconcile_hierarchy",
+    // round 14: the perceptron trainer is an integer fixpoint — every
+    // epoch's error set and weight update must be partition-order free
+    "pipeline_train_classifier")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
