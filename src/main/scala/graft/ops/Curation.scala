@@ -192,7 +192,11 @@ object Curation {
     * (lang is not linearly separable from hashed counts there); the
     * CONVERGENCE mechanics are pinned on a separable corpus in
     * CurationSpec. */
-  private lazy val pipelineTrainClassifier: Q = (s, d) => {
+  /** The shared trainer core: 3 batch-perceptron epochs over the hashed
+    * feature frame; returns the checkpointed features, the final model,
+    * and the per-epoch stats rows. */
+  private def trainCore(s: SparkSession, d: String):
+      (DataFrame, Array[Long], Long, Seq[(Int, Long, Long, Long)]) = {
     val B = 256
     val feats = tbl(s, d, "documents")
       .select(col("doc_id"),
@@ -223,14 +227,49 @@ object Curation {
       bias += m.getLong(1)
       out += ((epoch, m.getLong(0), w.map(math.abs).sum, bias))
     }
-    import s.implicits._
-    out.toSeq.toDF("epoch", "n_errors", "w_l1", "bias").orderBy("epoch")
+    (feats, w, bias, out.toSeq)
   }
 
-  /** The trainer oracle: three epochs unrolled as chained CTEs over the
-    * same (doc, bucket, cnt) frame — w_e and the per-epoch error sets
-    * derived exactly as the engine computes them (all BIGINT). */
-  private def trainClassifierSql: String = {
+  private lazy val pipelineTrainClassifier: Q = (s, d) => {
+    import s.implicits._
+    trainCore(s, d)._4.toDF("epoch", "n_errors", "w_l1", "bias")
+      .orderBy("epoch")
+  }
+
+  /** Confusion-matrix EVALUATION of the trained perceptron on the corpus
+    * it was fit on (training-set fit quality — the number a curation team
+    * reads before trusting the gate; a held-out eval is this plan plus
+    * split_group_hash on doc_id): one more scoring pass under the final
+    * (w, bias), exact-integer confusion counts, precision/recall as the
+    * only (mirrored, r4) floats. Tie rule: score ≤ 0 predicts the
+    * negative class — identical WHERE shape on both engines. */
+  private lazy val pipelineClassifierEval: Q = (s, d) => {
+    val (feats, w, bias, _) = trainCore(s, d)
+    val wl = typedLit(w.toSeq)
+    feats
+      .withColumn("wb", element_at(wl, (col("b") + 1).cast("int")))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(col("cnt") * col("wb")).as("dot"))
+      .select(col("y"), (col("dot") + lit(bias) > 0).as("pos"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("y") === 1L && col("pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("y") =!= 1L && col("pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") === 1L && !col("pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(col("y") =!= 1L && !col("pos"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        r4(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+          .as("precision"),
+        r4(when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+          .as("recall"))
+  }
+
+  /** The trainer oracle's CTE chain: three epochs unrolled over the same
+    * (doc, bucket, cnt) frame — w_e and the per-epoch error sets derived
+    * exactly as the engine computes them (all BIGINT). Shared by the
+    * trainer and eval oracles. */
+  private def trainCtes: String = {
     val feats = s"""dtc AS (
             SELECT doc_id, lang, ${tbucketSql("term")} AS b
             FROM (SELECT doc_id, lang, unnest(string_split($normSql, ' '))
@@ -257,8 +296,12 @@ object Curation {
                   FROM feats f JOIN e$e USING (doc_id) GROUP BY f.b),
           w$e AS (SELECT $prevW.b, $prevW.wv + coalesce(u$e.dw, 0) AS wv
                   FROM $prevW LEFT JOIN u$e ON $prevW.b = u$e.b)"""
-    s"""WITH $feats${epoch(2, "w1", "SELECT db FROM m1")}${epoch(3, "w2",
-        "(SELECT db FROM m1) + (SELECT db FROM m2)")}
+    s"""$feats${epoch(2, "w1", "SELECT db FROM m1")}${epoch(3, "w2",
+        "(SELECT db FROM m1) + (SELECT db FROM m2)")}"""
+  }
+
+  private def trainClassifierSql: String =
+    s"""WITH $trainCtes
         SELECT 1 AS epoch, (SELECT ne FROM m1) AS n_errors,
                (SELECT CAST(sum(abs(wv)) AS BIGINT) FROM w1) AS w_l1,
                (SELECT db FROM m1) AS bias
@@ -271,7 +314,34 @@ object Curation {
                (SELECT CAST(sum(abs(wv)) AS BIGINT) FROM w3),
                (SELECT db FROM m1) + (SELECT db FROM m2) + (SELECT db FROM m3)
         ORDER BY epoch"""
-  }
+
+  /** Eval oracle: one more scoring pass under (w3, final bias) + exact
+    * confusion counts; precision/recall the only mirrored floats. */
+  private def classifierEvalSql: String =
+    s"""WITH $trainCtes,
+        sc4 AS (SELECT f.doc_id, f.y,
+                       CAST(sum(f.cnt * w3.wv) AS BIGINT)
+                         + ((SELECT db FROM m1) + (SELECT db FROM m2)
+                            + (SELECT db FROM m3)) AS sc
+                FROM feats f JOIN w3 ON f.b = w3.b GROUP BY 1, 2),
+        conf AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(CASE WHEN y = 1 AND sc > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tp,
+                        CAST(sum(CASE WHEN y <> 1 AND sc > 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fp,
+                        CAST(sum(CASE WHEN y = 1 AND sc <= 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS fn,
+                        CAST(sum(CASE WHEN y <> 1 AND sc <= 0 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tn
+                 FROM sc4)
+        SELECT n_docs, tp, fp, fn, tn,
+               CASE WHEN tp + fp > 0 THEN
+                 floor((CAST(tp AS DOUBLE)/CAST(tp + fp AS DOUBLE))*10000 + 0.5)/10000.0
+               END AS precision,
+               CASE WHEN tp + fn > 0 THEN
+                 floor((CAST(tp AS DOUBLE)/CAST(tp + fn AS DOUBLE))*10000 + 0.5)/10000.0
+               END AS recall
+        FROM conf"""
 
   // ----------------------------------------------------------- DSIR weights
   /** Portable hashed-feature bucket for a TERM (string): degree-7
@@ -874,6 +944,7 @@ object Curation {
     "text_bm25_search" -> textBm25Search,
     "sim_rrf_fusion" -> simRrfFusion,
     "pipeline_train_classifier" -> pipelineTrainClassifier,
+    "pipeline_classifier_eval" -> pipelineClassifierEval,
     "pipeline_dsir_weights" -> pipelineDsirWeights,
     "pipeline_mix_temperature" -> pipelineMixTemperature,
     "embed_covariance" -> embedCovariance,
@@ -1039,6 +1110,7 @@ object Curation {
            FROM l)
          ORDER BY component""",
     "pipeline_train_classifier" -> trainClassifierSql,
+    "pipeline_classifier_eval" -> classifierEvalSql,
     "sim_rrf_fusion" ->
       s"""WITH $bm25Ctes,
           lexr AS (SELECT doc_id AS id,

@@ -97,7 +97,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "forecast_reconcile_hierarchy",
     // round 14: the perceptron trainer is an integer fixpoint — every
     // epoch's error set and weight update must be partition-order free
-    "pipeline_train_classifier")
+    "pipeline_train_classifier", "pipeline_classifier_eval")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
