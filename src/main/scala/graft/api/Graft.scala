@@ -481,6 +481,18 @@ object Graft {
       .orderBy(desc("rrf_scaled"), asc("id")).limit(topK)
   }
 
+  /** Distributed batch-perceptron training of a hashed-unigram linear
+    * classifier (3 epochs, exact BIGINT arithmetic — only the 256-weight
+    * model reaches the driver): `pos` marks the positive class. Returns
+    * (weights, bias, perEpoch (epoch, nErrors, wL1, bias)). */
+  def trainPerceptron(docs: DataFrame, id: String, text: String,
+      pos: Column): (Array[Long], Long, Seq[(Int, Long, Long, Long)]) = {
+    val (_, w, b, stats) = graft.ops.Curation.trainPerceptronCore(
+      docs.select(col(id).cast("long").as("doc_id"), col(text).as("text"),
+        pos.as("__pos")), col("__pos"))
+    (w, b, stats)
+  }
+
   /** DSIR importance weights (Xie et al. 2023): rank documents by
     * log p_target − log p_raw under add-1-smoothed hashed-unigram LMs
     * (256 portable hash buckets), target = the rows whose `lang` equals

@@ -196,11 +196,17 @@ object Curation {
     * feature frame; returns the checkpointed features, the final model,
     * and the per-epoch stats rows. */
   private def trainCore(s: SparkSession, d: String):
+      (DataFrame, Array[Long], Long, Seq[(Int, Long, Long, Long)]) =
+    trainPerceptronCore(tbl(s, d, "documents"), col("lang") === "en")
+
+  /** Generalized entry (Graft.trainPerceptron): any frame carrying
+    * (doc_id, text) plus a boolean positive-class predicate. */
+  private[graft] def trainPerceptronCore(docs: DataFrame, pos: Column):
       (DataFrame, Array[Long], Long, Seq[(Int, Long, Long, Long)]) = {
     val B = 256
-    val feats = tbl(s, d, "documents")
+    val feats = docs
       .select(col("doc_id"),
-        when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+        when(pos, 1L).otherwise(-1L).as("y"),
         explode(toks(normText)).as("term"))
       .withColumn("b", tbucket(col("term")))
       .groupBy(col("doc_id"), col("y"), col("b"))

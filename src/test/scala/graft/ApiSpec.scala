@@ -616,6 +616,15 @@ class ApiSpec extends AnyFunSuite {
     assert(got == reg, s"facade=$got registry=$reg")
   }
 
+  test("Graft.trainPerceptron ≡ the registry trainer on the fixture corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (_, _, stats) = graft.api.Graft.trainPerceptron(
+      docs, "doc_id", "text", col("lang") === "en")
+    val reg = SparkEntry.queries("pipeline_train_classifier")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(stats == reg.toSeq, s"facade=$stats registry=${reg.toSeq}")
+  }
+
   test("Graft.rrfFuse: hand-traced fusion of two ranked lists") {
     import spark.implicits._
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
