@@ -172,6 +172,31 @@ object TimeSeries {
           (col("tmax") + col("h")).cast("double")).as("yhat"))
       .orderBy("user_id", "bucket")
 
+  /** Rolling 24-hour MEDIAN per user — the robust smoother next to
+    * ts_moving_stats' mean/sd (a single spike moves a 24 h mean by
+    * spike/24 but the median not at all; it's the denoiser run before
+    * changepoint/anomaly logic on dirty streams). Median = the ⌈n/2⌉-th
+    * smallest (lower middle — an ACTUAL element, no even-count averaging),
+    * computed as an explicit order statistic over the 1e4-scaled BIGINTs:
+    * element_at(sort_array(collect_list(vi)), (n+1) div 2) on Spark,
+    * windowed quantile_disc(vi, 0.5) in DuckDB (verified to pick the same
+    * lower-middle rank). The frame is ROWS-bounded at 24, so window state
+    * is O(24) per key — the WindowExec boundedness contract (SCALING.md),
+    * same budget as every rolling op here. */
+  private val tsRollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(-23, 0)
+    hourly(s, d)
+      .withColumn("vi", floor(col("v") * 10000 + 0.5).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("med_scaled",
+        element_at(sort_array(collect_list(col("vi")).over(w)),
+          ((col("n") + 1L) / 2L).cast("int")))
+      .select(col("user_id"), col("bucket"), col("v"), col("n"),
+        r4(col("med_scaled").cast("double") / 10000.0).as("roll_med"))
+      .orderBy("user_id", "bucket")
+  }
+
   /** HIERARCHICAL forecast reconciliation (top-down by forecast
     * proportions, Gross & Sohl 1990 — the coherence step every
     * multi-level forecasting platform runs so per-entity forecasts SUM to
@@ -1037,6 +1062,7 @@ object TimeSeries {
     "ts_train_test_split" -> tsTrainTestSplit,
     "forecast_linear_trend" -> forecastLinearTrend,
     "forecast_reconcile_hierarchy" -> forecastReconcileHierarchy,
+    "ts_rolling_median" -> tsRollingMedian,
     "forecast_backtest_metrics" -> forecastBacktestMetrics,
     "forecast_skill_audit" -> forecastSkillAudit,
     "forecast_prophet_backtest_audit" -> forecastProphetBacktestAudit,
@@ -1545,6 +1571,18 @@ object TimeSeries {
            FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.t = r.t + 1)
          SELECT user_id, bucket, floor(e*10000 + 0.5)/10000.0 AS ewma
          FROM rec ORDER BY user_id, bucket""",
+    "ts_rolling_median" -> (H0 + """
+       SELECT user_id, bucket, v, n,
+              floor((CAST(med_scaled AS DOUBLE)/10000.0)*10000 + 0.5)/10000.0
+                AS roll_med
+       FROM (SELECT user_id, bucket, v,
+                    CAST(count(*) OVER w AS BIGINT) AS n,
+                    quantile_disc(CAST(floor(v*10000 + 0.5) AS BIGINT), 0.5)
+                      OVER w AS med_scaled
+             FROM hourly
+             WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+                          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+       ORDER BY user_id, bucket"""),
     "forecast_reconcile_hierarchy" -> ("""WITH hu AS (
          SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS v
