@@ -56,6 +56,17 @@ class EdgeCorpusSpec extends AnyFunSuite {
     assert(one.length == 1)
   }
 
+  test("pipeline_train_classifier + eval on an EMPTY corpus: zero-doc fixpoint") {
+    // an empty crawl increment must train to the zero model, not throw in
+    // the epoch aggregates or the model collect
+    val d = corpusDir("train_empty")(_.where(lit(false)))
+    val rows = SparkEntry.queries("pipeline_train_classifier")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1, 0L, 0L, 0L), (2, 0L, 0L, 0L), (3, 0L, 0L, 0L)))
+    val ev = SparkEntry.queries("pipeline_classifier_eval")(spark, d).collect()
+    assert(ev.length == 1 && ev(0).getLong(0) == 0L)
+  }
+
   test("neardupLabelsFromDocs: empty input yields empty labels via the " +
       "bitmask route (vocab probe and pair join must tolerate zero sets)") {
     val empty = spark.read.parquet(s"$sf/documents.parquet")
