@@ -373,6 +373,28 @@ object Graph {
       .orderBy("node").select(col("node").as("user_id"), col("d").as("dist"))
   }
 
+  /** Connected components of the co-occurrence graph — the most basic
+    * graph audit ("how many disjoint user populations are there?") and
+    * the graph_* namespace face of the machinery the dedup stack already
+    * runs: label = component minimum user id via the shared adaptive
+    * min-label core ([[TextDedup.propagateMinLabels]] — driver union-find
+    * under the documented `localSolveCap` edge budget, the distributed
+    * min-label loop with per-round localCheckpoint above it, exactly the
+    * pipeline_neardup_full posture). Isolated users (no co-occurrence
+    * edge) are not graph nodes and don't appear — mirrored by the
+    * oracle's edge-endpoint node set. */
+  private val graphConnectedComponents: Q = (s, d) => {
+    val e0 = coocEdges(s, d).localCheckpoint(true)
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = e0.select(col("a").as("node"))
+      .unionAll(e0.select(col("b").as("node"))).distinct()
+      .withColumn("label", col("node"))
+    TextDedup.propagateMinLabels(edges, nodes, maxRounds = 20)._1
+      .select(col("node").as("user_id"), col("label").as("component"))
+      .orderBy("user_id")
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et al.
     * 2007) over the co-occurrence graph, T=3 unrolled rounds: every node
     * simultaneously adopts its neighborhood's most frequent label, ties
@@ -592,6 +614,7 @@ object Graph {
     "graph_pagerank" -> graphPagerank,
     "graph_label_propagation" -> graphLabelPropagation,
     "graph_shortest_paths" -> graphShortestPaths,
+    "graph_connected_components" -> graphConnectedComponents,
     "graph_triangle_count" -> graphTriangleCount,
     "graph_degree_distribution" -> graphDegreeDistribution,
     "graph_common_neighbors" -> graphCommonNeighbors,
@@ -820,6 +843,22 @@ object Graph {
                   GROUP BY 1)
           SELECT deg, count(*) AS n_nodes FROM deg
           GROUP BY deg ORDER BY deg""",
+    "graph_connected_components" ->
+      s"""WITH RECURSIVE b AS (
+            SELECT DISTINCT user_id AS u, event_type,
+                   date_trunc('minute', ts) AS w FROM events),
+          e0 AS (SELECT DISTINCT a.u AS a, b2.u AS b
+                 FROM b a JOIN b b2
+                   ON a.event_type = b2.event_type AND a.w = b2.w
+                 WHERE a.u < b2.u),
+          e AS (SELECT a AS s, b AS t FROM e0 UNION ALL SELECT b, a FROM e0),
+          nodes AS (SELECT DISTINCT s AS node FROM e),
+          reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, e.t FROM reach JOIN e ON reach.r = e.s)
+          SELECT node AS user_id, CAST(min(r) AS BIGINT) AS component
+          FROM reach GROUP BY node ORDER BY user_id""",
     "graph_shortest_paths" ->
       s"""WITH RECURSIVE b AS (
             SELECT DISTINCT user_id AS u, event_type,

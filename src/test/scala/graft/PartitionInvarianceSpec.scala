@@ -97,7 +97,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "forecast_reconcile_hierarchy",
     // round 14: the perceptron trainer is an integer fixpoint — every
     // epoch's error set and weight update must be partition-order free
-    "pipeline_train_classifier", "pipeline_classifier_eval")
+    "pipeline_train_classifier", "pipeline_classifier_eval",
+    // round 14: min-label CC is the exact-integer dedup fixpoint reused
+    "graph_connected_components")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
