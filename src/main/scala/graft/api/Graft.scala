@@ -370,6 +370,22 @@ object Graft {
     * iterations, most-frequent neighbor label per node, ties to the
     * smallest label — fully deterministic (integer seeds, no rand), so the
     * result is partition-invariant. Returns (node, community). */
+  /** Connected components of an undirected (a, b) edge frame: label =
+    * component-minimum node id via the adaptive min-label core (driver
+    * union-find under the edge cap, distributed min-label loop above).
+    * Returns (node, component) for every edge endpoint. */
+  def connectedComponents(edges: DataFrame, a: String, b: String): DataFrame = {
+    val e = edges.select(col(a).cast("long").as("a"),
+      col(b).cast("long").as("b")).localCheckpoint(true)
+    val dir = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+      .withColumn("label", col("node"))
+    graft.ops.TextDedup.propagateMinLabels(dir, nodes, maxRounds = 20)._1
+      .select(col("node"), col("label").as("component")).orderBy("node")
+  }
+
   def labelPropagation(edges: DataFrame, a: String, b: String,
       rounds: Int = 3): DataFrame =
     graft.ops.Graph.lpaCore(

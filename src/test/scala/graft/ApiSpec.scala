@@ -616,6 +616,15 @@ class ApiSpec extends AnyFunSuite {
     assert(got == reg, s"facade=$got registry=$reg")
   }
 
+  test("Graft.connectedComponents: hand-traced two-component graph") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("x", "y")
+    val got = graft.api.Graft.connectedComponents(e, "x", "y")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)),
+      got.mkString(","))
+  }
+
   test("Graft.trainPerceptron ≡ the registry trainer on the fixture corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val (_, _, stats) = graft.api.Graft.trainPerceptron(
