@@ -48,6 +48,36 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** Raw-file ingestion via Spark's `binaryFile` source — the door every
+    * multimodal pipeline walks through (image/audio dirs land as (path,
+    * length, content) rows before any decode). Stages the first 20 docs'
+    * UTF-8 bytes as individual .bin files, reads them back through
+    * format("binaryFile"), and emits (doc_id parsed from the filename,
+    * byte length, decoded text) — the oracle reads the SAME rows straight
+    * from the documents table (octet_length over the UTF-8 encoding), so
+    * the whole file round-trip must be byte-faithful. Scale shape: one
+    * file = one row; at 100 TB the source lists and reads files in
+    * parallel with no shuffle — the query's only sort is the bounded
+    * output orderBy. */
+  private val scanBinaryFile: Q = (s, d) => {
+    val out = s"$ioTmp/bin_docs_${d.hashCode.toHexString}"
+    val dir = java.nio.file.Paths.get(out)
+    java.nio.file.Files.createDirectories(dir)
+    tbl(s, d, "documents").where(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect()  // 20 bounded rows
+      .foreach { r =>
+        java.nio.file.Files.write(dir.resolve(f"doc_${r.getLong(0)}%03d.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    s.read.format("binaryFile").load(out)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("length").as("n_bytes"),
+        col("content").cast("string").as("text"))
+      .orderBy("doc_id")
+  }
+
   private val scanJson: Q = (s, d) => {
     val out = s"$ioTmp/json_region_${d.hashCode.toHexString}"
     tbl(s, d, "region").coalesce(1).write.mode("overwrite").json(out)
@@ -873,6 +903,7 @@ object Relational {
     "scan_parquet" -> scanParquet,
     "scan_parquet_pushdown" -> scanParquetPushdown,
     "scan_csv" -> scanCsv,
+    "scan_binaryfile" -> scanBinaryFile,
     "scan_json" -> scanJson,
     "scan_orc" -> scanOrc,
     "scan_text" -> scanText,
@@ -936,6 +967,10 @@ object Relational {
          WHERE l_shipdate >= TIMESTAMP '2000-01-01'
          ORDER BY l_orderkey, l_linenumber""",
     "scan_csv" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_binaryfile" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                text
+         FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
     "scan_text" ->
