@@ -865,7 +865,40 @@ object Lifecycle {
   }
 
   // ---------------------------------------------------------- registry
+  /** In-flight pipeline metrics via `DataFrame.observe` (CollectMetrics —
+    * Spark's observability hook): the ingest gate's health counters ride
+    * ON the gating pass itself, computed by the SAME scan that filters
+    * (one CollectMetricsExec node in the plan — at 100 TB this is the
+    * difference between monitoring for free and paying a second full
+    * scan for a metrics query). The emitted rows are the observation's
+    * exact integer counters plus the downstream kept-count; DuckDB
+    * replays them as plain aggregates. */
+  private val pipelineObserveMetrics: Q = (s, d) => {
+    val obs = org.apache.spark.sql.Observation(s"gate_${d.hashCode}_" +
+      System.nanoTime()) // names are once-per-session; queries re-run
+    val gated = tbl(s, d, "events")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("user_id").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_user"),
+        coalesce(sum(when(!(col("value") > 0), 1L).otherwise(0L)), lit(0L))
+          .as("n_bad_value"),
+        coalesce(sum(cents(col("value"))), lit(0L)).as("cents_sum"))
+      .where(col("value") > 0)
+    val nKept = gated.count() // the one action: gate + metrics, one scan
+    val m = obs.get
+    import s.implicits._
+    (Seq(
+      ("cents_sum", m("cents_sum").asInstanceOf[Long]),
+      ("n_bad_value", m("n_bad_value").asInstanceOf[Long]),
+      ("n_kept", nKept),
+      ("n_null_user", m("n_null_user").asInstanceOf[Long]),
+      ("n_rows", m("n_rows").asInstanceOf[Long])))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_observe_metrics" -> pipelineObserveMetrics,
     "pipeline_constraint_audit" -> constraintAudit,
     "agg_mannwhitney_u" -> mannWhitneyU,
     "agg_spearman_corr" -> spearmanCorr,
@@ -926,6 +959,25 @@ object Lifecycle {
           FROM terms"""
 
   val oracle: Map[String, String] = Map(
+    "pipeline_observe_metrics" ->
+      """SELECT metric, value FROM (
+           SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+           FROM events
+           UNION ALL
+           SELECT 'n_null_user',
+                  CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM events
+           UNION ALL
+           SELECT 'n_bad_value',
+                  CAST(coalesce(sum(CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM events
+           UNION ALL
+           SELECT 'cents_sum',
+                  CAST(coalesce(sum(CAST(floor(value*100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+           FROM events
+           UNION ALL
+           SELECT 'n_kept', CAST(count(*) AS BIGINT) FROM events WHERE value > 0)
+         ORDER BY metric""",
     // All-integer constraint counting; NULL semantics match Spark's
     // when().otherwise(0) (3VL NOT over NULL -> no violation counted) and
     // the anti-join (NULL fk counts as a violation on both engines).
