@@ -99,7 +99,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // epoch's error set and weight update must be partition-order free
     "pipeline_train_classifier", "pipeline_classifier_eval",
     // round 14: min-label CC is the exact-integer dedup fixpoint reused
-    "graph_connected_components")
+    "graph_connected_components",
+    // round 14: exact-integer rolling order statistic and observe counters
+    "ts_rolling_median", "pipeline_observe_metrics")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
