@@ -77,7 +77,8 @@ class SmokeSpec extends AnyFunSuite {
     "graph_common_neighbors", "graph_degree_distribution",
     "graph_shortest_paths", "graph_label_propagation",
     "graph_resource_allocation", "graph_kcore",
-    "graph_adamic_adar", "graph_jaccard_linkpred", "graph_local_clustering")
+    "graph_adamic_adar", "graph_jaccard_linkpred", "graph_local_clustering",
+    "graph_connected_components")
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"smoke: $name") {
