@@ -142,6 +142,55 @@ object Streaming {
       .orderBy("w_start", "user_id")
   }
 
+  /** Streaming twin of `pipeline_observe_metrics`: the SAME
+    * `DataFrame.observe` gate counters, but collected per micro-batch
+    * from the StreamingQueryProgress events and SUMMED across batches —
+    * the production monitoring path where each batch's metrics feed a
+    * dashboard and the totals must reconcile with the batch table. The
+    * events are staged as FOUR files and replayed with
+    * maxFilesPerTrigger=1, so the cross-batch merge is genuinely
+    * exercised (4 observed-metrics rows, not 1); counters are exact
+    * integers, so batch-splitting cannot move the sums — the oracle is
+    * the identical batch aggregate. An empty finishing batch (if the
+    * trigger emits one) contributes all-zero counters and cannot skew
+    * totals, which is why `n_batches` is deliberately NOT an output. */
+  private val streamObserveMetrics: Q = (s, d) => {
+    val dir = s"$ioTmp/stream_events4_${d.hashCode.toHexString}_${srcStamp(d, "events")}"
+    if (staged.add(dir))
+      tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+        .repartition(4).write.mode("overwrite").parquet(dir)
+    val src = s.readStream.schema(s.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .observe("ingest_gate",
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("user_id").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_null_user"),
+        coalesce(sum(when(!(col("value") > 0), 1L).otherwise(0L)), lit(0L))
+          .as("n_bad_value"),
+        coalesce(sum(cents(col("value"))), lit(0L)).as("cents_sum"))
+      .where(col("value") > 0)
+      .select(col("event_id"))
+    val name = s"graft_stream_obs_${ctr.incrementAndGet()}"
+    val ckpt = ckptDir(name)
+    dropCkpt(ckpt)
+    val q = src.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val mets = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("ingest_gate")))
+    dropCkpt(ckpt)
+    def tot(fld: String): Long = mets.map(_.getAs[Long](fld)).sum
+    val nKept = s.table(name).count()
+    import s.implicits._
+    Seq(("cents_sum", tot("cents_sum")),
+      ("n_bad_value", tot("n_bad_value")),
+      ("n_kept", nKept),
+      ("n_null_user", tot("n_null_user")),
+      ("n_rows", tot("n_rows")))
+      .toDF("metric", "value").orderBy("metric")
+  }
+
   /** Streaming CONSTRAINT MONITOR — the pipeline_constraint_audit pattern
     * on the INGEST stream: per event-hour, exact violation counts for the
     * row-level constraints a platform enforces at the door (known event
@@ -615,6 +664,7 @@ object Streaming {
     "stream_mix_monitor" -> streamMixMonitor,
     "stream_constraint_monitor" -> streamConstraintMonitor,
     "stream_cms_freq" -> streamCmsFreq,
+    "stream_observe_metrics" -> streamObserveMetrics,
     "stream_ohlc" -> streamOhlc,
     "stream_sliding_avg" -> streamSlidingAvg,
     "stream_session_window" -> streamSessionWindow,
@@ -659,6 +709,27 @@ object Streaming {
 
   val oracle: Map[String, String] = Map(
     "stream_cms_freq" -> streamCmsOracleSql,
+    // identical totals to the batch observe twin: per-batch counters are
+    // exact integers, so the 4-batch sum must equal the one-shot aggregate
+    "stream_observe_metrics" ->
+      """SELECT metric, value FROM (
+           SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value
+           FROM events
+           UNION ALL
+           SELECT 'n_null_user',
+                  CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM events
+           UNION ALL
+           SELECT 'n_bad_value',
+                  CAST(coalesce(sum(CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END), 0) AS BIGINT)
+           FROM events
+           UNION ALL
+           SELECT 'cents_sum',
+                  CAST(coalesce(sum(CAST(floor(value*100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+           FROM events
+           UNION ALL
+           SELECT 'n_kept', CAST(count(*) AS BIGINT) FROM events WHERE value > 0)
+         ORDER BY metric""",
     "source_stream_replay" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
     "stream_neardup" ->

@@ -101,7 +101,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 14: min-label CC is the exact-integer dedup fixpoint reused
     "graph_connected_components",
     // round 14: exact-integer rolling order statistic and observe counters
-    "ts_rolling_median", "pipeline_observe_metrics")
+    "ts_rolling_median", "pipeline_observe_metrics", "stream_observe_metrics")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
