@@ -120,15 +120,48 @@ object Graph {
         col("pr").as("pr_scaled"))
   }
 
+  /** Per-cell user cap for [[coocEdges]] — the bound on the one quadratic
+    * in the graph family's construction stage (round-14 verdict item 1).
+    * A cell with k co-occurring users emits C(k,2) pairs; unbounded, one
+    * viral (event_type, minute) cell with k ~ 10⁵ users at 100× scale
+    * emits 10¹⁰ pairs before `distinct`. With the cap, the densest cell
+    * contributes at most C(64,2) = 2,016 pairs — the same bounded-emission
+    * discipline bandedVerifiedPairs applies to LSH candidates (W=3).
+    * Gate: the fixture's densest cell has 6 users at sf0.1 (1 at sf0.001,
+    * 3 at sf0.01 — measured), so the cap NEVER binds on test data and
+    * every cooc-fed oracle hash is unchanged; `graph_cooc_cap_audit`
+    * cross-checks max-cell-size < cap in BOTH engines every run, and
+    * CoocSkewProbe measures the hot-cell bound live (SCALING.md r15). */
+  private[graft] val CoocCellCap = 64
+
   /** Distinct undirected user co-occurrence edges (a < b) from shared
-    * (event_type, minute) activity cells. */
-  private[graft] def coocEdges(s: SparkSession, d: String): DataFrame = {
-    val b = tbl(s, d, "events")
+    * (event_type, minute) activity cells. Emission is bounded per cell:
+    * only the `capPerCell` smallest user ids in a cell pair up (rank via
+    * row_number over the cell key — the window's hash partitioning is the
+    * same (event_type, w) key the self-join shuffles on, so the cap adds
+    * a sort but no extra exchange). Truncation is deterministic (by id)
+    * and inert below the cap — see [[CoocCellCap]]. */
+  private[graft] def coocEdges(s: SparkSession, d: String,
+      capPerCell: Int = CoocCellCap): DataFrame =
+    coocEdgesCore(tbl(s, d, "events"), capPerCell)
+
+  /** The builder core over any (user_id, event_type, ts) frame —
+    * CoocSkewProbe feeds it a synthetic 10⁵-user hot cell directly. */
+  private[graft] def coocEdgesCore(events: DataFrame,
+      capPerCell: Int = CoocCellCap): DataFrame = {
+    val b = events
+      .where(col("user_id").isNotNull) // null pairs with nothing (u < v is
+        // never true against NULL) — drop before ranking so nulls cannot
+        // occupy cap slots
       .select(col("user_id").as("u"), col("event_type"),
         date_trunc("minute", col("ts")).as("w"))
       .distinct()
-    val b2 = b.select(col("u").as("v"), col("event_type"), col("w"))
-    b.join(b2, Seq("event_type", "w"))
+    val cell = Window.partitionBy(col("event_type"), col("w"))
+      .orderBy(col("u"))
+    val kept = b.withColumn("rk", row_number().over(cell))
+      .where(col("rk") <= capPerCell).drop("rk")
+    val b2 = kept.select(col("u").as("v"), col("event_type"), col("w"))
+    kept.join(b2, Seq("event_type", "w"))
       .where(col("u") < col("v"))
       .select(col("u").as("a"), col("v").as("b"))
       .distinct()
@@ -610,7 +643,26 @@ object Graph {
   private val graphLocalClustering: Q = (s, d) =>
     localClusteringCore(coocEdges(s, d))
 
+  /** Cross-engine gate for [[CoocCellCap]]: the densest (event_type,
+    * minute) cell's distinct-user count, the cap, and whether the cap
+    * binds on this fixture (must be 0 for the cooc oracle hashes to be
+    * byte-identical to the uncapped replay — both engines compute the
+    * verdict independently). pairs_bound_per_cell is the worst-case
+    * emission any single cell can contribute post-cap: C(64,2) = 2016. */
+  private val graphCoocCapAudit: Q = (s, d) =>
+    tbl(s, d, "events").where(col("user_id").isNotNull)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("w"))
+      .agg(countDistinct(col("user_id")).as("k"))
+      .agg(max(col("k")).as("max_cell_users"), count(lit(1)).as("n_cells"))
+      .select(col("max_cell_users"), col("n_cells"),
+        lit(CoocCellCap.toLong).as("cap"),
+        when(col("max_cell_users") > CoocCellCap, lit(1L)).otherwise(lit(0L))
+          .as("cap_binds"),
+        lit(CoocCellCap.toLong * (CoocCellCap - 1) / 2)
+          .as("pairs_bound_per_cell"))
+
   val queries: Map[String, Q] = Map(
+    "graph_cooc_cap_audit" -> graphCoocCapAudit,
     "graph_pagerank" -> graphPagerank,
     "graph_label_propagation" -> graphLabelPropagation,
     "graph_shortest_paths" -> graphShortestPaths,
@@ -659,6 +711,18 @@ object Graph {
        WHERE rn = 1"""
 
   val oracle: Map[String, String] = Map(
+    "graph_cooc_cap_audit" ->
+      """WITH cells AS (
+           SELECT event_type, date_trunc('minute', ts) AS w,
+                  count(DISTINCT user_id) AS k
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         SELECT CAST(max(k) AS BIGINT) AS max_cell_users,
+                CAST(count(*) AS BIGINT) AS n_cells,
+                CAST(64 AS BIGINT) AS cap,
+                CAST(CASE WHEN max(k) > 64 THEN 1 ELSE 0 END AS BIGINT)
+                  AS cap_binds,
+                CAST(2016 AS BIGINT) AS pairs_bound_per_cell
+         FROM cells""",
     "graph_local_clustering" ->
       s"""WITH b AS (
             SELECT DISTINCT user_id AS u, event_type,

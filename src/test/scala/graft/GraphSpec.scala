@@ -10,6 +10,29 @@ class GraphSpec extends AnyFunSuite {
   import TestSession._
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("cooc cell cap: never binds on the fixture; capped == uncapped; " +
+      "a synthetic hot cell is bounded to C(cap,2)") {
+    import spark.implicits._
+    // gate (r15): the fixture's densest cell must sit BELOW the cap, so
+    // every cooc-fed oracle hash equals the uncapped replay bit-for-bit
+    val audit = q("graph_cooc_cap_audit").head()
+    assert(audit.getAs[Long]("cap_binds") == 0L,
+      s"cap binds on fixture: max_cell=${audit.getAs[Long]("max_cell_users")}")
+    // and the capped builder is literally the identity vs uncapped here
+    val capped = graft.ops.Graph.coocEdges(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = graft.ops.Graph.coocEdges(spark, sf, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped, "cap changed the fixture edge set")
+    // hot cell: 1000 users in ONE (event_type, minute) cell must emit
+    // exactly C(cap,2) pairs, not C(1000,2) = 499,500
+    val hot = spark.range(1000).select(col("id").as("user_id"),
+      lit("viral").as("event_type"),
+      lit(java.sql.Timestamp.valueOf("2024-06-01 12:34:00")).as("ts"))
+    val cap = graft.ops.Graph.CoocCellCap.toLong
+    assert(graft.ops.Graph.coocEdgesCore(hot).count() == cap * (cap - 1) / 2)
+  }
+
   test("graph_pagerank: integer mass is conserved up to division loss") {
     val rows = q("graph_pagerank").collect()
     val n = rows.length
