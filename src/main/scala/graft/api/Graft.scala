@@ -486,11 +486,19 @@ object Graft {
   def rrfFuse(lists: Seq[DataFrame], id: String, rank: String,
       topK: Int = 10, k0: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    // rank contract (ADVICE r14): k0 + rank must stay ≥ 1 or div yields
+    // null (k0 + rank = 0) / nonsense negative scores — enforce k0 ≥ 1
+    // here and rank ≥ 1 per row below; duplicate ids WITHIN one list
+    // would double-count their contribution, so each list is collapsed
+    // to its min (= best) rank per id before fusing.
+    require(k0 >= 1, s"rrfFuse needs k0 >= 1 (got $k0)")
     // integer division: Spark's `/` on longs is double division, so route
     // through the SQL `div` operator for the exact BIGINT contract
-    val contrib = lists.map(_.selectExpr(
-      s"CAST($id AS BIGINT) AS id",
-      s"1000000000 div ($k0 + CAST($rank AS BIGINT)) AS c"))
+    val contrib = lists.map(_
+      .selectExpr(s"CAST($id AS BIGINT) AS id", s"CAST($rank AS BIGINT) AS r")
+      .where(col("r") >= 1)
+      .groupBy(col("id")).agg(min(col("r")).as("r"))
+      .selectExpr("id", s"1000000000 div ($k0 + r) AS c"))
     contrib.reduce(_ unionByName _)
       .groupBy(col("id"))
       .agg(sum(col("c")).as("rrf_scaled"))

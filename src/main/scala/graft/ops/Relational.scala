@@ -60,8 +60,16 @@ object Relational {
     * parallel with no shuffle — the query's only sort is the bounded
     * output orderBy. */
   private val scanBinaryFile: Q = (s, d) => {
-    val out = s"$ioTmp/bin_docs_${d.hashCode.toHexString}"
+    // dir is keyed by the SOURCE table's content stamp and recreated from
+    // empty: files are written individually (no mode("overwrite") sweep),
+    // so a regenerated documents table must not leave stale doc_*.bin
+    // files behind to be read back (ADVICE r14)
+    val out = s"$ioTmp/bin_docs_${d.hashCode.toHexString}_${srcStamp(d, "documents")}"
     val dir = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
     java.nio.file.Files.createDirectories(dir)
     tbl(s, d, "documents").where(col("doc_id") < 20)
       .select(col("doc_id"), col("text")).collect()  // 20 bounded rows

@@ -509,6 +509,82 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Latest-version-per-key MERGE of one micro-batch into a keyed parquet
+    * sink (the foreachBatch upsert body): current sink ∪ batch → max_by
+    * (last_ms, last_event_id) per user — an idempotent, commutative,
+    * associative fold, which is WHY replaying a delivered batch cannot
+    * change the table. Written to a staging dir then swapped in — the
+    * local-FS stand-in for a transactional table commit (Delta/Iceberg
+    * MERGE at 100 TB; the batch algebra is identical). */
+  private def upsertLatest(batch: DataFrame, sink: String): Unit = {
+    val s = batch.sparkSession
+    val cur = if (new java.io.File(sink).exists) s.read.parquet(sink) else null
+    val all = if (cur == null) batch else cur.unionByName(batch)
+    val merged = all.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("last_event_id"), col("last_cents"), col("last_ms")),
+        struct(col("last_ms"), col("last_event_id"))).as("m"))
+      .select(col("user_id"), col("m.last_event_id").as("last_event_id"),
+        col("m.last_cents").as("last_cents"), col("m.last_ms").as("last_ms"))
+    val staging = s"${sink}_staging"
+    merged.write.mode("overwrite").parquet(staging)
+    dropCkpt(sink)
+    if (!new java.io.File(staging).renameTo(new java.io.File(sink)))
+      throw new java.io.IOException(s"staging swap failed for $sink")
+  }
+
+  /** One full AvailableNow replay of the purchase changelog into the
+    * idempotent sink at `sink`, with a FRESH checkpoint — so calling this
+    * twice re-delivers EVERY micro-batch a second time (the double-fire a
+    * crashed-and-restarted job produces when the sink commit raced the
+    * checkpoint commit). The input is staged as 4 files and read with
+    * maxFilesPerTrigger=1, so the merge runs as 4 sequential batch MERGEs,
+    * not one. Deliberately NO additive column (a per-key version count
+    * would double under redelivery — additive state is exactly what an
+    * idempotent sink must not hold outside the transaction). */
+  private[graft] def idempotentUpsertReplay(s: SparkSession, d: String,
+      sink: String): DataFrame = {
+    val src = s"$ioTmp/stream_events4_${d.hashCode.toHexString}_" +
+      srcStamp(d, "events")
+    if (staged.add(src))
+      tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+        .repartition(4).write.mode("overwrite").parquet(src)
+    val ckpt = ckptDir(s"idem_${ctr.incrementAndGet()}")
+    dropCkpt(ckpt)
+    val q = s.readStream.schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        cents(col("value")).as("last_cents"),
+        unix_millis(col("tsm")).as("last_ms"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) => upsertLatest(batch.toDF(), sink) }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    dropCkpt(ckpt)
+    s.read.parquet(sink).orderBy("user_id")
+  }
+
+  /** Exactly-once landing via an idempotent foreachBatch MERGE (r14
+    * verdict item 6 — the production landing path; `cdc_upsert_latest` is
+    * the batch twin). Structured Streaming gives at-least-once delivery
+    * into arbitrary sinks; end-to-end exactly-once is delivery ⊕ an
+    * idempotent sink. The query replays the same bounded input TWICE
+    * (fresh checkpoint each pass = full redelivery) into one sink and
+    * returns the post-second-pass table — the oracle compares it against
+    * the plain batch latest-per-key aggregate, so any redelivery
+    * sensitivity (double-counting, resurrection of older versions) breaks
+    * the hash. StreamingSpec additionally asserts pass-1 ≡ pass-2 row sets. */
+  private val streamIdempotentSink: Q = (s, d) => {
+    val sink = s"$ioTmp/idem_sink_${d.hashCode.toHexString}_" +
+      s"${srcStamp(d, "events")}_${ctr.incrementAndGet()}"
+    dropCkpt(sink) // fresh sink per invocation
+    idempotentUpsertReplay(s, d, sink) // pass 1: normal run
+    val out = idempotentUpsertReplay(s, d, sink) // pass 2: full REDELIVERY
+    out
+  }
+
   /** Stream ⋈ static dimension enrichment (supported without watermark). */
   private val streamStaticJoin: Q = (s, d) => {
     val dim = tbl(s, d, "nation")
@@ -675,6 +751,7 @@ object Streaming {
     "stream_stream_join" -> streamStreamJoin,
     "stream_stream_outer_join" -> streamStreamOuterJoin,
     "stream_foreach_batch" -> streamForeachBatch,
+    "stream_idempotent_sink" -> streamIdempotentSink,
     "stream_transform_with_state" -> streamTransformWithState,
   )
 
@@ -883,6 +960,20 @@ object Streaming {
                 sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS purchase_total
          FROM events WHERE event_type = 'purchase'
          GROUP BY user_id ORDER BY user_id""",
+    // the sink after TWO full replays must equal one batch latest-per-key
+    // pass — any redelivery sensitivity in the MERGE breaks this hash
+    "stream_idempotent_sink" ->
+      """WITH v AS (
+           SELECT user_id, event_id,
+                  CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+                  epoch_ms(date_trunc('millisecond', ts)) AS ems,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY date_trunc('millisecond', ts) DESC,
+                                              event_id DESC) AS rn
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id, event_id AS last_event_id, cents AS last_cents,
+                ems AS last_ms
+         FROM v WHERE rn = 1 ORDER BY user_id""",
     // bounded replay: the final running total per user ≡ the batch aggregate
     "stream_transform_with_state" ->
       """SELECT user_id, count(*) AS n_purchases,

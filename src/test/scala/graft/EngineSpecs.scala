@@ -324,8 +324,13 @@ class CmsSpec extends AnyFunSuite {
     (((CmsA(i) * (k % CmsP) + CmsB(i)) % CmsP) % CmsW).toInt
 
   test("agg_cms_freq: estimates equal a plain-Scala CMS replay, never undercount") {
+    // user_id is nullable by contract (pipeline_observe_metrics counts
+    // n_null_user); the CountMin aggregate skips nulls, and Row.getLong
+    // would silently map NULL to 0 — filter them out of the replay too
+    // (ADVICE r14)
     val keys = spark.read.parquet(s"$sf/events.parquet")
-      .select("user_id").collect().map(_.getLong(0))
+      .select("user_id").where("user_id IS NOT NULL")
+      .collect().map(_.getLong(0))
     val table = Array.ofDim[Long](CmsD, CmsW)
     keys.foreach(k => (0 until CmsD).foreach(i => table(i)(h(i, k)) += 1L))
     val exact = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
@@ -352,7 +357,9 @@ class CmsSpec extends AnyFunSuite {
     val a = sk(ev.where(col("event_id") % 2 === 0))
     val b = sk(ev.where(col("event_id") % 2 =!= 0))
     assert(whole.toSeq == a.zip(b).map { case (x, y) => x + y }.toSeq)
-    assert(whole.sum == ev.count() * CmsD)
+    // the aggregate SKIPS nulls, so total sketch mass tracks the non-null
+    // row count (user_id is nullable by contract — ADVICE r14)
+    assert(whole.sum == ev.where("user_id IS NOT NULL").count() * CmsD)
   }
 }
 
@@ -1279,6 +1286,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == batchByDay(w), s"window $w: streamed $n vs batch ${batchByDay(w)}")
     // the tail window past the final watermark is legitimately unemitted
     assert(streamed.size >= batchByDay.size - 2)
+  }
+
+  test("idempotent sink: full redelivery leaves the table byte-identical") {
+    // two complete AvailableNow replays into ONE sink, each with a fresh
+    // checkpoint (= every micro-batch delivered twice — the crashed-and-
+    // restarted double-fire). Pass-1 and pass-2 row sets must be identical,
+    // and equal to the batch latest-per-key aggregate.
+    val sink = s"/tmp/graft_io/idem_spec_${System.nanoTime()}"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val p1 = rows(graft.ops.Streaming.idempotentUpsertReplay(spark, sf, sink))
+    val p2 = rows(graft.ops.Streaming.idempotentUpsertReplay(spark, sf, sink))
+    assert(p1 == p2, "redelivery changed the sink")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(desc("tsm"), desc("event_id"))
+    val batch = rows(graft.util.Canon.events(spark, sf)
+      .where(col("event_type") === "purchase")
+      .selectExpr("user_id", "event_id", "date_trunc('millisecond', ts) AS tsm",
+        "CAST(floor(value*100 + 0.5) AS BIGINT) AS cents")
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("cents").as("last_cents"), unix_millis(col("tsm")).as("last_ms")))
+    assert(p2 == batch, "sink diverged from the batch latest-per-key oracle")
   }
 
   test("stateful sessionization equals batch islands") {
