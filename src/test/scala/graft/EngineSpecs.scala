@@ -1455,6 +1455,29 @@ class AqeSkewSpec extends AnyFunSuite {
   }
 }
 
+/** Cost-based optimization pinning (r14 verdict item 3): with ANALYZE'd
+  * column stats + spark.sql.cbo.enabled/joinReorder.enabled, Catalyst's
+  * CostBasedJoinReorder must rewrite a q9-class 5-way star join written in
+  * a deliberately bad syntactic order — and the reorder must be a pure
+  * cost move (identical results). Plans captured in PLANS.md r15. */
+class CboSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("stats + CBO reorder the q9-class star join; results unchanged") {
+    val (off, on, rowsEqual, orderChanged) =
+      graft.tools.CboProbe.runScenario(spark, sf)
+    assert(rowsEqual, "CBO reorder changed the query result")
+    assert(orderChanged, s"no reorder: off=$off on=$on")
+    // syntactic order starts at orders ⋈ lineitem (the biggest join);
+    // with stats the filtered part dimension must join lineitem BEFORE
+    // orders does — the selective-reduction-first shape
+    assert(on.indexOf("cbo_part") < on.indexOf("cbo_orders"),
+      s"selective dimension not pulled forward: $on")
+    assert(off.indexOf("cbo_part") == off.length - 1,
+      s"baseline sanity: syntactic order should leave part last: $off")
+  }
+}
+
 /** Spark's automatic bloom runtime filter (InjectRuntimeFilter) — the
   * optimizer-injected counterpart of the explicit join_bloom_filter query
   * (Scale.scala): with the application-side size threshold scaled down to
