@@ -67,8 +67,19 @@ object Streaming {
     rec(new java.io.File(path))
   }
 
+  private[graft] val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private[graft] val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Run a streaming DataFrame to completion into a memory sink, return the
-    * finished table. */
+    * finished table. State store: RocksDB, adopted round 15 after the
+    * `graft.tools.RocksAB` A/B proved all 14 stateful ids hash-identical
+    * under both providers at parity-or-better walls — at 100 TB state the
+    * off-heap/SSD-spilling store bounds per-executor state by disk instead
+    * of JVM heap, which is the provider a production stateful job runs
+    * anyway (transformWithState already REQUIRED it). The pin respects a
+    * caller-set provider (conf already present is left alone), which is
+    * how RocksAB still forces the HDFS baseline arm. */
   private def runToTable(s: SparkSession, df: DataFrame, mode: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
@@ -76,10 +87,14 @@ object Streaming {
     dropCkpt(ckpt) // ADVICE r5: a stale dir from a crashed run would replay
     // the input as already-processed (empty complete-mode result) or abort
     // append mode — clear BEFORE start, not only after success
-    val q = df.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val pin = s.conf.getOption(ProviderKey).isEmpty
+    if (pin) s.conf.set(ProviderKey, RocksProvider)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally if (pin) s.conf.unset(ProviderKey)
     dropCkpt(ckpt) // completed; reclaim the tmpfs space before the next rep
     s.table(name)
   }
