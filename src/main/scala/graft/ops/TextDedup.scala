@@ -2887,6 +2887,204 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** Recreate-from-empty staging dir keyed by the documents stamp. */
+  private def freshStaging(d: String, tag: String): String = {
+    val out = s"/tmp/graft_io/${tag}_${d.hashCode.toHexString}_" +
+      srcStamp(d, "documents")
+    val dir = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(dir)) {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(dir)
+    out
+  }
+
+  /** The 20 bounded (doc_id, utf8-byte-length) fixture rows. */
+  private def docMetas(s: SparkSession, d: String): Array[(Long, Long)] =
+    tbl(s, d, "documents").where(col("doc_id") < 20)
+      .select(col("doc_id"), octet_length(col("text")).as("len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+
+  /** REAL nearest-neighbor resize over REAL decoded pixels: the PNG fixture
+    * from [[multimodalDecodeReal]]'s formula is re-staged, ingested via
+    * binaryFile, decoded with ImageIO, and subsampled to a fixed 8×8
+    * thumbnail — out(x,y) = in(⌊x·w/8⌋, ⌊y·h/8⌋) — inside mapPartitions
+    * (the thumbnail/feature-extract stage of an image pipeline, running a
+    * real codec on executors). PNG is lossless and the subsample index
+    * math is integer, so the WHOLE resized row is recomputed closed-form
+    * by DuckDB — full hash oracle for a decode→transform chain. */
+  private val multimodalResizeReal: Q = (s, d) => {
+    import javax.imageio.ImageIO
+    val out = freshStaging(d, "png_rs")
+    docMetas(s, d).foreach { case (id, len) =>
+      val w = (8 + id % 16).toInt; val h = (8 + (id * 7) % 16).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val v = ((id * 31 + len * 17 + 7L * x + 13L * y) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          y += 1
+        }
+        x += 1
+      }
+      ImageIO.write(img, "png", new java.io.File(f"$out/doc_$id%03d.png"))
+    }
+    import s.implicits._
+    s.read.format("binaryFile").load(out)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1).cast("long")
+        .as("doc_id"), col("content"))
+      .repartition(8, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L; var x = 0
+        var p00 = 0L; var p77 = 0L
+        while (x < 8) {
+          var y = 0
+          while (y < 8) {
+            val v = (img.getRGB(x * w / 8, y * h / 8) & 0xFF).toLong
+            sum += v
+            if (x == 0 && y == 0) p00 = v
+            if (x == 7 && y == 7) p77 = v
+            y += 1
+          }
+          x += 1
+        }
+        (id, w.toLong, h.toLong, sum, p00, p77)
+      })
+      .toDF("doc_id", "src_width", "src_height", "thumb_sum", "t00", "t77")
+      .orderBy("doc_id")
+  }
+
+  /** REAL JPEG round-trip audit — the LOSSY half of the codec story
+    * (PNG/WAV are exact; JPEG is what a crawled image corpus actually
+    * holds). A SMOOTH grayscale gradient (no mod-256 wrap: DCT blocks hate
+    * sharp edges, and the point is a tight error bound) is encoded with
+    * the JDK's JPEG writer, ingested via binaryFile, decoded with
+    * ImageIO on executors. Dimensions and file count survive lossy
+    * compression EXACTLY (replayed closed-form by DuckDB); pixel values
+    * survive within a tolerance the audit pins: max |decoded − written|
+    * over every pixel of every file must stay ≤ 16 luma levels. */
+  private val multimodalDecodeJpegAudit: Q = (s, d) => {
+    import javax.imageio.ImageIO
+    val out = freshStaging(d, "jpg_docs")
+    def px(id: Long, len: Long, x: Int, y: Int): Int =
+      (((id * 5 + len) % 100) + 2 * x + 3 * y).toInt // ≤ 99+44+66 = 209
+    docMetas(s, d).foreach { case (id, len) =>
+      val w = (8 + id % 16).toInt; val h = (8 + (id * 7) % 16).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val v = px(id, len, x, y)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          y += 1
+        }
+        x += 1
+      }
+      ImageIO.write(img, "jpg", new java.io.File(f"$out/doc_$id%03d.jpg"))
+    }
+    import s.implicits._
+    val lens = docMetas(s, d).toMap
+    s.read.format("binaryFile").load(out)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.jpg$", 1).cast("long")
+        .as("doc_id"), col("content"))
+      .repartition(8, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val iis = ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val reader = ImageIO.getImageReaders(iis).next()
+        reader.setInput(iis)
+        val fmt = reader.getFormatName.toUpperCase
+        val img = reader.read(0)
+        val len = lens(id)
+        val wExp = (8 + id % 16).toInt; val hExp = (8 + (id * 7) % 16).toInt
+        var maxErr = 0L; var x = 0
+        while (x < img.getWidth) {
+          var y = 0
+          while (y < img.getHeight) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF)
+              + (rgb & 0xFF)) / 3
+            val err = math.abs(luma - px(id, len, x, y)).toLong
+            if (err > maxErr) maxErr = err
+            y += 1
+          }
+          x += 1
+        }
+        (id, img.getWidth.toLong, img.getHeight.toLong,
+          if (img.getWidth == wExp && img.getHeight == hExp) 1L else 0L,
+          if (fmt == "JPEG") 1L else 0L, maxErr)
+      })
+      .toDF("doc_id", "w", "h", "dims_ok", "fmt_ok", "max_err")
+      .agg(count(lit(1)).as("n_files"), sum(col("dims_ok")).as("n_dims_ok"),
+        (sum(col("fmt_ok")) === count(lit(1))).as("format_ok"),
+        (max(col("max_err")) <= 16L).as("err_within_16"))
+  }
+
+  /** REAL audio decode — 16-bit PCM WAV through the JDK's
+    * javax.sound.sampled codec, end to end: deterministic mono PCM frames
+    * (sample_i = ((id·131 + i·17) mod 2003) − 1001, n = 64 + id mod 64,
+    * 8 kHz) are written with AudioSystem.write, ingested via binaryFile,
+    * and decoded with AudioSystem.getAudioInputStream in mapPartitions —
+    * format, frame count, and the exact little-endian samples read back
+    * on executors. PCM is lossless, so EVERYTHING (rate, channels, bits,
+    * frame count, sample sum/min/max) is recomputed closed-form by
+    * DuckDB — a full hash oracle over a real audio codec round-trip. */
+  private val multimodalDecodeWav: Q = (s, d) => {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val out = freshStaging(d, "wav_docs")
+    docMetas(s, d).foreach { case (id, _) =>
+      val n = (64 + id % 64).toInt
+      val buf = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (((id * 131 + i * 17) % 2003) - 1001).toShort
+        buf(2 * i) = (v & 0xFF).toByte
+        buf(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(buf), fmt, n.toLong)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
+        new java.io.File(f"$out/doc_$id%03d.wav"))
+    }
+    import s.implicits._
+    s.read.format("binaryFile").load(out)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1).cast("long")
+        .as("doc_id"), col("content"))
+      .repartition(8, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = ais.getFormat
+        val n = ais.getFrameLength.toInt
+        val raw = ais.readAllBytes()
+        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var i = 0
+        while (i < n) {
+          val v = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toLong
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        (id, f.getSampleRate.toLong, f.getChannels.toLong,
+          f.getSampleSizeInBits.toLong, n.toLong, sum, mn, mx)
+      })
+      .toDF("doc_id", "rate", "channels", "bits", "n_frames",
+        "sample_sum", "sample_min", "sample_max")
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over an opaque payload: treat the byte stream as
     * fixed-size 64-byte frames, keep every 4th, digest the sample — the
     * video/audio frame-sample pattern with the codec stubbed out (payload
@@ -3097,6 +3295,9 @@ object TextDedup {
     "multimodal_binary" -> multimodalBinary,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_decode_real" -> multimodalDecodeReal,
+    "multimodal_resize_real" -> multimodalResizeReal,
+    "multimodal_decode_jpeg_audit" -> multimodalDecodeJpegAudit,
+    "multimodal_decode_wav" -> multimodalDecodeWav,
     "multimodal_decode_audit" -> multimodalDecodeAudit,
     "multimodal_frame_sample" -> multimodalFrameSample,
   )
@@ -4105,6 +4306,58 @@ object TextDedup {
                 CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS BIGINT)
                   AS p00
          FROM grid GROUP BY 1, 2, 3, 4 ORDER BY doc_id""",
+    // decode→resize chain: lossless PNG + integer subsample index math ⇒
+    // the 8×8 thumbnail is recomputed closed-form
+    "multimodal_resize_real" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS len
+           FROM documents WHERE doc_id < 20),
+         dims AS (
+           SELECT doc_id, len,
+                  CAST(8 + doc_id % 16 AS BIGINT) AS w,
+                  CAST(8 + (doc_id * 7) % 16 AS BIGINT) AS h
+           FROM docs),
+         grid AS (
+           SELECT d.doc_id, d.w, d.h, x.x, y.y,
+                  (d.doc_id * 31 + d.len * 17
+                   + 7 * ((x.x * d.w) // 8)
+                   + 13 * ((y.y * d.h) // 8)) % 256 AS v
+           FROM dims d
+           CROSS JOIN generate_series(0, 7) x(x)
+           CROSS JOIN generate_series(0, 7) y(y))
+         SELECT doc_id, w AS src_width, h AS src_height,
+                CAST(sum(v) AS BIGINT) AS thumb_sum,
+                CAST(max(CASE WHEN x = 0 AND y = 0 THEN v END) AS BIGINT)
+                  AS t00,
+                CAST(max(CASE WHEN x = 7 AND y = 7 THEN v END) AS BIGINT)
+                  AS t77
+         FROM grid GROUP BY 1, 2, 3 ORDER BY doc_id""",
+    // dims/counts survive lossy JPEG exactly; the pixel-error bound is a
+    // Spark-computed verdict the oracle replays as TRUE (the
+    // multimodal_decode_audit convention)
+    "multimodal_decode_jpeg_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_files,
+                CAST(count(*) AS BIGINT) AS n_dims_ok,
+                true AS format_ok, true AS err_within_16
+         FROM documents WHERE doc_id < 20""",
+    // PCM is lossless: rate/channels/bits/frames and the exact samples
+    // are all closed-form
+    "multimodal_decode_wav" ->
+      """WITH f AS (
+           SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n
+           FROM documents WHERE doc_id < 20),
+         samp AS (
+           SELECT f.doc_id, f.n, i.i,
+                  ((f.doc_id * 131 + i.i * 17) % 2003) - 1001 AS v
+           FROM f JOIN generate_series(0, 127) i(i) ON i.i < f.n)
+         SELECT doc_id, CAST(8000 AS BIGINT) AS rate,
+                CAST(1 AS BIGINT) AS channels, CAST(16 AS BIGINT) AS bits,
+                n AS n_frames,
+                CAST(sum(v) AS BIGINT) AS sample_sum,
+                CAST(min(v) AS BIGINT) AS sample_min,
+                CAST(max(v) AS BIGINT) AS sample_max
+         FROM samp GROUP BY doc_id, n ORDER BY doc_id""",
     "multimodal_frame_sample" ->
       """WITH f AS (
            SELECT doc_id, text,
