@@ -56,6 +56,72 @@ object Scale {
       .orderBy("o_orderpriority")
   }
 
+  /** q9-class 5-way star join for the CBO demonstration, written in a
+    * DELIBERATELY bad syntactic order (orders ⋈ lineitem first, the
+    * filtered part table last). Shared by `join_cbo_star` and
+    * `graft.tools.CboProbe` / CboSpec. */
+  private[graft] val cboStarQuery: String =
+    """SELECT n_name,
+              sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS rev_cents,
+              count(*) AS n_rows
+       FROM cbo_orders o
+       JOIN cbo_lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN cbo_supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN cbo_nation n ON s.s_nationkey = n.n_nationkey
+       JOIN cbo_part p ON l.l_partkey = p.p_partkey
+       WHERE p.p_size = 1
+       GROUP BY n_name"""
+
+  /** Stage catalog-managed cbo_* copies of the star tables and ANALYZE
+    * column stats (idempotent per source content stamp; survives leftover
+    * warehouse dirs from previous JVMs). */
+  private[graft] def cboStageTables(s: SparkSession, d: String): Unit = {
+    for (t <- Seq("lineitem", "orders", "supplier", "nation", "part")) {
+      val stamp = srcStamp(d, t)
+      val tag = s"cbo_${t}"
+      val cur = if (!s.catalog.tableExists(tag)) None
+        else s.sql(s"SHOW TBLPROPERTIES $tag").collect()
+          .collectFirst { case r if r.getString(0) == "graft.stamp" =>
+            r.getString(1) }
+      if (!cur.contains(stamp)) {
+        // the in-memory catalog is per-JVM but the warehouse dir persists:
+        // a leftover location from a previous session would fail
+        // saveAsTable with LOCATION_ALREADY_EXISTS — drop both first
+        s.sql(s"DROP TABLE IF EXISTS $tag")
+        val loc = new java.io.File(new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath, tag)
+        def rec(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
+          f.delete()
+        }
+        if (loc.exists) rec(loc)
+        tbl(s, d, t).write.mode("overwrite").saveAsTable(tag)
+        s.sql(s"ALTER TABLE $tag SET TBLPROPERTIES ('graft.stamp' = '$stamp')")
+        s.sql(s"ANALYZE TABLE $tag COMPUTE STATISTICS FOR ALL COLUMNS")
+      }
+    }
+  }
+
+  /** The q9-class star join EXECUTED under cost-based optimization:
+    * catalog tables with ANALYZE'd column stats, cbo + joinReorder
+    * enabled, and the join materialized INSIDE the config window
+    * (localCheckpoint) so the gate run really executes the
+    * CostBasedJoinReorder plan — CboSpec pins that the reorder happens
+    * (filtered part pulled off the tail) and PLANS.md r15 captures both
+    * optimized plans. The oracle is the same SQL over the raw parquet
+    * tables: the reorder must be a pure cost move. */
+  private val joinCboStar: Q = (s, d) => {
+    cboStageTables(s, d)
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      keys.foreach(k => s.conf.set(k, "true"))
+      s.sql(cboStarQuery).localCheckpoint(true).orderBy("n_name")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   /** Bucketed co-located join: lineitem and orders written bucketed+sorted
     * by the join key (8 buckets), then joined — the plan is a SortMergeJoin
     * with NO shuffle exchange on either side (verified by BucketedJoinSpec).
@@ -493,6 +559,7 @@ object Scale {
     "scan_parquet_partitioned" -> scanParquetPartitioned,
     "agg_skew_salted" -> aggSkewSalted,
     "join_skew_salted" -> joinSkewSalted,
+    "join_cbo_star" -> joinCboStar,
     "join_bucketed" -> joinBucketed,
     "agg_bucketed" -> aggBucketed,
     "sink_partitioned" -> sinkPartitioned,
@@ -583,6 +650,20 @@ object Scale {
                 count(*) AS n
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the CBO-reordered star join must equal the plain SQL over the raw
+    // parquet tables — join order is a cost move, never a semantic one
+    "join_cbo_star" ->
+      """SELECT n_name,
+                CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS rev_cents,
+                count(*) AS n_rows
+         FROM orders o
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_size = 1
+         GROUP BY n_name ORDER BY n_name""",
     "join_bucketed" ->
       """SELECT o_orderstatus,
                 sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue,

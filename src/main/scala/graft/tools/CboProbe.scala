@@ -21,50 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * optimized plans for PLANS.md.
   */
 object CboProbe {
-  /** q9-class shape: revenue by nation over a selective part slice. */
-  val Query: String =
-    """SELECT n_name,
-              sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS rev_cents,
-              count(*) AS n_rows
-       FROM cbo_orders o
-       JOIN cbo_lineitem l ON l.l_orderkey = o.o_orderkey
-       JOIN cbo_supplier s ON l.l_suppkey = s.s_suppkey
-       JOIN cbo_nation n ON s.s_nationkey = n.n_nationkey
-       JOIN cbo_part p ON l.l_partkey = p.p_partkey
-       WHERE p.p_size = 1
-       GROUP BY n_name"""
+  /** q9-class shape: revenue by nation over a selective part slice —
+    * shared with the registry id `join_cbo_star` (ops/Scale.scala). */
+  val Query: String = graft.ops.Scale.cboStarQuery
 
   /** Stage + analyze catalog tables (idempotent per content stamp). */
-  def stage(s: SparkSession, sfDir: String): Unit = {
-    for (t <- Seq("lineitem", "orders", "supplier", "nation", "part")) {
-      val stamp = graft.util.Canon.srcStamp(sfDir, t)
-      val tag = s"cbo_${t}"
-      val cur = if (!tableExists(s, tag)) None
-        else s.sql(s"SHOW TBLPROPERTIES $tag").collect()
-          .collectFirst { case r if r.getString(0) == "graft.stamp" =>
-            r.getString(1) }
-      if (!cur.contains(stamp)) {
-        // the in-memory catalog is per-JVM but the warehouse dir persists:
-        // a leftover location from a previous session would fail
-        // saveAsTable with LOCATION_ALREADY_EXISTS — drop both first
-        s.sql(s"DROP TABLE IF EXISTS $tag")
-        val loc = new java.io.File(new java.net.URI(
-          s.conf.get("spark.sql.warehouse.dir")).getPath, tag)
-        def rec(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rec)
-          f.delete()
-        }
-        if (loc.exists) rec(loc)
-        graft.util.Canon.tbl(s, sfDir, t).write.mode("overwrite")
-          .saveAsTable(tag)
-        s.sql(s"ALTER TABLE $tag SET TBLPROPERTIES ('graft.stamp' = '$stamp')")
-        s.sql(s"ANALYZE TABLE $tag COMPUTE STATISTICS FOR ALL COLUMNS")
-      }
-    }
-  }
-
-  private def tableExists(s: SparkSession, name: String): Boolean =
-    s.catalog.tableExists(name)
+  def stage(s: SparkSession, sfDir: String): Unit =
+    graft.ops.Scale.cboStageTables(s, sfDir)
 
   /** Join order as the left-to-right sequence of cbo_* leaves in the
     * optimized plan (tree order = join order for a left-deep tree). */
