@@ -101,7 +101,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // round 14: min-label CC is the exact-integer dedup fixpoint reused
     "graph_connected_components",
     // round 14: exact-integer rolling order statistic and observe counters
-    "ts_rolling_median", "pipeline_observe_metrics", "stream_observe_metrics")
+    "ts_rolling_median", "pipeline_observe_metrics", "stream_observe_metrics",
+    // round 15: cap audit = exact counts; decomposed numbering = bucketed
+    // row_number + prefix-sum offsets (ties broken by exact keys);
+    // idempotent sink = keep-latest max_by fold (commutative/idempotent);
+    // real codecs = per-file integer pixel/sample folds; CBO star = exact
+    // cent sums under whatever join order the optimizer picks
+    "graph_cooc_cap_audit", "win_rn_decomposed", "stream_idempotent_sink",
+    "multimodal_decode_real", "multimodal_resize_real", "multimodal_decode_wav",
+    "join_cbo_star")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
