@@ -239,24 +239,33 @@ object Windows {
     * offsets — a distributed prefix sum whose offset table is
     * (user × active-day)-sized, ≪ the event log. The result is proven
     * equal to the plain global row_number by the DuckDB oracle. */
-  private val winRnDecomposed: Q = (s, d) => {
-    val ev = tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
-      .select(col("user_id"), col("event_id"), col("tsm"),
-        datediff(to_date(col("tsm")), lit("1970-01-01").cast("date"))
-          .cast("long").as("b"))
+  /** Core over a (user_id, event_id, tsm, b) frame — b must be an
+    * order-aligned range bucket of tsm (same b ⇒ same tsm range, higher b
+    * ⇒ later). WinSpec drives it with NULL user ids directly. */
+  private[graft] def rnDecomposedCore(ev: DataFrame): DataFrame = {
     val wb = Window.partitionBy("user_id", "b")
       .orderBy(desc("tsm"), desc("event_id"))
     val woff = Window.partitionBy("user_id").orderBy(desc("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe join key: user_id is nullable by contract, and a plain
+    // equi-join would silently DROP the NULL-user partition the window
+    // oracle keeps (the fixture has no null users today — this guards the
+    // regenerated-testdata case rather than a live bug)
     val offs = ev.groupBy("user_id", "b").agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(sum(col("c")).over(woff), lit(0L)))
-      .select("user_id", "b", "off")
-    ev.withColumn("rnp", row_number().over(wb))
-      .join(offs, Seq("user_id", "b"))
+      .select(col("user_id").as("ou"), col("b").as("ob"), col("off"))
+    val rn = ev.withColumn("rnp", row_number().over(wb))
+    rn.join(offs, rn("user_id") <=> offs("ou") && rn("b") === offs("ob"))
       .select(col("user_id"), col("event_id"),
         (col("rnp") + col("off")).cast("long").as("rn"))
       .orderBy("user_id", "event_id")
   }
+
+  private val winRnDecomposed: Q = (s, d) =>
+    rnDecomposedCore(tbl(s, d, "events").withColumn("tsm", tsMs(col("ts")))
+      .select(col("user_id"), col("event_id"), col("tsm"),
+        datediff(to_date(col("tsm")), lit("1970-01-01").cast("date"))
+          .cast("long").as("b")))
 
   val queries: Map[String, Q] = Map(
     "win_rn_decomposed" -> winRnDecomposed,

@@ -10,6 +10,26 @@ class NewOpsSpec extends AnyFunSuite {
   import TestSession._
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("win_rn_decomposed core: NULL-user partition numbered like any other") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2 users (one NULL) × 2 buckets × 2 rows — the decomposed numbering
+    // must equal the plain per-key row_number INCLUDING the null key (a
+    // plain equi-join on user_id would silently drop it)
+    val ev = Seq(
+      (Some(1L), 10L, 100L, 0L), (Some(1L), 11L, 200L, 0L),
+      (Some(1L), 12L, 300L, 1L), (None, 20L, 100L, 0L),
+      (None, 21L, 250L, 1L), (None, 22L, 300L, 1L))
+      .toDF("user_id", "event_id", "tsm", "b")
+    val got = graft.ops.Windows.rnDecomposedCore(ev).collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (Some(1L), 12L, 1L), (Some(1L), 11L, 2L), (Some(1L), 10L, 3L),
+      (None, 22L, 1L), (None, 21L, 2L), (None, 20L, 3L))
+      .map { case (u, e, r) => (u.map(_.asInstanceOf[Any]), e, r) }
+    assert(got == want, s"got $got")
+  }
+
   test("agg_ks_drift: matches a plain-Scala exact KS over the same bins") {
     val r = q("agg_ks_drift").head()
     val (na, nb, ksS, ks) = (r.getLong(0), r.getLong(1), r.getLong(2),
