@@ -1979,6 +1979,87 @@ object TextDedup {
       .orderBy("qid", "rank")
   }
 
+  /** Scalar quantization (SQ8) of the embedding corpus: per-dimension
+    * symmetric int8 codes — code_i = round(x_i / s_i · 127) with
+    * s_i = max|x_i| over the corpus, stored as `array<tinyint>` (4 bytes
+    * float32 → 1 byte: the 4× memory/IO compression that is the FIRST
+    * production lever for billion-vector search, before IVF/PQ). The
+    * scale vector is 64 doubles — a model-sized driver payload like the
+    * ANN codebooks. |x_i| ≤ s_i ⇒ |code| ≤ 127 by construction, so the
+    * tinyint cast never wraps; s_i = 0 (a constant-zero dimension) maps
+    * to code 0. Returns (codes frame with vec_id + array<tinyint>,
+    * scales). */
+  private[graft] def sq8Encode(e: DataFrame): (DataFrame, Array[Double]) = {
+    val scales = e.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(max(abs(col("x"))).as("m"))
+      .collect().sortBy(_.getInt(0)).map(_.getFloat(1).toDouble)
+    val scLit = typedLit(scales.toSeq)
+    val codes = e.select(col("vec_id"),
+      zip_with(col("embedding"), scLit, (x, sc) =>
+        when(sc > 0.0, round(x.cast("double") / sc * 127.0))
+          .otherwise(0.0).cast("tinyint")).as("code"))
+    (codes, scales)
+  }
+
+  /** SQ8 top-k: cosine over DEQUANTIZED codes (c·s/127), sequential-fold
+    * doubles — the compressed-brute-force scan. Scale shape: ∝ n per query
+    * batch like sim_cosine_topk, at a quarter of the bytes; compose with
+    * the IVF stage for sublinear candidates (sim_ivfpq_ann is that path
+    * with product instead of scalar quantization). */
+  private[graft] def sq8TopK(e: DataFrame, k: Int = 5): DataFrame = {
+    val (codes, scales) = sq8Encode(e)
+    val scLit = typedLit(scales.toSeq)
+    val deq = codes.select(col("vec_id"),
+      zip_with(col("code"), scLit, (c, sc) =>
+        c.cast("double") * sc / 127.0).as("deq"))
+    val q = deq.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("deq").as("qd"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_q"), asc("vec_id"))
+    deq.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_q", cosine(col("deq"), col("qd")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), r4(col("cos_q")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** int8 scalar-quantized similarity search (self-verified;
+    * `sim_sq8_recall_audit` is the oracle gate). */
+  private val simSq8Ann: Q = (s, d) =>
+    sq8TopK(tbl(s, d, "embeddings").select(col("vec_id"), col("embedding")))
+
+  /** Oracle gate for SQ8 (the sketch-audit pattern): replayable columns
+    * pin the exact brute-force reference (n rows + id checksum, the same
+    * construction as sim_ann_recall_audit); the verdict boolean asserts
+    * SQ8's recall@5 ≥ 90% against it; compression_x = 4 is the storage
+    * contract (float32 → int8), asserted from the actual schema. */
+  private val simSq8RecallAudit: Q = (s, d) => {
+    val e = tbl(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val q = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy("qid").orderBy(desc("cos_raw"), asc("vec_id"))
+    val exact = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("cos_raw", cosineGen(e.sparkSession)(col("embedding"), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val sq8 = sq8TopK(e).select(col("qid"), col("vec_id"))
+    val hits = exact.intersect(sq8).count()
+    val (codes, _) = sq8Encode(e)
+    val codeIsByte = codes.schema("code").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType)
+    exact.agg(count(lit(1)).as("n_exact"),
+        sum(col("vec_id")).as("sum_exact_ids"))
+      .select(col("n_exact"), col("sum_exact_ids"),
+        (lit(hits) * 100 >= col("n_exact") * 90).as("sq8_recall_ok"),
+        lit(codeIsByte).as("code_is_int8"),
+        lit(4L).as("compression_x"))
+  }
+
   /** ORACLE-GATED recall audit for the WHOLE ANN family (the round-10
     * sketch-audit pattern): one row whose replayable columns pin the exact
     * brute-force reference (n_exact rows, checksum of the exact top-5
@@ -3266,6 +3347,8 @@ object TextDedup {
     "sim_ivfpq_ann" -> simIvfPqAnn,
     "sim_ivfpq_served" -> simIvfPqServed,
     "sim_mllib_lsh" -> simMllibLsh,
+    "sim_sq8_ann" -> simSq8Ann,
+    "sim_sq8_recall_audit" -> simSq8RecallAudit,
     "sim_ann_recall_audit" -> simAnnRecallAudit,
     "text_stats" -> textStats,
     "text_bigram_freq" -> textBigramFreq,
@@ -3394,6 +3477,26 @@ object TextDedup {
     // exact side of the ANN recall audit: the brute-force top-5 reference
     // (sim_cosine_topk's oracle) reduced to a count + id checksum; the five
     // per-method recall verdicts are asserted TRUE
+    // SQ8 gate: exact reference replayed (same construction as
+    // sim_ann_recall_audit); verdict booleans computed by Spark and
+    // asserted TRUE here
+    "sim_sq8_recall_audit" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                     FROM embeddings WHERE vec_id < 10),
+          scored AS (
+            SELECT q.qid, e.vec_id,
+                   ${cosineSql("e.embedding", "q.qe")} AS cos_raw
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos_raw DESC, vec_id ASC) AS rank
+            FROM scored)
+          SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                 CAST(sum(vec_id) AS BIGINT) AS sum_exact_ids,
+                 true AS sq8_recall_ok, true AS code_is_int8,
+                 CAST(4 AS BIGINT) AS compression_x
+          FROM ranked WHERE rank <= 5""",
     "sim_ann_recall_audit" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
                      FROM embeddings WHERE vec_id < 10),

@@ -109,7 +109,11 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // cent sums under whatever join order the optimizer picks
     "graph_cooc_cap_audit", "win_rn_decomposed", "stream_idempotent_sink",
     "multimodal_decode_real", "multimodal_resize_real", "multimodal_decode_wav",
-    "join_cbo_star")
+    "join_cbo_star",
+    // round 15: SQ8 — scales are exact per-dim maxima (order-free), codes
+    // deterministic rounding, scores per-row sequential folds (unlike the
+    // IVF/PQ audit, NO float training accumulation exists to exclude)
+    "sim_sq8_ann", "sim_sq8_recall_audit")
 
   private def runAt(name: String, parts: String): Array[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
