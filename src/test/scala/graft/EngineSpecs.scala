@@ -55,6 +55,7 @@ class SmokeSpec extends AnyFunSuite {
     "sim_ann_append", // AnnAppendSpec: delta reachability + recall bound
     "sim_ann_filtered", // AnnFilteredSpec: label purity + filtered recall
     "sim_lsh_ann", "sim_mllib_lsh", "sim_pq_ann",
+    "sim_sq8_ann", // sim_sq8_recall_audit: >=90 recall floor + int8 contract
     "embed_pca_variance") // CurationSpec: trace/PSD/power-iteration props
 
   test("every query is oracle-checked unless explicitly self-verified") {
