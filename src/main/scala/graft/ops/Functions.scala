@@ -156,6 +156,84 @@ object Functions {
         .as("roundtrip"))
       .orderBy("event_id")
 
+  /** Spark 4 VARIANT type — the modern semi-structured path: build a
+    * nested JSON envelope from typed columns + the raw props document,
+    * `parse_json` it ONCE into a VARIANT binary, then extract typed
+    * fields by path (`variant_get`, null-safe `try_variant_get`, nested
+    * object + array index paths, `schema_of_variant`). The 100 TB
+    * contrast with fn_json's get_json_object is load-bearing: a string
+    * JSON column is re-parsed per extraction (k extracts = k parses per
+    * row), while VARIANT parses at ingest and every variant_get is a
+    * binary path walk — the layout Parquet variant shredding pushes to
+    * storage. The oracle never sees the VARIANT: every extracted field is
+    * recomputed from the base columns, so build→parse→extract must be
+    * value-faithful end to end. */
+  private val fnVariant: Q = (s, d) => {
+    tbl(s, d, "events").createOrReplaceTempView("fn_var_events")
+    s.sql("""
+      SELECT event_id,
+             variant_get(v, '$.meta.id', 'long') AS vid,
+             variant_get(v, '$.meta.et', 'string') AS vet,
+             variant_get(v, '$.payload.k', 'int') AS vk,
+             try_variant_get(v, '$.meta.absent', 'int') AS vmiss,
+             variant_get(v, '$.meta.arr[1]', 'long') AS varr1,
+             schema_of_variant(v) AS vschema
+      FROM (SELECT event_id,
+                   parse_json(concat('{"meta": {"id": ', event_id,
+                                     ', "et": "', event_type,
+                                     '", "arr": [1, ', event_id % 7,
+                                     ']}, "payload": ', props, '}')) AS v
+            FROM fn_var_events)
+      ORDER BY event_id""")
+  }
+
+  /** Spark 4 string collations — comparison/DISTINCT semantics as a TYPE
+    * property instead of per-expression lower() wrapping. The aggregate
+    * row is the distributed-semantics core: COUNT(DISTINCT name COLLATE
+    * UTF8_LCASE) must hash case-insensitively ACROSS partitions (collation
+    * participates in shuffle hashing, not just local compares) and equal
+    * the explicit count(DISTINCT lower(name)). The 100 TB angle: collated
+    * comparisons keep the raw column (one stored string, many comparison
+    * semantics) where lower()-normalization would materialize a second
+    * column or break pushdown-ability of equality predicates. */
+  private val fnCollation: Q = (s, d) => {
+    tbl(s, d, "part").createOrReplaceTempView("fn_coll_part")
+    s.sql("""
+      SELECT count(*) AS n_rows,
+             count(DISTINCT p_name COLLATE UTF8_LCASE) AS n_names_ci,
+             count(DISTINCT p_name) AS n_names_cs,
+             count(DISTINCT p_type COLLATE UTF8_LCASE) AS n_types_ci,
+             sum(CASE WHEN p_name COLLATE UTF8_LCASE =
+                           upper(p_name) COLLATE UTF8_LCASE
+                      THEN 1 ELSE 0 END) AS ci_eq_upper,
+             sum(CASE WHEN p_name = upper(p_name) THEN 1 ELSE 0 END)
+               AS cs_eq_upper
+      FROM fn_coll_part""")
+  }
+
+  /** Crawl-pipeline URL canonicalization via parse_url: synthesize each
+    * document's source URL (host from `source`, path from doc_id, a
+    * tracking param + fragment as noise), extract host/path/one query
+    * param, and rebuild the canonical form (scheme+host+path, params and
+    * fragment stripped) — the standard crawl near-dup normalizer (same
+    * page, different tracking params → same canonical key). parse_url is
+    * a native expression (no UDF); per-row work is O(|url|), no shuffle
+    * besides the bounded output sort. The oracle reconstructs every field
+    * from the base columns, so extraction must invert construction. */
+  private val textUrlNormalize: Q = (s, d) => {
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/docs/"), col("doc_id"),
+      lit("?lang="), col("lang"), lit("&utm_source=feed#sec-2"))
+    tbl(s, d, "documents").select(
+      col("doc_id"),
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("PATH")).as("path"),
+      parse_url(url, lit("QUERY"), lit("lang")).as("q_lang"),
+      concat(lit("https://"), parse_url(url, lit("HOST")),
+        parse_url(url, lit("PATH"))).as("canonical"))
+      .orderBy("doc_id")
+  }
+
   private val fnHash: Q = (s, d) => {
     val norm = lower(trim(col("text")))
     tbl(s, d, "documents").select(
@@ -249,6 +327,9 @@ object Functions {
     "fn_array" -> fnArray,
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
+    "fn_variant" -> fnVariant,
+    "fn_collation" -> fnCollation,
+    "text_url_normalize" -> textUrlNormalize,
     "fn_hash" -> fnHash,
     "fn_hash_native" -> fnHashNative,
   )
@@ -366,6 +447,36 @@ object Functions {
                 props->>'k' AS k_tup,
                 CAST(json(props) AS VARCHAR) AS roundtrip
          FROM events ORDER BY event_id""",
+    // every variant-extracted field recomputed from the base columns; the
+    // schema_of_variant string is constant by construction (same envelope
+    // shape every row) and pinned as a literal
+    "fn_variant" ->
+      """SELECT event_id,
+                event_id AS vid,
+                event_type AS vet,
+                CAST(props->>'k' AS INTEGER) AS vk,
+                CAST(NULL AS INTEGER) AS vmiss,
+                event_id % 7 AS varr1,
+                'OBJECT<meta: OBJECT<arr: ARRAY<BIGINT>, et: STRING, id: BIGINT>, payload: OBJECT<k: BIGINT>>' AS vschema
+         FROM events ORDER BY event_id""",
+    // collation semantics recomputed via explicit lower(); DuckDB
+    // count(DISTINCT x) returns BIGINT natively, Spark counts are BIGINT
+    "fn_collation" ->
+      """SELECT count(*) AS n_rows,
+                count(DISTINCT lower(p_name)) AS n_names_ci,
+                count(DISTINCT p_name) AS n_names_cs,
+                count(DISTINCT lower(p_type)) AS n_types_ci,
+                count(*) AS ci_eq_upper,
+                CAST(sum(CASE WHEN p_name = upper(p_name) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS cs_eq_upper
+         FROM part""",
+    "text_url_normalize" ->
+      """SELECT doc_id,
+                source || '.example.com' AS host,
+                '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+                lang AS q_lang,
+                'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS canonical
+         FROM documents ORDER BY doc_id""",
     "fn_hash" ->
       """SELECT doc_id,
                 sha256(lower(trim(text))) AS h_sha256,

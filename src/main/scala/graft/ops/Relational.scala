@@ -95,6 +95,42 @@ object Relational {
     s.read.schema(schema).json(out).orderBy("r_regionkey")
   }
 
+  /** XML ingestion via Spark 4's built-in xml source (one rowTag element
+    * per record): stage nation as XML, read back with an EXPLICIT schema
+    * — XML schema inference costs a full extra pass at 100 TB, so
+    * production readers declare it (same discipline as scan_csv/json).
+    * The oracle reads the same rows straight from the parquet table, so
+    * the tag round-trip must be lossless. */
+  private val scanXml: Q = (s, d) => {
+    val out = s"$ioTmp/xml_nation_${d.hashCode.toHexString}"
+    tbl(s, d, "nation").coalesce(1)
+      .write.mode("overwrite").option("rowTag", "nation").format("xml")
+      .save(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).option("rowTag", "nation").format("xml").load(out)
+      .orderBy("n_nationkey")
+  }
+
+  /** VARIANT through parquet storage — the ingest-side half of the
+    * fn_variant story: parse the semi-structured props ONCE at write
+    * time, persist the VARIANT binary in parquet, and serve typed
+    * extractions from the stored binary with no JSON re-parse on the
+    * read path. At 100 TB this is the difference between paying the
+    * parse per QUERY (string JSON column) and per INGEST (variant
+    * column); the oracle recomputes the extraction from the raw JSON
+    * string, so parse→store→load→get must be value-faithful. */
+  private val scanParquetVariant: Q = (s, d) => {
+    val out = s"$ioTmp/variant_events_${d.hashCode.toHexString}"
+    tbl(s, d, "events").selectExpr("event_id", "parse_json(props) AS v")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .selectExpr("event_id", "variant_get(v, '$.k', 'int') AS k")
+      .orderBy("event_id")
+  }
+
   private val scanOrc: Q = (s, d) => {
     val out = s"$ioTmp/orc_supplier_${d.hashCode.toHexString}"
     tbl(s, d, "supplier").coalesce(1).write.mode("overwrite").orc(out)
@@ -814,6 +850,49 @@ object Relational {
       ORDER BY r.l_orderkey""")
   }
 
+  /** Recursive CTE (Spark 4.1 `WITH RECURSIVE`) — binary-heap ancestor
+    * walk over customer keys: each key climbs node → node div 2 to the
+    * root, so chain_len = floor(log2(key)) and the path sum is exact
+    * integers. The recursion is set-based: every iteration is one
+    * narrow projection + filter over the previous frontier (all keys
+    * step in lockstep, no driver loop), and depth is bounded by
+    * log2(max key) — 100 TB of keys recurses the same ~40 rounds, each
+    * a full-width shuffle-free map; only the final GROUP BY shuffles. */
+  private val subRecursiveCte: Q = (s, d) => {
+    tbl(s, d, "customer").createOrReplaceTempView("sub_rec_cust")
+    s.sql("""
+      WITH RECURSIVE anc(c_custkey, node, depth) AS (
+        SELECT c_custkey, CAST(c_custkey AS BIGINT), 0 FROM sub_rec_cust
+        UNION ALL
+        SELECT c_custkey, node DIV 2, depth + 1 FROM anc WHERE node > 1)
+      SELECT c_custkey, CAST(max(depth) AS INT) AS chain_len,
+             CAST(sum(node) AS BIGINT) AS path_sum,
+             count(*) AS n_nodes
+      FROM anc GROUP BY c_custkey ORDER BY c_custkey""")
+  }
+
+  /** SQL pipe syntax (Spark 4.1 `|>`) — the pricing summary re-expressed
+    * as a linear pipeline: WHERE → EXTEND (exact-cents derivation) →
+    * AGGREGATE → EXTEND → SELECT → ORDER BY. Same Catalyst plan as the
+    * ANSI form (pipe operators desugar before optimization — one scan,
+    * one partial+final agg), so this pins the SURFACE, not a new
+    * executor path; the oracle is the ANSI equivalent. */
+  private val sqlPipeSyntax: Q = (s, d) => {
+    tbl(s, d, "lineitem").createOrReplaceTempView("pipe_li")
+    s.sql("""
+      FROM pipe_li
+      |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |> EXTEND CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT) AS disc_cents
+      |> AGGREGATE count(*) AS n,
+                   sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS qty_cents,
+                   sum(disc_cents) AS rev_cents
+         GROUP BY l_returnflag, l_linestatus
+      |> EXTEND rev_cents/CAST(100 AS DOUBLE) AS revenue
+      |> SELECT l_returnflag, l_linestatus, n,
+                qty_cents/CAST(100 AS DOUBLE) AS sum_qty, revenue
+      |> ORDER BY l_returnflag, l_linestatus""")
+  }
+
   /** Pivot: order counts per status × priority, explicit value list so the
     * output schema is static (the scale-safe form — dynamic pivot needs a
     * driver-side distinct pass). */
@@ -915,6 +994,8 @@ object Relational {
     "scan_json" -> scanJson,
     "scan_orc" -> scanOrc,
     "scan_text" -> scanText,
+    "scan_xml" -> scanXml,
+    "scan_parquet_variant" -> scanParquetVariant,
     "fn_bitwise" -> fnBitwise,
     "proj_select" -> projSelect,
     "filter_compare" -> filterCompare,
@@ -954,6 +1035,8 @@ object Relational {
     "sub_exists" -> subExists,
     "sub_not_in" -> subNotIn,
     "sub_cte_reuse" -> subCteReuse,
+    "sub_recursive_cte" -> subRecursiveCte,
+    "sql_pipe_syntax" -> sqlPipeSyntax,
     "agg_histogram" -> aggHistogram,
     "sort_multikey" -> sortMultikey,
     "sort_nulls" -> sortNulls,
@@ -981,6 +1064,10 @@ object Relational {
          FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
     "scan_json" -> "SELECT * FROM region ORDER BY r_regionkey",
     "scan_orc" -> "SELECT * FROM supplier ORDER BY s_suppkey",
+    "scan_xml" -> "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_parquet_variant" ->
+      """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
     "scan_text" ->
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_text_chars
          FROM documents ORDER BY doc_id""",
@@ -1360,6 +1447,22 @@ object Relational {
          FROM rev r CROSS JOIN (SELECT sum(rc)/CAST(count(*) AS DOUBLE) AS avg_rc FROM rev) t
          WHERE r.rc > t.avg_rc * 1.5
          ORDER BY r.l_orderkey""",
+    "sub_recursive_cte" ->
+      """WITH RECURSIVE anc(c_custkey, node, depth) AS (
+           SELECT c_custkey, CAST(c_custkey AS BIGINT), 0 FROM customer
+           UNION ALL
+           SELECT c_custkey, node // 2, depth + 1 FROM anc WHERE node > 1)
+         SELECT c_custkey, CAST(max(depth) AS INTEGER) AS chain_len,
+                CAST(sum(node) AS BIGINT) AS path_sum,
+                count(*) AS n_nodes
+         FROM anc GROUP BY c_custkey ORDER BY c_custkey""",
+    "sql_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/CAST(100 AS DOUBLE) AS sum_qty,
+                sum(CAST(floor(l_extendedprice*(1.0-l_discount)*100 + 0.5) AS BIGINT))/CAST(100 AS DOUBLE) AS revenue
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "agg_pivot" ->
       """SELECT o_orderstatus,
                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,

@@ -440,4 +440,119 @@ class NewOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("v_dup") == 1L, "duplicate event_id (nulls excluded)")
     assert(!r.getAs[Boolean]("pass"))
   }
+
+  test("fn_variant: extracted fields invert construction, miss path is null") {
+    val rows = q("fn_variant").collect()
+    assert(rows.nonEmpty)
+    // independent recompute of the payload key from the raw props string
+    val want = graft.util.Canon.tbl(spark, sf, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type"))
+      .collect().map(r => r.getLong(0) -> ((r.get(1), r.getString(2)))).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id, "vid must echo event_id through the variant")
+      val (k, et) = want(id)
+      assert(r.getString(2) == et, s"vet mismatch at $id")
+      assert(r.get(3) == k, s"vk mismatch at $id")
+      assert(r.isNullAt(4), "try_variant_get on an absent path must be null")
+      assert(r.getLong(5) == id % 7, s"varr1 mismatch at $id")
+      assert(r.getString(6).startsWith("OBJECT<meta:"),
+        "schema_of_variant must describe the envelope")
+    }
+  }
+
+  test("sub_recursive_cte: chain stats equal the closed form, plan has UnionLoop") {
+    val df = q("sub_recursive_cte")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"),
+      "recursion must execute as the set-based UnionLoop, not a driver loop")
+    df.collect().foreach { r =>
+      val c = r.getLong(0)
+      // closed form: node halves until 1, so depth = floor(log2 c),
+      // path_sum = sum of c >> i for i in 0..depth
+      var (node, depth, sum) = (c, 0, c)
+      while (node > 1) { node /= 2; depth += 1; sum += node }
+      assert(r.getInt(1) == depth, s"chain_len at $c")
+      assert(r.getLong(2) == sum, s"path_sum at $c")
+      assert(r.getLong(3) == depth + 1L, s"n_nodes at $c")
+    }
+  }
+
+  test("sql_pipe_syntax: pipe form equals the DataFrame-ANSI form exactly") {
+    import graft.util.Canon._
+    val pipe = q("sql_pipe_syntax").collect()
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val ansi = tbl(spark, sf, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(cents(disc)) / 100.0).as("revenue"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .select("l_returnflag", "l_linestatus", "n", "sum_qty", "revenue")
+      .collect()
+    assert(pipe.length == ansi.length && pipe.length > 0)
+    pipe.zip(ansi).foreach { case (p, a) =>
+      assert(p.getString(0) == a.getString(0) && p.getString(1) == a.getString(1))
+      assert(p.getLong(2) == a.getLong(2), s"n at ${p.getString(0)}")
+      assert(p.getDouble(3) == a.getDouble(3), s"sum_qty at ${p.getString(0)}")
+      assert(p.getDouble(4) == a.getDouble(4), s"revenue at ${p.getString(0)}")
+    }
+  }
+
+  test("scan_xml: XML round-trip is lossless vs the parquet table") {
+    val got = q("scan_xml").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    val want = graft.util.Canon.tbl(spark, sf, "nation")
+      .orderBy("n_nationkey").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+
+  test("scan_parquet_variant: stored column is VARIANT, extraction matches raw JSON") {
+    import org.apache.spark.sql.types.VariantType
+    // the staging dir the op just wrote — re-read its footer schema
+    val dir = s"/tmp/graft_io/variant_events_${sf.hashCode.toHexString}"
+    q("scan_parquet_variant").collect() // materialize (writes the dir)
+    val stored = spark.read.parquet(dir).schema("v").dataType
+    assert(stored.isInstanceOf[VariantType],
+      s"props must persist as VARIANT, got $stored")
+    val got = q("scan_parquet_variant").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    graft.util.Canon.tbl(spark, sf, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int")).collect()
+      .foreach(r => assert(got(r.getLong(0)) == r.get(1)))
+  }
+
+  test("fn_collation: LCASE collation dedups exactly like explicit lower()") {
+    val r = q("fn_collation").head()
+    val (nRows, ci, cs) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(r.getLong(4) == nRows, "x = upper(x) under UTF8_LCASE for every row")
+    assert(r.getLong(5) < nRows, "binary equality must discriminate case")
+    assert(ci <= cs)
+    val lowDistinct = graft.util.Canon.tbl(spark, sf, "part")
+      .select(lower(col("p_name"))).distinct().count()
+    assert(ci == lowDistinct,
+      "collated DISTINCT must equal the explicit lower() DISTINCT")
+  }
+
+  test("text_url_normalize: extraction inverts construction per row") {
+    val docs = graft.util.Canon.tbl(spark, sf, "documents")
+      .select("doc_id", "source", "lang").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val rows = q("text_url_normalize").collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (src, lang) = docs(id)
+      assert(r.getString(1) == s"$src.example.com", s"host at $id")
+      assert(r.getString(2) == s"/docs/$id", s"path at $id")
+      assert(r.getString(3) == lang, s"q_lang at $id")
+      assert(r.getString(4) == s"https://$src.example.com/docs/$id",
+        "canonical = scheme+host+path with params and fragment stripped")
+    }
+  }
 }
