@@ -61,6 +61,43 @@ object Extensions {
   }
 
   /** Built-in generator path: posexplode over tokens (bounded slice). */
+  /** SQL-defined scalar UDF (Spark 4.1 `CREATE FUNCTION ... RETURN expr`)
+    * — the 100 TB counterpoint to udf_scalar's JVM closure: a SQL UDF is
+    * INLINED by the analyzer (the plan shows the expression, no ScalaUDF
+    * node — pinned in SqlUdfSpec), so it stays inside whole-stage
+    * codegen, remains pushdown-eligible, and costs nothing at executor
+    * scale. Same exact-cents charge as the pricing summary, routed
+    * through the function. */
+  private val udfSqlScalar: Q = (s, d) => {
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_charge_cents(
+               p DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS BIGINT
+             RETURN CAST(floor(p*(1.0-disc)*(1.0+tax)*100 + 0.5) AS BIGINT)""")
+    tbl(s, d, "lineitem").createOrReplaceTempView("sql_udf_li")
+    s.sql("""
+      SELECT l_returnflag,
+             sum(graft_charge_cents(l_extendedprice, l_discount, l_tax))
+               AS charge_cents,
+             count(*) AS n
+      FROM sql_udf_li GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  /** SQL-defined TABLE function applied per row via LATERAL — the
+    * declarative generator form: `RETURNS TABLE ... RETURN SELECT
+    * explode(...)` inlines to the same Generate node a built-in explode
+    * plans (no UDTF interpreter), so per-row expansion is codegen'd and
+    * the expansion factor is the data (n_chars div 100 + 1 bucket rows
+    * per document), never a driver loop. */
+  private val udtfSqlLateral: Q = (s, d) => {
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_buckets(n INT)
+             RETURNS TABLE(b INT) RETURN SELECT explode(sequence(0, n-1))""")
+    tbl(s, d, "documents").createOrReplaceTempView("sql_tvf_docs")
+    s.sql("""
+      SELECT d.doc_id, t.b AS bucket
+      FROM sql_tvf_docs d,
+           LATERAL graft_buckets(CAST(d.n_chars DIV 100 AS INT) + 1) t
+      ORDER BY doc_id, bucket""")
+  }
+
   private val udtfGenerator: Q = (s, d) =>
     tbl(s, d, "documents").where(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), " "))
@@ -196,6 +233,8 @@ object Extensions {
     "agg_quantile_sketch" -> aggQuantileSketch,
     "agg_topk_sketch" -> aggTopkSketch,
     "udf_scalar" -> udfScalar,
+    "udf_sql_scalar" -> udfSqlScalar,
+    "udtf_sql_lateral" -> udtfSqlLateral,
     "udaf_aggregator" -> udafAggregator,
     "udtf_generator" -> udtfGenerator,
     "udtf_ngrams" -> udtfNgrams,
@@ -293,6 +332,15 @@ object Extensions {
             FROM events)
           SELECT event_id, floor(($havSql)*10000 + 0.5)/10000.0 AS dist_km
           FROM t ORDER BY event_id""",
+    "udf_sql_scalar" ->
+      """SELECT l_returnflag,
+                CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100 + 0.5) AS BIGINT)) AS BIGINT) AS charge_cents,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "udtf_sql_lateral" ->
+      """SELECT doc_id,
+                CAST(unnest(range(0, n_chars // 100 + 1)) AS INTEGER) AS bucket
+         FROM documents ORDER BY doc_id, bucket""",
     "udaf_aggregator" ->
       """SELECT o_orderstatus,
                 floor((exp(avg(ln(o_totalprice))))*10000 + 0.5)/10000.0 AS geomean_price

@@ -893,6 +893,24 @@ object Relational {
       |> ORDER BY l_returnflag, l_linestatus""")
   }
 
+  /** Session variables + parameterized EXECUTE IMMEDIATE (Spark 4.1) —
+    * the templated-query surface a production job server uses instead of
+    * string-splicing literals: DECLARE/SET a typed session variable,
+    * bind it into a `?` placeholder. The bound plan is identical to the
+    * literal form (the parameter is substituted before analysis), so
+    * pushdown of the o_totalprice predicate into the parquet scan is
+    * preserved — templating costs nothing at 100 TB. */
+  private val sqlSessionVariables: Q = (s, d) => {
+    tbl(s, d, "orders").createOrReplaceTempView("sql_var_orders")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_cutoff DOUBLE DEFAULT 0.0")
+    s.sql("SET VARIABLE graft_cutoff = 450000.0")
+    s.sql("""EXECUTE IMMEDIATE
+               'SELECT o_orderkey, o_custkey, o_totalprice
+                FROM sql_var_orders WHERE o_totalprice > ?
+                ORDER BY o_orderkey'
+             USING graft_cutoff""")
+  }
+
   /** Pivot: order counts per status × priority, explicit value list so the
     * output schema is static (the scale-safe form — dynamic pivot needs a
     * driver-side distinct pass). */
@@ -1037,6 +1055,7 @@ object Relational {
     "sub_cte_reuse" -> subCteReuse,
     "sub_recursive_cte" -> subRecursiveCte,
     "sql_pipe_syntax" -> sqlPipeSyntax,
+    "sql_session_variables" -> sqlSessionVariables,
     "agg_histogram" -> aggHistogram,
     "sort_multikey" -> sortMultikey,
     "sort_nulls" -> sortNulls,
@@ -1456,6 +1475,10 @@ object Relational {
                 CAST(sum(node) AS BIGINT) AS path_sum,
                 count(*) AS n_nodes
          FROM anc GROUP BY c_custkey ORDER BY c_custkey""",
+    "sql_session_variables" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE o_totalprice > 450000.0
+         ORDER BY o_orderkey""",
     "sql_pipe_syntax" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/CAST(100 AS DOUBLE) AS sum_qty,

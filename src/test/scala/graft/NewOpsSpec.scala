@@ -539,6 +539,44 @@ class NewOpsSpec extends AnyFunSuite {
       "collated DISTINCT must equal the explicit lower() DISTINCT")
   }
 
+  test("udf_sql_scalar: SQL UDF inlines (no ScalaUDF node) and matches cents recompute") {
+    import graft.util.Canon._
+    val df = q("udf_sql_scalar")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      "a SQL UDF must inline into the plan, not run as an opaque closure")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax"))
+    val want = tbl(spark, sf, "lineitem").groupBy("l_returnflag")
+      .agg(sum(cents(disc)).as("c"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("udtf_sql_lateral: per-doc expansion is contiguous 0..(n_chars div 100)") {
+    val byDoc = q("udtf_sql_lateral").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.map(_.getInt(1)).sorted.toSeq }
+    val want = graft.util.Canon.tbl(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> (0 to (r.getLong(1) / 100).toInt).toSeq).toMap
+    assert(byDoc == want)
+  }
+
+  test("sql_session_variables: bound parameter equals the literal form, filter pushed") {
+    val df = q("sql_session_variables")
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("GreaterThan(o_totalprice,450000.0)"),
+      s"the bound predicate must reach PushedFilters; plan:\n$formatted")
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val want = graft.util.Canon.tbl(spark, sf, "orders")
+      .where(col("o_totalprice") > 450000.0).orderBy("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
   test("text_url_normalize: extraction inverts construction per row") {
     val docs = graft.util.Canon.tbl(spark, sf, "documents")
       .select("doc_id", "source", "lang").collect()
