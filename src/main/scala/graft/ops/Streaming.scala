@@ -748,8 +748,58 @@ object Streaming {
       .orderBy("doc_id")
   }
 
+  /** Planned-restart recovery: the SAME checkpoint carries offsets AND
+    * aggregate state across two separate query STARTS. Phase 1 streams
+    * the even-id half of events into a complete-mode groupBy state;
+    * then the odd half lands in the source dir and phase 2 RESTARTS
+    * from the checkpoint — reading only the new files (the spec pins
+    * run-2 numInputRows == odd-half rows) yet emitting totals over the
+    * whole input, because the agg state is recovered from the store,
+    * not recomputed. Returns (first complete table, final table, rows
+    * actually read by run 2). At 100 TB this is THE property a daily
+    * restart relies on: recovery must neither drop nor double. */
+  private[graft] def checkpointResumeCore(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Long) = {
+    val tag = ctr.incrementAndGet()
+    val dir = s"$ioTmp/stream_resume_${d.hashCode.toHexString}_$tag"
+    val ckpt = ckptDir(s"resume_$tag")
+    dropCkpt(ckpt); dropCkpt(dir)
+    val ev = tbl(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.where(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = s.read.parquet(dir).schema
+    def runOnce(qn: String): (DataFrame, Long) = {
+      val pin = s.conf.getOption(ProviderKey).isEmpty
+      if (pin) s.conf.set(ProviderKey, RocksProvider)
+      var read = 0L
+      try {
+        val q = s.readStream.schema(schema).parquet(dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(cents(col("value"))).as("value_cents"))
+          .writeStream.format("memory").queryName(qn)
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        read = q.recentProgress.map(_.numInputRows).sum
+      } finally if (pin) s.conf.unset(ProviderKey)
+      (s.table(qn), read)
+    }
+    val (first, _) = runOnce(s"graft_resume_a_$tag")
+    val firstSnap = first.cache(); firstSnap.count() // pin before phase 2
+    ev.where(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val (second, read2) = runOnce(s"graft_resume_b_$tag")
+    (firstSnap, second, read2)
+  }
+
+  private val streamCheckpointResume: Q = (s, d) =>
+    checkpointResumeCore(s, d)._2.orderBy("event_type")
+
   val queries: Map[String, Q] = Map(
     "source_stream_replay" -> sourceStreamReplay,
+    "stream_checkpoint_resume" -> streamCheckpointResume,
     "stream_neardup" -> streamNeardup,
     "stream_tumbling_count" -> streamTumblingCount,
     "stream_mix_monitor" -> streamMixMonitor,
@@ -801,6 +851,15 @@ object Streaming {
 
   val oracle: Map[String, String] = Map(
     "stream_cms_freq" -> streamCmsOracleSql,
+    // the restarted run's complete-mode emit must equal the one-shot
+    // batch aggregate over the WHOLE input (recovery neither drops the
+    // phase-1 state nor re-reads phase-1 files — the spec pins run-2
+    // input rows to the odd half)
+    "stream_checkpoint_resume" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // identical totals to the batch observe twin: per-batch counters are
     // exact integers, so the 4-batch sum must equal the one-shot aggregate
     "stream_observe_metrics" ->
