@@ -51,8 +51,13 @@ class SqlEntrySpec extends AnyFunSuite {
 
   test("the registry holds exactly the functions this matrix covers") {
     init
+    // SQL-defined routines (CREATE TEMPORARY FUNCTION ... RETURN, r15:
+    // udf_sql_scalar / udtf_sql_lateral) are a separate category — they
+    // register lazily when those ops first run in this shared session and
+    // are covered by their own oracle ids + NewOpsSpec, not this matrix
+    val sqlRoutines = Set("graft_charge_cents", "graft_buckets")
     val registered = spark.sessionState.functionRegistry.listFunction()
-      .map(_.funcName).filter(_.startsWith("graft_")).toSet
+      .map(_.funcName).filter(_.startsWith("graft_")).toSet -- sqlRoutines
     assert(registered == expected,
       s"matrix drift: registered=$registered vs covered=$expected")
   }
