@@ -857,7 +857,12 @@ object Relational {
     * narrow projection + filter over the previous frontier (all keys
     * step in lockstep, no driver loop), and depth is bounded by
     * log2(max key) — 100 TB of keys recurses the same ~40 rounds, each
-    * a full-width shuffle-free map; only the final GROUP BY shuffles. */
+    * a full-width shuffle-free map; only the final GROUP BY shuffles.
+    * Note Spark's governance guardrail `spark.sql.cteRecursionRowLimit`
+    * (default 1e6 rows over the WHOLE recursion): the fixture expands to
+    * 210 k rows and fits, but production sizing must raise it —
+    * RecursiveCteProbe runs 10 M keys → 2.23e8 rows under a raised limit
+    * with the closed form verified exactly (SCALING.md r15). */
   private val subRecursiveCte: Q = (s, d) => {
     tbl(s, d, "customer").createOrReplaceTempView("sub_rec_cust")
     s.sql("""
