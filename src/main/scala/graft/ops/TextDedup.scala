@@ -3042,6 +3042,60 @@ object TextDedup {
       .orderBy("doc_id")
   }
 
+  /** REAL feature extraction over REAL decoded pixels — the fourth verb
+    * of the multimodal brief (decode / feature-EXTRACT / resize /
+    * frame-sample): an 8-bin grayscale histogram per image, computed from
+    * ImageIO-decoded PNG pixels in mapPartitions (the classic cheap image
+    * descriptor — dedup-by-histogram is step one of visual near-dup).
+    * PNG is lossless, so every bin count is recomputed closed-form by
+    * DuckDB from the staging pixel formula — a full hash oracle over a
+    * real codec + feature pipeline. 100 TB shape: binaryFile listing
+    * parallelism, per-file decode+histogram is CPU-bound embarrassingly
+    * parallel map work, no shuffle but the bounded output sort. */
+  private val multimodalImageHistogram: Q = (s, d) => {
+    import javax.imageio.ImageIO
+    val out = freshStaging(d, "png_hist")
+    docMetas(s, d).foreach { case (id, len) =>
+      val w = (8 + id % 16).toInt; val h = (8 + (id * 7) % 16).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var x = 0
+      while (x < w) {
+        var y = 0
+        while (y < h) {
+          val v = ((id * 31 + len * 17 + 7L * x + 13L * y) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          y += 1
+        }
+        x += 1
+      }
+      ImageIO.write(img, "png", new java.io.File(f"$out/doc_$id%03d.png"))
+    }
+    import s.implicits._
+    s.read.format("binaryFile").load(out)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1).cast("long")
+        .as("doc_id"), col("content"))
+      .repartition(8, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val bins = new Array[Long](8)
+        var x = 0
+        while (x < img.getWidth) {
+          var y = 0
+          while (y < img.getHeight) {
+            bins((img.getRGB(x, y) & 0xFF) >> 5) += 1L
+            y += 1
+          }
+          x += 1
+        }
+        (id, bins(0), bins(1), bins(2), bins(3), bins(4), bins(5), bins(6),
+          bins(7))
+      })
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+      .orderBy("doc_id")
+  }
+
   /** REAL JPEG round-trip audit — the LOSSY half of the codec story
     * (PNG/WAV are exact; JPEG is what a crawled image corpus actually
     * holds). A SMOOTH grayscale gradient (no mod-256 wrap: DCT blocks hate
@@ -3379,6 +3433,7 @@ object TextDedup {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_decode_real" -> multimodalDecodeReal,
     "multimodal_resize_real" -> multimodalResizeReal,
+    "multimodal_image_histogram" -> multimodalImageHistogram,
     "multimodal_decode_jpeg_audit" -> multimodalDecodeJpegAudit,
     "multimodal_decode_wav" -> multimodalDecodeWav,
     "multimodal_decode_audit" -> multimodalDecodeAudit,
@@ -4386,6 +4441,32 @@ object TextDedup {
     // so DuckDB recomputes dims, format, and exact pixel stats from the
     // documents table alone — the grid is a bounded non-equi join against
     // generate_series(0,22) (max dim 8+15 = 23).
+    "multimodal_image_histogram" ->
+      """WITH docs AS (
+           SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS len
+           FROM documents WHERE doc_id < 20),
+         dims AS (
+           SELECT doc_id, len,
+                  CAST(8 + doc_id % 16 AS BIGINT) AS width,
+                  CAST(8 + (doc_id * 7) % 16 AS BIGINT) AS height
+           FROM docs),
+         grid AS (
+           SELECT d.doc_id,
+                  (d.doc_id * 31 + d.len * 17 + 7 * x.x + 13 * y.y) % 256 AS v
+           FROM dims d
+           JOIN generate_series(0, 22) x(x) ON x.x < d.width
+           JOIN generate_series(0, 22) y(y) ON y.y < d.height)
+         SELECT doc_id,
+                CAST(sum(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+                CAST(sum(CASE WHEN v // 32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+                CAST(sum(CASE WHEN v // 32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+                CAST(sum(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3,
+                CAST(sum(CASE WHEN v // 32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS b4,
+                CAST(sum(CASE WHEN v // 32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS b5,
+                CAST(sum(CASE WHEN v // 32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS b6,
+                CAST(sum(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS b7
+         FROM grid GROUP BY doc_id ORDER BY doc_id""",
     "multimodal_decode_real" ->
       """WITH docs AS (
            SELECT doc_id,

@@ -577,6 +577,23 @@ class NewOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("multimodal_image_histogram: bins sum to w*h and match a Scala recompute") {
+    val metas = graft.util.Canon.tbl(spark, sf, "documents")
+      .where(col("doc_id") < 20)
+      .select(col("doc_id"), octet_length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    q("multimodal_image_histogram").collect().foreach { r =>
+      val id = r.getLong(0); val len = metas(id)
+      val w = (8 + id % 16).toInt; val h = (8 + (id * 7) % 16).toInt
+      val bins = new Array[Long](8)
+      for (x <- 0 until w; y <- 0 until h)
+        bins(((id * 31 + len * 17 + 7L * x + 13L * y) % 256).toInt >> 5) += 1
+      val got = (1 to 8).map(r.getLong)
+      assert(got.sum == w.toLong * h, s"bin mass at $id")
+      assert(got == bins.toSeq, s"histogram mismatch at $id")
+    }
+  }
+
   test("text_url_normalize: extraction inverts construction per row") {
     val docs = graft.util.Canon.tbl(spark, sf, "documents")
       .select("doc_id", "source", "lang").collect()
