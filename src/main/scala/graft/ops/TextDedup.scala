@@ -3174,6 +3174,61 @@ object TextDedup {
     * on executors. PCM is lossless, so EVERYTHING (rate, channels, bits,
     * frame count, sample sum/min/max) is recomputed closed-form by
     * DuckDB — a full hash oracle over a real audio codec round-trip. */
+  /** Audio feature extraction over REAL WAV decode — the audio face of
+    * the feature-extract verb (multimodal_image_histogram is the image
+    * face): per-32-frame windowed ENERGY (Σ v², the RMS numerator, kept
+    * as exact integers — v² ≤ 1001² so a 32-frame window is ≤ 3.3e7,
+    * overflow-free in longs and bit-reproducible at any partitioning).
+    * javax.sound decodes the PCM on executors; one output row per
+    * (doc, window) via a flatMap — frame count per file bounds the
+    * expansion. Every energy value is recomputed closed-form by DuckDB
+    * from the staging sample formula: full hash oracle over a real audio
+    * codec + framing + feature pipeline. */
+  private val multimodalAudioEnergy: Q = (s, d) => {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    val out = freshStaging(d, "wav_energy")
+    docMetas(s, d).foreach { case (id, _) =>
+      val n = (64 + id % 64).toInt
+      val buf = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (((id * 131 + i * 17) % 2003) - 1001).toShort
+        buf(2 * i) = (v & 0xFF).toByte
+        buf(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(buf), fmt, n.toLong)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE,
+        new java.io.File(f"$out/doc_$id%03d.wav"))
+    }
+    import s.implicits._
+    s.read.format("binaryFile").load(out)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1).cast("long")
+        .as("doc_id"), col("content"))
+      .repartition(8, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val n = ais.getFrameLength.toInt
+        val raw = ais.readAllBytes()
+        (0 until (n + 31) / 32).map { w =>
+          var energy = 0L; var cnt = 0L
+          var i = w * 32
+          while (i < math.min((w + 1) * 32, n)) {
+            val v = ((raw(2 * i) & 0xFF) | (raw(2 * i + 1) << 8)).toShort.toLong
+            energy += v * v; cnt += 1
+            i += 1
+          }
+          (id, w.toLong, cnt, energy)
+        }
+      })
+      .toDF("doc_id", "win", "n_frames", "energy")
+      .orderBy("doc_id", "win")
+  }
+
   private val multimodalDecodeWav: Q = (s, d) => {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
     val out = freshStaging(d, "wav_docs")
@@ -3436,6 +3491,7 @@ object TextDedup {
     "multimodal_image_histogram" -> multimodalImageHistogram,
     "multimodal_decode_jpeg_audit" -> multimodalDecodeJpegAudit,
     "multimodal_decode_wav" -> multimodalDecodeWav,
+    "multimodal_audio_energy" -> multimodalAudioEnergy,
     "multimodal_decode_audit" -> multimodalDecodeAudit,
     "multimodal_frame_sample" -> multimodalFrameSample,
   )
@@ -4441,6 +4497,19 @@ object TextDedup {
     // so DuckDB recomputes dims, format, and exact pixel stats from the
     // documents table alone — the grid is a bounded non-equi join against
     // generate_series(0,22) (max dim 8+15 = 23).
+    "multimodal_audio_energy" ->
+      """WITH docs AS (
+           SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n
+           FROM documents WHERE doc_id < 20),
+         frames AS (
+           SELECT d.doc_id, i.i // 32 AS win,
+                  ((d.doc_id * 131 + i.i * 17) % 2003) - 1001 AS v
+           FROM docs d
+           JOIN generate_series(0, 127) i(i) ON i.i < d.n)
+         SELECT doc_id, CAST(win AS BIGINT) AS win,
+                CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(sum(v * v) AS BIGINT) AS energy
+         FROM frames GROUP BY doc_id, win ORDER BY doc_id, win""",
     "multimodal_image_histogram" ->
       """WITH docs AS (
            SELECT doc_id,

@@ -594,6 +594,26 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_audio_energy: window masses partition frames, energies exact") {
+    val rows = q("multimodal_audio_energy").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      val n = (64 + id % 64).toInt
+      // windows cover the frames exactly: counts sum to n, all-but-last full
+      assert(rs.map(_.getLong(2)).sum == n.toLong, s"frame mass at $id")
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.init.foreach(r => assert(r.getLong(2) == 32L))
+      // exact recompute of each window's energy from the staging formula
+      sorted.foreach { r =>
+        val w = r.getLong(1).toInt
+        val want = (w * 32 until math.min((w + 1) * 32, n)).map { i =>
+          val v = ((id * 131 + i * 17) % 2003) - 1001; v * v
+        }.sum
+        assert(r.getLong(3) == want, s"energy at $id/$w")
+      }
+    }
+  }
+
   test("text_url_normalize: extraction inverts construction per row") {
     val docs = graft.util.Canon.tbl(spark, sf, "documents")
       .select("doc_id", "source", "lang").collect()
