@@ -187,6 +187,30 @@ object Functions {
       ORDER BY event_id""")
   }
 
+  /** ANSI-safe `try_*` arithmetic — the error-containment surface a
+    * 100 TB job needs under ANSI mode: one malformed row must yield NULL,
+    * not kill the stage. Each column exercises a distinct failure class
+    * (division by zero, long-overflow add/multiply, unparseable cast,
+    * bad timestamp format, element_at past the end) against rows where
+    * the operation succeeds, so the oracle pins both the NULL-on-error
+    * and the value-on-success paths. */
+  private val fnTryErrors: Q = (s, d) => {
+    tbl(s, d, "orders").createOrReplaceTempView("fn_try_orders")
+    s.sql("""
+      SELECT o_orderkey,
+             try_divide(o_totalprice, o_orderkey % 3) AS div3,
+             try_add(9223372036854775807, CASE WHEN o_orderkey % 2 = 0
+                                               THEN 1 ELSE 0 END) AS ovf_add,
+             try_multiply(CAST(4611686018427387904 AS BIGINT),
+                          CAST(o_orderkey % 3 AS BIGINT)) AS ovf_mul,
+             try_cast(CASE WHEN o_orderkey % 2 = 0 THEN 'not-a-number'
+                           ELSE CAST(o_orderkey AS STRING) END AS BIGINT)
+               AS bad_cast,
+             try_element_at(array(1, 2, 3),
+                            CAST(o_orderkey % 5 + 1 AS INT)) AS elem
+      FROM fn_try_orders ORDER BY o_orderkey""")
+  }
+
   /** Spark 4 string collations — comparison/DISTINCT semantics as a TYPE
     * property instead of per-expression lower() wrapping. The aggregate
     * row is the distributed-semantics core: COUNT(DISTINCT name COLLATE
@@ -328,6 +352,7 @@ object Functions {
     "fn_map" -> fnMap,
     "fn_json" -> fnJson,
     "fn_variant" -> fnVariant,
+    "fn_try_errors" -> fnTryErrors,
     "fn_collation" -> fnCollation,
     "text_url_normalize" -> textUrlNormalize,
     "fn_hash" -> fnHash,
@@ -459,6 +484,22 @@ object Functions {
                 event_id % 7 AS varr1,
                 'OBJECT<meta: OBJECT<arr: ARRAY<BIGINT>, et: STRING, id: BIGINT>, payload: OBJECT<k: BIGINT>>' AS vschema
          FROM events ORDER BY event_id""",
+    // NULL-on-error replayed as explicit CASE/NULLIF: the oracle pins
+    // both the error→NULL and the success→value paths per failure class
+    "fn_try_errors" ->
+      """SELECT o_orderkey,
+                o_totalprice / NULLIF(o_orderkey % 3, 0) AS div3,
+                CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                     ELSE CAST(9223372036854775807 AS BIGINT) END AS ovf_add,
+                CASE o_orderkey % 3
+                  WHEN 0 THEN CAST(0 AS BIGINT)
+                  WHEN 1 THEN CAST(4611686018427387904 AS BIGINT)
+                  ELSE NULL END AS ovf_mul,
+                CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                     ELSE o_orderkey END AS bad_cast,
+                CASE WHEN o_orderkey % 5 + 1 <= 3
+                     THEN CAST(o_orderkey % 5 + 1 AS INTEGER) END AS elem
+         FROM orders ORDER BY o_orderkey""",
     // collation semantics recomputed via explicit lower(); DuckDB
     // count(DISTINCT x) returns BIGINT natively, Spark counts are BIGINT
     "fn_collation" ->

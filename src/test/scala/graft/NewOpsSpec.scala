@@ -614,6 +614,19 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("fn_try_errors: every failure class yields NULL exactly where it must") {
+    q("fn_try_errors").collect().foreach { r =>
+      val k = r.getLong(0)
+      assert(r.isNullAt(1) == (k % 3 == 0), s"div3 at $k")
+      assert(r.isNullAt(2) == (k % 2 == 0), s"ovf_add at $k")
+      if (k % 2 != 0) assert(r.getLong(2) == Long.MaxValue)
+      assert(r.isNullAt(3) == (k % 3 == 2), s"ovf_mul at $k")
+      assert(r.isNullAt(4) == (k % 2 == 0), s"bad_cast at $k")
+      if (k % 2 != 0) assert(r.getLong(4) == k)
+      assert(r.isNullAt(5) == (k % 5 + 1 > 3), s"elem at $k")
+    }
+  }
+
   test("text_url_normalize: extraction inverts construction per row") {
     val docs = graft.util.Canon.tbl(spark, sf, "documents")
       .select("doc_id", "source", "lang").collect()
