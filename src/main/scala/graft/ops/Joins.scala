@@ -30,6 +30,26 @@ object Joins {
       .agg(sumMoney(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
       .orderBy("p_type")
 
+  /** Join-strategy HINT surface — the per-query physical-operator control
+    * a 100 TB tuner reaches for when AQE's size estimates are wrong: the
+    * same supplier⋈nation equi-join under each hint. This id ships the
+    * SHUFFLE_HASH arm (the strategy Spark never picks by default at
+    * these sizes — proof the hint, not the planner, chose it);
+    * JoinHintSpec pins all three hints to their physical nodes
+    * (BroadcastHashJoin / SortMergeJoin / ShuffledHashJoin) and equates
+    * the three row sets. Hints change the HOW, never the WHAT. */
+  private[graft] def joinHinted(s: SparkSession, d: String,
+      hint: String): DataFrame =
+    tbl(s, d, "supplier").hint(hint)
+      .join(tbl(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_sup"),
+        sumMoney(col("s_acctbal")).as("acctbal_sum"))
+      .orderBy("n_name")
+
+  private val joinHintStrategies: Q = (s, d) =>
+    joinHinted(s, d, "shuffle_hash")
+
   private val joinLeftOuter: Q = (s, d) =>
     tbl(s, d, "customer")
       .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
@@ -720,6 +740,7 @@ object Joins {
   val queries: Map[String, Q] = Map(
     "join_inner_equi" -> joinInnerEqui,
     "join_broadcast" -> joinBroadcast,
+    "join_hint_strategies" -> joinHintStrategies,
     "join_left_outer" -> joinLeftOuter,
     "join_right_outer" -> joinRightOuter,
     "join_full_outer" -> joinFullOuter,
@@ -781,6 +802,12 @@ object Joins {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                         JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_hint_strategies" ->
+      """SELECT n_name, count(*) AS n_sup,
+                sum(CAST(floor(s_acctbal*100 + 0.5) AS BIGINT))/100.0
+                  AS acctbal_sum
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "join_broadcast" ->
       """SELECT p_type,
                 sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS revenue,

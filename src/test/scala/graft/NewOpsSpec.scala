@@ -627,6 +627,21 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("join hints pin their physical operators and never change the rows") {
+    def planOf(hint: String) = {
+      val df = graft.ops.Joins.joinHinted(spark, sf, hint)
+      (df.queryExecution.executedPlan.toString,
+        df.collect().map(_.toSeq).toSet)
+    }
+    val (pb, rb) = planOf("broadcast")
+    val (pm, rm) = planOf("merge")
+    val (ph, rh) = planOf("shuffle_hash")
+    assert(pb.contains("BroadcastHashJoin"), "broadcast hint ignored")
+    assert(pm.contains("SortMergeJoin"), "merge hint ignored")
+    assert(ph.contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    assert(rb == rm && rm == rh, "a hint changed the result")
+  }
+
   test("text_url_normalize: extraction inverts construction per row") {
     val docs = graft.util.Canon.tbl(spark, sf, "documents")
       .select("doc_id", "source", "lang").collect()
