@@ -724,6 +724,23 @@ object Relational {
           1, 3)).as("first3"))
       .orderBy("l_orderkey")
 
+  /** ISO SQL:2023 `listagg(...) WITHIN GROUP (ORDER BY ...)` (new in
+    * Spark 4) — ordered string aggregation as a single aggregate function
+    * instead of agg_collect_sorted's collect_list∘sort_array∘concat_ws
+    * composition. The WITHIN GROUP order makes the result deterministic
+    * at any partitioning; the per-group payload (5 regions × ~5 names) is
+    * bounded, which is the only way a string agg is 100 TB-safe — an
+    * unbounded listagg is a driver-OOM by design and stays out of the
+    * registry. */
+  private val aggListagg: Q = (s, d) => {
+    tbl(s, d, "nation").createOrReplaceTempView("agg_la_nation")
+    s.sql("""
+      SELECT n_regionkey,
+             listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+             count(*) AS n
+      FROM agg_la_nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
   /** Deterministic first/last per key: min_by/max_by over a composite
     * (epoch-ms, event_id) STRUCT key (lexicographic) — bare first/last are
     * order-undefined and events.ts ties must break identically on both
@@ -1047,6 +1064,7 @@ object Relational {
     "agg_approx_percentile" -> aggApproxPercentile,
     "agg_approx_percentile_audit" -> aggApproxPercentileAudit,
     "agg_collect_sorted" -> aggCollectSorted,
+    "agg_listagg" -> aggListagg,
     "agg_first_last" -> aggFirstLast,
     "agg_sample_bottomk" -> aggSampleBottomk,
     "agg_pivot" -> aggPivot,
@@ -1411,6 +1429,11 @@ object Relational {
                 true AS within_bound
          FROM r CROSS JOIN pcts GROUP BY o_orderstatus, ps
          ORDER BY o_orderstatus, p""",
+    "agg_listagg" ->
+      """SELECT n_regionkey,
+                string_agg(n_name, ',' ORDER BY n_name) AS names,
+                count(*) AS n
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "agg_collect_sorted" ->
       """SELECT l_orderkey,
                 array_to_string((list(strftime(l_shipdate, '%Y-%m-%d')
