@@ -60,7 +60,30 @@ object Extensions {
       .orderBy("o_orderstatus")
   }
 
-  /** Built-in generator path: posexplode over tokens (bounded slice). */
+  /** Spark 4's BUILT-IN bitmap aggregate family — the native counterpart
+    * to agg_bitmap_distinct's custom TypedImperativeAggregate: keys bucket
+    * at 32768 bits (`bitmap_bucket_number`), each (group, bucket) folds to
+    * ONE fixed-size bitmap via `bitmap_construct_agg`, and the exact
+    * distinct count is the sum of `bitmap_count`s. The 100 TB property is
+    * the same as the custom one: partials are bounded mergeable bitmaps,
+    * so the shuffle carries O(groups × occupied-buckets × 4 KB) instead
+    * of the key multiset — the textbook exact-distinct-at-scale layout,
+    * here entirely in built-ins (codegen-friendly, AQE-visible). */
+  private val aggBitmapNative: Q = (s, d) => {
+    tbl(s, d, "orders").createOrReplaceTempView("agg_bmn_orders")
+    tbl(s, d, "customer").createOrReplaceTempView("agg_bmn_customer")
+    s.sql("""
+      SELECT c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n_cust
+      FROM (
+        SELECT c_mktsegment,
+               bitmap_bucket_number(o_custkey) AS b,
+               bitmap_count(bitmap_construct_agg(
+                 bitmap_bit_position(o_custkey))) AS cnt
+        FROM agg_bmn_orders JOIN agg_bmn_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, bitmap_bucket_number(o_custkey))
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
   /** SQL-defined scalar UDF (Spark 4.1 `CREATE FUNCTION ... RETURN expr`)
     * — the 100 TB counterpoint to udf_scalar's JVM closure: a SQL UDF is
     * INLINED by the analyzer (the plan shows the expression, no ScalaUDF
@@ -98,6 +121,7 @@ object Extensions {
       ORDER BY doc_id, bucket""")
   }
 
+  /** Built-in generator path: posexplode over tokens (bounded slice). */
   private val udtfGenerator: Q = (s, d) =>
     tbl(s, d, "documents").where(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(split(lower(trim(col("text"))), " "))
@@ -243,6 +267,7 @@ object Extensions {
     "agg_hll_custom_audit" -> aggHllCustomAudit,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_bitmap_distinct" -> aggBitmapDistinct,
+    "agg_bitmap_native" -> aggBitmapNative,
     "agg_cms_freq" -> aggCmsFreq,
   )
 
@@ -332,6 +357,10 @@ object Extensions {
             FROM events)
           SELECT event_id, floor(($havSql)*10000 + 0.5)/10000.0 AS dist_km
           FROM t ORDER BY event_id""",
+    "agg_bitmap_native" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_cust
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "udf_sql_scalar" ->
       """SELECT l_returnflag,
                 CAST(sum(CAST(floor(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100 + 0.5) AS BIGINT)) AS BIGINT) AS charge_cents,

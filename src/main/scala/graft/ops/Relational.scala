@@ -724,6 +724,26 @@ object Relational {
           1, 3)).as("first3"))
       .orderBy("l_orderkey")
 
+  /** grouping()/grouping_id() over ROLLUP — the correctness trap this
+    * disambiguates is real at any scale: a NULL grouping column in the
+    * DATA is indistinguishable from the subtotal NULL unless the query
+    * carries the grouping indicator. events.user_id is nullable by
+    * contract, so the rollup over it has BOTH kinds of NULL row; gid
+    * tells them apart and the oracle reproduces it with DuckDB's
+    * GROUPING(). */
+  private val aggGroupingId: Q = (s, d) => {
+    tbl(s, d, "events").createOrReplaceTempView("agg_gid_events")
+    s.sql("""
+      SELECT user_id, event_type,
+             CAST(grouping(user_id) AS INT) AS g_user,
+             CAST(grouping(event_type) AS INT) AS g_type,
+             CAST(grouping_id(user_id, event_type) AS INT) AS gid,
+             count(*) AS n
+      FROM agg_gid_events
+      GROUP BY ROLLUP(user_id, event_type)
+      ORDER BY gid, user_id NULLS FIRST, event_type NULLS FIRST""")
+  }
+
   /** ISO SQL:2023 `listagg(...) WITHIN GROUP (ORDER BY ...)` (new in
     * Spark 4) — ordered string aggregation as a single aggregate function
     * instead of agg_collect_sorted's collect_list∘sort_array∘concat_ws
@@ -1065,6 +1085,7 @@ object Relational {
     "agg_approx_percentile_audit" -> aggApproxPercentileAudit,
     "agg_collect_sorted" -> aggCollectSorted,
     "agg_listagg" -> aggListagg,
+    "agg_grouping_id" -> aggGroupingId,
     "agg_first_last" -> aggFirstLast,
     "agg_sample_bottomk" -> aggSampleBottomk,
     "agg_pivot" -> aggPivot,
@@ -1429,6 +1450,16 @@ object Relational {
                 true AS within_bound
          FROM r CROSS JOIN pcts GROUP BY o_orderstatus, ps
          ORDER BY o_orderstatus, p""",
+    "agg_grouping_id" ->
+      """SELECT user_id, event_type,
+                CAST(GROUPING(user_id) AS INTEGER) AS g_user,
+                CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+                CAST(GROUPING(user_id) * 2 + GROUPING(event_type) AS INTEGER)
+                  AS gid,
+                count(*) AS n
+         FROM events
+         GROUP BY ROLLUP(user_id, event_type)
+         ORDER BY gid, user_id NULLS FIRST, event_type NULLS FIRST""",
     "agg_listagg" ->
       """SELECT n_regionkey,
                 string_agg(n_name, ',' ORDER BY n_name) AS names,
