@@ -642,6 +642,50 @@ class NewOpsSpec extends AnyFunSuite {
     assert(rb == rm && rm == rh, "a hint changed the result")
   }
 
+  test("agg_grouping_id: indicators separate data-NULL from subtotal-NULL") {
+    val rows = q("agg_grouping_id").collect()
+    val ev = graft.util.Canon.tbl(spark, sf, "events")
+    val total = ev.count()
+    // gid = 3 is the single grand-total row; every gid level re-sums to n
+    (0 to 3 by 1).filter(Set(0, 1, 3)).foreach { g =>
+      val atLevel = rows.filter(_.getInt(4) == g)
+      assert(atLevel.map(_.getLong(5)).sum == total, s"mass at gid=$g")
+    }
+    assert(rows.count(_.getInt(4) == 3) == 1, "exactly one grand total")
+    rows.foreach { r =>
+      assert(r.getInt(4) == r.getInt(2) * 2 + r.getInt(3), "gid decomposition")
+    }
+    // the fixture's user_id is nullable by contract but currently all
+    // non-null — drive the data-NULL vs subtotal-NULL distinction with an
+    // inline frame: a NULL user in the DATA must surface at gid=0 with
+    // g_user=0, structurally apart from the gid>=2 subtotal NULLs
+    import spark.implicits._
+    Seq((Some(1L), "a"), (None: Option[Long], "a"), (None, "b"))
+      .toDF("user_id", "event_type").createOrReplaceTempView("gid_inline")
+    val inl = spark.sql("""
+      SELECT user_id, CAST(grouping(user_id) AS INT) AS g_user,
+             CAST(grouping_id(user_id, event_type) AS INT) AS gid, count(*) AS n
+      FROM gid_inline GROUP BY ROLLUP(user_id, event_type)""").collect()
+    val dataNull = inl.filter(r => r.getInt(2) == 0 && r.isNullAt(0))
+    assert(dataNull.map(_.getLong(3)).sum == 2, "data-NULL detail rows")
+    assert(dataNull.forall(_.getInt(1) == 0),
+      "grouping() must be 0 for a data NULL")
+    assert(inl.filter(_.getInt(2) >= 2).forall(r =>
+      r.isNullAt(0) && r.getInt(1) == 1),
+      "subtotal rows carry grouping()=1")
+  }
+
+  test("agg_bitmap_native: native bitmap distinct equals countDistinct") {
+    val got = q("agg_bitmap_native").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.util.Canon.tbl(spark, sf, "orders")
+      .join(graft.util.Canon.tbl(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("text_url_normalize: extraction inverts construction per row") {
     val docs = graft.util.Canon.tbl(spark, sf, "documents")
       .select("doc_id", "source", "lang").collect()
