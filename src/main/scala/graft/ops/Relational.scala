@@ -122,8 +122,13 @@ object Relational {
     * parse per QUERY (string JSON column) and per INGEST (variant
     * column); the oracle recomputes the extraction from the raw JSON
     * string, so parse→store→load→get must be value-faithful. */
+  /** Staging dir of [[scanParquetVariant]] — exposed so NewOpsSpec can
+    * assert the STORED column type without duplicating the path scheme. */
+  private[graft] def variantEventsDir(d: String): String =
+    s"$ioTmp/variant_events_${d.hashCode.toHexString}"
+
   private val scanParquetVariant: Q = (s, d) => {
-    val out = s"$ioTmp/variant_events_${d.hashCode.toHexString}"
+    val out = variantEventsDir(d)
     tbl(s, d, "events").selectExpr("event_id", "parse_json(props) AS v")
       .write.mode("overwrite").parquet(out)
     s.read.parquet(out)
@@ -902,6 +907,11 @@ object Relational {
     * with the closed form verified exactly (SCALING.md r15). */
   private val subRecursiveCte: Q = (s, d) => {
     tbl(s, d, "customer").createOrReplaceTempView("sub_rec_cust")
+    // raise Spark's recursion-row guardrail (default 1e6 TOTAL rows):
+    // this walk expands to ~n·(log2 n − 1) rows, which crosses 1e6 around
+    // 65k keys — a regenerated/larger fixture must not abort the op
+    // (review r15; RecursiveCteProbe ran 2.2e8 rows under the same knob)
+    s.conf.set("spark.sql.cteRecursionRowLimit", "400000000")
     s.sql("""
       WITH RECURSIVE anc(c_custkey, node, depth) AS (
         SELECT c_custkey, CAST(c_custkey AS BIGINT), 0 FROM sub_rec_cust

@@ -755,11 +755,14 @@ object Streaming {
     * from the checkpoint — reading only the new files (the spec pins
     * run-2 numInputRows == odd-half rows) yet emitting totals over the
     * whole input, because the agg state is recovered from the store,
-    * not recomputed. Returns (first complete table, final table, rows
-    * actually read by run 2). At 100 TB this is THE property a daily
-    * restart relies on: recovery must neither drop nor double. */
+    * not recomputed. Returns (phase-1 rows collected — bounded at one
+    * row per event_type —, final table, rows actually read by run 2);
+    * phase-1 artifacts (temp view, staging dir, checkpoint) are
+    * reclaimed before returning so repeated bench reps don't accumulate
+    * them (review r15). At 100 TB this is THE property a daily restart
+    * relies on: recovery must neither drop nor double. */
   private[graft] def checkpointResumeCore(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, Long) = {
+      : (Array[org.apache.spark.sql.Row], DataFrame, Long) = {
     val tag = ctr.incrementAndGet()
     val dir = s"$ioTmp/stream_resume_${d.hashCode.toHexString}_$tag"
     val ckpt = ckptDir(s"resume_$tag")
@@ -787,11 +790,21 @@ object Streaming {
       (s.table(qn), read)
     }
     val (first, _) = runOnce(s"graft_resume_a_$tag")
-    val firstSnap = first.cache(); firstSnap.count() // pin before phase 2
+    // memory-sink tables are static once their query terminates — a
+    // bounded collect snapshots phase 1, then its view is dropped
+    val firstRows = first.collect()
+    s.catalog.dropTempView(s"graft_resume_a_$tag")
     ev.where(col("event_id") % 2 === 1)
       .coalesce(1).write.mode("append").parquet(dir)
     val (second, read2) = runOnce(s"graft_resume_b_$tag")
-    (firstSnap, second, read2)
+    // both results are bounded (one row per event_type): snapshot into a
+    // local relation so the sink view, staging dir and exhausted
+    // checkpoint can all be reclaimed before returning
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(second.collect(): _*), second.schema)
+    dropCkpt(ckpt); dropCkpt(dir)
+    s.catalog.dropTempView(s"graft_resume_b_$tag")
+    (firstRows, out, read2)
   }
 
   private val streamCheckpointResume: Q = (s, d) =>

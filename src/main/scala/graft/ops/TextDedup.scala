@@ -3165,15 +3165,6 @@ object TextDedup {
         (max(col("max_err")) <= 16L).as("err_within_16"))
   }
 
-  /** REAL audio decode — 16-bit PCM WAV through the JDK's
-    * javax.sound.sampled codec, end to end: deterministic mono PCM frames
-    * (sample_i = ((id·131 + i·17) mod 2003) − 1001, n = 64 + id mod 64,
-    * 8 kHz) are written with AudioSystem.write, ingested via binaryFile,
-    * and decoded with AudioSystem.getAudioInputStream in mapPartitions —
-    * format, frame count, and the exact little-endian samples read back
-    * on executors. PCM is lossless, so EVERYTHING (rate, channels, bits,
-    * frame count, sample sum/min/max) is recomputed closed-form by
-    * DuckDB — a full hash oracle over a real audio codec round-trip. */
   /** Audio feature extraction over REAL WAV decode — the audio face of
     * the feature-extract verb (multimodal_image_histogram is the image
     * face): per-32-frame windowed ENERGY (Σ v², the RMS numerator, kept
@@ -3229,6 +3220,15 @@ object TextDedup {
       .orderBy("doc_id", "win")
   }
 
+  /** REAL audio decode — 16-bit PCM WAV through the JDK's
+    * javax.sound.sampled codec, end to end: deterministic mono PCM frames
+    * (sample_i = ((id·131 + i·17) mod 2003) − 1001, n = 64 + id mod 64,
+    * 8 kHz) are written with AudioSystem.write, ingested via binaryFile,
+    * and decoded with AudioSystem.getAudioInputStream in mapPartitions —
+    * format, frame count, and the exact little-endian samples read back
+    * on executors. PCM is lossless, so EVERYTHING (rate, channels, bits,
+    * frame count, sample sum/min/max) is recomputed closed-form by
+    * DuckDB — a full hash oracle over a real audio codec round-trip. */
   private val multimodalDecodeWav: Q = (s, d) => {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
     val out = freshStaging(d, "wav_docs")

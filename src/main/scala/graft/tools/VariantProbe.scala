@@ -72,9 +72,16 @@ object VariantProbe {
     val n = strT.count()
     println(f"rows: $n%d  write_str: $wStr%.2f s  write_var(parse at ingest): $wVar%.2f s")
 
-    def agg4(df: DataFrame): Long = df.agg(
-      sum(col("id")), sum(col("rep")), sum(col("f2")),
-      sum(col("sc").cast("double"))).collect().head.getLong(0)
+    // combined checksum over ALL FOUR extracted fields (review r15: the
+    // first cut compared only sum(id), which could not catch a path-
+    // semantics divergence in flags[1]/score between the three arms)
+    def agg4(df: DataFrame): Long = {
+      val r = df.agg(
+        sum(col("id")), sum(col("rep")), sum(col("f2")),
+        sum((col("sc").cast("double") * 10).cast("long"))).collect().head
+      r.getLong(0) ^ (r.getLong(1) * 31) ^ (r.getLong(2) * 1009) ^
+        (r.getLong(3) * 524287)
+    }
 
     // (a) k=4 independent get_json_object extractions (4 parses/row)
     val (ta, ra) = median3 {

@@ -1291,7 +1291,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("checkpoint resume: run 2 reads only new files yet emits recovered totals") {
     import org.apache.spark.sql.functions._
-    val (first, second, read2) =
+    val (firstRows, second, read2) =
       graft.ops.Streaming.checkpointResumeCore(spark, sf)
     val ev = graft.util.Canon.tbl(spark, sf, "events")
     def agg(df: org.apache.spark.sql.DataFrame) =
@@ -1299,17 +1299,16 @@ class StreamingSpec extends AnyFunSuite {
         .agg(count(lit(1)).as("n"),
           sum(graft.util.Canon.cents(col("value"))).as("value_cents"))
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-    def got(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def got(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // phase 1 = batch aggregate of the even half only
-    assert(got(first) == agg(ev.where(col("event_id") % 2 === 0)))
+    assert(got(firstRows) == agg(ev.where(col("event_id") % 2 === 0)))
     // the restart recovered state instead of re-reading: run 2's input is
     // exactly the odd half
     assert(read2 == ev.where(col("event_id") % 2 === 1).count(),
       s"run 2 read $read2 rows — recovery must not replay processed files")
     // and its complete-mode emit covers the WHOLE input
-    assert(got(second) == agg(ev))
-    first.unpersist()
+    assert(got(second.collect()) == agg(ev))
   }
 
   test("idempotent sink: full redelivery leaves the table byte-identical") {

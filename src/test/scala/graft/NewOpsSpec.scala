@@ -513,14 +513,13 @@ class NewOpsSpec extends AnyFunSuite {
 
   test("scan_parquet_variant: stored column is VARIANT, extraction matches raw JSON") {
     import org.apache.spark.sql.types.VariantType
+    val got = q("scan_parquet_variant").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
     // the staging dir the op just wrote — re-read its footer schema
-    val dir = s"/tmp/graft_io/variant_events_${sf.hashCode.toHexString}"
-    q("scan_parquet_variant").collect() // materialize (writes the dir)
+    val dir = graft.ops.Relational.variantEventsDir(sf)
     val stored = spark.read.parquet(dir).schema("v").dataType
     assert(stored.isInstanceOf[VariantType],
       s"props must persist as VARIANT, got $stored")
-    val got = q("scan_parquet_variant").collect()
-      .map(r => r.getLong(0) -> r.get(1)).toMap
     graft.util.Canon.tbl(spark, sf, "events")
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("int")).collect()
