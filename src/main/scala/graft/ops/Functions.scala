@@ -170,6 +170,13 @@ object Functions {
     * value-faithful end to end. */
   private val fnVariant: Q = (s, d) => {
     tbl(s, d, "events").createOrReplaceTempView("fn_var_events")
+    // the typed half of the envelope (meta) is serialized with
+    // to_json(named_struct(...)) so a quote/backslash in a future
+    // event_type fixture cannot produce invalid JSON (ADVICE r15); props
+    // is spliced raw BY CONTRACT — the fixture stores it as a valid JSON
+    // object (the DuckDB oracle also parses it with ->>), and the pinned
+    // vschema literal in [[oracle]] additionally assumes its shape is
+    // exactly {"k": <int>} (schema_of_variant is constant per envelope)
     s.sql("""
       SELECT event_id,
              variant_get(v, '$.meta.id', 'long') AS vid,
@@ -179,10 +186,12 @@ object Functions {
              variant_get(v, '$.meta.arr[1]', 'long') AS varr1,
              schema_of_variant(v) AS vschema
       FROM (SELECT event_id,
-                   parse_json(concat('{"meta": {"id": ', event_id,
-                                     ', "et": "', event_type,
-                                     '", "arr": [1, ', event_id % 7,
-                                     ']}, "payload": ', props, '}')) AS v
+                   parse_json(concat(
+                     '{"meta": ',
+                     to_json(named_struct(
+                       'id', event_id, 'et', event_type,
+                       'arr', array(1L, event_id % 7))),
+                     ', "payload": ', props, '}')) AS v
             FROM fn_var_events)
       ORDER BY event_id""")
   }

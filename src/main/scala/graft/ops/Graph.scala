@@ -156,10 +156,16 @@ object Graph {
       .select(col("user_id").as("u"), col("event_type"),
         date_trunc("minute", col("ts")).as("w"))
       .distinct()
-    val cell = Window.partitionBy(col("event_type"), col("w"))
-      .orderBy(col("u"))
-    val kept = b.withColumn("rk", row_number().over(cell))
-      .where(col("rk") <= capPerCell).drop("rk")
+    // Int.MaxValue = the uncapped r14 builder with NO rank stage at all —
+    // kept as the honest baseline arm for CoocCapAB's paired A/B (a cap
+    // that never truncates still plans a window sort; the A/B must charge
+    // the capped arm for it)
+    val kept = if (capPerCell == Int.MaxValue) b else {
+      val cell = Window.partitionBy(col("event_type"), col("w"))
+        .orderBy(col("u"))
+      b.withColumn("rk", row_number().over(cell))
+        .where(col("rk") <= capPerCell).drop("rk")
+    }
     val b2 = kept.select(col("u").as("v"), col("event_type"), col("w"))
     kept.join(b2, Seq("event_type", "w"))
       .where(col("u") < col("v"))

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   *    (50.2M emitted pairs through distinct).
   *
   * Run once per cpu count; SCALING.md r15 tabulates the curve.
+  *
+  * Round-16 (verdict item 3): wall-clock on this shared box is
+  * regime-noise — three r15 attempts came back load-confounded. Each probe
+  * now ALSO reports variance-robust Spark listener totals:
+  *   - Σ executorCpuTime (pure CPU cycles — external load steals wall, not
+  *     cycles; flat-across-thread-counts Σcpu with falling wall IS the
+  *     strong-scaling signal, and Σcpu is the publishable number even on a
+  *     loaded box),
+  *   - Σ executorRunTime (includes wait — the gap vs cpu exposes I/O and
+  *     contention),
+  *   - shuffle read+write bytes (must be INVARIANT across thread counts —
+  *     a plan whose shuffle volume grows with parallelism is broken),
+  *   - utilization = Σcpu / (wall × threads).
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
@@ -41,6 +54,34 @@ object ScaleCurve {
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
 
+    // variance-robust per-probe totals via listener (see object doc)
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            runMs.addAndGet(m.executorRunTime)
+            cpuNs.addAndGet(m.executorCpuTime)
+            shufBytes.addAndGet(
+              m.shuffleReadMetrics.totalBytesRead +
+                m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def metrics(label: String, wall: Double): Unit = {
+      // listener posts async — settle until counters stop moving
+      var last = -1L; var cur = runMs.get
+      while (cur != last) { last = cur; Thread.sleep(200); cur = runMs.get }
+      val cpuS = cpuNs.get / 1e9; val runS = runMs.get / 1e3
+      val util = cpuS / (wall * cpus.toInt)
+      println(f"cpus=$cpus $label%-10s taskrun=$runS%7.1f s taskcpu=$cpuS%7.1f s shuffle=${shufBytes.get / 1048576.0}%8.1f MB util=$util%.2f")
+      runMs.set(0); cpuNs.set(0); shufBytes.set(0)
+    }
+
     // --- pagerank @2M nodes / 8M directed edges (ring ±1, skip ±997)
     val n = 2000000L; val skip = 997L
     val ids = s.range(n)
@@ -53,12 +94,14 @@ object ScaleCurve {
       .unionAll(ids.select(col("id").as("src"),
         pmod(col("id") - skip + n, lit(n)).as("dst")))
       .localCheckpoint(true)
+    metrics("setup", 1.0) // drain + zero the counters before the timed probe
     val t0 = System.nanoTime()
     val pr = graft.ops.Graph.pagerankCore(dir)
     val mass = pr.agg(sum(col("pr"))).collect()(0).getLong(0)
     val wPr = (System.nanoTime() - t0) / 1e9
     // vertex-transitive ⇒ uniform rank; total mass conserved exactly
     println(f"cpus=$cpus pagerank2M: wall=$wPr%6.1f s mass_ok=${mass == 1000000000000L - (1000000000000L % n)}")
+    metrics("pagerank2M", wPr)
 
     // --- uncapped cooc hot-cell join: 10k users in one cell + 200k
     //     background cells = 50,195,000 distinct pairs
@@ -75,10 +118,12 @@ object ScaleCurve {
         lit(java.sql.Timestamp.valueOf("2024-06-01 12:34:00"))
           .cast("timestamp").as("ts")))
       .localCheckpoint(true)
+    metrics("setup2", 1.0)
     val t1 = System.nanoTime()
     val edges = graft.ops.Graph.coocEdgesCore(ev, Int.MaxValue).count()
     val wCo = (System.nanoTime() - t1) / 1e9
     println(f"cpus=$cpus cooc50M  : wall=$wCo%6.1f s edges_ok=${edges == 50195000L}")
+    metrics("cooc50M", wCo)
 
     // --- pure-CPU control: 20M sha2 hashes, no shuffle at all — separates
     //     "the box/harness can scale" from "this plan is overhead-bound"
@@ -88,6 +133,7 @@ object ScaleCurve {
       .collect()(0).getLong(0)
     val wSha = (System.nanoTime() - t2) / 1e9
     println(f"cpus=$cpus sha20M   : wall=$wSha%6.1f s sum_ok=${sm == 20000000L * 64}")
+    metrics("sha20M", wSha)
     println(s"cpus=$cpus loadavg_end=[${load()}]")
     s.stop()
   }

@@ -1,0 +1,115 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Round-16 verdict item 5 — spill-path certification. A 100 TB property no
+  * fixture-scale test pins: results must be HASH-IDENTICAL when aggregates,
+  * sorts, joins and windows actually overflow their in-memory buffers and
+  * take the spill path (UnsafeExternalSorter / ExternalAppendOnlyUnsafeRowArray
+  * / sort-based agg fallback) — the code path every executor lives in at
+  * real partition sizes, and the classic source of silent row loss or
+  * reordering bugs in homegrown operators.
+  *
+  * Method: same JVM, two arms per id over sf0.1.
+  *  - Arm A (reference): default session confs — fixture partitions fit in
+  *    memory, nothing spills (verified by the listener).
+  *  - Arm B (starved): runtime SQLConf thresholds force every buffered
+  *    operator class onto its spill path regardless of memory pressure —
+  *    `windowExec.buffer.spill.threshold`, `sortMergeJoinExec.buffer.spill
+  *    .threshold` (both with their in-memory twins), object-hash-agg
+  *    sort-based fallback, hash-agg `testFallbackStartsAt`, and
+  *    autoBroadcastJoinThreshold=-1 so joins actually take the SMJ buffered
+  *    path. A SparkListener sums memory/disk bytes spilled; the probe
+  *    REQUIRES arm B to have spilled (else it proves nothing) and the two
+  *    row vectors to be identical.
+  *
+  * Output: per-id table + SPILL_OK / ALL_IDENTICAL verdict lines for
+  * SCALING.md.
+  */
+object SpillProbe {
+  /** Deterministic heavy ids covering each buffered-operator class:
+    * window (win_topk_per_group, win_range_frame), sort-merge join
+    * (join_self, join_interval via range), object-hash agg
+    * (agg_collect_sorted, agg_listagg), hash agg (agg_pricing_summary,
+    * agg_stats), global sort (sort_multikey), set-op (set_except_all). */
+  val Ids: Seq[String] = Seq(
+    "sort_multikey", "win_topk_per_group", "win_range_frame",
+    "agg_collect_sorted", "agg_listagg", "agg_pricing_summary", "agg_stats",
+    "join_self", "join_interval", "set_except_all", "topk_global",
+    "scd2_intervals")
+
+  private val starved = Seq(
+    "spark.sql.windowExec.buffer.in.memory.threshold" -> "64",
+    "spark.sql.windowExec.buffer.spill.threshold" -> "64",
+    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "64",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "64",
+    "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "64",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "64",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
+    // first hash-agg map falls back to sort-based after 2 rows, second
+    // after 3 (the internal test hook Spark's own spill suites use)
+    "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "2,3",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[8]").appName("spill-probe")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+
+    val memSpilled = new AtomicLong; val diskSpilled = new AtomicLong
+    s.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          memSpilled.addAndGet(m.memoryBytesSpilled)
+          diskSpilled.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
+    def runArm(id: String, conf: Seq[(String, String)]): (Vector[String], Long) = {
+      val prev = conf.map { case (k, _) => k -> s.conf.getOption(k) }
+      conf.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        memSpilled.set(0); diskSpilled.set(0)
+        val rows = graft.SparkEntry.queries(id)(s, sf).collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toVector
+        // listener events post async and the bus drain API is private —
+        // settle by polling the counters until they stop moving
+        var last = -1L
+        var cur = memSpilled.get + diskSpilled.get
+        while (cur != last) { last = cur; Thread.sleep(200)
+          cur = memSpilled.get + diskSpilled.get }
+        (rows, cur)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+
+    var allIdentical = true; var totalSpilled = 0L
+    println(f"${"id"}%-24s ${"rows"}%7s ${"ref_spill"}%10s ${"starved_spill"}%14s  identical")
+    for (id <- Ids) {
+      val (ref, refSpill) = runArm(id, Seq.empty)
+      val (st, stSpill) = runArm(id, starved)
+      val ok = ref == st && ref.nonEmpty
+      allIdentical &&= ok
+      totalSpilled += stSpill
+      println(f"$id%-24s ${ref.size}%7d $refSpill%10d $stSpill%14d  $ok")
+      if (!ok && ref.size == st.size) {
+        val i = ref.zip(st).indexWhere { case (a, b) => a != b }
+        println(s"  first diff row #$i:\n  ref: ${ref(i)}\n  got: ${st(i)}")
+      }
+    }
+    println(s"SPILL_OK=${totalSpilled > 0} total_spilled_bytes=$totalSpilled")
+    println(s"ALL_IDENTICAL=$allIdentical")
+    s.stop()
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sources.avro.{AvroDataSource, AvroUtil}
+
+/** Behavior the oracle hash-match can't pin for the DSv2 Avro source
+  * (graft.sources.avro): exotic-type round-trips, split planning, reader-
+  * schema pruning reaching the PLAN, and evolution resolution semantics. */
+class AvroSourceSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val dir = "/tmp/graft_io/avro_spec"
+
+  test("exotic types round-trip: struct/array/map/binary/date/timestamp/null") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("day", DateType),
+      StructField("ts", TimestampType),
+      StructField("arr", ArrayType(LongType)),
+      StructField("m", MapType(StringType, DoubleType)),
+      StructField("rec", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType))))))
+    val rows = Seq(
+      Row(1L, "héllo \"q\"", Array[Byte](1, 2, 3),
+        java.sql.Date.valueOf("2024-06-01"),
+        java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456"),
+        Seq(1L, 2L, 3L), Map("x" -> 1.5, "y" -> -2.25), Row(7, "n")),
+      Row(2L, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    AvroUtil.write(df, s"$dir/exotic")
+    val back = spark.read.format("graft-avro").load(s"$dir/exotic")
+      .orderBy("id").collect()
+    assert(back.length == 2)
+    val r = back(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "héllo \"q\"")
+    assert(r.getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3))
+    assert(r.getDate(3) == java.sql.Date.valueOf("2024-06-01"))
+    assert(r.getTimestamp(4) ==
+      java.sql.Timestamp.valueOf("2024-06-01 12:34:56.123456"))
+    assert(r.getSeq[Long](5) == Seq(1L, 2L, 3L))
+    assert(r.getMap[String, Double](6) == Map("x" -> 1.5, "y" -> -2.25))
+    assert(r.getStruct(7) == Row(7, "n"))
+    assert((1 to 7).forall(back(1).isNullAt), "null row must stay null")
+  }
+
+  test("schema inference off the file header matches the written frame") {
+    val df = graft.util.Canon.tbl(spark, sf, "supplier")
+    AvroUtil.write(df.repartition(3), s"$dir/sup")
+    val got = spark.read.format("graft-avro").load(s"$dir/sup").schema
+    assert(got.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)),
+      s"inferred $got vs source ${df.schema}")
+  }
+
+  test("split planning: small split.bytes fans one file into many partitions, no row lost") {
+    val src = graft.util.Canon.tbl(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    AvroUtil.write(src.coalesce(1), s"$dir/split")
+    val whole = spark.read.format("graft-avro").load(s"$dir/split")
+    val sliced = spark.read.format("graft-avro")
+      .option(AvroDataSource.SplitBytesKey, 16384L).load(s"$dir/split")
+    assert(sliced.rdd.getNumPartitions > 1,
+      s"expected multiple byte-range splits, got ${sliced.rdd.getNumPartitions}")
+    assert(sliced.rdd.getNumPartitions > whole.rdd.getNumPartitions)
+    // every block claimed exactly once: multiset of keys identical
+    val a = sliced.groupBy("l_orderkey", "l_linenumber").count()
+    val b = whole.groupBy("l_orderkey", "l_linenumber").count()
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "split read dropped or duplicated a block")
+    assert(whole.count() == src.count())
+  }
+
+  test("column pruning reaches the plan: pruned ReadSchema, bulk column skipped") {
+    val df = SparkEntry.queries("scan_avro_evolution")(spark, sf)
+    // the projection kept doc_id/language/quality, so the scan node's
+    // ReadSchema must carry exactly those — n_chars pruned at the READER
+    // SCHEMA level (Avro skips its bytes, the native analogue of parquet
+    // column pruning). String-level because AQE wraps the plan before
+    // BatchScanExec is reachable by collect.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(
+      "ReadSchema: struct<doc_id:bigint,language:string,quality:int>"),
+      s"pruned read schema missing from plan:\n$plan")
+    assert(!plan.contains("n_chars"),
+      s"unprojected field must be pruned from the scan:\n$plan")
+  }
+
+  test("evolution resolution: alias renames, default fills, values match v1") {
+    val got = SparkEntry.queries("scan_avro_evolution")(spark, sf).collect()
+    val want = graft.util.Canon.tbl(spark, sf, "documents")
+      .select(col("doc_id"), col("lang").as("language"), lit(0).as("quality"))
+      .orderBy("doc_id").collect()
+    assert(got.length == want.length && got.sameElements(want))
+  }
+}

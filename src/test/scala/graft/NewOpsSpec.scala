@@ -465,7 +465,10 @@ class NewOpsSpec extends AnyFunSuite {
 
   test("sub_recursive_cte: chain stats equal the closed form, plan has UnionLoop") {
     val df = q("sub_recursive_cte")
-    val plan = df.queryExecution.executedPlan.toString
+    // r16: the op pins/restores the recursion-row-limit conf and therefore
+    // executes eagerly (localCheckpoint) inside the pinned scope — the
+    // UnionLoop shape is asserted on the captured pre-checkpoint plan
+    val plan = graft.ops.Relational.lastRecursivePlan
     assert(plan.contains("UnionLoop"),
       "recursion must execute as the set-based UnionLoop, not a driver loop")
     df.collect().foreach { r =>
@@ -567,7 +570,11 @@ class NewOpsSpec extends AnyFunSuite {
     val df = q("sql_session_variables")
     val formatted = df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode)
-    assert(formatted.contains("GreaterThan(o_totalprice,450000.0)"),
+    // assert on the PushedFilters section naming the column, not on the
+    // exact rendered predicate string — the latter is brittle across Spark
+    // formatting changes even when pushdown still works (ADVICE r15)
+    val pushed = "(?s)PushedFilters: \\[[^\\]]*o_totalprice[^\\]]*\\]".r
+    assert(pushed.findFirstIn(formatted).isDefined,
       s"the bound predicate must reach PushedFilters; plan:\n$formatted")
     val got = df.collect().map(_.getLong(0)).toSeq
     val want = graft.util.Canon.tbl(spark, sf, "orders")

@@ -56,6 +56,19 @@ class SqlEntrySpec extends AnyFunSuite {
     // register lazily when those ops first run in this shared session and
     // are covered by their own oracle ids + NewOpsSpec, not this matrix
     val sqlRoutines = Set("graft_charge_cents", "graft_buckets")
+    // the exclusion is not a blanket pass: if either name IS registered in
+    // this session, pin that it resolves to a SQL-defined routine — a future
+    // accidental Scala-UDF registration under these names must not hide
+    // behind the exclusion (ADVICE r15)
+    sqlRoutines.foreach { fn =>
+      spark.sessionState.functionRegistry
+        .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(fn))
+        .foreach { info =>
+          assert(info.getSource == "sql_udf",
+            s"$fn must be a SQL-defined routine, but its registry source is " +
+              s"'${info.getSource}' (class ${info.getClassName})")
+        }
+    }
     val registered = spark.sessionState.functionRegistry.listFunction()
       .map(_.funcName).filter(_.startsWith("graft_")).toSet -- sqlRoutines
     assert(registered == expected,
