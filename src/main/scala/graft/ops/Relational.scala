@@ -207,6 +207,22 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** The connector's V2 WRITE path (`SupportsWrite` + `SupportsTruncate`):
+    * `df.write.format("graft-avro").mode("overwrite").save` runs the full
+    * job-commit protocol — each task streams its partition into one staged
+    * container file, the driver commit publishes the staged files after
+    * clearing the target (truncate semantics), abort discards the stage so
+    * a failed write never leaves a half-visible directory. Overwrite runs
+    * TWICE (stale part files from the first commit must not survive the
+    * second), then the read-back must hash-match parquet exactly. */
+  private val sinkAvro: Q = (s, d) => {
+    val out = s"$ioTmp/avro_sink_${d.hashCode.toHexString}"
+    val src = tbl(s, d, "customer")
+    src.repartition(5).write.format("graft-avro").mode("overwrite").save(out)
+    src.repartition(3).write.format("graft-avro").mode("overwrite").save(out)
+    s.read.format("graft-avro").load(out).orderBy("c_custkey")
+  }
+
   /** Raw text-line source — the format crawl corpora actually arrive in
     * (one record per line): stage documents as TSV lines, read back with
     * the `text` source (one `value` column), parse with split. Pushdown
@@ -1151,6 +1167,7 @@ object Relational {
     "scan_avro" -> scanAvro,
     "scan_avro_split" -> scanAvroSplit,
     "scan_avro_evolution" -> scanAvroEvolution,
+    "sink_avro" -> sinkAvro,
     "scan_text" -> scanText,
     "scan_xml" -> scanXml,
     "scan_parquet_variant" -> scanParquetVariant,
@@ -1232,6 +1249,7 @@ object Relational {
     "scan_avro_evolution" ->
       """SELECT doc_id, lang AS language, 0 AS quality
          FROM documents ORDER BY doc_id""",
+    "sink_avro" -> "SELECT * FROM customer ORDER BY c_custkey",
     "scan_xml" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_parquet_variant" ->
       """SELECT event_id, CAST(props->>'k' AS INTEGER) AS k

@@ -15,9 +15,10 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,10 +66,16 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    AvroUtil.toStruct(AvroUtil.baseReaderSchema(
-      AvroUtil.paths(options.asCaseSensitiveMap()),
-      Option(options.get(AvroDataSource.ReaderSchemaKey))))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val paths = AvroUtil.paths(options.asCaseSensitiveMap())
+    val readerJson = Option(options.get(AvroDataSource.ReaderSchemaKey))
+    // a WRITE to a fresh target has nothing to infer from: the V2 save path
+    // still calls inferSchema, so an absent/empty dir yields an empty
+    // struct (ACCEPT_ANY_SCHEMA lets the frame's schema through); a READ
+    // of the same dir fails with the no-files message downstream
+    if (readerJson.isEmpty && !AvroUtil.hasAvroFiles(paths)) new StructType()
+    else AvroUtil.toStruct(AvroUtil.baseReaderSchema(paths, readerJson))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -88,15 +95,117 @@ object AvroDataSource {
 
 private[avro] class AvroTable(structSchema: StructType, paths: Seq[String],
     readerSchemaJson: Option[String], splitBytes: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-avro:${paths.mkString(",")}"
   override def schema(): StructType = structSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      // a write to a fresh directory has no existing files to infer a
+      // schema from — accept the frame's schema as authoritative
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(structSchema, paths, readerSchemaJson,
       splitBytes.getOrElse(
         SparkSession.active.sessionState.conf.filesMaxPartitionBytes))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.size == 1,
+      s"graft-avro: write needs exactly one target path, got $paths")
+    new AvroWriteBuilder(paths.head, info.schema())
+  }
+}
+
+/** V2 write path: each task streams its partition into ONE staged container
+  * file; the driver-side commit publishes the staged files atomically-ish
+  * (rename into the target after clearing it under TRUNCATE semantics) and
+  * abort discards the stage — the standard job-commit contract, so a failed
+  * write never leaves a half-visible directory. */
+private[avro] class AvroWriteBuilder(dir: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new AvroBatchWrite(dir, schema, doTruncate)
+  }
+}
+
+private[avro] class AvroBatchWrite(dir: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+  private val stage = s"$dir/_stage"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroDataWriterFactory(stage,
+      AvroUtil.toAvroSchema(schema, "graft_row").toString, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val target = new Path(dir)
+    val fs = target.getFileSystem(conf)
+    if (truncate && fs.exists(target))
+      fs.listStatus(target).filter(_.getPath.getName.endsWith(".avro"))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(target)
+    messages.foreach { case AvroCommitMessage(file) =>
+      val p = new Path(file)
+      fs.rename(p, new Path(target, p.getName))
+    }
+    fs.delete(new Path(stage), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val p = new Path(stage)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}
+
+private[avro] case class AvroCommitMessage(file: String)
+    extends WriterCommitMessage
+
+private[avro] class AvroDataWriterFactory(stage: String, avroJson: String,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(stage, avroJson, schema, partitionId, taskId)
+}
+
+private[avro] class AvroDataWriter(stage: String, avroJson: String,
+    schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val avroSchema = new Schema.Parser().parse(avroJson)
+  private val fieldSchemas = avroSchema.getFields.asScala.toArray
+  private val convs = schema.fields.zipWithIndex.map { case (f, i) =>
+    AvroUtil.fromCatalyst(f.dataType, fieldSchemas(i).schema())
+  }
+  // taskId in the name keeps speculative/retried attempts from colliding
+  // in the stage dir; only the committed attempt's message is published
+  private val file = new Path(stage, f"part-$partitionId%05d-$taskId.avro")
+  private val out = {
+    val fs = file.getFileSystem(new Configuration())
+    new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+      .create(avroSchema, fs.create(file, true))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < convs.length) {
+      rec.put(i,
+        if (row.isNullAt(i)) null else convs(i)(row.get(i, schema.fields(i).dataType)))
+      i += 1
+    }
+    out.append(rec)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close(); AvroCommitMessage(file.toString)
+  }
+  override def abort(): Unit = {
+    out.close()
+    val fs = file.getFileSystem(new Configuration())
+    if (fs.exists(file)) fs.delete(file, false)
+  }
+  override def close(): Unit = ()
 }
 
 private[avro] class AvroScanBuilder(fullSchema: StructType, paths: Seq[String],
@@ -200,6 +309,17 @@ object AvroUtil {
     val all = single ++ multi
     require(all.nonEmpty, "graft-avro: no path/paths option given")
     all
+  }
+
+  /** True when some root exists and holds at least one .avro file (or IS
+    * one) — inferSchema's write-target probe, tolerant of absent dirs. */
+  private[avro] def hasAvroFiles(roots: Seq[String]): Boolean = {
+    val conf = new Configuration()
+    roots.exists { root =>
+      val path = new Path(root)
+      val fs = path.getFileSystem(conf)
+      fs.exists(path) && listFiles(Seq(root), conf).nonEmpty
+    }
   }
 
   private[avro] def listFiles(roots: Seq[String],
@@ -383,6 +503,57 @@ object AvroUtil {
     case MapType(StringType, vt, _) => Schema.createMap(toAvro(vt, s"${name}_val"))
     case other => throw new UnsupportedOperationException(
       s"graft-avro: cannot write Spark type $other")
+  }
+
+  /** Catalyst INTERNAL value → Avro runtime value, by Spark type — the V2
+    * DataWriter path (UTF8String/ArrayData/InternalRow inputs, vs the
+    * external-Row converters [[write]] uses). */
+  private[avro] def fromCatalyst(dt: DataType, schema: Schema): Any => Any = {
+    val b = unwrap(schema)
+    dt match {
+      case StringType => v => v.toString // UTF8String
+      case BinaryType => v => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case st: StructType =>
+        val convs = st.fields.zipWithIndex.map { case (f, i) =>
+          (i, f.dataType, fromCatalyst(f.dataType, b.getFields.get(i).schema()))
+        }
+        v => {
+          val row = v.asInstanceOf[InternalRow]
+          val rec = new GenericData.Record(b)
+          convs.foreach { case (i, fdt, c) =>
+            rec.put(i, if (row.isNullAt(i)) null else c(row.get(i, fdt)))
+          }
+          rec
+        }
+      case ArrayType(et, _) =>
+        val ec = fromCatalyst(et, b.getElementType)
+        v => {
+          val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val out = new JArrayList[Any](arr.numElements())
+          var i = 0
+          while (i < arr.numElements()) {
+            out.add(if (arr.isNullAt(i)) null else ec(arr.get(i, et))); i += 1
+          }
+          out
+        }
+      case MapType(StringType, vt, _) =>
+        val vc = fromCatalyst(vt, b.getValueType)
+        v => {
+          val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val out = new java.util.HashMap[String, Any](m.numElements())
+          val ks = m.keyArray(); val vs = m.valueArray()
+          var i = 0
+          while (i < m.numElements()) {
+            out.put(ks.get(i, StringType).toString,
+              if (vs.isNullAt(i)) null else vc(vs.get(i, vt)))
+            i += 1
+          }
+          out
+        }
+      // int/long/float/double/boolean, date-days int, timestamp(-ntz)
+      // micros long: the Catalyst internal value IS the Avro value
+      case _ => (v: Any) => v
+    }
   }
 
   /** External Row value → Avro runtime value, by Spark type. */
