@@ -626,6 +626,159 @@ object CatalystExt {
       copy(child = c)
   }
 
+  /** Scalar field extraction from protobuf WIRE-FORMAT bytes — the r16
+    * decode-breadth stretch (VERDICT item 6) done without a protobuf jar
+    * (none ships un-shaded in the image): the wire format is a public,
+    * 4-rule encoding (LEB128 varints, tag = field<<3 | wiretype, fixed64,
+    * length-delimited), so a scalar-field getter is ~40 lines of scanning.
+    * Implements proto3 semantics the landing-zone reader depends on:
+    * UNKNOWN FIELDS ARE SKIPPED by wiretype (forward compatibility — a
+    * producer adding fields must not break old readers), LAST occurrence
+    * of a repeated scalar wins, absent field → NULL, malformed buffer →
+    * NULL (never a task failure). Codegen calls the same static scan
+    * helpers [[protoGetLong]]/[[protoGetDouble]]/[[protoGetString]] the
+    * interpreter uses — no CodegenFallback, stays inside whole-stage
+    * codegen like [[CosineSimilarity]]. */
+  case class ProtoGet(child: Expression, field: Int, dt: DataType)
+      extends UnaryExpression {
+    override def dataType: DataType = dt
+    override def nullable: Boolean = true
+    override def nullSafeEval(b: Any): Any = {
+      val a = b.asInstanceOf[Array[Byte]]
+      dt match {
+        case LongType => CatalystExt.protoGetLong(a, field)
+        case DoubleType => CatalystExt.protoGetDouble(a, field)
+        case StringType => CatalystExt.protoGetString(a, field)
+        case other => throw new IllegalArgumentException(
+          s"graft_proto_*: unsupported type $other")
+      }
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val tmp = ctx.freshName("pv")
+        val (helper, jt, unbox) = dt match {
+          case LongType => ("protoGetLong", "java.lang.Long", ".longValue()")
+          case DoubleType => ("protoGetDouble", "java.lang.Double", ".doubleValue()")
+          case StringType =>
+            ("protoGetString", "org.apache.spark.unsafe.types.UTF8String", "")
+        }
+        s"""
+           |$jt $tmp = graft.ext.CatalystExt.$helper($b, $field);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp$unbox; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): ProtoGet =
+      copy(child = c)
+  }
+
+  // --- proto wire-format scan kernels (shared by eval and generated code) ---
+  /** Byte length of the varint at pos, or -1 if truncated/overlong. */
+  private def vlen(a: Array[Byte], pos: Int): Int = {
+    var i = pos
+    while (i < a.length && i - pos < 10) {
+      if ((a(i) & 0x80) == 0) return i - pos + 1
+      i += 1
+    }
+    -1
+  }
+  private def vval(a: Array[Byte], pos: Int, len: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < len) { v |= (a(pos + i) & 0x7FL) << (7 * i); i += 1 }
+    v
+  }
+
+  /** Scan for `field`: apply `hit(pos, payloadLen, wiretype)` on each match
+    * (LAST wins — proto3 scalar semantics); returns false on malformed. */
+  private def protoScan(a: Array[Byte], field: Int)(
+      hit: (Int, Int, Int) => Unit): Boolean = {
+    var pos = 0
+    while (pos < a.length) {
+      val tl = vlen(a, pos); if (tl < 0) return false
+      val tag = vval(a, pos, tl); pos += tl
+      val f = (tag >>> 3).toInt; val wt = (tag & 7).toInt
+      val bodyLen = wt match {
+        case 0 => val l = vlen(a, pos); if (l < 0) return false; l
+        case 1 => 8
+        case 2 =>
+          val l = vlen(a, pos); if (l < 0) return false
+          val n = vval(a, pos, l)
+          if (n < 0 || pos + l + n > a.length) return false
+          l + n.toInt
+        case 5 => 4
+        case _ => return false // group wiretypes 3/4: unsupported
+      }
+      if (pos + bodyLen > a.length) return false
+      if (f == field) hit(pos, bodyLen, wt)
+      pos += bodyLen
+    }
+    true
+  }
+
+  /** int64 field (wiretype 0) — boxed so NULL means absent/malformed. */
+  def protoGetLong(a: Array[Byte], field: Int): java.lang.Long = {
+    var out: java.lang.Long = null
+    val ok = protoScan(a, field) { (pos, len, wt) =>
+      if (wt == 0) out = java.lang.Long.valueOf(vval(a, pos, len))
+    }
+    if (ok) out else null
+  }
+
+  /** double field (wiretype 1, little-endian fixed64). */
+  def protoGetDouble(a: Array[Byte], field: Int): java.lang.Double = {
+    var out: java.lang.Double = null
+    val ok = protoScan(a, field) { (pos, _, wt) =>
+      if (wt == 1) {
+        var bits = 0L; var i = 0
+        while (i < 8) { bits |= (a(pos + i) & 0xFFL) << (8 * i); i += 1 }
+        out = java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(bits))
+      }
+    }
+    if (ok) out else null
+  }
+
+  /** string field (wiretype 2, UTF-8 payload after the length varint). */
+  def protoGetString(a: Array[Byte], field: Int): UTF8String = {
+    var out: UTF8String = null
+    val ok = protoScan(a, field) { (pos, len, wt) =>
+      if (wt == 2) {
+        val ll = vlen(a, pos)
+        out = UTF8String.fromBytes(a, pos + ll, len - ll)
+      }
+    }
+    if (ok) out else null
+  }
+
+  /** Wire-format ENCODER for the fn_protobuf_decode fixture: field 7
+    * (unknown varint) first and field 8 (unknown length-delimited) last so
+    * the decoder's skip paths are exercised on every row, field 1 written
+    * TWICE so last-wins is exercised, field 2 = UTF-8 string, field 3 =
+    * little-endian fixed64 double. Staging-side only (a Scala UDF builds
+    * the column); the DECODE is the native codegen'd path under test. */
+  def protoEncodeEvent(id: Long, et: String, v: Double): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(48)
+    def wv(x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7FL) != 0) { bos.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      bos.write((x & 0x7F).toInt)
+    }
+    bos.write(0x38); wv(id % 5)       // unknown field 7, varint — must skip
+    bos.write(0x08); wv(id % 3)       // field 1, first occurrence (loses)
+    bos.write(0x08); wv(id)           // field 1, last occurrence (wins)
+    val b = et.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bos.write(0x12); wv(b.length); bos.write(b, 0, b.length) // field 2 string
+    bos.write(0x19)                   // field 3 fixed64 double
+    val bits = java.lang.Double.doubleToLongBits(v)
+    var i = 0
+    while (i < 8) { bos.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+    val x = "skip-me".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bos.write(0x42); wv(x.length); bos.write(x, 0, x.length) // unknown field 8
+    bos.toByteArray
+  }
+
   /** CMS geometry + hash constants — read by the aggregate, the column-
     * algebra lookup in ops/Extensions, and mirrored literally in the
     * DuckDB oracle. P = 2^31−1 (Mersenne prime); A_i, B_i fixed primes
@@ -659,5 +812,13 @@ object CatalystExt {
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cms",
       exprs => CountMin(exprs.head), "scala_udf")
+    def fieldNo(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
+    reg.createOrReplaceTempFunction("graft_proto_long",
+      exprs => ProtoGet(exprs(0), fieldNo(exprs(1)), LongType), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_proto_double",
+      exprs => ProtoGet(exprs(0), fieldNo(exprs(1)), DoubleType), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_proto_string",
+      exprs => ProtoGet(exprs(0), fieldNo(exprs(1)), StringType), "scala_udf")
   }
 }

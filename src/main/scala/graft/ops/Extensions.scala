@@ -269,6 +269,7 @@ object Extensions {
     "agg_bitmap_distinct" -> aggBitmapDistinct,
     "agg_bitmap_native" -> aggBitmapNative,
     "agg_cms_freq" -> aggCmsFreq,
+    "fn_protobuf_decode" -> fnProtobufDecode,
   )
 
   /** Count-Min point-frequency sketch over events.user_id (d=4 rows ×
@@ -287,6 +288,35 @@ object Extensions {
     * tbucket precedent, deliberately not xxhash64) make the WHOLE sketch
     * DuckDB-replayable: a full-oracle sketch row, unlike the HLL that
     * only an audit can gate. */
+  /** Protobuf wire-format decode as a NATIVE codegen'd Expression
+    * ([[CatalystExt.ProtoGet]]) — the r16 decode-breadth stretch: landing
+    * zones carry proto-framed records next to Avro, no protobuf jar ships
+    * un-shaded in the image, and the wire format itself is 4 public rules.
+    * Staging encodes each event row into proto bytes (Scala UDF, fixture
+    * side only) with DELIBERATE obstacles: an unknown varint field before
+    * and an unknown length-delimited field after the real ones (the skip
+    * paths every forward-compatible reader needs), and field 1 written
+    * twice (proto3 last-wins). The decode side is the native expression —
+    * three typed extractions plus an absent-field probe that must be NULL —
+    * and the oracle recomputes every value from the base columns, so
+    * encode→decode must be value-faithful including the double's exact
+    * fixed64 bit round-trip. At 100 TB the decode is a per-row scan of a
+    * ~50-byte buffer inside whole-stage codegen: no UDF hop, no allocation
+    * beyond the output string. */
+  private lazy val fnProtobufDecode: Q = (s, d) => {
+    CatalystExt.register(s)
+    val enc = udf(CatalystExt.protoEncodeEvent _)
+    tbl(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pb", enc(col("event_id"), col("event_type"), col("value")))
+      .selectExpr("event_id",
+        "graft_proto_long(pb, 1) AS p_id",
+        "graft_proto_string(pb, 2) AS p_et",
+        "graft_proto_double(pb, 3) AS p_val",
+        "graft_proto_long(pb, 9) AS p_missing")
+      .orderBy("event_id")
+  }
+
   private lazy val aggCmsFreq: Q = (s, d) => {
     CatalystExt.register(s)
     import graft.ext.CatalystExt.{CmsA, CmsB, CmsD, CmsP, CmsW}
@@ -342,6 +372,12 @@ object Extensions {
 
   val oracle: Map[String, String] = Map(
     "agg_cms_freq" -> cmsOracleSql,
+    // every decoded field recomputed from the base columns; the absent
+    // field must be NULL (typed BIGINT to match graft_proto_long)
+    "fn_protobuf_decode" ->
+      """SELECT event_id, event_id AS p_id, event_type AS p_et,
+                value AS p_val, CAST(NULL AS BIGINT) AS p_missing
+         FROM events ORDER BY event_id""",
     "agg_hll_custom_audit" ->
       """SELECT l_returnflag,
                 count(DISTINCT l_orderkey) AS exact_orders,

@@ -29,7 +29,37 @@ class SqlEntrySpec extends AnyFunSuite {
 
   private val expected = Set("graft_cosine", "graft_hll", "graft_heavy_hitters",
     "graft_kll_quantile", "graft_bigrams", "graft_topk_min",
-    "graft_bitmap_distinct", "graft_haversine", "graft_geomean", "graft_cms")
+    "graft_bitmap_distinct", "graft_haversine", "graft_geomean", "graft_cms",
+    "graft_proto_long", "graft_proto_double", "graft_proto_string")
+
+  test("graft_proto_*: last-wins, unknown-field skip, absent/malformed → NULL") {
+    init
+    val spark2 = spark; import spark2.implicits._
+    // encoder writes: unknown field 7 first, field 1 TWICE (1234567890123
+    // wins), string field 2, fixed64 field 3, unknown length-delimited
+    // field 8 last — so every decode below crosses both skip paths
+    val buf = graft.ext.CatalystExt.protoEncodeEvent(1234567890123L, "héllo", -2.5)
+    val df = Seq((1, buf), (2, Array[Byte](0x08.toByte)), (3, Array.empty[Byte]))
+      .toDF("i", "pb")
+    val r = df.selectExpr("i",
+      "graft_proto_long(pb, 1) AS l", "graft_proto_string(pb, 2) AS s",
+      "graft_proto_double(pb, 3) AS d", "graft_proto_long(pb, 9) AS miss")
+      .orderBy("i").collect()
+    assert(r(0).getLong(1) == 1234567890123L, "last occurrence must win")
+    assert(r(0).getString(2) == "héllo")
+    assert(r(0).getDouble(3) == -2.5)
+    assert(r(0).isNullAt(4), "absent field must be NULL")
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2),
+      "tag with truncated payload must decode to NULL, not crash")
+    assert(r(2).isNullAt(1), "empty buffer must be NULL")
+    // negative int64 = 10-byte varint (the longest legal encoding)
+    val neg = graft.ext.CatalystExt.protoEncodeEvent(-7L, "x", 0.0)
+    assert(graft.ext.CatalystExt.protoGetLong(neg, 1).longValue() == -7L)
+    // interpreted eval path agrees with the codegen'd SQL path above
+    assert(graft.ext.CatalystExt.protoGetLong(buf, 1).longValue() ==
+      1234567890123L)
+    assert(graft.ext.CatalystExt.protoGetString(buf, 2).toString == "héllo")
+  }
 
   test("graft_cms from SQL: counter table sums to d*N, estimates ≥ exact") {
     init
