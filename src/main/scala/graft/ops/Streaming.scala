@@ -107,6 +107,33 @@ object Streaming {
       "append")
       .orderBy("event_id")
 
+  /** Bounded replay through the CUSTOM DSv2 streaming source — the
+    * graft-avro table's MicroBatchStream (the one extension surface the
+    * repo had not yet exercised; Spark's built-in file stream source only
+    * serves built-in formats, so an Avro landing zone needs exactly this).
+    * Stages events as FOUR container files, then readStream.format(
+    * "graft-avro") tails the directory: offsets are the sorted processed-
+    * file list, each micro-batch reads only files that arrived since the
+    * last commit, and batches reuse the batch path's byte-range sync-split
+    * partitions and pruned reader schemas — identical read semantics on
+    * both engines' paths. Under runToTable's AvailableNow the wrapper
+    * snapshots latestOffset and drains to it, so the windowed aggregate
+    * must equal the same aggregate computed from the parquet base table
+    * (the oracle) — any dropped/duplicated file or split breaks the hash. */
+  private val streamAvroReplay: Q = (s, d) => {
+    val dir = s"/tmp/graft_io/avro_stream_${d.hashCode.toHexString}"
+    val ev = tbl(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    graft.sources.avro.AvroUtil.write(ev.repartition(4), dir)
+    val schema = s.read.format("graft-avro").load(dir).schema
+    runToTable(s,
+      s.readStream.format("graft-avro").schema(schema).load(dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents")),
+      "complete")
+      .orderBy("event_type")
+  }
+
   private val streamTumblingCount: Q = (s, d) =>
     runToTable(s,
       eventsStream(s, d)
@@ -812,6 +839,7 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "source_stream_replay" -> sourceStreamReplay,
+    "stream_avro_replay" -> streamAvroReplay,
     "stream_checkpoint_resume" -> streamCheckpointResume,
     "stream_neardup" -> streamNeardup,
     "stream_tumbling_count" -> streamTumblingCount,
@@ -896,6 +924,13 @@ object Streaming {
          ORDER BY metric""",
     "source_stream_replay" ->
       "SELECT event_id, user_id, event_type FROM events ORDER BY event_id",
+    // the custom-source replay must equal the batch aggregate over the
+    // parquet base table — file/split drop or duplication breaks the hash
+    "stream_avro_replay" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS value_cents
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_neardup" ->
       s"""WITH t AS (
             SELECT doc_id,

@@ -18,6 +18,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -100,6 +101,7 @@ private[avro] class AvroTable(structSchema: StructType, paths: Seq[String],
   override def schema(): StructType = structSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       // a write to a fresh directory has no existing files to infer a
       // schema from — accept the frame's schema as authoritative
@@ -255,9 +257,83 @@ private[avro] class AvroScan(requiredSchema: StructType, paths: Seq[String],
     val pruned = AvroUtil.pruneSchema(base, requiredSchema)
     new AvroPartitionReaderFactory(pruned.toString, requiredSchema)
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new AvroMicroBatchStream(paths, readerSchemaJson, requiredSchema, splitBytes)
 }
 
-private[avro] case class AvroInputPartition(path: String, start: Long,
+/** File-tracking micro-batch stream over an Avro landing directory — the
+  * custom STREAMING-source extension surface (the built-in file stream
+  * source only serves built-in formats). Offsets are the sorted list of
+  * files already processed; `latestOffset` re-lists the directory, so each
+  * micro-batch reads exactly the files that arrived since the previous one
+  * (the standard landing-zone tailer contract: files are immutable once
+  * landed, new data = new files). Batches reuse the SAME byte-range
+  * sync-split partitions and pruned-reader-schema factory as the batch
+  * scan, so split-read and pruning semantics are identical on both paths.
+  * Under Trigger.AvailableNow the engine wrapper snapshots latestOffset at
+  * start and drains to it — the bounded-replay mode every stream_* id runs
+  * in. Offsets serialize as a JSON string array into the offset log, so a
+  * checkpointed query resumes from the exact file set it had committed. */
+private[graft] class AvroMicroBatchStream(paths: Seq[String],
+    readerSchemaJson: Option[String], requiredSchema: StructType,
+    splitBytes: Long) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = AvroOffset(Nil)
+
+  override def latestOffset(): Offset = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    AvroOffset(AvroUtil.listFiles(paths, conf).map(_.getPath.toString))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    AvroOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[AvroOffset].files.toSet
+    val fresh = end.asInstanceOf[AvroOffset].files.filterNot(seen)
+    val conf = new Configuration()
+    val parts: Seq[InputPartition] = fresh.flatMap { f =>
+      val p = new Path(f)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map { i =>
+        val s = i * splitBytes
+        AvroInputPartition(f, s, math.min(s + splitBytes, len))
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val base = AvroUtil.baseReaderSchema(paths, readerSchemaJson, Some(conf))
+    val pruned = AvroUtil.pruneSchema(base, requiredSchema)
+    new AvroPartitionReaderFactory(pruned.toString, requiredSchema)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[graft] case class AvroOffset(files: Seq[String]) extends Offset {
+  override def json(): String =
+    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+private[graft] object AvroOffset {
+  /** Inverse of [[AvroOffset.json]] — a flat JSON string array. */
+  def fromJson(json: String): AvroOffset = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) AvroOffset(Nil)
+    else AvroOffset(body.split("\",\\s*\"").toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\")))
+  }
+}
+
+private[graft] case class AvroInputPartition(path: String, start: Long,
     end: Long) extends InputPartition
 
 private[avro] class AvroPartitionReaderFactory(readerSchemaJson: String,

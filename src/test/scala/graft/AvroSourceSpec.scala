@@ -129,6 +129,35 @@ class AvroSourceSpec extends AnyFunSuite {
       df.toJSON.collect().sorted.toSeq)
   }
 
+  test("micro-batch stream: offsets track files, new batch reads only new files") {
+    val d2 = s"$dir/stream"
+    val df = graft.util.Canon.tbl(spark, sf, "nation")
+    AvroUtil.write(df.repartition(2), d2)
+    val schema = spark.read.format("graft-avro").load(d2).schema
+    val stream = new graft.sources.avro.AvroMicroBatchStream(
+      Seq(d2), None, schema, 1L << 20)
+    val start = stream.initialOffset()
+    val mid = stream.latestOffset()
+    assert(stream.planInputPartitions(start, mid).length == 2,
+      "first batch must cover both staged files")
+    // a third file lands; the next batch must read ONLY it
+    val extra = df.where(org.apache.spark.sql.functions.col("n_nationkey") < 3)
+    AvroUtil.write(extra.coalesce(1), s"$dir/stream_extra")
+    val src = new java.io.File(s"$dir/stream_extra").listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(d2, "part-late.avro").toPath)
+    val end = stream.latestOffset()
+    val fresh = stream.planInputPartitions(mid, end)
+    assert(fresh.length == 1 &&
+      fresh.head.asInstanceOf[graft.sources.avro.AvroInputPartition]
+        .path.endsWith("part-late.avro"),
+      s"incremental batch must be exactly the late file: ${fresh.toSeq}")
+    // offset log round-trip: deserialize(json) is the identity
+    assert(stream.deserializeOffset(mid.json()) == mid)
+    assert(stream.deserializeOffset(start.json()) == start)
+  }
+
   test("evolution resolution: alias renames, default fills, values match v1") {
     val got = SparkEntry.queries("scan_avro_evolution")(spark, sf).collect()
     val want = graft.util.Canon.tbl(spark, sf, "documents")
