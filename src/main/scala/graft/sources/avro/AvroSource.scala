@@ -92,6 +92,15 @@ object AvroDataSource {
   /** Option key overriding the per-partition split size in bytes (defaults
     * to the session's `spark.sql.files.maxPartitionBytes`). */
   val SplitBytesKey = "graft.avro.split.bytes"
+  /** Option key selecting the write-side block codec: `null` (uncompressed),
+    * `deflate` (default — zlib, in the JDK), `snappy` or `zstd` (both
+    * codec jars ship in the image). Reads are codec-transparent: the
+    * container header names the codec and DataFileReader decompresses each
+    * block before the sync-split reader sees it, so splittability is
+    * UNAFFECTED by compression — blocks are compressed individually between
+    * sync markers (the reason Avro+codec remains a splittable landing
+    * format while whole-file gzip of JSON/CSV is not). */
+  val CodecKey = "graft.avro.codec"
 }
 
 private[avro] class AvroTable(structSchema: StructType, paths: Seq[String],
@@ -113,7 +122,8 @@ private[avro] class AvroTable(structSchema: StructType, paths: Seq[String],
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1,
       s"graft-avro: write needs exactly one target path, got $paths")
-    new AvroWriteBuilder(paths.head, info.schema())
+    new AvroWriteBuilder(paths.head, info.schema(),
+      Option(info.options.get(AvroDataSource.CodecKey)).getOrElse("deflate"))
   }
 }
 
@@ -122,22 +132,23 @@ private[avro] class AvroTable(structSchema: StructType, paths: Seq[String],
   * (rename into the target after clearing it under TRUNCATE semantics) and
   * abort discards the stage — the standard job-commit contract, so a failed
   * write never leaves a half-visible directory. */
-private[avro] class AvroWriteBuilder(dir: String, schema: StructType)
-    extends WriteBuilder with SupportsTruncate {
+private[avro] class AvroWriteBuilder(dir: String, schema: StructType,
+    codec: String) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new AvroBatchWrite(dir, schema, doTruncate)
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(dir, schema, doTruncate, codec)
   }
 }
 
 private[avro] class AvroBatchWrite(dir: String, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, codec: String) extends BatchWrite {
   private val stage = s"$dir/_stage"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AvroDataWriterFactory(stage,
-      AvroUtil.toAvroSchema(schema, "graft_row").toString, schema)
+      AvroUtil.toAvroSchema(schema, "graft_row").toString, schema, codec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -165,13 +176,13 @@ private[avro] case class AvroCommitMessage(file: String)
     extends WriterCommitMessage
 
 private[avro] class AvroDataWriterFactory(stage: String, avroJson: String,
-    schema: StructType) extends DataWriterFactory {
+    schema: StructType, codec: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(stage, avroJson, schema, partitionId, taskId)
+    new AvroDataWriter(stage, avroJson, schema, partitionId, taskId, codec)
 }
 
 private[avro] class AvroDataWriter(stage: String, avroJson: String,
-    schema: StructType, partitionId: Int, taskId: Long)
+    schema: StructType, partitionId: Int, taskId: Long, codec: String)
     extends DataWriter[InternalRow] {
   private val avroSchema = new Schema.Parser().parse(avroJson)
   private val fieldSchemas = avroSchema.getFields.asScala.toArray
@@ -185,6 +196,7 @@ private[avro] class AvroDataWriter(stage: String, avroJson: String,
     val fs = file.getFileSystem(new Configuration())
     new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
+      .setCodec(AvroUtil.codecFor(codec))
       .create(avroSchema, fs.create(file, true))
   }
 
@@ -681,13 +693,31 @@ object AvroUtil {
     conv
   }
 
+  /** Write-side block codec by option name. Reads never need this: the
+    * container header carries the codec and every block decompresses
+    * before the sync-split reader sees it — compression does not affect
+    * splittability (blocks are compressed individually between sync
+    * markers). All three compressed codecs' jars ship in the image
+    * (JDK zlib, snappy-java, zstd-jni). */
+  private[avro] def codecFor(name: String): org.apache.avro.file.CodecFactory =
+    name match {
+      case "null" => org.apache.avro.file.CodecFactory.nullCodec()
+      case "deflate" => org.apache.avro.file.CodecFactory.deflateCodec(6)
+      case "snappy" => org.apache.avro.file.CodecFactory.snappyCodec()
+      case "zstd" => org.apache.avro.file.CodecFactory.zstandardCodec(3)
+      case other => throw new IllegalArgumentException(
+        s"graft-avro: unknown codec '$other' (null|deflate|snappy|zstd)")
+    }
+
   /** Distributed Avro writer: each input partition writes ONE container
     * file `part-NNNNN.avro` under `dir` (deleted+recreated first). Block
     * sync interval is left at the Avro default (~64 KB) so even a
     * single-file fixture carries many sync points for the split reader.
-    * At scale this is the standard one-file-per-task landing pattern; the
-    * writer is executor-side (no driver collect). */
-  def write(df: DataFrame, dir: String): Unit = {
+    * Blocks are deflate-compressed by default (the landing-zone norm;
+    * r16 — every avro id therefore also certifies the compressed read
+    * path). At scale this is the standard one-file-per-task landing
+    * pattern; the writer is executor-side (no driver collect). */
+  def write(df: DataFrame, dir: String, codec: String = "deflate"): Unit = {
     val structSchema = df.schema
     val avroJson = toAvroSchema(structSchema, "graft_row").toString
     val spark = df.sparkSession
@@ -706,7 +736,8 @@ object AvroUtil {
         val file = new Path(dir, f"part-$idx%05d.avro")
         val os = file.getFileSystem(new Configuration()).create(file, true)
         val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](schema)).create(schema, os)
+          new GenericDatumWriter[GenericRecord](schema))
+          .setCodec(codecFor(codec)).create(schema, os)
         try rows.foreach { row =>
           val rec = new GenericData.Record(schema)
           var i = 0

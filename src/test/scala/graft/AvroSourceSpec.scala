@@ -129,6 +129,33 @@ class AvroSourceSpec extends AnyFunSuite {
       df.toJSON.collect().sorted.toSeq)
   }
 
+  test("codecs: null/deflate/snappy/zstd round-trip; split reader unaffected") {
+    val df = graft.util.Canon.tbl(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag")
+    val want = df.orderBy("l_orderkey", "l_linenumber").collect()
+    for (c <- Seq("null", "deflate", "snappy", "zstd")) {
+      AvroUtil.write(df.coalesce(1), s"$dir/c_$c", c)
+      val f = new java.io.File(s"$dir/c_$c").listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      val hdr = new org.apache.avro.file.DataFileReader(f,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val meta = Option(hdr.getMetaString("avro.codec")).getOrElse("null")
+      hdr.close()
+      val expectMeta = if (c == "zstd") "zstandard" else c
+      assert(meta == expectMeta, s"container header codec: $meta vs $c")
+      // compressed blocks sit between the same sync markers — the
+      // byte-range split reader must fan out and still lose nothing
+      val back = spark.read.format("graft-avro")
+        .option(AvroDataSource.SplitBytesKey, 16384L)
+        .load(s"$dir/c_$c")
+      assert(c == "null" || back.rdd.getNumPartitions > 1,
+        s"$c file should split (${back.rdd.getNumPartitions} parts)")
+      assert(back.orderBy("l_orderkey", "l_linenumber").collect()
+        .sameElements(want), s"codec $c round-trip mismatch")
+    }
+  }
+
   test("micro-batch stream: offsets track files, new batch reads only new files") {
     val d2 = s"$dir/stream"
     val df = graft.util.Canon.tbl(spark, sf, "nation")
