@@ -121,7 +121,7 @@ object Streaming {
     * must equal the same aggregate computed from the parquet base table
     * (the oracle) — any dropped/duplicated file or split breaks the hash. */
   private val streamAvroReplay: Q = (s, d) => {
-    val dir = s"/tmp/graft_io/avro_stream_${d.hashCode.toHexString}"
+    val dir = s"$ioTmp/avro_stream_${d.hashCode.toHexString}"
     val ev = tbl(s, d, "events")
       .select(col("event_id"), col("event_type"), col("value"))
     graft.sources.avro.AvroUtil.write(ev.repartition(4), dir)

@@ -148,10 +148,11 @@ private[avro] class AvroBatchWrite(dir: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AvroDataWriterFactory(stage,
-      AvroUtil.toAvroSchema(schema, "graft_row").toString, schema, codec)
+      AvroUtil.toAvroSchema(schema, "graft_row").toString, schema, codec,
+      AvroUtil.confEntries(SparkSession.active.sessionState.newHadoopConf()))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = SparkSession.active.sessionState.newHadoopConf()
     val target = new Path(dir)
     val fs = target.getFileSystem(conf)
     if (truncate && fs.exists(target))
@@ -160,14 +161,19 @@ private[avro] class AvroBatchWrite(dir: String, schema: StructType,
     fs.mkdirs(target)
     messages.foreach { case AvroCommitMessage(file) =>
       val p = new Path(file)
-      fs.rename(p, new Path(target, p.getName))
+      // Hadoop rename returns false instead of throwing (e.g. the target
+      // name already exists under append mode) — a silent false would
+      // drop this task's committed rows (review r16)
+      if (!fs.rename(p, new Path(target, p.getName)))
+        throw new java.io.IOException(
+          s"graft-avro: commit rename failed for $p -> $target/${p.getName}")
     }
     fs.delete(new Path(stage), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val p = new Path(stage)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(SparkSession.active.sessionState.newHadoopConf())
     if (fs.exists(p)) fs.delete(p, true)
   }
 }
@@ -176,13 +182,16 @@ private[avro] case class AvroCommitMessage(file: String)
     extends WriterCommitMessage
 
 private[avro] class AvroDataWriterFactory(stage: String, avroJson: String,
-    schema: StructType, codec: String) extends DataWriterFactory {
+    schema: StructType, codec: String, confEntries: Array[(String, String)])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(stage, avroJson, schema, partitionId, taskId, codec)
+    new AvroDataWriter(stage, avroJson, schema, partitionId, taskId, codec,
+      confEntries)
 }
 
 private[avro] class AvroDataWriter(stage: String, avroJson: String,
-    schema: StructType, partitionId: Int, taskId: Long, codec: String)
+    schema: StructType, partitionId: Int, taskId: Long, codec: String,
+    confEntries: Array[(String, String)])
     extends DataWriter[InternalRow] {
   private val avroSchema = new Schema.Parser().parse(avroJson)
   private val fieldSchemas = avroSchema.getFields.asScala.toArray
@@ -192,13 +201,12 @@ private[avro] class AvroDataWriter(stage: String, avroJson: String,
   // taskId in the name keeps speculative/retried attempts from colliding
   // in the stage dir; only the committed attempt's message is published
   private val file = new Path(stage, f"part-$partitionId%05d-$taskId.avro")
-  private val out = {
-    val fs = file.getFileSystem(new Configuration())
+  private val fs = file.getFileSystem(AvroUtil.confFrom(confEntries))
+  private val out =
     new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avroSchema))
       .setCodec(AvroUtil.codecFor(codec))
       .create(avroSchema, fs.create(file, true))
-  }
 
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
@@ -216,7 +224,6 @@ private[avro] class AvroDataWriter(stage: String, avroJson: String,
   }
   override def abort(): Unit = {
     out.close()
-    val fs = file.getFileSystem(new Configuration())
     if (fs.exists(file)) fs.delete(file, false)
   }
   override def close(): Unit = ()
@@ -245,18 +252,11 @@ private[avro] class AvroScan(requiredSchema: StructType, paths: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val parts: Seq[InputPartition] = AvroUtil.listFiles(paths, conf).flatMap { st =>
-      // slice on byte ranges; the reader claims whole blocks by sync pos,
-      // so ranges need not align to block boundaries
-      val len = st.getLen
-      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
-      (0L until n).map { i =>
-        val start = i * splitBytes
-        AvroInputPartition(st.getPath.toString, start,
-          math.min(start + splitBytes, len))
-      }
-    }
-    parts.toArray
+    // slice on byte ranges; the reader claims whole blocks by sync pos,
+    // so ranges need not align to block boundaries
+    AvroUtil.listFiles(paths, conf)
+      .flatMap(st => AvroUtil.sliceFile(st.getPath.toString, st.getLen, splitBytes))
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -267,7 +267,8 @@ private[avro] class AvroScan(requiredSchema: StructType, paths: Seq[String],
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val base = AvroUtil.baseReaderSchema(paths, readerSchemaJson, Some(conf))
     val pruned = AvroUtil.pruneSchema(base, requiredSchema)
-    new AvroPartitionReaderFactory(pruned.toString, requiredSchema)
+    new AvroPartitionReaderFactory(pruned.toString, requiredSchema,
+      AvroUtil.confEntries(conf))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -304,24 +305,20 @@ private[graft] class AvroMicroBatchStream(paths: Seq[String],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[AvroOffset].files.toSet
     val fresh = end.asInstanceOf[AvroOffset].files.filterNot(seen)
-    val conf = new Configuration()
-    val parts: Seq[InputPartition] = fresh.flatMap { f =>
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    fresh.flatMap { f =>
       val p = new Path(f)
       val len = p.getFileSystem(conf).getFileStatus(p).getLen
-      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
-      (0L until n).map { i =>
-        val s = i * splitBytes
-        AvroInputPartition(f, s, math.min(s + splitBytes, len))
-      }
-    }
-    parts.toArray
+      AvroUtil.sliceFile(f, len, splitBytes)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val base = AvroUtil.baseReaderSchema(paths, readerSchemaJson, Some(conf))
     val pruned = AvroUtil.pruneSchema(base, requiredSchema)
-    new AvroPartitionReaderFactory(pruned.toString, requiredSchema)
+    new AvroPartitionReaderFactory(pruned.toString, requiredSchema,
+      AvroUtil.confEntries(conf))
   }
 
   override def commit(end: Offset): Unit = ()
@@ -329,55 +326,57 @@ private[graft] class AvroMicroBatchStream(paths: Seq[String],
 }
 
 private[graft] case class AvroOffset(files: Seq[String]) extends Offset {
-  override def json(): String =
-    files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+  override def json(): String = AvroUtil.toJsonStringArray(files)
 }
 
 private[graft] object AvroOffset {
   /** Inverse of [[AvroOffset.json]] — a flat JSON string array. */
-  def fromJson(json: String): AvroOffset = {
-    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (body.isEmpty) AvroOffset(Nil)
-    else AvroOffset(body.split("\",\\s*\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\")))
-  }
+  def fromJson(json: String): AvroOffset =
+    AvroOffset(AvroUtil.fromJsonStringArray(json))
 }
 
 private[graft] case class AvroInputPartition(path: String, start: Long,
     end: Long) extends InputPartition
 
 private[avro] class AvroPartitionReaderFactory(readerSchemaJson: String,
-    requiredSchema: StructType) extends PartitionReaderFactory {
+    requiredSchema: StructType, confEntries: Array[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroInputPartition]
-    new AvroPartitionReader(p, readerSchemaJson, requiredSchema)
+    new AvroPartitionReader(p, readerSchemaJson, requiredSchema, confEntries)
   }
 }
 
 private[avro] class AvroPartitionReader(p: AvroInputPartition,
-    readerSchemaJson: String, requiredSchema: StructType)
+    readerSchemaJson: String, requiredSchema: StructType,
+    confEntries: Array[(String, String)])
     extends PartitionReader[InternalRow] {
   private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
-  private val in = new FsInput(new Path(p.path), new Configuration())
+  private val in = new FsInput(new Path(p.path), AvroUtil.confFrom(confEntries))
   private val reader = {
     val r = new DataFileReader[GenericRecord](in,
       new GenericDatumReader[GenericRecord](null, readerSchema))
     r.sync(p.start) // position at the first block whose sync is ≥ start
     r
   }
-  private val converters = requiredSchema.fields.map { f =>
-    f.name -> AvroUtil.toCatalyst(readerSchema.getField(f.name).schema(),
-      f.dataType)
-  }
+  // positional access: pruneSchema lays the reader record's fields out in
+  // requiredSchema order (and the prune shortcut only fires when the
+  // orders already coincide), so field i of the decoded record IS output
+  // column i — no per-row name lookup in the innermost loop (review r16)
+  private val converters: Array[Any => Any] =
+    requiredSchema.fields.zipWithIndex.map { case (f, i) =>
+      require(readerSchema.getFields.get(i).name == f.name,
+        s"reader schema misaligned at $i: ${readerSchema.getFields.get(i).name} vs ${f.name}")
+      AvroUtil.toCatalyst(readerSchema.getFields.get(i).schema(), f.dataType)
+    }
   private var current: InternalRow = _
 
   override def next(): Boolean =
     if (reader.hasNext && !reader.pastSync(p.end)) {
       val rec = reader.next()
-      val vals: Array[Any] =
-        converters.map { case (name, conv) => conv(rec.get(name)) }
+      val vals = new Array[Any](converters.length)
+      var i = 0
+      while (i < converters.length) { vals(i) = converters(i)(rec.get(i)); i += 1 }
       current = new GenericInternalRow(vals)
       true
     } else false
@@ -391,18 +390,73 @@ private[avro] class AvroPartitionReader(p: AvroInputPartition,
   * file per partition, any supported schema). */
 object AvroUtil {
   // ------------------------------------------------------------ path plumbing
+  /** Flat JSON string-array codec shared by the multi-path option and the
+    * streaming offset log (paths contain no exotic JSON; quotes and
+    * backslashes are escaped). */
+  private[graft] def toJsonStringArray(xs: Seq[String]): String =
+    xs.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+
+  private[graft] def fromJsonStringArray(json: String): Seq[String] = {
+    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) Nil
+    else body.split("\",\\s*\"").toSeq
+      .map(_.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\"", "\"").replace("\\\\", "\\"))
+  }
+
   private[avro] def paths(props: JMap[String, String]): Seq[String] = {
     val single = Option(props.get("path")).toSeq
-    val multi = Option(props.get("paths")).toSeq.flatMap(_.split(",").toSeq)
+    // Spark's multi-path load() passes `paths` as a JSON-ENCODED string
+    // array (DataSourceV2Utils), not comma-separated — parse it as such
+    // (review r16: the comma split broke every multi-path load)
+    val multi = Option(props.get("paths")).toSeq
+      .flatMap(v => if (v.trim.startsWith("[")) fromJsonStringArray(v)
+                    else v.split(",").toSeq)
     val all = single ++ multi
     require(all.nonEmpty, "graft-avro: no path/paths option given")
     all
   }
 
+  /** Serializable snapshot of a Hadoop Configuration so EXECUTOR-side
+    * readers/writers see the session's filesystem settings (credentials,
+    * fs.defaultFS) instead of an empty default Configuration (review r16:
+    * driver planning used the session conf but task-side access did not). */
+  private[graft] def confEntries(conf: Configuration): Array[(String, String)] = {
+    val b = Array.newBuilder[(String, String)]
+    val it = conf.iterator()
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
+  }
+
+  private[graft] def confFrom(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** Byte-range split slicing shared by the batch scan and the streaming
+    * micro-batch planner — the reader claims whole blocks by sync position,
+    * so ranges need not align to block boundaries. */
+  private[graft] def sliceFile(path: String, len: Long,
+      splitBytes: Long): Seq[InputPartition] = {
+    val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+    (0L until n).map { i =>
+      val start = i * splitBytes
+      AvroInputPartition(path, start, math.min(start + splitBytes, len))
+    }
+  }
+
+  /** Driver-side Hadoop conf: the active session's when one exists (so
+    * fs credentials/defaultFS settings apply), else the bare default. */
+  private def sessionHadoopConf(): Configuration =
+    try SparkSession.active.sessionState.newHadoopConf()
+    catch { case _: Throwable => new Configuration() }
+
   /** True when some root exists and holds at least one .avro file (or IS
     * one) — inferSchema's write-target probe, tolerant of absent dirs. */
   private[avro] def hasAvroFiles(roots: Seq[String]): Boolean = {
-    val conf = new Configuration()
+    val conf = sessionHadoopConf()
     roots.exists { root =>
       val path = new Path(root)
       val fs = path.getFileSystem(conf)
@@ -411,7 +465,7 @@ object AvroUtil {
   }
 
   private[avro] def listFiles(roots: Seq[String],
-      conf: Configuration = new Configuration()) = {
+      conf: Configuration = sessionHadoopConf()) = {
     roots.flatMap { root =>
       val path = new Path(root)
       val fs = path.getFileSystem(conf)
@@ -429,7 +483,7 @@ object AvroUtil {
       readerJson: Option[String],
       conf: Option[Configuration] = None): Schema =
     readerJson.map(new Schema.Parser().parse(_)).getOrElse {
-      val c = conf.getOrElse(new Configuration())
+      val c = conf.getOrElse(sessionHadoopConf())
       val st = listFiles(roots, c).headOption.getOrElse(
         throw new IllegalArgumentException(
           s"graft-avro: no .avro files under ${roots.mkString(",")}"))
@@ -726,6 +780,7 @@ object AvroUtil {
     val fs = outPath.getFileSystem(hconf)
     if (fs.exists(outPath)) fs.delete(outPath, true)
     fs.mkdirs(outPath)
+    val taskConf = confEntries(hconf) // session fs settings reach the tasks
     df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(avroJson)
@@ -734,7 +789,7 @@ object AvroUtil {
           toAvroValue(f.dataType, fieldSchemas(i).schema())
         }
         val file = new Path(dir, f"part-$idx%05d.avro")
-        val os = file.getFileSystem(new Configuration()).create(file, true)
+        val os = file.getFileSystem(confFrom(taskConf)).create(file, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
           .setCodec(codecFor(codec)).create(schema, os)

@@ -129,6 +129,19 @@ class AvroSourceSpec extends AnyFunSuite {
       df.toJSON.collect().sorted.toSeq)
   }
 
+  test("multi-path load: Spark's JSON-encoded paths option resolves both dirs") {
+    val df = graft.util.Canon.tbl(spark, sf, "nation")
+    AvroUtil.write(df.where(col("n_nationkey") < 12).coalesce(1), s"$dir/mp_a")
+    AvroUtil.write(df.where(col("n_nationkey") >= 12).coalesce(1), s"$dir/mp_b")
+    // load(dir1, dir2) reaches the provider as paths=["dir1","dir2"]
+    // (JSON array, not comma-joined — review r16)
+    val back = spark.read.format("graft-avro")
+      .load(s"$dir/mp_a", s"$dir/mp_b")
+      .orderBy("n_nationkey").collect()
+    assert(back.sameElements(df.orderBy("n_nationkey").collect()),
+      s"multi-path union mismatch (${back.length} rows)")
+  }
+
   test("codecs: null/deflate/snappy/zstd round-trip; split reader unaffected") {
     val df = graft.util.Canon.tbl(spark, sf, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_returnflag")
