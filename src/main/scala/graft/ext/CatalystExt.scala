@@ -675,6 +675,75 @@ object CatalystExt {
       copy(child = c)
   }
 
+  /** Repeated int64 extraction from protobuf wire bytes (packed wiretype-2
+    * runs + unpacked wiretype-0 occurrences, concatenated in wire order) —
+    * same codegen discipline as [[ProtoGet]]: `doGenCode` calls the one
+    * static kernel eval uses, no CodegenFallback, so the extraction stays
+    * inside the whole-stage-codegen scan loop (pinned by NewOpsSpec under
+    * CODEGEN_ONLY with fallback disabled). */
+  case class ProtoGetRepeated(child: Expression, field: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(b: Any): Any =
+      CatalystExt.protoGetLongs(b.asInstanceOf[Array[Byte]], field)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val tmp = ctx.freshName("pr")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+           |  graft.ext.CatalystExt.protoGetLongs($b, $field);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): ProtoGetRepeated =
+      copy(child = c)
+  }
+
+  /** One level of nested-message access (`outer.inner`): the embedded
+    * message is the LAST wiretype-2 occurrence of `outer`; its payload is
+    * rescanned with the scalar kernels. Same eval/codegen sharing as
+    * [[ProtoGet]]. */
+  case class ProtoGetNested(child: Expression, outer: Int, inner: Int,
+      dt: DataType) extends UnaryExpression {
+    override def dataType: DataType = dt
+    override def nullable: Boolean = true
+    override def nullSafeEval(b: Any): Any = {
+      val a = b.asInstanceOf[Array[Byte]]
+      dt match {
+        case LongType => CatalystExt.protoGetNestedLong(a, outer, inner)
+        case DoubleType => CatalystExt.protoGetNestedDouble(a, outer, inner)
+        case StringType => CatalystExt.protoGetNestedString(a, outer, inner)
+        case other => throw new IllegalArgumentException(
+          s"graft_proto_nested_*: unsupported type $other")
+      }
+    }
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, b => {
+        val tmp = ctx.freshName("pn")
+        val (helper, jt, unbox) = dt match {
+          case LongType => ("protoGetNestedLong", "java.lang.Long", ".longValue()")
+          case DoubleType => ("protoGetNestedDouble", "java.lang.Double", ".doubleValue()")
+          case StringType =>
+            ("protoGetNestedString", "org.apache.spark.unsafe.types.UTF8String", "")
+        }
+        s"""
+           |$jt $tmp = graft.ext.CatalystExt.$helper($b, $outer, $inner);
+           |if ($tmp == null) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $tmp$unbox; }
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): ProtoGetNested =
+      copy(child = c)
+  }
+
   // --- proto wire-format scan kernels (shared by eval and generated code) ---
   /** Byte length of the varint at pos, or -1 if truncated/overlong. */
   private def vlen(a: Array[Byte], pos: Int): Int = {
@@ -752,6 +821,74 @@ object CatalystExt {
     if (ok) out else null
   }
 
+  /** REPEATED int64 field → array<long> (r17 decode breadth, VERDICT r16
+    * item 4): concatenates every occurrence of `field` in WIRE ORDER —
+    * wiretype-0 occurrences contribute one varint each (proto2-style
+    * unpacked), wiretype-2 occurrences are proto3 PACKED chunks whose
+    * payload is a run of back-to-back varints (a single repeated field may
+    * legally mix both across producers — the spec requires readers accept
+    * either encoding). Absent field → EMPTY array (proto3: an absent
+    * repeated field is the empty list, unlike absent scalars → NULL);
+    * malformed buffer or truncated packed run → NULL. */
+  def protoGetLongs(a: Array[Byte], field: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var packedOk = true
+    val ok = protoScan(a, field) { (pos, len, wt) =>
+      if (wt == 0) out += vval(a, pos, len)
+      else if (wt == 2) {
+        val ll = vlen(a, pos)
+        var p = pos + ll
+        val end = pos + len
+        while (packedOk && p < end) {
+          val l = vlen(a, p)
+          if (l < 0 || p + l > end) packedOk = false
+          else { out += vval(a, p, l); p += l }
+        }
+      }
+    }
+    if (ok && packedOk)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    else null
+  }
+
+  /** Payload byte range of the LAST wiretype-2 occurrence of `field`
+    * (length-header stripped), or null. The shared nested-message hop:
+    * an embedded message is just a length-delimited field whose payload is
+    * itself wire format, so one level of path access = slice + rescan.
+    * LAST occurrence wins (documented simplification: full proto3 merges
+    * repeated singular-message occurrences field-wise; landing-zone logs
+    * write each message once, and the fixture pins the last-wins rule). */
+  def protoGetMessage(a: Array[Byte], field: Int): Array[Byte] = {
+    var from = -1; var until = -1
+    val ok = protoScan(a, field) { (pos, len, wt) =>
+      if (wt == 2) {
+        val ll = vlen(a, pos)
+        from = pos + ll; until = pos + len
+      }
+    }
+    if (!ok || from < 0) null
+    else java.util.Arrays.copyOfRange(a, from, until)
+  }
+
+  /** Nested int64: field path `outer.inner`, one level deep. */
+  def protoGetNestedLong(a: Array[Byte], outer: Int, inner: Int): java.lang.Long = {
+    val m = protoGetMessage(a, outer)
+    if (m == null) null else protoGetLong(m, inner)
+  }
+
+  /** Nested double: field path `outer.inner`, one level deep. */
+  def protoGetNestedDouble(a: Array[Byte], outer: Int, inner: Int): java.lang.Double = {
+    val m = protoGetMessage(a, outer)
+    if (m == null) null else protoGetDouble(m, inner)
+  }
+
+  /** Nested string: field path `outer.inner`, one level deep. */
+  def protoGetNestedString(a: Array[Byte], outer: Int, inner: Int): UTF8String = {
+    val m = protoGetMessage(a, outer)
+    if (m == null) null else protoGetString(m, inner)
+  }
+
   /** Wire-format ENCODER for the fn_protobuf_decode fixture: field 7
     * (unknown varint) first and field 8 (unknown length-delimited) last so
     * the decoder's skip paths are exercised on every row, field 1 written
@@ -774,6 +911,77 @@ object CatalystExt {
     val bits = java.lang.Double.doubleToLongBits(v)
     var i = 0
     while (i < 8) { bos.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+    val x = "skip-me".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bos.write(0x42); wv(x.length); bos.write(x, 0, x.length) // unknown field 8
+    bos.toByteArray
+  }
+
+  /** Extended wire-format encoder for the r17 breadth fixtures
+    * (`fn_protobuf_repeated` / `fn_protobuf_nested`). Beyond the scalar
+    * fixture's obstacles, every row carries:
+    *  - field 4 REPEATED int64, deliberately MIXED encodings in one
+    *    buffer: two unpacked wiretype-0 occurrences (`id%100`,
+    *    `(id*3)%1000`) followed by one PACKED wiretype-2 chunk
+    *    (`[id%7, id%11, id%13]`) — the reader must concatenate all five
+    *    in wire order (the proto3 spec requires accepting both forms);
+    *  - field 5 nested message written TWICE (decoy first — last wins),
+    *    the real one carrying its own unknown-field obstacle (field 6
+    *    varint) plus inner field 1 varint `id*7+3`, inner field 1 decoy
+    *    BEFORE it (in-message last-wins), inner field 2 string `et+"~n"`,
+    *    inner field 3 fixed64 double `v/2` (exact halving — exponent
+    *    decrement, bit-replayable in the oracle).
+    * All values recompute from the base event columns in DuckDB SQL, so
+    * encode→decode is value-faithful end-to-end. */
+  def protoEncodeEventEx(id: Long, et: String, v: Double): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(96)
+    def wv(x0: Long): Unit = {
+      var x = x0
+      while ((x & ~0x7FL) != 0) { bos.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+      bos.write((x & 0x7F).toInt)
+    }
+    def wd(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      var i = 0
+      while (i < 8) { bos.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+    }
+    def vlenOf(x0: Long): Int = {
+      var x = x0; var n = 1
+      while ((x & ~0x7FL) != 0) { n += 1; x >>>= 7 }
+      n
+    }
+    bos.write(0x38); wv(id % 5)          // unknown field 7, varint — skip
+    bos.write(0x08); wv(id)              // field 1 scalar (independence probe)
+    // ---- field 4 repeated: unpacked, unpacked, packed ----
+    bos.write(0x20); wv(id % 100)        // 4, wiretype 0
+    bos.write(0x20); wv((id * 3) % 1000) // 4, wiretype 0
+    val packed = Seq(id % 7, id % 11, id % 13)
+    bos.write(0x22); wv(packed.map(vlenOf(_).toLong).sum) // 4, wiretype 2
+    packed.foreach(wv)
+    // ---- field 5 nested message, decoy occurrence first (last wins) ----
+    def nested(decoy: Boolean): Unit = {
+      val inner = new java.io.ByteArrayOutputStream(48)
+      val save = bos
+      // reuse wv/wd against a swapped sink via a tiny shim
+      def wvTo(sink: java.io.ByteArrayOutputStream, x0: Long): Unit = {
+        var x = x0
+        while ((x & ~0x7FL) != 0) { sink.write(((x & 0x7F) | 0x80).toInt); x >>>= 7 }
+        sink.write((x & 0x7F).toInt)
+      }
+      inner.write(0x30); wvTo(inner, id % 9)  // unknown field 6 — skip
+      inner.write(0x08); wvTo(inner, 999L)    // inner field 1 decoy (loses)
+      inner.write(0x08); wvTo(inner, if (decoy) 111L else id * 7 + 3)
+      val s = (if (decoy) "decoy" else et + "~n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      inner.write(0x12); wvTo(inner, s.length); inner.write(s, 0, s.length)
+      inner.write(0x19)                        // inner field 3 fixed64
+      val bits = java.lang.Double.doubleToLongBits(if (decoy) 0.0 else v / 2)
+      var i = 0
+      while (i < 8) { inner.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+      val body = inner.toByteArray
+      save.write(0x2A); wv(body.length); save.write(body, 0, body.length)
+    }
+    nested(decoy = true)
+    nested(decoy = false)
     val x = "skip-me".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     bos.write(0x42); wv(x.length); bos.write(x, 0, x.length) // unknown field 8
     bos.toByteArray
@@ -820,5 +1028,16 @@ object CatalystExt {
       exprs => ProtoGet(exprs(0), fieldNo(exprs(1)), DoubleType), "scala_udf")
     reg.createOrReplaceTempFunction("graft_proto_string",
       exprs => ProtoGet(exprs(0), fieldNo(exprs(1)), StringType), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_proto_longs",
+      exprs => ProtoGetRepeated(exprs(0), fieldNo(exprs(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_proto_nested_long",
+      exprs => ProtoGetNested(exprs(0), fieldNo(exprs(1)), fieldNo(exprs(2)),
+        LongType), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_proto_nested_double",
+      exprs => ProtoGetNested(exprs(0), fieldNo(exprs(1)), fieldNo(exprs(2)),
+        DoubleType), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_proto_nested_string",
+      exprs => ProtoGetNested(exprs(0), fieldNo(exprs(1)), fieldNo(exprs(2)),
+        StringType), "scala_udf")
   }
 }

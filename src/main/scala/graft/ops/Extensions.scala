@@ -270,6 +270,8 @@ object Extensions {
     "agg_bitmap_native" -> aggBitmapNative,
     "agg_cms_freq" -> aggCmsFreq,
     "fn_protobuf_decode" -> fnProtobufDecode,
+    "fn_protobuf_repeated" -> fnProtobufRepeated,
+    "fn_protobuf_nested" -> fnProtobufNested,
   )
 
   /** Count-Min point-frequency sketch over events.user_id (d=4 rows ×
@@ -314,6 +316,54 @@ object Extensions {
         "graft_proto_string(pb, 2) AS p_et",
         "graft_proto_double(pb, 3) AS p_val",
         "graft_proto_long(pb, 9) AS p_missing")
+      .orderBy("event_id")
+  }
+
+
+  /** Repeated-field decode breadth (r17, VERDICT r16 item 4): field 4 is
+    * written with MIXED encodings in the same buffer — two unpacked
+    * wiretype-0 varints then a packed wiretype-2 run — and the native
+    * [[CatalystExt.ProtoGetRepeated]] must concatenate all five values in
+    * wire order (the proto3 spec requires readers accept both forms for a
+    * repeated scalar). The absent-field probe must be the EMPTY array
+    * (proto3: absent repeated = empty list, unlike absent scalar = NULL).
+    * Every element recomputes from event_id in the oracle, so a skipped
+    * occurrence, a mis-parsed packed run, or wrong ordering breaks the
+    * hash. NewOpsSpec additionally pins the whole projection under
+    * CODEGEN_ONLY with codegen fallback disabled. */
+  private lazy val fnProtobufRepeated: Q = (s, d) => {
+    CatalystExt.register(s)
+    val enc = udf(CatalystExt.protoEncodeEventEx _)
+    tbl(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pb", enc(col("event_id"), col("event_type"), col("value")))
+      .selectExpr("event_id",
+        "graft_proto_longs(pb, 4) AS p_tags",
+        "graft_proto_longs(pb, 9) AS p_empty")
+      .orderBy("event_id")
+  }
+
+  /** Nested-message decode breadth (r17): field 5 is an embedded message
+    * written TWICE (decoy first — last occurrence wins), carrying its own
+    * unknown-field obstacle and an in-message decoy for inner field 1 —
+    * [[CatalystExt.ProtoGetNested]] does the length-delimited hop then
+    * rescans the payload with the scalar kernels. Three typed inner
+    * extractions plus two absence probes (absent INNER field, absent
+    * OUTER message) that must both be NULL; the inner double is the outer
+    * value halved (exact in IEEE — exponent decrement), so the fixed64
+    * bit round-trip is oracle-replayable. */
+  private lazy val fnProtobufNested: Q = (s, d) => {
+    CatalystExt.register(s)
+    val enc = udf(CatalystExt.protoEncodeEventEx _)
+    tbl(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("pb", enc(col("event_id"), col("event_type"), col("value")))
+      .selectExpr("event_id",
+        "graft_proto_nested_long(pb, 5, 1) AS n_id",
+        "graft_proto_nested_string(pb, 5, 2) AS n_et",
+        "graft_proto_nested_double(pb, 5, 3) AS n_val",
+        "graft_proto_nested_long(pb, 5, 9) AS n_missing_inner",
+        "graft_proto_nested_long(pb, 6, 1) AS n_missing_outer")
       .orderBy("event_id")
   }
 
@@ -377,6 +427,24 @@ object Extensions {
     "fn_protobuf_decode" ->
       """SELECT event_id, event_id AS p_id, event_type AS p_et,
                 value AS p_val, CAST(NULL AS BIGINT) AS p_missing
+         FROM events ORDER BY event_id""",
+    // all five repeated elements in wire order (2 unpacked + 3 packed);
+    // absent repeated field = EMPTY typed list, not NULL
+    "fn_protobuf_repeated" ->
+      """SELECT event_id,
+                [event_id % 100, (event_id * 3) % 1000,
+                 event_id % 7, event_id % 11, event_id % 13] AS p_tags,
+                CAST([] AS BIGINT[]) AS p_empty
+         FROM events ORDER BY event_id""",
+    // last nested occurrence wins (decoy first), inner values recomputed
+    // from the base columns; both absence probes NULL
+    "fn_protobuf_nested" ->
+      """SELECT event_id,
+                event_id * 7 + 3 AS n_id,
+                event_type || '~n' AS n_et,
+                value / 2 AS n_val,
+                CAST(NULL AS BIGINT) AS n_missing_inner,
+                CAST(NULL AS BIGINT) AS n_missing_outer
          FROM events ORDER BY event_id""",
     "agg_hll_custom_audit" ->
       """SELECT l_returnflag,

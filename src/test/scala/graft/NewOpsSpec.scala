@@ -708,4 +708,33 @@ class NewOpsSpec extends AnyFunSuite {
         "canonical = scheme+host+path with params and fragment stripped")
     }
   }
+
+  test("proto decode family is codegen-real: CODEGEN_ONLY with fallback off equals interpreted") {
+    // the three r16/r17 proto expressions claim doGenCode with no
+    // CodegenFallback — force the generated path (a compile failure would
+    // ABORT, not silently interpret) and pin it equals NO_CODEGEN output
+    def runAll() = Seq("fn_protobuf_decode", "fn_protobuf_repeated",
+      "fn_protobuf_nested").map(id => id -> q(id).collect().toSeq).toMap
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val fallbackKey = "spark.sql.codegen.fallback"
+    val priorFactory = spark.conf.getOption(factoryKey)
+    val priorFallback = spark.conf.getOption(fallbackKey)
+    try {
+      spark.conf.set(factoryKey, "CODEGEN_ONLY")
+      spark.conf.set(fallbackKey, "false")
+      val gen = runAll()
+      spark.conf.set(factoryKey, "NO_CODEGEN")
+      val interp = runAll()
+      gen.foreach { case (id, rows) =>
+        assert(rows.nonEmpty && rows == interp(id),
+          s"$id: codegen and interpreted paths disagree")
+      }
+    } finally {
+      def restore(k: String, v: Option[String]): Unit =
+        v match { case Some(x) => spark.conf.set(k, x)
+                  case None => spark.conf.unset(k) }
+      restore(factoryKey, priorFactory)
+      restore(fallbackKey, priorFallback)
+    }
+  }
 }
