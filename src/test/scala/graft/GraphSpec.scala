@@ -261,4 +261,37 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1), "intra edges exceed total edges")
     } else assert(r.isNullAt(3))
   }
+
+  test("MinKSet == slice(sort_array(collect_set),1,k) on real cells, and buffers stay O(k)") {
+    // the r17 bounded aggregate must reproduce the r16 column-algebra form
+    // EXACTLY (same distinct-min-k ascending truncation) on every
+    // (event_type, minute) cell of real events, at a k small enough that
+    // truncation actually fires
+    graft.ext.CatalystExt.register(spark)
+    val base = graft.util.Canon.events(spark, sf)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id").as("u"), col("event_type"),
+        date_trunc("minute", col("ts")).as("w"))
+    val k = 3
+    val both = base.groupBy(col("event_type"), col("w"))
+      .agg(expr(s"graft_min_k_set(u, $k)").as("mk"),
+        slice(sort_array(collect_set(col("u"))), 1, k).as("cs"))
+    assert(both.count() > 0)
+    val bad = both.where(col("mk") =!= col("cs")).count()
+    assert(bad == 0, s"$bad cells where MinKSet diverges from collect_set form")
+    // serialized partial state is bounded by k entries regardless of cell size
+    val agg = graft.ext.CatalystExt.MinKSet(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = true), k)
+    val buf = agg.createAggregationBuffer()
+    (0L until 100000L).foreach { v =>
+      agg.update(buf, org.apache.spark.sql.catalyst.InternalRow(199999L - v))
+    }
+    assert(buf.size == k && agg.serialize(buf).length == 4 + 8 * k,
+      s"buffer must stay O(k): size=${buf.size}")
+    // and the k smallest of the reversed-order stream survived
+    val out = agg.eval(buf)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(out.toSeq == Seq(100000L, 100001L, 100002L))
+  }
 }
