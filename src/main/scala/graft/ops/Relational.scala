@@ -1029,6 +1029,14 @@ object Relational {
     val limitKey = "spark.sql.cteRecursionRowLimit"
     val prior = s.conf.getOption(limitKey)
     s.conf.set(limitKey, "400000000")
+    // the PREVIOUS invocation's eager checkpoint has been consumed by now
+    // (hashed/collected) — release its RDD blocks so bench loops and the
+    // shared test session don't accumulate executor storage (ADVICE r16
+    // item 5); the current run's checkpoint is registered below and
+    // released on the NEXT call (bounded at one live checkpoint)
+    lastRecursiveCheckpoint.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Exception => () }
+    }
     try {
       val raw = s.sql("""
         WITH RECURSIVE anc(c_custkey, node, depth) AS (
@@ -1042,12 +1050,19 @@ object Relational {
       // the checkpoint replaces the returned frame's plan with an RDD scan,
       // so the loop node is captured here for NewOpsSpec's shape assertion
       lastRecursivePlan = raw.queryExecution.executedPlan.toString
-      raw.localCheckpoint(eager = true)
+      val ck = raw.localCheckpoint(eager = true)
+      lastRecursiveCheckpoint = Some(ck)
+      ck
     } finally prior match {
       case Some(v) => s.conf.set(limitKey, v)
       case None    => s.conf.unset(limitKey)
     }
   }
+
+  /** The live checkpoint of the last [[subRecursiveCte]] run — held only so
+    * the NEXT invocation can unpersist it (ADVICE r16: eager checkpoints
+    * accumulated executor storage across bench-loop invocations). */
+  @volatile private var lastRecursiveCheckpoint: Option[DataFrame] = None
 
   /** Pre-checkpoint physical plan of the last [[subRecursiveCte]] run —
     * test-introspection only (the op executes eagerly inside its pinned

@@ -63,9 +63,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - **Filter pushdown (r17)**: `SupportsPushDownFilters`. ALL filters are
   *    returned as residual (Spark re-applies them — a pushdown bug can cost
   *    time, never rows). Partition-column filters prune the listing
-  *    exactly; data filters are evaluated on the decoded record before the
-  *    row is handed to Spark, skipping non-matching rows early (A/B-gated,
-  *    `graft.avro.filter.pushdown`; SCALING.md r17).
+  *    exactly (always on); data-filter row-skip at the decoded record
+  *    exists behind `graft.avro.filter.pushdown` but was measured-then-
+  *    DECLINED as the default (AvroPushdownAB: loses 2–18% at every
+  *    selectivity — Avro pays full row decode either way and the residual
+  *    Filter is codegen'd; SCALING.md r17).
   *  - **Admission-controlled streaming (r17)**: the micro-batch tailer
   *    implements `SupportsAdmissionControl` + `SupportsTriggerAvailableNow`
   *    with `graft.avro.maxFilesPerTrigger`, and offsets are a single batch
@@ -111,7 +113,7 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
       Option(opts.get(AvroDataSource.ReaderSchemaKey)),
       Option(opts.get(AvroDataSource.SplitBytesKey)).map(_.toLong),
       Option(opts.get(AvroDataSource.MaxFilesKey)).map(_.toInt),
-      opts.getBoolean(AvroDataSource.FilterPushdownKey, true),
+      opts.getBoolean(AvroDataSource.FilterPushdownKey, false),
       Option(opts.get(AvroDataSource.PartitionByKey)).toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)) ++
         partitioning.toSeq.flatMap(t => t.references().headOption
@@ -139,8 +141,12 @@ object AvroDataSource {
     * required-bounded for a restart against a deep backlog). */
   val MaxFilesKey = "graft.avro.maxFilesPerTrigger"
   /** Scan option: evaluate pushed data filters on the decoded record
-    * before materializing the row (on by default; A/B in SCALING.md r17).
-    * Partition-column LISTING pruning is always on — it is exact. */
+    * before materializing the row. OFF by default — measured-then-declined
+    * (AvroPushdownAB r17: on/off medians 1.05×/1.18×/1.02× at 0.1%/25%/
+    * 100% selectivity on lineitem sf0.1; the interpreted row-skip loses to
+    * the codegen'd residual Filter it saves, and Avro's row decode is paid
+    * either way). Partition-column LISTING pruning is always on — exact,
+    * driver-side, skips whole files. */
   val FilterPushdownKey = "graft.avro.filter.pushdown"
   /** Hive's directory name for a null partition value. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
