@@ -642,12 +642,17 @@ private[avro] class AvroPartitionReader(p: AvroInputPartition,
   *    in-memory `seen` set and `batches` map, so resume plans exactly the
   *    uncommitted tail.
   *  - **Admission control** (`SupportsAdmissionControl`): `latestOffset
-  *    (start, limit)` honors `graft.avro.maxFilesPerTrigger` — a restart
-  *    against a deep backlog drains in bounded micro-batches instead of
-  *    one giant one. `SupportsTriggerAvailableNow` snapshots the listing
-  *    at query start so AvailableNow replay drains exactly that set (in
-  *    `maxFilesPerTrigger`-sized steps when set) and terminates even while
-  *    new files keep landing.
+  *    (start, limit)` honors `graft.avro.maxFilesPerTrigger`, engine-side
+  *    `ReadLimit.maxBytes` (files until the cumulative length crosses the
+  *    cap, always ≥1), and composite limits (most restrictive wins) — a
+  *    restart against a deep backlog drains in bounded micro-batches
+  *    instead of one giant one. `SupportsTriggerAvailableNow` snapshots
+  *    the listing at query start so AvailableNow replay drains exactly
+  *    that set (in limit-sized steps) and terminates even while new files
+  *    keep landing. Committed seen-log entries COMPACT into one snapshot
+  *    every `graft.avro.compactInterval` (sys-prop, default 32) commits,
+  *    so the live log is one snapshot + ≤interval small entries, not one
+  *    file per batch forever.
   *  - Batches reuse the SAME byte-range sync-split partitions, pruned
   *    reader schema, partition-column decoding, and pushed-filter row skip
   *    as the batch scan; partition-column LISTING pruning applies before
@@ -671,24 +676,47 @@ private[graft] class AvroMicroBatchStream(paths: Seq[String],
     SparkSession.active.sessionState.newHadoopConf()
   private val fs = logDir.getFileSystem(hadoopConf())
 
+  /** Every `compactInterval` commits the per-batch entries at or below the
+    * committed batch fold into one `compact-<id>` snapshot and the
+    * individual files are deleted — the live log is one snapshot plus at
+    * most ~interval small entries, not one file per batch forever (the
+    * same amortized-O(n)/interval rewrite tradeoff as Spark's file-source
+    * metadata log compact interval). */
+  private val compactInterval: Int =
+    math.max(2, sys.props.getOrElse("graft.avro.compactInterval", "32").toInt)
+
   /** batchId → files admitted by that batch (path, length). Rebuilt from
     * the durable log at construction so a restarted query resumes from the
-    * exact file set its checkpoint had committed. */
+    * exact file set its checkpoint had committed; batches at or below a
+    * compaction snapshot live only in `seen` (the engine never replans a
+    * committed batch). */
   private val batches = mutable.TreeMap[Long, Seq[(String, Long)]]()
   private val seen = mutable.HashSet[String]()
+  private var compactedUpTo: Long = -1L
   locally {
-    if (fs.exists(logDir))
-      fs.listStatus(logDir).toSeq
-        .filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
+    if (fs.exists(logDir)) {
+      val sts = fs.listStatus(logDir).toSeq
+      val compacts = sts.filter(st => st.isFile &&
+        st.getPath.getName.startsWith("compact-"))
+        .map(st => st.getPath.getName.stripPrefix("compact-").toLong -> st)
+      compacts.sortBy(_._1).lastOption.foreach { case (id, st) =>
+        compactedUpTo = id
+        seen ++= AvroSeenLog.read(fs, st.getPath).map(_._1)
+      }
+      sts.filter(st => st.isFile && st.getPath.getName.forall(_.isDigit))
         .foreach { st =>
           val id = st.getPath.getName.toLong
-          val entry = AvroSeenLog.read(fs, st.getPath)
-          batches(id) = entry
-          seen ++= entry.map(_._1)
+          if (id > compactedUpTo) {
+            val entry = AvroSeenLog.read(fs, st.getPath)
+            batches(id) = entry
+            seen ++= entry.map(_._1)
+          }
         }
+    }
   }
 
-  private def lastBatchId: Long = batches.lastOption.map(_._1).getOrElse(-1L)
+  private def lastBatchId: Long =
+    math.max(compactedUpTo, batches.lastOption.map(_._1).getOrElse(-1L))
 
   /** AvailableNow cap: the file set snapshotted at query start; admission
     * never goes past it, so the drain terminates under a live producer. */
@@ -724,14 +752,33 @@ private[graft] class AvroMicroBatchStream(paths: Seq[String],
 
   override def reportLatestOffset(): Offset = AvroOffset(lastBatchId)
 
+  /** Bound `fresh` by a ReadLimit: maxFiles takes the first n, maxBytes
+    * takes files until the cumulative length crosses the cap (always at
+    * least one — a single over-sized file must still make progress),
+    * composite applies the most restrictive member, anything else admits
+    * all. */
+  private def admit(fresh: Seq[(String, Long)], limit: ReadLimit)
+      : Seq[(String, Long)] = limit match {
+    case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
+    case mb: org.apache.spark.sql.connector.read.streaming.ReadMaxBytes =>
+      var acc = 0L
+      val b = Seq.newBuilder[(String, Long)]
+      var i = 0
+      while (i < fresh.length &&
+          (i == 0 || acc + fresh(i)._2 <= mb.maxBytes())) {
+        acc += fresh(i)._2; b += fresh(i); i += 1
+      }
+      b.result()
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      c.getReadLimits.foldLeft(fresh)((acc, l) => admit(acc, l))
+    case _ => fresh
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val fresh = listing()
       .filterNot { case (p, _) => seen.contains(p) }
       .filter { case (p, _) => availableNowCap.forall(_.contains(p)) }
-    val admitted = limit match {
-      case mf: ReadMaxFiles => fresh.take(mf.maxFiles())
-      case _ => fresh
-    }
+    val admitted = admit(fresh, limit)
     if (admitted.isEmpty) AvroOffset(lastBatchId)
     else {
       val id = lastBatchId + 1
@@ -769,7 +816,33 @@ private[graft] class AvroMicroBatchStream(paths: Seq[String],
       partCols.toArray, dataFilters, AvroUtil.confEntries(conf))
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** After the engine commits `end`, entries ≤ end are never replanned —
+    * once enough of them accumulate, fold them (plus any previous
+    * snapshot) into one `compact-<end>` file and delete the individual
+    * entries, bounding the live log at one snapshot + ≤interval entries.
+    * Crash-safety: the snapshot is written (temp+rename) BEFORE deletes,
+    * and the loader prefers the newest snapshot then overlays newer
+    * individual entries, so a crash between write and delete only leaves
+    * harmless duplicates that the loader's `seen` union absorbs. */
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[AvroOffset].batchId
+    val committed = batches.rangeTo(e)
+    if (committed.size >= compactInterval) {
+      val snapshotPath = new Path(logDir, s"compact-$e")
+      val prev = if (compactedUpTo >= 0)
+        AvroSeenLog.read(fs, new Path(logDir, s"compact-$compactedUpTo"))
+      else Nil
+      AvroSeenLog.write(fs, snapshotPath,
+        (prev ++ committed.values.flatten).distinct.sortBy(_._1))
+      committed.keys.toSeq.foreach { id =>
+        fs.delete(new Path(logDir, id.toString), false)
+      }
+      if (compactedUpTo >= 0)
+        fs.delete(new Path(logDir, s"compact-$compactedUpTo"), false)
+      batches --= committed.keys.toSeq
+      compactedUpTo = e
+    }
+  }
   override def stop(): Unit = ()
 }
 

@@ -361,6 +361,68 @@ class AvroSourceSpec extends AnyFunSuite {
     assert(got.sameElements(want), "drained stream must equal the batch read")
   }
 
+  test("maxBytes admission + seen-log compaction + restart after compaction") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val d = s"$dir/compact"
+    val ckpt = s"$dir/compact_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val df = graft.util.Canon.tbl(spark, sf, "nation")
+    AvroUtil.write(df.repartition(5), d) // 5-file backlog
+    val schema = spark.read.format("graft-avro").load(d).schema
+    val prior = System.getProperty("graft.avro.compactInterval")
+    System.setProperty("graft.avro.compactInterval", "2")
+    try {
+      def mkStream() = new graft.sources.avro.AvroMicroBatchStream(
+        Seq(d), None, schema, Nil, Array.empty, Array.empty, 1L << 20,
+        None, ckpt)
+      val stream = mkStream()
+      var cur = stream.initialOffset()
+      var batches = 0
+      // maxBytes(1): every file exceeds 1 byte, so exactly ONE file per
+      // batch (the at-least-one progress guarantee)
+      while ({
+        val next = stream.latestOffset(cur, ReadLimit.maxBytes(1L))
+        val advanced = next != cur
+        if (advanced) {
+          assert(stream.planInputPartitions(cur, next)
+            .map(_.asInstanceOf[graft.sources.avro.AvroInputPartition].path)
+            .distinct.length == 1, "maxBytes(1) must admit exactly one file")
+          stream.commit(next)
+          batches += 1
+          cur = next
+        }
+        advanced
+      }) ()
+      assert(batches == 5, s"5 files under maxBytes(1) = 5 batches, got $batches")
+      // interval=2 → the log folded into one compact snapshot + <2 entries
+      val logFiles = new java.io.File(s"$ckpt/graft-avro-seen").listFiles()
+        .filter(_.isFile).map(_.getName).filterNot(_.startsWith("."))
+      assert(logFiles.count(_.startsWith("compact-")) == 1,
+        s"exactly one compact snapshot must survive: ${logFiles.toSeq}")
+      assert(logFiles.count(_.forall(_.isDigit)) < 2,
+        s"individual entries must fold into the snapshot: ${logFiles.toSeq}")
+      // restart AFTER compaction: no re-ingest, new file still detected
+      val resumed = mkStream()
+      assert(resumed.reportLatestOffset() == cur)
+      assert(resumed.latestOffset(cur, ReadLimit.allAvailable()) == cur,
+        "compacted seen set must survive restart (no re-ingest)")
+      val extra = df.where(org.apache.spark.sql.functions.col("n_nationkey") < 2)
+      AvroUtil.write(extra.coalesce(1), s"$dir/compact_extra")
+      val srcFile = new java.io.File(s"$dir/compact_extra").listFiles()
+        .filter(_.getName.endsWith(".avro")).head
+      java.nio.file.Files.copy(srcFile.toPath,
+        new java.io.File(d, "part-late.avro").toPath)
+      val next = resumed.latestOffset(cur, ReadLimit.allAvailable())
+      val fresh = resumed.planInputPartitions(cur, next)
+      assert(fresh.map(_.asInstanceOf[graft.sources.avro.AvroInputPartition]
+        .path).distinct.toSeq.forall(_.endsWith("part-late.avro")),
+        "only the late file may enter the post-compaction batch")
+    } finally {
+      if (prior == null) System.clearProperty("graft.avro.compactInterval")
+      else System.setProperty("graft.avro.compactInterval", prior)
+    }
+  }
+
   test("evolution resolution: alias renames, default fills, values match v1") {
     val got = SparkEntry.queries("scan_avro_evolution")(spark, sf).collect()
     val want = graft.util.Canon.tbl(spark, sf, "documents")

@@ -30,7 +30,10 @@ class SqlEntrySpec extends AnyFunSuite {
   private val expected = Set("graft_cosine", "graft_hll", "graft_heavy_hitters",
     "graft_kll_quantile", "graft_bigrams", "graft_topk_min",
     "graft_bitmap_distinct", "graft_haversine", "graft_geomean", "graft_cms",
-    "graft_proto_long", "graft_proto_double", "graft_proto_string")
+    "graft_proto_long", "graft_proto_double", "graft_proto_string",
+    "graft_proto_longs", "graft_proto_nested_long",
+    "graft_proto_nested_double", "graft_proto_nested_string",
+    "graft_min_k_set")
 
   test("graft_proto_*: last-wins, unknown-field skip, absent/malformed → NULL") {
     init
@@ -77,6 +80,47 @@ class SqlEntrySpec extends AnyFunSuite {
     val est = sk.select(graft.api.functions.cmsEstimate(col("t"), lit(0L)))
       .head().getLong(0)
     assert(est >= r.getLong(2), s"cms estimate $est < exact ${r.getLong(2)}")
+  }
+
+  test("graft_proto_longs / graft_proto_nested_* from SQL: wire-order concat, hop, edge NULLs") {
+    init
+    val spark2 = spark; import spark2.implicits._
+    val buf = graft.ext.CatalystExt.protoEncodeEventEx(42L, "ab", -3.5)
+    val df = Seq((1, buf), (2, Array[Byte](0x08.toByte)), (3, Array.empty[Byte]))
+      .toDF("i", "pb")
+    val r = df.selectExpr("i",
+      "graft_proto_longs(pb, 4) AS tags",
+      "graft_proto_longs(pb, 9) AS no_tags",
+      "graft_proto_nested_long(pb, 5, 1) AS nl",
+      "graft_proto_nested_string(pb, 5, 2) AS ns",
+      "graft_proto_nested_double(pb, 5, 3) AS nd",
+      "graft_proto_nested_long(pb, 6, 1) AS no_outer")
+      .orderBy("i").collect()
+    // 2 unpacked then 3 packed, wire order: [42%100, 126%1000, 0, 9, 3]
+    assert(r(0).getSeq[Long](1) == Seq(42L, 126L, 42L % 7, 42L % 11, 42L % 13),
+      s"repeated concat in wire order: ${r(0).getSeq[Long](1)}")
+    assert(r(0).getSeq[Long](2).isEmpty,
+      "absent repeated field must be the EMPTY array (proto3), not NULL")
+    assert(r(0).getLong(3) == 42L * 7 + 3, "last nested occurrence must win")
+    assert(r(0).getString(4) == "ab~n")
+    assert(r(0).getDouble(5) == -1.75)
+    assert(r(0).isNullAt(6), "absent outer message must be NULL")
+    // malformed buffer (truncated varint payload): NULL, never a crash
+    assert(r(1).isNullAt(1) && r(1).isNullAt(3))
+    // empty buffer: no occurrences at all
+    assert(r(2).getSeq[Long](1).isEmpty && r(2).isNullAt(3))
+  }
+
+  test("graft_min_k_set from SQL equals the column-algebra distinct-min-k") {
+    init
+    val r = spark.sql("""
+      SELECT event_type,
+             graft_min_k_set(user_id, 5) AS mk,
+             slice(sort_array(collect_set(user_id)), 1, 5) AS cs
+      FROM sql_events GROUP BY event_type""").collect()
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getSeq[Long](1) == row.getSeq[Long](2),
+      s"${row.getString(0)}: ${row.getSeq[Long](1)} vs ${row.getSeq[Long](2)}"))
   }
 
   test("the registry holds exactly the functions this matrix covers") {
