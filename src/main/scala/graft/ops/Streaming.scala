@@ -71,6 +71,61 @@ object Streaming {
   private[graft] val RocksProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Round-17 streaming fixed-cost trims (optimization guide §1 measured,
+    * graft.tools.StreamConfAB: arms alternated per rep, all row-identical):
+    *
+    *  - State-store partition count: every stateful operator instantiates
+    *    one state store PER shuffle partition PER micro-batch — under the
+    *    32-core bench session that is 32 RocksDB instances (native open +
+    *    commit + snapshot each) for KB-scale per-query state, and the
+    *    completed queries' stores linger until the maintenance tick, so
+    *    instance count compounds across a suite run. Pinning the streaming
+    *    query's shuffle partitions to min(session, graft.stream.maxStateParts
+    *    [default 8]) measured stream_session_window 10.14→3.04 s and
+    *    stream_static_join 4.38→2.02 s medians with the 20–50 s in-suite
+    *    stalls gone. Production posture unchanged: state partitions should
+    *    track STATE VOLUME, not core count — at real scale you RAISE the
+    *    conf (it is a cap, applied only when below the session value ...
+    *    a 4-core driver run keeps 4 partitions, so scaling runs compare
+    *    like with like).
+    *  - RocksDB changelog checkpointing: commit uploads the delta instead
+    *    of a full snapshot per store per batch (10.14→4.00 s alone on
+    *    session_window). Semantics-free (the changelog replays to the same
+    *    versioned state), and the production-preferred mode for frequent
+    *    commits.
+    *  - Maintenance interval 5 s (default 60 s): completed bounded-replay
+    *    queries' providers unload ~12x sooner, so zombie RocksDB instances
+    *    from query N don't stall query N+1's store loads (the measured
+    *    in-suite 20–50 s rep outliers; lockAcquireTimeoutMs is 60 s, which
+    *    is exactly the stall ceiling observed).
+    *
+    * All three scope to the streaming query (set before start, restored
+    * after termination) and respect caller-set values, the ProviderKey
+    * pattern. */
+  private def withStreamConfs[T](s: SparkSession)(body: => T): T = {
+    val parts = "spark.sql.shuffle.partitions"
+    val changelog =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val maint = "spark.sql.streaming.stateStore.maintenanceInterval"
+    val maxParts = s.conf.getOption("graft.stream.maxStateParts")
+      .map(_.toInt).getOrElse(8)
+    val cur = s.conf.getOption(parts).map(_.toInt)
+    val pinParts = cur.forall(_ > maxParts)
+    val pinChangelog = s.conf.getOption(changelog).isEmpty
+    val pinMaint = s.conf.getOption(maint).isEmpty
+    if (pinParts) s.conf.set(parts, maxParts)
+    if (pinChangelog) s.conf.set(changelog, "true")
+    if (pinMaint) s.conf.set(maint, "5s")
+    try body
+    finally {
+      if (pinParts) cur match {
+        case Some(v) => s.conf.set(parts, v); case None => s.conf.unset(parts)
+      }
+      if (pinChangelog) s.conf.unset(changelog)
+      if (pinMaint) s.conf.unset(maint)
+    }
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink, return the
     * finished table. State store: RocksDB, adopted round 15 after the
     * `graft.tools.RocksAB` A/B proved all 14 stateful ids hash-identical
@@ -89,7 +144,7 @@ object Streaming {
     // append mode — clear BEFORE start, not only after success
     val pin = s.conf.getOption(ProviderKey).isEmpty
     if (pin) s.conf.set(ProviderKey, RocksProvider)
-    try {
+    try withStreamConfs(s) {
       val q = df.writeStream.format("memory").queryName(name)
         .option("checkpointLocation", ckpt)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -215,10 +270,12 @@ object Streaming {
     val name = s"graft_stream_obs_${ctr.incrementAndGet()}"
     val ckpt = ckptDir(name)
     dropCkpt(ckpt)
-    val q = src.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val q = withStreamConfs(s) {
+      val q0 = src.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q0.awaitTermination(); q0
+    }
     val mets = q.recentProgress.toSeq
       .flatMap(p => Option(p.observedMetrics.get("ingest_gate")))
     dropCkpt(ckpt)
@@ -531,18 +588,20 @@ object Streaming {
     val out = s"$ioTmp/foreach_out_${d.hashCode.toHexString}_$tag"
     val ckpt = ckptDir(s"foreach_$tag")
     dropCkpt(ckpt) // clear-before-start, same contract as runToTable
-    val q = eventsStream(s, d)
-      .where(col("event_type") === "purchase")
-      .select("event_id", "user_id", "value")
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        // batch 0 overwrites so a stale dir from a previous run can't leak in
-        batch.write.mode(if (id == 0) "overwrite" else "append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamConfs(s) {
+      val q = eventsStream(s, d)
+        .where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          // batch 0 overwrites so a stale dir from a previous run can't leak in
+          batch.write.mode(if (id == 0) "overwrite" else "append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     dropCkpt(ckpt)
     s.read.parquet(out)
       .groupBy(col("user_id"))
@@ -593,17 +652,19 @@ object Streaming {
         .repartition(4).write.mode("overwrite").parquet(src)
     val ckpt = ckptDir(s"idem_${ctr.incrementAndGet()}")
     dropCkpt(ckpt)
-    val q = s.readStream.schema(s.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1").parquet(src)
-      .where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("last_event_id"),
-        cents(col("value")).as("last_cents"),
-        unix_millis(col("tsm")).as("last_ms"))
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          _: Long) => upsertLatest(batch.toDF(), sink) }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamConfs(s) {
+      val q = s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          cents(col("value")).as("last_cents"),
+          unix_millis(col("tsm")).as("last_ms"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => upsertLatest(batch.toDF(), sink) }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     dropCkpt(ckpt)
     s.read.parquet(sink).orderBy("user_id")
   }
@@ -750,23 +811,25 @@ object Streaming {
     // for every trigger and no per-trigger driver action is added)
     val maskOk = TextDedup.neardupMaskRouteOk(st, vocab,
       s.read.parquet(srcDir).count()) // row count ≥ set count: conservative
-    val q = s.readStream.schema(s.read.parquet(srcDir).schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-      .writeStream.option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) =>
-        // no hb checkpoint: the bitmask path reads it once (into its own
-        // checkpointed mask frame) and a micro-batch re-derivation is one
-        // map-only pass — a per-trigger checkpoint job costs more
-        val stage = TextDedup.neardupPairStage(
-          TextDedup.hashedDocSets(batch.toDF()), st, Some(vocab),
-          Some(maskOk))
-        val matches = stage.memberMap.join(stage.crossReps, "sa")
-          .select(col("id").as("doc_id"), col("sid"), col("jacc"))
-        matches.write.mode(if (id == 0) "overwrite" else "append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamConfs(s) {
+      val q = s.readStream.schema(s.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          // no hb checkpoint: the bitmask path reads it once (into its own
+          // checkpointed mask frame) and a micro-batch re-derivation is one
+          // map-only pass — a per-trigger checkpoint job costs more
+          val stage = TextDedup.neardupPairStage(
+            TextDedup.hashedDocSets(batch.toDF()), st, Some(vocab),
+            Some(maskOk))
+          val matches = stage.memberMap.join(stage.crossReps, "sa")
+            .select(col("id").as("doc_id"), col("sid"), col("jacc"))
+          matches.write.mode(if (id == 0) "overwrite" else "append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     dropCkpt(ckpt)
     s.read.parquet(out)
       .groupBy(col("doc_id"))
@@ -803,7 +866,7 @@ object Streaming {
       val pin = s.conf.getOption(ProviderKey).isEmpty
       if (pin) s.conf.set(ProviderKey, RocksProvider)
       var read = 0L
-      try {
+      try withStreamConfs(s) {
         val q = s.readStream.schema(schema).parquet(dir)
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
