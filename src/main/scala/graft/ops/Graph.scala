@@ -108,7 +108,11 @@ object Graph {
     * integers (see object doc). Output: node kind + original key, the
     * EXACT scaled mass (pr_scaled, the oracle-compared value), ranked. */
   private val graphPagerank: Q = (s, d) => {
-    val e = bizEdges(s, d)
+    // checkpoint the undirected edge set ONCE: pagerankCore references its
+    // `dir` argument twice (deg rollup + adjacency join), which re-evaluated
+    // the full lineitem⋈orders+distinct build per reference — QProf r17
+    // showed the bizEdges map stages twice at ~1 s each
+    val e = bizEdges(s, d).localCheckpoint(true)
     val dir = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
     pagerankCore(dir)
