@@ -35,10 +35,13 @@ margin = float(sys.argv[1])
 # filtered run must never clobber the round's complete artifact)
 full = json.load(open("BENCH_SUBSET.json"))
 qs = full["queries"]
-# r10c: ceilings sized to the third (slowest) machine regime measured
-# 2026-08-15 (BASELINE.md "Machine regimes"); text_bigram_freq also
-# carries its +0.09 s chunkedTopK plan change
-ceilings = {"join_inner_equi": 1.00, "tpch_q16": 1.02, "text_bigram_freq": 0.64}
+# r17: the round-17 box is a NEW, ~2.5x-slower machine regime (BASELINE.md
+# "Machine regimes r17"): isolated quiet-window sentinel medians measured
+# 2026-08-18 are join_inner_equi 1.59-1.91, tpch_q16 1.56-1.89,
+# text_bigram_freq 1.24-1.61 on an idle box (loadavg < 0.5). Ceilings sized
+# to the slow edge of those windows; the r10c old-box ceilings
+# (1.00/1.02/0.64) are kept in git history for cross-box comparisons.
+ceilings = {"join_inner_equi": 1.95, "tpch_q16": 1.95, "text_bigram_freq": 1.65}
 bad = {k: (qs[k], c) for k, c in ceilings.items() if qs[k] > c * margin}
 for k, c in ceilings.items():
     print(f"  {k}: {qs[k]:.2f}s (slow-regime ceiling {c:.2f}s, abort above {c*margin:.2f}s)")
