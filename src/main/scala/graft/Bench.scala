@@ -158,6 +158,14 @@ object Bench {
       java.nio.file.Paths.get(
         if (only.isEmpty) "BENCH_FULL.json" else "BENCH_SUBSET.json"),
       (fullLine + "\n").getBytes("UTF-8"))
+    // r18 (VERDICT r17 item 8): the driver's scaling re-run at a lower
+    // SPARK_GRAFT_CPUS used to clobber the round's 32-core artifact of
+    // record (the committed r17 BENCH_FULL.json was actually the 8-core
+    // run). A per-core-count copy preserves every regime's artifact; the
+    // stdout contract and BENCH_FULL.json itself are unchanged.
+    if (only.isEmpty) java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"BENCH_FULL_c$cpus.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
     val budget = 1400
     val sb = new StringBuilder
     var shown = 0

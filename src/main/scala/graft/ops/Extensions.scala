@@ -330,7 +330,16 @@ object Extensions {
     * Every element recomputes from event_id in the oracle, so a skipped
     * occurrence, a mis-parsed packed run, or wrong ordering breaks the
     * hash. NewOpsSpec additionally pins the whole projection under
-    * CODEGEN_ONLY with codegen fallback disabled. */
+    * CODEGEN_ONLY with codegen fallback disabled.
+    *
+    * r18 (VERDICT r17 item 1): the output is the array's canonical
+    * comma-joined string plus an emptiness verdict, NOT the raw arrays —
+    * the driver's checker sorts/hashes rows via pandas, which cannot hash
+    * an ndarray cell, so the id had no ground-truth verdict at all. The
+    * string form pins the same decode (all five values, wire order) and
+    * `p_empty_ok` pins proto3's absent-repeated = EMPTY-list (a NULL or a
+    * non-empty decode both break it), and every row is now
+    * checker-comparable. */
   private lazy val fnProtobufRepeated: Q = (s, d) => {
     CatalystExt.register(s)
     val enc = udf(CatalystExt.protoEncodeEventEx _)
@@ -338,8 +347,8 @@ object Extensions {
       .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("pb", enc(col("event_id"), col("event_type"), col("value")))
       .selectExpr("event_id",
-        "graft_proto_longs(pb, 4) AS p_tags",
-        "graft_proto_longs(pb, 9) AS p_empty")
+        "array_join(transform(graft_proto_longs(pb, 4), x -> CAST(x AS STRING)), ',') AS p_tags",
+        "(graft_proto_longs(pb, 9) IS NOT NULL AND size(graft_proto_longs(pb, 9)) = 0) AS p_empty_ok")
       .orderBy("event_id")
   }
 
@@ -428,13 +437,14 @@ object Extensions {
       """SELECT event_id, event_id AS p_id, event_type AS p_et,
                 value AS p_val, CAST(NULL AS BIGINT) AS p_missing
          FROM events ORDER BY event_id""",
-    // all five repeated elements in wire order (2 unpacked + 3 packed);
-    // absent repeated field = EMPTY typed list, not NULL
+    // all five repeated elements in wire order (2 unpacked + 3 packed),
+    // as the canonical comma-joined decimal string; absent repeated field
+    // = EMPTY typed list (p_empty_ok replays true), not NULL
     "fn_protobuf_repeated" ->
       """SELECT event_id,
-                [event_id % 100, (event_id * 3) % 1000,
-                 event_id % 7, event_id % 11, event_id % 13] AS p_tags,
-                CAST([] AS BIGINT[]) AS p_empty
+                array_to_string([event_id % 100, (event_id * 3) % 1000,
+                 event_id % 7, event_id % 11, event_id % 13], ',') AS p_tags,
+                true AS p_empty_ok
          FROM events ORDER BY event_id""",
     // last nested occurrence wins (decoy first), inner values recomputed
     // from the base columns; both absence probes NULL

@@ -2081,27 +2081,51 @@ object TextDedup {
     * every SF, and the residual IVFADC gap is the coarse stage alone
     * (ivfpq == ivf at every probe count measured, r14 RecallProbe). */
   private val simAnnRecallAudit: Q = (s, d) => {
-    val ex = simCosineTopk(s, d).select(col("qid"), col("vec_id"))
-      .localCheckpoint(true)
-    val exAgg = ex.agg(count(lit(1)).as("n_exact"),
-      sum(col("vec_id")).as("sum_exact_ids"))
-    def hits(name: String, q: Q): DataFrame =
-      q(s, d).select(col("qid"), col("vec_id"))
-        .join(ex, Seq("qid", "vec_id"))
-        .agg(count(lit(1)).as(s"${name}_hits"))
-    val joined = Seq("lsh" -> simLshAnn, "ivf" -> simIvfAnn,
+    // r18 (VERDICT r17 item 2, guide §2.6 "overlap independent jobs"): the
+    // six approximate pipelines are INDEPENDENT of each other, but each
+    // builder runs driver-side actions (Lloyd collects, PQ sample fits,
+    // checkpoint materializations) that used to serialize — the audit's
+    // wall was nearly the SUM of its seven member pipelines. A small
+    // driver pool overlaps them (FIFO scheduler back-fills the tail of one
+    // job with the next job's tasks; at sf0.1 no member saturates the
+    // cores — the r17 8-vs-32-core block measured the whole suite compute-
+    // flat). Each member reduces to its scalar hit count against the exact
+    // reference; values, names, and output schema are byte-identical to
+    // the sequential form (every member is deterministic, and a count is
+    // order-insensitive).
+    graft.ext.CatalystExt.register(s) // once, before threads share it
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val exF = Future {
+        simCosineTopk(s, d).select(col("qid"), col("vec_id"))
+          .localCheckpoint(true)
+      }
+      def hitsF(q: Q): Future[Long] = Future { // builder (training actions)
+        q(s, d).select(col("qid"), col("vec_id"))
+      }.zip(exF).map { case (ap, ex) =>       // then the hit count vs exact
+        ap.join(ex, Seq("qid", "vec_id")).count()
+      }
+      val hfs = Seq("lsh" -> simLshAnn, "ivf" -> simIvfAnn,
         "ivfs" -> simIvfScaled,
         "mllib" -> simMllibLsh, "pq" -> simPqAnn, "ivfpq" -> simIvfPqAnn)
-      .foldLeft(exAgg) { case (acc, (n, q)) =>
-        acc.crossJoin(broadcast(hits(n, q)))
-      }
-    def ok(name: String, pct: Int): Column =
-      (col(s"${name}_hits") * 100L >= col("n_exact") * pct.toLong)
-        .as(s"${name}_recall_ok")
-    joined.select(col("n_exact").cast("long").as("n_exact"),
-      col("sum_exact_ids").cast("long").as("sum_exact_ids"),
-      ok("lsh", 85), ok("ivf", 80), ok("ivfs", 75), ok("mllib", 85),
-      ok("pq", 85), ok("ivfpq", 80))
+        .map { case (n, q) => n -> hitsF(q) }
+      val ex = Await.result(exF, Duration.Inf)
+      val hits = hfs.map { case (n, f) =>
+        n -> Await.result(f, Duration.Inf) }.toMap
+      def ok(name: String, pct: Int): Column =
+        (lit(hits(name)) * 100L >= col("n_exact") * pct.toLong)
+          .as(s"${name}_recall_ok")
+      ex.agg(count(lit(1)).as("n_exact"),
+          sum(col("vec_id")).as("sum_exact_ids"))
+        .select(col("n_exact").cast("long").as("n_exact"),
+          col("sum_exact_ids").cast("long").as("sum_exact_ids"),
+          ok("lsh", 85), ok("ivf", 80), ok("ivfs", 75), ok("mllib", 85),
+          ok("pq", 85), ok("ivfpq", 80))
+    } finally pool.shutdown()
   }
 
   // ------------------------------------------------------------ text analysis

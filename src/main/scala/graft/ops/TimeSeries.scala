@@ -935,23 +935,22 @@ object TimeSeries {
     val area2 = abs(
       (col("sxp") - col("cp") * col("x")) * (col("syn") - col("cn") * col("y")) -
       (col("sxn") - col("cn") * col("x")) * (col("syp") - col("cp") * col("y")))
-    val wSel = Window.partitionBy("user_id", "b").orderBy(desc("a2"), asc("x"))
-    val mid = pts.where(col("j") > 0 && col("j") < col("nb") - 1)
-      .withColumn("a2", area2)
+    // ONE selection pass (r18; was three window branches + union, which
+    // re-evaluated the hourly→idx→seq join lineage three times — guide
+    // §2.4 repeated-subtree rule). j is constant within a (user_id, b)
+    // bucket, so a bucket-type-dependent sort key picks the identical row
+    // per bucket: first bucket → min x (endpoint), last bucket → max x
+    // (endpoint; a 1-bucket series is "first"), interior → max area with
+    // the min-x tie-break. x is unique per (user_id, bucket-hour), so
+    // every ordering is total and the survivor set is unchanged.
+    val ord1 = when(col("j") === 0, -col("x"))
+      .when(col("j") === col("nb") - 1, col("x"))
+      .otherwise(col("a2"))
+    val wSel = Window.partitionBy("user_id", "b").orderBy(desc("ord1"), asc("x"))
+    pts.withColumn("a2", area2)
+      .withColumn("ord1", ord1)
       .withColumn("rk", row_number().over(wSel))
       .where(col("rk") === 1)
-      .select(col("user_id"), col("x"), col("y"))
-    val fst = pts.where(col("j") === 0)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("user_id", "b").orderBy("x")))
-      .where(col("rk") === 1)
-      .select(col("user_id"), col("x"), col("y"))
-    val lst = pts.where(col("j") === col("nb") - 1 && col("nb") > 1)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("user_id", "b").orderBy(desc("x"))))
-      .where(col("rk") === 1)
-      .select(col("user_id"), col("x"), col("y"))
-    fst.unionByName(mid).unionByName(lst)
       .select(col("user_id"),
         timestamp_millis(col("x") * 3600000).as("bucket"),
         (col("y") / 10000.0).as("v"))

@@ -63,6 +63,10 @@ object QProf {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         times += (System.nanoTime() - t0) / 1e9
+        // ADVICE r17: the listener bus delivers asynchronously — drain it
+        // before removing the listener or tail onStageCompleted events of
+        // the reported rep can be silently missed
+        org.apache.spark.sql.GraftDatasetFactory.waitListenerBusEmpty(spark, 10000)
         spark.sparkContext.removeSparkListener(l)
         lastL = l
       }

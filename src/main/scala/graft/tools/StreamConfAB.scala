@@ -61,7 +61,7 @@ object StreamConfAB {
     for (id <- ids) {
       val fn = graft.SparkEntry.queries(id)
       val times = mutable.Map[String, mutable.ArrayBuffer[Double]]()
-      val rowsets = mutable.Map[String, Set[String]]()
+      val rowsets = mutable.Map[String, Seq[String]]()
       for (_ <- 1 to reps; arm <- arms) {
         val prev = arm.confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
         arm.confs.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -71,7 +71,7 @@ object StreamConfAB {
           val rows = fn(spark, sf).collect()
           val dt = (System.nanoTime() - t0) / 1e9
           times.getOrElseUpdate(arm.label, mutable.ArrayBuffer()) += dt
-          val rs = rows.map(_.toSeq.map(String.valueOf).mkString("")).toSet
+          val rs = rows.map(_.toSeq.map(String.valueOf).mkString("")).toSeq.sorted
           rowsets.get(arm.label) match {
             case Some(r0) => require(r0 == rs, s"$id/${arm.label}: row drift")
             case None => rowsets(arm.label) = rs

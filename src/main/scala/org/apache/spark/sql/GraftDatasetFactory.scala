@@ -9,4 +9,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftDatasetFactory {
   def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  /** Drain the async listener bus (private[spark]) — QProf must flush
+    * pending onStageCompleted events before detaching its listener or the
+    * reported rep can silently miss tail stages (ADVICE r17). */
+  def waitListenerBusEmpty(s: SparkSession, timeoutMs: Long): Unit =
+    s.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
 }
