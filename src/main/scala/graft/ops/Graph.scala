@@ -86,6 +86,14 @@ object Graph {
     // billion-node graph the hint is skipped and both joins stay shuffles —
     // the plan GraphX's Pregel would run.
     def small(df: DataFrame) = if (n < 1000000) broadcast(df) else df
+    // r18 measured-and-DECLINED: dropping the per-iteration localCheckpoint
+    // (the rank chain references its predecessor exactly once, so the
+    // unrolled plan grows linearly and one job tree could run all 5
+    // iterations) benched SLOWER on paired isolated runs — pagerank
+    // 3.16→3.74 s, LPA 1.69→2.66 s medians: each iteration's broadcast
+    // then executes its whole unrolled subtree as one nested broadcast
+    // job chain, losing to a cheap in-memory scan of the materialized
+    // previous round. The checkpoints stay.
     var pr = deg.select(col("src").as("node"), lit(base).as("pr"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -490,6 +498,8 @@ object Graph {
       .unionAll(e.select(col("b").as("node"), col("a").as("m")))
       .localCheckpoint(true)
     val byVotes = Window.partitionBy("node").orderBy(desc("c"), asc("lbl"))
+    // (r18: removing the per-round checkpoint was measured and DECLINED —
+    // see pagerankCore; the unrolled single-job form benched 1.69→2.66 s.)
     var lab = nbr.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to rounds) {

@@ -406,35 +406,60 @@ object Pipeline {
     * Every rule compares exact integers (cross-multiplied ratios — e.g.
     * `max_c * 10 <= n_words` instead of `max_c/n_words <= 0.1`), so the
     * verdicts are bit-reproducible on any engine and any partitioning; the
-    * reported ratio columns are display-only r4 derivations. Shape at
-    * 100 TB: one explode → (doc, term) count agg → per-doc agg; two shuffles
-    * on keys that grow with the corpus, no window, no driver state. */
-  private[graft] def gopherRulesCore(docs: DataFrame): DataFrame = {
+    * reported ratio columns are display-only r4 derivations.
+    *
+    * r18 shape (guide §2.4 "remove shuffles outright"): every measure is a
+    * pure function of ONE document's token array, so the old
+    * explode → (doc, term)-count → per-doc-agg pipeline (two corpus-keyed
+    * shuffles per manifest build) is replaced by row-local array
+    * expressions — ZERO shuffles, and the release-manifest builders fold
+    * the verdict into their existing document projection instead of
+    * re-scanning the corpus and joining the verdict back by doc_id. The
+    * integers are identical by construction (sum over occurrences ≡ array
+    * fold; max term count ≡ longest run in the sorted array), pinned by
+    * the unchanged oracle SQL and PipelineSpec. */
+  private[graft] def gopherMeasures(tk: Column): Column = {
     val stop = Seq("the", "a", "and", "of", "to")
-    val tc = docs
-      .select(col("doc_id"), explode(split(normText, " ")).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-    tc.groupBy(col("doc_id")).agg(
-        sum(col("c")).as("n_words"),
-        max(col("c")).as("max_c"),
-        sum(col("c") * length(col("t"))).as("len_sum"),
-        sum(when(col("t").isInCollection(stop), col("c")).otherwise(0L))
-          .as("n_stop"))
-      .select(col("doc_id"), col("n_words"),
-        r4(col("len_sum").cast("double") / col("n_words").cast("double"))
+    // longest equal-run in the sorted array == max per-term occurrence count
+    val run = aggregate(sort_array(tk),
+      struct(lit(null).cast("string").as("p"), lit(0L).as("r"), lit(0L).as("m")),
+      (acc, x) => {
+        val r2 = when(acc.getField("p") <=> x, acc.getField("r") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("p"), r2.as("r"), greatest(acc.getField("m"), r2).as("m"))
+      },
+      acc => acc.getField("m"))
+    struct(
+      size(tk).cast("long").as("n_words"),
+      aggregate(tk, lit(0L), (a, x) => a + length(x).cast("long")).as("len_sum"),
+      run.as("max_c"),
+      size(filter(tk, x => x.isInCollection(stop))).cast("long").as("n_stop"))
+  }
+  /** The conjunctive keep flag over a [[gopherMeasures]] struct — exactly
+    * the four cross-multiplied integer rules of the audit query. */
+  private[graft] def gopherKeep(m: Column): Column =
+    (m.getField("n_words") >= 20 && m.getField("n_words") <= 1000) &&
+      (m.getField("len_sum") >= m.getField("n_words") * 2 &&
+        m.getField("len_sum") <= m.getField("n_words") * 5) &&
+      (m.getField("n_stop") >= 2) &&
+      (m.getField("max_c") * 10 <= m.getField("n_words"))
+  private[graft] def gopherRulesCore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), gopherMeasures(split(normText, " ")).as("gm"))
+      .select(col("doc_id"),
+        col("gm.n_words").as("n_words"),
+        r4(col("gm.len_sum").cast("double") / col("gm.n_words").cast("double"))
           .as("mean_word_len"),
-        r4(col("max_c").cast("double") / col("n_words").cast("double"))
+        r4(col("gm.max_c").cast("double") / col("gm.n_words").cast("double"))
           .as("max_word_frac"),
-        col("n_stop"),
-        (col("n_words") >= 20 && col("n_words") <= 1000).as("r_word_count"),
-        (col("len_sum") >= col("n_words") * 2 &&
-          col("len_sum") <= col("n_words") * 5).as("r_mean_len"),
-        (col("n_stop") >= 2).as("r_stopwords"),
-        (col("max_c") * 10 <= col("n_words")).as("r_repetition"))
+        col("gm.n_stop").as("n_stop"),
+        (col("gm.n_words") >= 20 && col("gm.n_words") <= 1000).as("r_word_count"),
+        (col("gm.len_sum") >= col("gm.n_words") * 2 &&
+          col("gm.len_sum") <= col("gm.n_words") * 5).as("r_mean_len"),
+        (col("gm.n_stop") >= 2).as("r_stopwords"),
+        (col("gm.max_c") * 10 <= col("gm.n_words")).as("r_repetition"))
       .withColumn("keep", col("r_word_count") && col("r_mean_len") &&
         col("r_stopwords") && col("r_repetition"))
       .orderBy("doc_id")
-  }
   private val pipelineGopherRules: Q = (s, d) =>
     gopherRulesCore(tbl(s, d, "documents"))
 
@@ -708,9 +733,10 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("source"), col("text"),
         split(normText, " ").as("tk"))
       .withColumn("tok", size(col("tk")).cast("long"))
-    // k1 — gopher rule cascade (stage 1)
-    val k1f = gopherRulesCore(docs).select(col("doc_id"), col("keep").as("k1"))
-    val f1 = docs.join(k1f, "doc_id")
+    // k1 — gopher rule cascade (stage 1), folded into the document
+    // projection row-locally (r18: no explode subtree, no doc_id join —
+    // guide §2.4; the verdict is a pure function of the token array)
+    val f1 = docs.withColumn("k1", gopherKeep(gopherMeasures(col("tk"))))
     // k2 — near-dup keepers among gopher survivors (stage 2).
     // CHECKPOINT DISCIPLINE (re-measured r10 at a 64×-multiplied sf0.1
     // corpus — the sf0.1-only "checkpoints are NEUTRAL" verdict FLIPS at
@@ -813,8 +839,12 @@ object Pipeline {
     // stage 6 — contiguous 512-token packing of the surviving corpus
     // (distributed prefix sum: bit-identical to the per-lang running
     // window, without its one-task-per-language ceiling)
+    // routeProbe = the checkpointed flag manifest itself (row count ≥ the
+    // k5 survivors — conservative): the small/large routing probe counts
+    // materialized checkpoint partitions instead of evaluating the
+    // mix-join branch a second time (r18, one fewer derived action per rep)
     val packs = chunkedCumSum(f5.where(col("k5")),
-        Seq("lang"), "doc_id", "tok", "cum")
+        Seq("lang"), "doc_id", "tok", "cum", routeProbe = Some(f4))
       .withColumn("pack_id", floor((col("cum") - col("tok")) / 512.0).cast("long"))
       .groupBy(col("lang"), col("pack_id")).agg(sum(col("tok")).as("pt"))
     val pa = packs.agg(coalesce(count(lit(1)), lit(0L)).as("npk"),
@@ -874,7 +904,6 @@ object Pipeline {
     val d0 = docsIn.select(col("doc_id"), col("lang"), col("source"),
         split(normText, " ").as("tk"))
       .withColumn("tok", size(col("tk")).cast("long"))
-    val gf = gopherRulesCore(docsIn).select(col("doc_id"), col("keep").as("g"))
     val tg = when(size(col("tk")) >= 3, expr(
       "transform(sequence(0, size(tk)-3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
       .otherwise(expr("array()"))
@@ -882,7 +911,9 @@ object Pipeline {
       (size(col("tg")) - size(array_distinct(col("tg")))).cast("long") * 50 <=
         size(col("tg")).cast("long") &&
       col("lang").isin("en", "fr", "de")
-    val man = d0.join(gf, "doc_id")
+    // gopher verdict folded row-locally (r18, guide §2.4 — no second
+    // corpus scan, no doc_id join)
+    val man = d0.withColumn("g", gopherKeep(gopherMeasures(col("tk"))))
       .withColumn("tg", tg).withColumn("q4", q4)
       .withColumn("dtk", when(col("g") && col("doc_id") >= 5,
         array_distinct(col("tk"))))

@@ -35,20 +35,27 @@ margin = float(sys.argv[1])
 # filtered run must never clobber the round's complete artifact)
 full = json.load(open("BENCH_SUBSET.json"))
 qs = full["queries"]
-# r17: the round-17 box is a NEW, ~2.5x-slower machine regime (BASELINE.md
-# "Machine regimes r17"): isolated quiet-window sentinel medians measured
-# 2026-08-18 are join_inner_equi 1.59-1.91, tpch_q16 1.56-1.89,
-# text_bigram_freq 1.24-1.61 on an idle box (loadavg < 0.5). Ceilings sized
-# to the slow edge of those windows; the r10c old-box ceilings
-# (1.00/1.02/0.64) are kept in git history for cross-box comparisons.
-ceilings = {"join_inner_equi": 1.95, "tpch_q16": 1.95, "text_bigram_freq": 1.65}
+# r18 (ADVICE r17): auto-select the ceiling set per DETECTED regime instead
+# of hardcoding the slow-regime absolutes — with only the slow ceilings, a
+# box back on the fast regime would let a genuine ~2x code regression pass
+# the gate silently. Regimes (BASELINE.md "Machine regimes"):
+#   fast (r10c old box): quiet sentinel medians ~0.71 / 0.91 / 0.49
+#   slow (r17/r18 box):  isolated quiet medians 1.59-1.91 / 1.56-1.89 / 1.24-1.61
+# A run is classified FAST when every sentinel is under the fast ceiling
+# x margin; otherwise the slow ceilings apply (and a sentinel over even
+# those x margin means the box is loaded, not merely slow).
+fast = {"join_inner_equi": 1.00, "tpch_q16": 1.02, "text_bigram_freq": 0.64}
+slow = {"join_inner_equi": 1.95, "tpch_q16": 1.95, "text_bigram_freq": 1.65}
+is_fast = all(qs[k] <= c * margin for k, c in fast.items())
+ceilings = fast if is_fast else slow
+regime = "fast" if is_fast else "slow"
 bad = {k: (qs[k], c) for k, c in ceilings.items() if qs[k] > c * margin}
 for k, c in ceilings.items():
-    print(f"  {k}: {qs[k]:.2f}s (slow-regime ceiling {c:.2f}s, abort above {c*margin:.2f}s)")
+    print(f"  {k}: {qs[k]:.2f}s ({regime}-regime ceiling {c:.2f}s, abort above {c*margin:.2f}s)")
 if bad:
-    print(f"LOADED BOX — sentinels over ceiling: {bad}; aborting")
+    print(f"LOADED BOX — sentinels over {regime}-regime ceiling: {bad}; aborting")
     sys.exit(3)
-print("sentinels OK — box is at worst in the slow-but-quiet regime")
+print(f"sentinels OK — box is in the {regime} regime and quiet")
 EOF
 
 # settle: the sentinel JVM's own load otherwise lands inside the full
